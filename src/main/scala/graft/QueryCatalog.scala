@@ -1,0 +1,16 @@
+package graft
+
+import graft.analytics.{QueryDef, Relational}
+import graft.dedup.DedupQueries
+import graft.similarity.SimilarityQueries
+import graft.text.TextQueries
+
+/** Aggregated query catalog — one QueryDef per operator claimed in
+  * SURVEY.md §2 plus the training-data-pipeline extensions. SparkEntry
+  * derives the driver's `queries`/`oracleSql` maps from this. */
+object QueryCatalog {
+  val all: Seq[QueryDef] =
+    Relational.defs ++ TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs
+
+  require(all.map(_.name).distinct.size == all.size, "duplicate query names")
+}

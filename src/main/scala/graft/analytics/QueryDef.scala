@@ -1,0 +1,38 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One catalog entry: a Spark query over the driver testdata plus (when
+  * SQL-expressible) an equivalent ANSI SQL oracle the driver runs in DuckDB.
+  *
+  * Determinism contract (the driver hash-compares sorted rows/columns):
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates go through exact DECIMAL accumulation and surface as
+  *    DOUBLE (summation order can never drift the hash);
+  *  - computed integers are BIGINT on both sides (Spark int vs DuckDB bigint
+  *    defaults differ);
+  *  - every top-k/limit has a total tiebreak order.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    notes: String = "")
+
+object Ops {
+  /** Scan one driver-provided table (TESTDATA.md layout). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum surfaced as DOUBLE — order-insensitive, engine-exact.
+    * Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE). */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact mean: decimal sum / count, divided in DOUBLE on both engines.
+    * Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)/COUNT(*). */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(lit(1))
+}

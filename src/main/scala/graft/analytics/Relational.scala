@@ -1,0 +1,523 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Ops._
+
+/** Relational query catalog over the driver testdata — re-expresses every
+  * operator family from SURVEY.md §2 (scans, projections/casts, filters,
+  * dedup-window, joins, aggregates, windows, sorts/top-k, set ops, scalar
+  * functions) plus the analytics surface the reference delegates to Athena
+  * (`README.md:33,67`) and the declared gold layer (`README.md:130`).
+  *
+  * Scale posture: dimension joins broadcast; fact-fact joins shuffle on the
+  * join key with AQE; every aggregate is a built-in hash agg with map-side
+  * partial aggregation; filters/projections push into the Parquet scans.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Aggregation core (§2.6 A1-A3; TPC-H Q1 shape) ──────────────────
+    QueryDef("q01_pricing_summary", (s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          // scale 6: price*(1-disc)*(1+tax) has exactly 6 decimals (2+2+2),
+          // so no rounding happens — scale 4 would hit round-half ties where
+          // Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree.
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""),
+      notes = "SURVEY §2.6 A3, §2.10 X8; TPC-H Q1 shape"),
+
+    // ── Filter + projection (§2.4 F1, §2.3 P1) ─────────────────────────
+    QueryDef("q02_filter_project", (s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05 &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice*(1-l_discount) AS revenue
+      FROM lineitem
+      WHERE l_quantity > 45 AND l_discount >= 0.05
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"""),
+      notes = "SURVEY §2.4 F1 conjunction + comparison; pushdown-checked"),
+
+    // ── IN-list filters (§2.4 F2/F3) ───────────────────────────────────
+    QueryDef("q03_filter_in", (s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_orderstatus").isin("O", "F"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        AND o_orderstatus IN ('O','F')"""),
+      notes = "SURVEY §2.4 F2/F3 isin"),
+
+    // ── CASE curation (§2.3 P4) ────────────────────────────────────────
+    QueryDef("q04_case_curate", (s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderstatus") === "O", "OPEN")
+          .when(col("o_orderstatus") === "F", "FULFILLED")
+          .when(col("o_orderstatus") === "P", "PARTIAL")
+          .otherwise("UNKNOWN").as("status_curated"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderstatus='O' THEN 'OPEN'
+             WHEN o_orderstatus='F' THEN 'FULFILLED'
+             WHEN o_orderstatus='P' THEN 'PARTIAL'
+             ELSE 'UNKNOWN' END AS status_curated
+      FROM orders"""),
+      notes = "SURVEY §2.3 P4 when/otherwise chain (silver curate_status shape)"),
+
+    // ── Cast / derive (§2.3 P1, P3) ────────────────────────────────────
+    QueryDef("q05_cast_derive", (s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("total_dec"),
+        col("o_orderdate").cast("date").as("o_date"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    }, Some("""
+      SELECT o_orderkey,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS total_dec,
+        CAST(o_orderdate AS DATE) AS o_date,
+        CAST(year(o_orderdate) AS BIGINT) AS o_year
+      FROM orders"""),
+      notes = "SURVEY §2.3 P1 cast to Decimal(12,2) + P3 to_date (bronze cast_dtypes shape)"),
+
+    // ── String normalisation (§2.3 P2, bug-B1-fixed semantics) ─────────
+    QueryDef("q06_normalise_strings", (s, d) => {
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_norm"),
+        lower(col("c_mktsegment")).as("segment_lower"),
+        length(col("c_name")).cast("long").as("name_len"))
+    }, Some("""
+      SELECT c_custkey,
+        UPPER(TRIM(c_name)) AS name_norm,
+        LOWER(c_mktsegment) AS segment_lower,
+        CAST(LENGTH(c_name) AS BIGINT) AS name_len
+      FROM customer"""),
+      notes = "SURVEY §2.3 P2 normalise_strings intended semantics (B1 fix)"),
+
+    // ── Dedup keep-latest (§2.7 W1 + §2.4 F4 + §2.3 P5) ────────────────
+    QueryDef("q07_dedup_latest", (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .withColumn("row_num", row_number().over(w))
+        .filter(col("row_num") === 1)
+        .drop("row_num")
+        .select("user_id", "event_id", "event_type", "value")
+    }, Some("""
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS row_num
+        FROM events) WHERE row_num = 1"""),
+      notes = "SURVEY §2.7 W1 dedup window, deterministic tiebreak (B3)"),
+
+    // ── Top-k per group (§2.8 argmax-per-group generalized) ────────────
+    QueryDef("q08_topk_per_group", (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        FROM orders) WHERE rn <= 3"""),
+      notes = "top-3 per customer; single window shuffle"),
+
+    // ── Analytic lag (§2.7 extension: lead/lag surface) ────────────────
+    QueryDef("q09_window_lag", (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_orderkey
+      FROM orders"""),
+      notes = "lag analytic window"),
+
+    // ── Running total (explicit ROWS frame) ────────────────────────────
+    QueryDef("q10_running_total", (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("run_total"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+      FROM orders"""),
+      notes = "running decimal-exact sum, explicit ROWS frame"),
+
+    // ── Broadcast dimension joins (§2.5 analytics surface) ─────────────
+    QueryDef("q11_join_dims", (s, d) => {
+      val c = t(s, d, "customer")
+      val n = broadcast(t(s, d, "nation"))
+      val r = broadcast(t(s, d, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    }, Some("""
+      SELECT c_custkey, c_name, n_name, r_name
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey"""),
+      notes = "broadcast hash joins — dims never shuffle the fact side"),
+
+    // ── Multi-join aggregate (gold revenue-by-nation shape) ────────────
+    QueryDef("q12_revenue_by_nation", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = broadcast(t(s, d, "nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }, Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name"""),
+      notes = "fact-fact shuffle join on orderkey + broadcast dims; AQE-sized"),
+
+    // ── TPC-H Q3 shape: filtered join + agg + global top-k ─────────────
+    QueryDef("q13_top_unshipped", (s, d) => {
+      val cutoff = lit("1997-06-01").cast("timestamp")
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < cutoff)
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }, Some("""
+      SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10"""),
+      notes = "TPC-H Q3 shape; deterministic total order on the top-k"),
+
+    // ── Semi / anti joins ──────────────────────────────────────────────
+    QueryDef("q14_semi_join", (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')"""),
+      notes = "left_semi join = EXISTS"),
+
+    QueryDef("q15_anti_join", (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')"""),
+      notes = "left_anti join = NOT EXISTS (complement of q14)"),
+
+    // ── Outer join + aggregate ─────────────────────────────────────────
+    QueryDef("q16_outer_join_agg", (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+    }, Some("""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey"""),
+      notes = "left outer join preserving empty customers"),
+
+    // ── Distinct (§2.6 A2 / §2.3 P6) ───────────────────────────────────
+    QueryDef("q17_distinct", (s, d) => {
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    }, Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+      notes = "SURVEY §2.6 A2 distinct"),
+
+    // ── Global top-k (§2.8) ────────────────────────────────────────────
+    QueryDef("q18_topk_orders", (s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""),
+      notes = "TakeOrderedAndProject — no full sort at scale"),
+
+    // ── Set operations (§2.9) ──────────────────────────────────────────
+    QueryDef("q19_union_distinct", (s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.union(sn).distinct()
+    }, Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier"""),
+      notes = "union + distinct = SQL UNION"),
+
+    QueryDef("q19b_intersect", (s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn)
+    }, Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier"""),
+      notes = "intersect"),
+
+    // ── Rollup / cube (gold superset) ──────────────────────────────────
+    QueryDef("q20_rollup", (s, d) => {
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+    }, Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
+      notes = "rollup grouping sets"),
+
+    QueryDef("q21_cube", (s, d) => {
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("n"))
+    }, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+             COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+             COUNT(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
+      notes = "cube grouping sets"),
+
+    // ── Statistical aggregates (decimal-exact moments) ─────────────────
+    QueryDef("q22_stats", (s, d) => {
+      val sumQ = dsum(col("l_quantity"), 6)
+      val sumSq = dsum(col("l_quantity") * col("l_quantity"), 6)
+      val n = count(lit(1))
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          n.as("n"),
+          sumQ.as("sum_qty"),
+          // sample variance from exact decimal moments, assembled in DOUBLE:
+          ((sumSq - sumQ * sumQ / n) / (n - lit(1))).as("var_qty"))
+    }, Some("""
+      SELECT l_returnflag,
+        MIN(l_quantity) AS min_qty,
+        MAX(l_quantity) AS max_qty,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+          / (COUNT(*) - 1) AS var_qty
+      FROM lineitem GROUP BY l_returnflag"""),
+      notes = "variance from exact decimal moments — order-insensitive across engines"),
+
+    // ── Scalar function zoo (§2.10 X1-X13 + strings/math) ──────────────
+    QueryDef("q23_scalar_zoo", (s, d) => {
+      t(s, d, "part").select(
+        col("p_partkey"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        upper(col("p_brand")).as("brand_upper"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        abs(col("p_retailprice") - 1000.0).as("price_dist"),
+        (col("p_size") % 7).cast("long").as("size_mod"),
+        coalesce(col("p_brand"), lit("?")).as("brand_nn"))
+    }, Some("""
+      SELECT p_partkey,
+        concat_ws('/', p_brand, p_type) AS brand_type,
+        substring(p_name, 1, 8) AS name_prefix,
+        CAST(length(p_name) AS BIGINT) AS name_len,
+        upper(p_brand) AS brand_upper,
+        regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+        abs(p_retailprice - 1000.0) AS price_dist,
+        CAST(p_size % 7 AS BIGINT) AS size_mod,
+        COALESCE(p_brand, '?') AS brand_nn
+      FROM part"""),
+      notes = "scalar function surface (§2.10)"),
+
+    // ── Date/time functions ────────────────────────────────────────────
+    QueryDef("q24_date_funcs", (s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_epoch95"))
+    }, Some("""
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        CAST(day(o_orderdate) AS BIGINT) AS o_day,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+          AS days_since_epoch95
+      FROM orders"""),
+      notes = "temporal scalar functions (§2.10 X3/X4 family)"),
+
+    // ── Event-time tumbling window (streaming-shaped batch agg) ────────
+    QueryDef("q25_events_daily", (s, d) => {
+      // ts arrives as nanos-since-epoch LONG (nanosAsLong read path);
+      // floor-divide to micros = DuckDB's epoch_ns(ts)//1000 exactly.
+      t(s, d, "events")
+        .groupBy(
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }, Some("""
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2"""),
+      notes = "tumbling daily window as batch groupBy (streaming twin in graft.streaming)"),
+
+    // ── Sessionization (gap-based, window-over-window) ─────────────────
+    QueryDef("q26_sessionize", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("us", expr("ts div 1000")) // nanos LONG → micros (floor)
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }, Some("""
+      SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      FROM (
+        SELECT user_id,
+          CASE WHEN prev_us IS NULL
+                 OR us - prev_us > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM (
+          SELECT user_id, epoch_ns(ts)//1000 AS us,
+            lag(epoch_ns(ts)//1000, 1) OVER (
+              PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+          FROM events))
+      GROUP BY user_id"""),
+      notes = "30-min-gap sessionization; microsecond-exact both engines"),
+
+    // ── JSON extraction ────────────────────────────────────────────────
+    QueryDef("q27_json_extract", (s, d) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }, Some("""
+      SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events"""),
+      notes = "JSON path extraction over the events.props column"),
+
+    // ── Pivot (conditional aggregation) ────────────────────────────────
+    QueryDef("q28_pivot_status", (s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+    }, Some("""
+      SELECT o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS "F",
+        COUNT(CASE WHEN o_orderstatus='O' THEN 1 END) AS "O",
+        COUNT(CASE WHEN o_orderstatus='P' THEN 1 END) AS "P"
+      FROM orders GROUP BY o_orderpriority"""),
+      notes = "pivot = conditional aggregation (gold statusMix shape)"),
+
+    // ── Approximate distinct (no cross-engine oracle: sketch differs) ──
+    QueryDef("q29_approx_distinct", (s, d) => {
+      t(s, d, "orders").agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+    }, None,
+      notes = "HLL++ sketch — rows-only check (sketches are engine-specific)")
+  )
+}

@@ -1,0 +1,123 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Ops, QueryDef}
+import Ops._
+
+/** Deduplication operator family over `documents` — exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All built from codegen'd built-in
+  * expressions (no UDFs): hashing via xxhash64, shingling via higher-order
+  * array functions, banding via explode + hash-partitioned groupBy.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - signatures are computed in a single narrow scan per doc;
+  *  - LSH candidate generation shuffles only (band_id, band_hash, doc_id)
+  *    triples — bytes per doc, not the documents themselves;
+  *  - exact verification joins only the candidate pairs back to content,
+  *    never the full cross product.
+  */
+object DedupQueries {
+
+  /** 3-token shingles of the space-tokenized text, distinct. */
+  private val shingles =
+    "array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0) - 1), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
+
+  /** k=16 minhash signature over the shingles (seeded xxhash64 per row). */
+  private val signature =
+    s"transform(sequence(0, 15), j -> array_min(transform($shingles, s -> xxhash64(s, j))))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Exact dedup: hash-groupBy fingerprint clusters ─────────────────
+    QueryDef("q35_dedup_exact", (s, d) => {
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("cluster_size"))
+    }, Some("""
+      SELECT md5(text) AS fp,
+             MIN(doc_id) AS keeper_doc_id,
+             COUNT(*) AS cluster_size
+      FROM documents GROUP BY md5(text)"""),
+      notes = "exact dedup via content-hash groupBy; keeper = min doc_id"),
+
+    // ── MinHash signatures + LSH banding (b=4, r=4) ────────────────────
+    QueryDef("q36_minhash_lsh", (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), expr(signature).as("sig"))
+      // bands: hash 4 consecutive signature slots per band
+      val banded = docs.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 3), b ->
+            |  struct(b AS band_id,
+            |         xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]) AS band_hash))
+            |""".stripMargin)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      // candidate pairs = docs sharing any (band_id, band_hash) bucket
+      val a = banded.as("a"); val b = banded.as("b")
+      val pairs = a.join(b,
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // per-doc summary (stable 500-row output): candidate count + sig head
+      val candCount = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      docs.join(candCount, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("sig")(0).as("sig0"), col("sig")(1).as("sig1"))
+    }, None,
+      notes = "MinHash(k=16)+LSH(b=4,r=4) candidate generation; rows-only (hash fns engine-specific)"),
+
+    // ── SimHash (64-bit, explode + one shuffle keyed by doc) ───────────
+    QueryDef("q37_simhash", (s, d) => {
+      val tokens = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      val bitCols = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$i")
+      }
+      val bitSums = tokens.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      val sim = (0 until 64).map { i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+      bitSums.select(col("doc_id"), sim.as("simhash"))
+    }, None,
+      notes = "64-bit SimHash from token-hash bit votes; rows-only (xxhash64 engine-specific)"),
+
+    // ── n-gram Jaccard within source groups (exact, set-based) ─────────
+    QueryDef("q38_ngram_jaccard", (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), expr(shingles).as("grams"))
+      val a = docs.as("a"); val b = docs.as("b")
+      a.join(b, col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+            (size(col("a.grams")) + size(col("b.grams")) -
+              size(array_intersect(col("a.grams"), col("b.grams")))))
+            .as("jaccard"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          AS jaccard
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id"""),
+      notes = "exact 3-gram Jaccard, blocked by source (LSH is the scale path, q36)")
+  )
+}

@@ -1,0 +1,128 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Ops, QueryDef}
+import Ops._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Arithmetic contract: vectors are widened to DOUBLE first, dot/norm are
+  * sequential left-folds (`aggregate`), division/sqrt in DOUBLE — the exact
+  * same operation order the DuckDB oracle uses, so results are
+  * bit-comparable; outputs additionally round to 1e-6 for safety.
+  *
+  * Scale design: brute-force is the correctness baseline (O(n·q), fine when
+  * the query side is small and broadcast); the LSH-bucketed variant
+  * (random-hyperplane signs → bucket join) is the 100 TB path — candidates
+  * shuffle by bucket id, never the full cross product.
+  */
+object SimilarityQueries {
+
+  /** Elementwise-double view of an embedding column. */
+  private def asDouble(c: String): Column =
+    expr(s"transform($c, x -> cast(x AS double))")
+
+  /** L2 norm of a double-array column — same sequential fold the oracle's
+    * sqrt(list_dot_product(e,e)) performs. */
+  private def l2norm(c: String): Column =
+    expr(s"sqrt(aggregate(transform($c, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))")
+
+  /** cosine(a, b) given precomputed norms — norms are evaluated once per
+    * vector (narrow pre-pass), not once per pair: at n vectors this saves
+    * 2·n² fold evaluations while keeping the arithmetic (dot/(na·nb))
+    * bit-identical to the per-pair form. */
+  private def cosine(a: String, b: String, na: String, nb: String): Column = {
+    val dot = s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)"
+    expr(s"round($dot / ($na * $nb), 6)")
+  }
+
+  /** (vec_id, v: array<double>, norm: double) — the shared similarity input. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", l2norm("v"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Near-duplicate pairs by embedding cosine ───────────────────────
+    QueryDef("q39_cosine_dup_pairs", (s, d) => {
+      val a = vecs(s, d).toDF("id_a", "va", "na")
+      val b = vecs(s, d).toDF("id_b", "vb", "nb")
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos_sim", cosine("va", "vb", "na", "nb"))
+        .filter(col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+          AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35"""),
+      notes = "embedding-cosine near-dup; double-widened, rounded to 1e-6"),
+
+    // ── Brute-force cosine top-k (ANN correctness baseline) ────────────
+    QueryDef("q40_ann_topk", (s, d) => {
+      val q = vecs(s, d).filter(col("vec_id") < 10).toDF("query_id", "qv", "qn")
+      val c = vecs(s, d).toDF("cand_id", "cv", "cn")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("cand_id").asc)
+      broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+        .withColumn("cos_sim", cosine("qv", "cv", "qn", "cn"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "cand_id", "rank", "cos_sim")
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          round(list_dot_product(q.e, c.e) /
+                (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+            AS cos_sim
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10)
+      SELECT query_id, cand_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank,
+        cos_sim
+      FROM scored
+      QUALIFY rank <= 5"""),
+      notes = "brute-force cosine top-5; query side broadcast, tie-broken rank"),
+
+    // ── LSH-bucketed ANN (random-hyperplane signs; the scale path) ─────
+    QueryDef("q41_ann_lsh", (s, d) => {
+      // Deterministic pseudo-random hyperplanes (components derived from
+      // xxhash64 — no RNG state, reproducible on any cluster). 6 planes →
+      // 64 buckets: sized so buckets hold ~n/64 candidates; at real scale
+      // raise the plane count (buckets grow 2^p) to keep buckets bounded.
+      val nPlanes = 6
+      val planes =
+        s"""transform(sequence(0, ${nPlanes - 1}), p ->
+           |  transform(sequence(0, 63), i ->
+           |    cast(pmod(xxhash64(p, i), 2001) AS double) / 1000.0 - 1.0))""".stripMargin
+      val bucketed = vecs(s, d).withColumn("bucket",
+        expr(
+          s"""aggregate(
+             |  zip_with($planes, sequence(0, ${nPlanes - 1}), (plane, p) ->
+             |    if(aggregate(zip_with(v, plane, (x, w) -> x * w),
+             |                 cast(0.0 AS double), (acc, x) -> acc + x) >= 0.0,
+             |       shiftleft(1L, p), 0L)),
+             |  0L, (acc, x) -> acc | x)""".stripMargin))
+      val q = bucketed.filter(col("vec_id") < 10).toDF("query_id", "qv", "qn", "bucket")
+      val c = bucketed.toDF("cand_id", "cv", "cn", "bucket")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("cand_id").asc)
+      q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos_sim", cosine("qv", "cv", "qn", "cn"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "cand_id", "rank", "cos_sim")
+    }, None,
+      notes = "IVF/LSH-style bucketed ANN — shuffles by bucket, not cross product; rows-only (approximate by design)")
+  )
+}

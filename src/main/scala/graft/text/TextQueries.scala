@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Ops, QueryDef}
+import Ops._
+
+/** Text-analysis operators over the `documents` table — the training-data-
+  * pipeline surface (language ID, quality scoring, token counting, document
+  * fingerprinting). All narrow, codegen'd column expressions: at 100 TB this
+  * layer is a single scan-project with no shuffle.
+  *
+  * Cross-engine determinism notes:
+  *  - token counts use pure length arithmetic (length - length(replace)+1)
+  *    instead of regex splits, whose edge semantics differ between engines;
+  *  - ratios divide exact integers in DOUBLE — bit-identical IEEE on both;
+  *  - fingerprints use md5 (identical definition everywhere).
+  */
+object TextQueries {
+
+  /** Occurrences of a single-space-separated word (documents corpus contract:
+    * words separated by single spaces, no punctuation). */
+  private def wordCount(text: org.apache.spark.sql.Column, word: String) = {
+    // occurrences of `word` as a token == occurrences of (" "+word+" ") in
+    // (" "+text+" "), counted by length difference / (len(word)+2-1)... the
+    // robust engine-portable form: count of non-overlapping replacements.
+    val padded = concat(lit(" "), text, lit(" "))
+    val target = s" $word "
+    // replace " w " with " w w " would overlap; instead count via split-free
+    // arithmetic on a marker substitution:
+    (length(padded) - length(replace(padded, lit(target), lit(" "))))
+      .cast("double") / lit(target.length - 1)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Token counting + basic stats ───────────────────────────────────
+    QueryDef("q30_text_stats", (s, d) => {
+      val text = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(text).cast("long").as("n_chars_actual"),
+        (length(text) - length(replace(text, lit(" "), lit(""))) + lit(1))
+          .cast("long").as("n_tokens"),
+        // mean token length = non-space chars / tokens, exact double division
+        (length(replace(text, lit(" "), lit(""))).cast("double") /
+          (length(text) - length(replace(text, lit(" "), lit(""))) + lit(1)))
+          .as("mean_token_len"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_actual,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / (length(text) - length(replace(text, ' ', '')) + 1) AS mean_token_len
+      FROM documents"""),
+      notes = "whitespace token counting via length arithmetic (engine-portable)"),
+
+    // ── Quality scoring ────────────────────────────────────────────────
+    QueryDef("q31_quality_score", (s, d) => {
+      val text = col("text")
+      val nTokens = length(text) - length(replace(text, lit(" "), lit(""))) + lit(1)
+      val stop = wordCount(text, "the") + wordCount(text, "a") +
+        wordCount(text, "and") + wordCount(text, "of")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        stop.as("stopword_hits"),
+        (stop / nTokens.cast("double")).as("stopword_ratio"),
+        // composite quality: in-range length + stopword presence
+        (when(length(text) >= 100 && length(text) <= 20000, 0.5).otherwise(0.0) +
+          when(stop / nTokens.cast("double") > 0.01, 0.5).otherwise(0.0))
+          .as("quality_score"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id, text,
+          length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+          CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' ')) AS DOUBLE)/4
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' ')) AS DOUBLE)/2
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ' ')) AS DOUBLE)/4
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ' ')) AS DOUBLE)/3
+          AS stop
+        FROM documents)
+      SELECT doc_id,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        stop AS stopword_hits,
+        stop / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.5 ELSE 0.0 END
+         + CASE WHEN stop / CAST(n_tokens AS DOUBLE) > 0.01 THEN 0.5 ELSE 0.0 END)
+          AS quality_score
+      FROM q"""),
+      notes = "length/stopword quality heuristics; exact integer arithmetic"),
+
+    // ── Language ID (stopword-marker heuristic) ────────────────────────
+    QueryDef("q32_lang_id", (s, d) => {
+      val text = col("text")
+      val en = wordCount(text, "the")
+      val frMarkers = wordCount(text, "le") + wordCount(text, "la")
+      val deMarkers = wordCount(text, "der") + wordCount(text, "und")
+      t(s, d, "documents").select(
+        col("doc_id"), col("lang").as("lang_actual"),
+        en.as("score_en"), frMarkers.as("score_fr"), deMarkers.as("score_de"),
+        when(en >= frMarkers && en >= deMarkers && en > 0, "en")
+          .when(frMarkers >= deMarkers && frMarkers > 0, "fr")
+          .when(deMarkers > 0, "de")
+          .otherwise("unknown").as("lang_pred"))
+    }, Some("""
+      WITH sc AS (
+        SELECT doc_id, lang,
+          CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' ')) AS DOUBLE)/4 AS score_en,
+          CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ' ')) AS DOUBLE)/3
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' la ', ' ')) AS DOUBLE)/3 AS score_fr,
+          CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ' ')) AS DOUBLE)/4
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' und ', ' ')) AS DOUBLE)/4 AS score_de
+        FROM documents)
+      SELECT doc_id, lang AS lang_actual, score_en, score_fr, score_de,
+        CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en > 0 THEN 'en'
+             WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+             WHEN score_de > 0 THEN 'de'
+             ELSE 'unknown' END AS lang_pred
+      FROM sc"""),
+      notes = "n-gram/stopword language heuristic, deterministic argmax"),
+
+    // ── Document fingerprinting ────────────────────────────────────────
+    QueryDef("q33_fingerprint", (s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("fp_exact"),
+        md5(lower(replace(col("text"), lit(" "), lit("")))).as("fp_normalized"))
+    }, Some("""
+      SELECT doc_id,
+        md5(text) AS fp_exact,
+        md5(lower(replace(text, ' ', ''))) AS fp_normalized
+      FROM documents"""),
+      notes = "md5 content fingerprints — identical definition on both engines"),
+
+    // ── Multimodal plumbing: opaque binary column + typed metadata ─────
+    QueryDef("q34_binary_meta", (s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        md5(text) AS digest
+      FROM documents"""),
+      notes = "binary-column metadata path (multimodal schema plumbing; decode stubs live in graft.multimodal)")
+  )
+}
