@@ -1,0 +1,67 @@
+package graft
+
+import graft.analytics.QueryDef
+
+/** Every catalog query must run against the sf0.001 testdata and produce a
+  * sane, deterministic result. Spot-checks pin known answers. */
+class QueryCatalogSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  QueryCatalog.all.foreach { q: QueryDef =>
+    test(s"${q.name} runs at sf0.001 and is deterministic") {
+      val df1 = q.fn(spark, sf)
+      val n1 = df1.count()
+      assert(n1 >= 0)
+      val n2 = q.fn(spark, sf).count()
+      assert(n1 == n2, s"${q.name} row count changed between runs")
+    }
+  }
+
+  test("oracle coverage: every SQL-expressible query declares an oracle") {
+    val noOracle = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == Set("q29_approx_distinct", "q36_minhash_lsh",
+      "q37_simhash", "q41_ann_lsh"),
+      "only engine-specific-hash / approximate ops may omit the oracle")
+  }
+
+  test("q17_distinct returns the 6 known flag/status combos") {
+    assert(SparkEntry.queries("q17_distinct")(spark, sf).count() == 6)
+  }
+
+  test("q12_revenue_by_nation covers all 25 nations (flagship entry)") {
+    assert(SparkEntry.entry(spark).count() == 25)
+  }
+
+  test("q35_dedup_exact clusters cover every document") {
+    val df = SparkEntry.queries("q35_dedup_exact")(spark, sf)
+    import org.apache.spark.sql.functions.sum
+    val total = df.agg(sum("cluster_size")).collect().head.getLong(0)
+    assert(total == 500)
+  }
+
+  test("q40_ann_topk returns exactly 5 ranked neighbors per query vector") {
+    val rows = SparkEntry.queries("q40_ann_topk")(spark, sf).collect()
+    assert(rows.length == 50)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L))
+    }
+  }
+
+  test("oracleSql column names appear in the Spark result (alias contract)") {
+    // The driver compare sorts columns by name — a misaligned alias breaks
+    // the hash even when values match. Guard: every Spark output column
+    // name must appear verbatim in the oracle SQL text.
+    QueryCatalog.all.foreach { q =>
+      q.oracle.foreach { sql =>
+        val cols = q.fn(spark, sf).columns
+        cols.foreach { c =>
+          assert(sql.toLowerCase.contains(c.toLowerCase),
+            s"${q.name}: column '$c' not mentioned in oracle SQL")
+        }
+      }
+    }
+  }
+}
