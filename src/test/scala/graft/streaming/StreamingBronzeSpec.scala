@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.gen.FixtureGen
+
+class StreamingBronzeSpec extends SparkSpec {
+
+  test("file-source streaming bronze: backlog processed, deduped, partitioned") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    FixtureGen.generate(s"$root/raw", FixtureGen.Config(days = 2, rowsPerDay = 500))
+
+    val stream = readBronzeStream(s"$root/raw/transactions")
+    val q = StreamingBronze.writeBronze(stream,
+      s"$root/bronze", s"$root/checkpoint")
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(s"$root/bronze")
+    assert(out.count() == 1000) // UUIDs: no dups in corpus, none dropped
+    assert(out.columns.contains("txn_date"))
+    val parts = new java.io.File(s"$root/bronze").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("txn_date=")).length
+    assert(parts == 2)
+
+    // restart with no new files: checkpoint prevents reprocessing
+    val q2 = StreamingBronze.writeBronze(
+      readBronzeStream(s"$root/raw/transactions"),
+      s"$root/bronze", s"$root/checkpoint")
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$root/bronze").count() == 1000)
+  }
+
+  test("streaming dedup drops in-stream duplicate txn_ids") {
+    val root = Files.createTempDirectory("graft-stream-dup").toString
+    val dir = new java.io.File(s"$root/raw/transactions/ingest_date=2025-08-01")
+    dir.mkdirs()
+    val rows = Seq(
+      FixtureGen.Header,
+      "t1,m_0001,u_000001,10.00,GBP,SETTLED,2025-08-01T10:00:00,GB",
+      "t1,m_0001,u_000001,10.00,GBP,SETTLED,2025-08-01T10:05:00,GB",
+      "t2,m_0001,u_000002,20.00,GBP,SETTLED,2025-08-01T11:00:00,GB")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "x.csv").toPath, rows.mkString("\n"))
+
+    val q = StreamingBronze.writeBronze(
+      readBronzeStream(s"$root/raw/transactions"),
+      s"$root/bronze", s"$root/checkpoint")
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$root/bronze").count() == 2)
+  }
+
+  private def readBronzeStream(rawDir: String) =
+    StreamingBronze.pipeline(StreamingBronze.readRawStream(spark, rawDir))
+}
