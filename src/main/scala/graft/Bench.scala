@@ -12,11 +12,26 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Warm-up at the smallest SF: triggers codegen compilation + JIT for
+    // every query shape so the timed run measures execution, not JVM warmup.
+    val warmDir = {
+      val small = "/root/testdata/sf0.001"
+      if (new java.io.File(small).isDirectory) small else sfDir
     }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      // noop sink: full materialization of every output column (count()
+      // would let Catalyst prune computed projections out of the measure).
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -24,9 +24,8 @@ object DedupQueries {
     "array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0) - 1), " +
       "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
 
-  /** k=16 minhash signature over the shingles (seeded xxhash64 per row). */
-  private val signature =
-    s"transform(sequence(0, 15), j -> array_min(transform($shingles, s -> xxhash64(s, j))))"
+  private val K = 16 // minhash signature length
+  private val Bands = 4 // LSH bands (r = K/Bands rows per band)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -45,15 +44,23 @@ object DedupQueries {
 
     // ── MinHash signatures + LSH banding (b=4, r=4) ────────────────────
     QueryDef("q36_minhash_lsh", (s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), expr(signature).as("sig"))
-      // bands: hash 4 consecutive signature slots per band
-      val banded = docs.select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 3), b ->
-            |  struct(b AS band_id,
-            |         xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]) AS band_hash))
-            |""".stripMargin)).as("band"))
+      // Signature via explode → codegen'd hash-agg of K seeded min-hashes:
+      // each shingle is hashed K times in one pass (no interpreted
+      // higher-order lambdas, no expression re-evaluation), one shuffle
+      // keyed by doc_id with map-side partial mins. This is the shape that
+      // survives 100 TB — state per doc is K longs.
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), explode(expr(shingles)).as("sng"))
+      val minCols = (0 until K).map(j =>
+        min(xxhash64(col("sng"), lit(j))).as(s"h$j"))
+      val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      // bands: hash Bands groups of K/Bands consecutive signature slots
+      val bandStructs = (0 until Bands).map { b =>
+        val slots = (b * K / Bands until (b + 1) * K / Bands).map(j => col(s"h$j"))
+        struct(lit(b).as("band_id"), xxhash64(slots: _*).as("band_hash"))
+      }
+      val banded = sig.select(col("doc_id"),
+          explode(array(bandStructs: _*)).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
       // candidate pairs = docs sharing any (band_id, band_hash) bucket
       val a = banded.as("a"); val b = banded.as("b")
@@ -63,14 +70,14 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // per-doc summary (stable 500-row output): candidate count + sig head
+      // per-doc summary (stable per-doc output): candidate count + sig head
       val candCount = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-      docs.join(candCount, Seq("doc_id"), "left_outer")
+      sig.join(candCount, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          col("sig")(0).as("sig0"), col("sig")(1).as("sig1"))
+          col("h0").as("sig0"), col("h1").as("sig1"))
     }, None,
       notes = "MinHash(k=16)+LSH(b=4,r=4) candidate generation; rows-only (hash fns engine-specific)"),
 
@@ -95,14 +102,18 @@ object DedupQueries {
     QueryDef("q38_ngram_jaccard", (s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), expr(shingles).as("grams"))
+        .withColumn("n_grams", size(col("grams")))
       val a = docs.as("a"); val b = docs.as("b")
       a.join(b, col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
+        // intersection computed ONCE per pair; |A∪B| = |A|+|B|-|A∩B| with
+        // per-doc sizes precomputed before the join
+        .withColumn("n_inter",
+          size(array_intersect(col("a.grams"), col("b.grams"))))
         .select(
           col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            (size(col("a.grams")) + size(col("b.grams")) -
-              size(array_intersect(col("a.grams"), col("b.grams")))))
+          (col("n_inter").cast("double") /
+            (col("a.n_grams") + col("b.n_grams") - col("n_inter")))
             .as("jaccard"))
     }, Some("""
       WITH g AS (

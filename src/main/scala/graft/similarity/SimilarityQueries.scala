@@ -25,25 +25,24 @@ object SimilarityQueries {
   private def asDouble(c: String): Column =
     expr(s"transform($c, x -> cast(x AS double))")
 
-  /** L2 norm of a double-array column — same sequential fold the oracle's
-    * sqrt(list_dot_product(e,e)) performs. */
-  private def l2norm(c: String): Column =
-    expr(s"sqrt(aggregate(transform($c, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))")
+  /** L2 norm via the native codegen'd dot product (same sequential
+    * summation as the oracle's sqrt(list_dot_product(e,e))). */
+  private def l2norm(c: String): Column = expr(s"sqrt(graft_dot($c, $c))")
 
   /** cosine(a, b) given precomputed norms — norms are evaluated once per
-    * vector (narrow pre-pass), not once per pair: at n vectors this saves
-    * 2·n² fold evaluations while keeping the arithmetic (dot/(na·nb))
-    * bit-identical to the per-pair form. */
-  private def cosine(a: String, b: String, na: String, nb: String): Column = {
-    val dot = s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)"
-    expr(s"round($dot / ($na * $nb), 6)")
-  }
+    * vector (narrow pre-pass), not once per pair, and the pair-level dot is
+    * the native [[graft.functions.DotProduct]] codegen loop. Arithmetic
+    * (dot/(na·nb), sequential sums) stays bit-identical to the oracle. */
+  private def cosine(a: String, b: String, na: String, nb: String): Column =
+    expr(s"round(graft_dot($a, $b) / ($na * $nb), 6)")
 
   /** (vec_id, v: array<double>, norm: double) — the shared similarity input. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, d, "embeddings")
       .select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("norm", l2norm("v"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -109,9 +108,7 @@ object SimilarityQueries {
         expr(
           s"""aggregate(
              |  zip_with($planes, sequence(0, ${nPlanes - 1}), (plane, p) ->
-             |    if(aggregate(zip_with(v, plane, (x, w) -> x * w),
-             |                 cast(0.0 AS double), (acc, x) -> acc + x) >= 0.0,
-             |       shiftleft(1L, p), 0L)),
+             |    if(graft_dot(v, plane) >= 0.0, shiftleft(1L, p), 0L)),
              |  0L, (acc, x) -> acc | x)""".stripMargin))
       val q = bucketed.filter(col("vec_id") < 10).toDF("query_id", "qv", "qn", "bucket")
       val c = bucketed.toDF("cand_id", "cv", "cn", "bucket")
