@@ -512,6 +512,51 @@ object Relational {
       FROM orders GROUP BY o_orderpriority"""),
       notes = "pivot = conditional aggregation (gold statusMix shape)"),
 
+    // ── Analytic window-function zoo ───────────────────────────────────
+    QueryDef("q42_window_funcs", (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(rank() OVER w AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        lead(o_orderkey, 1) OVER w AS next_orderkey,
+        first_value(o_orderkey) OVER w AS first_orderkey
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"""),
+      notes = "rank/dense_rank/ntile/lead/first_value over one deterministic window"),
+
+    // ── SQL surface (the Athena stand-in): spark.sql over registered views ──
+    QueryDef("q43_sql_surface", (s, d) => {
+      graft.io.TestTables.registerAll(s, d)
+      s.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_sales,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name""")
+    }, Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_sales,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY n_name"""),
+      notes = "ad-hoc ANSI SQL through spark.sql on registered tables (README.md:33,67 Athena equivalent)"),
+
     // ── Approximate distinct (no cross-engine oracle: sketch differs) ──
     QueryDef("q29_approx_distinct", (s, d) => {
       t(s, d, "orders").agg(

@@ -100,16 +100,23 @@ object DedupQueries {
 
     // ── n-gram Jaccard within source groups (exact, set-based) ─────────
     QueryDef("q38_ngram_jaccard", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      // Shingles hashed to sorted long arrays ONCE per doc; the O(pairs)
+      // inner loop is then a codegen'd two-pointer merge on primitive
+      // longs (graft_intersect_card) instead of string-set hashing.
+      // Jaccard value is identical to the string-set form modulo xxhash64
+      // collisions (~2^-64 — far below the oracle's 1e-6 rounding).
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), expr(shingles).as("grams"))
-        .withColumn("n_grams", size(col("grams")))
+        .select(col("doc_id"), col("source"),
+          expr(s"sort_array(array_distinct(transform($shingles, g -> xxhash64(g))))")
+            .as("grams_h"))
+        .withColumn("n_grams", size(col("grams_h")))
       val a = docs.as("a"); val b = docs.as("b")
       a.join(b, col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
         // intersection computed ONCE per pair; |A∪B| = |A|+|B|-|A∩B| with
         // per-doc sizes precomputed before the join
-        .withColumn("n_inter",
-          size(array_intersect(col("a.grams"), col("b.grams"))))
+        .withColumn("n_inter", expr("graft_intersect_card(a.grams_h, b.grams_h)"))
         .select(
           col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           (col("n_inter").cast("double") /

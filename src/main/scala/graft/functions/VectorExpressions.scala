@@ -69,20 +69,88 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Cardinality of the intersection of two SORTED, distinct array<bigint>
+  * columns, via a codegen'd two-pointer merge — O(n+m) primitive-long
+  * comparisons per pair instead of `size(array_intersect(...))`'s hash-set
+  * of objects. Used by the n-gram Jaccard join after shingles are hashed
+  * (once per document) to sorted long arrays.
+  *
+  * Contract: inputs ascending-sorted and duplicate-free (produced by
+  * sort_array(array_distinct(...))); elements non-null.
+  */
+case class SortedLongIntersectCard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_intersect_card requires array<bigint> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_intersect_card"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val m = ctx.freshName("m"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for graft's native SQL functions. Idempotent —
   * query functions call this on whatever session the driver hands them. */
 object GraftFunctions {
+  private val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "graft_dot" -> { exprs =>
+      require(exprs.length == 2, "graft_dot(a, b) takes two arrays")
+      DotProduct(exprs(0), exprs(1))
+    },
+    "graft_intersect_card" -> { exprs =>
+      require(exprs.length == 2, "graft_intersect_card(a, b) takes two arrays")
+      SortedLongIntersectCard(exprs(0), exprs(1))
+    })
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("graft_dot")
-    if (!registry.functionExists(ident)) {
-      registry.createOrReplaceTempFunction(
-        "graft_dot",
-        { exprs: Seq[Expression] =>
-          require(exprs.length == 2, "graft_dot(a, b) takes two arrays")
-          DotProduct(exprs(0), exprs(1))
-        },
-        "built-in")
+    builders.foreach { case (name, builder) =>
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }
