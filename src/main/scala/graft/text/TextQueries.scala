@@ -133,6 +133,22 @@ object TextQueries {
       FROM documents"""),
       notes = "md5 content fingerprints — identical definition on both engines"),
 
+    // ── Generator / explode surface: token frequency top-k ─────────────
+    QueryDef("q44_token_topk", (s, d) => {
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }, Some("""
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+      ORDER BY n DESC, token ASC
+      LIMIT 20"""),
+      notes = "explode (Generate) + hash-agg + deterministic top-k; split-on-single-space is engine-portable"),
+
     // ── Multimodal plumbing: opaque binary column + typed metadata ─────
     QueryDef("q34_binary_meta", (s, d) => {
       t(s, d, "documents").select(
