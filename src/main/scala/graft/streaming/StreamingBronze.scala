@@ -54,11 +54,14 @@ object StreamingBronze {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Tumbling 1-day merchant totals with watermark — the gold daily
-    * aggregate (`README.md:130`) as a streaming query. */
-  def dailyMerchantTotals(bronze: DataFrame, watermark: String = "1 day"): DataFrame =
-    bronze
-      .withWatermark("txn_ts", watermark)
+  /** Tumbling 1-day merchant totals — the gold daily aggregate
+    * (`README.md:130`) as a streaming query. Pass `watermark = Some(...)`
+    * only when the upstream has none (e.g. reading bronze directly);
+    * [[pipeline]] already watermarks for dedup and Spark forbids
+    * redefining it downstream. */
+  def dailyMerchantTotals(bronze: DataFrame,
+      watermark: Option[String] = None): DataFrame =
+    watermark.fold(bronze)(w => bronze.withWatermark("txn_ts", w))
       .groupBy(window(col("txn_ts"), "1 day"), col("merchant_id"))
       .agg(
         count(lit(1)).as("txn_count"),

@@ -133,6 +133,23 @@ object TextQueries {
       FROM documents"""),
       notes = "md5 content fingerprints — identical definition on both engines"),
 
+    // ── BPE-ish regex token counting ───────────────────────────────────
+    QueryDef("q45_regex_tokens", (s, d) => {
+      // GPT-2-style pre-tokenizer approximation: letter runs, digit runs,
+      // or single non-alphanumeric glyphs. POSIX classes keep Java regex
+      // (Spark) and RE2-flavor (DuckDB) semantics identical.
+      val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+          AS n_bpe_tokens
+      FROM documents"""),
+      notes = "BPE-ish regex token counting (subword-boundary approximation)"),
+
     // ── Generator / explode surface: token frequency top-k ─────────────
     QueryDef("q44_token_topk", (s, d) => {
       t(s, d, "documents")

@@ -50,6 +50,23 @@ class StreamingBronzeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/bronze").count() == 2)
   }
 
+  test("windowed daily merchant totals over a stream") {
+    val root = Files.createTempDirectory("graft-stream-agg").toString
+    FixtureGen.generate(s"$root/raw", FixtureGen.Config(days = 2, rowsPerDay = 200))
+    val bronze = StreamingBronze.pipeline(
+      StreamingBronze.readRawStream(spark, s"$root/raw/transactions"))
+    val q = StreamingBronze.dailyMerchantTotals(bronze)
+      .writeStream.format("memory").queryName("daily_totals")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("daily_totals")
+    import org.apache.spark.sql.functions.sum
+    assert(out.agg(sum("txn_count")).collect().head.getLong(0) == 400)
+    assert(out.select("txn_date").distinct().count() == 2)
+  }
+
   private def readBronzeStream(rawDir: String) =
     StreamingBronze.pipeline(StreamingBronze.readRawStream(spark, rawDir))
 }
