@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for hot-key workloads.
+  *
+  * AQE's skew-join splitting (on by default) handles most join skew at
+  * runtime; these utilities cover the cases AQE can't: a single pathological
+  * key inside an aggregation, and joins where the planner can't see the
+  * skew (e.g. freshly shuffled intermediate data with no stats).
+  *
+  * Both use DETERMINISTIC salts derived from row content (xxhash64), not
+  * rand() — retries/speculative tasks see the same salt, so results are
+  * stable under failure replay (rand()-salting is not).
+  */
+object SkewOps {
+
+  /** Two-phase (salted) aggregation: spread one hot group over `numSalts`
+    * partial groups, then merge. Use for algebraic aggregates when one key
+    * dominates (e.g. a null-ish default merchant taking 30% of a 100 TB
+    * day). Shuffle 1 is keyed (key, salt) — bounded partition size; shuffle
+    * 2 moves `numSalts` rows per key.
+    */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      numSalts: Int = 16): DataFrame = {
+    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(numSalts))
+    df.withColumn("__salt", salt)
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+
+  /** Salted inner equi-join for a skewed LEFT side: left rows get a
+    * content-derived salt in [0, numSalts); the (small-ish) right side is
+    * replicated once per salt. The join key becomes (key, salt) so one hot
+    * key spreads over `numSalts` reducers. Right-side cost: ×numSalts rows
+    * — use when the right side is too big to broadcast but small enough to
+    * replicate, and AQE's split isn't kicking in. */
+  def saltedInnerJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, numSalts: Int = 16): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(numSalts)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(numSalts - 1L))))
+    salted.join(replicated,
+        salted("__salt") === replicated("__salt") &&
+          salted(leftKey) === replicated(rightKey))
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkewOpsSpec extends SparkSpec {
+
+  private def skewed() = {
+    import spark.implicits._
+    // one hot key (90%) + long tail
+    (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v")
+  }
+
+  test("saltedSum equals plain groupBy sum") {
+    val df = skewed()
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = SkewOps.saltedSum(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedInnerJoin equals plain inner join") {
+    import spark.implicits._
+    val left = skewed()
+    val right = Seq(("hot", "H"), ("k950", "T")).toDF("rk", "tag")
+    val plain = left.join(right, left("k") === right("rk"))
+      .select("k", "v", "tag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).sorted
+    val salted = SkewOps.saltedInnerJoin(left, right, "k", "rk")
+      .select("k", "v", "tag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("saltedSum spreads the hot key over multiple partial groups") {
+    val df = skewed()
+    val partials = df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(16)))
+      .filter(col("k") === "hot")
+      .select("__salt").distinct().count()
+    assert(partials > 4, s"hot key only spread over $partials salts")
+  }
+}
