@@ -120,6 +120,45 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select("query_id", "cand_id", "rank", "cos_sim")
     }, None,
-      notes = "IVF/LSH-style bucketed ANN — shuffles by bucket, not cross product; rows-only (approximate by design)")
+      notes = "LSH-bucketed ANN — shuffles by bucket, not cross product; rows-only (approximate by design)"),
+
+    // ── IVF-style ANN: coarse quantize to centroid cells, probe nearest cells ──
+    QueryDef("q42b_ann_ivf", (s, d) => {
+      // Deterministic "trained" coarse quantizer: every 25th vector serves
+      // as a centroid (a real build would k-means; the assignment/probe
+      // dataflow — the part that matters at scale — is identical).
+      // Assign: each vector → argmax-dot centroid (broadcast centroids,
+      // window argmax). Search: probe each query's 2 nearest cells only.
+      val all = vecs(s, d)
+      val cents = all.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("dot").desc, col("cent_id").asc)
+      val assigned = all.join(broadcast(cents))
+        .withColumn("dot", expr("graft_dot(v, cv)"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+      // queries probe their 2 best cells
+      val wProbe = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("cent_id").asc)
+      val probes = all.filter(col("vec_id") < 10)
+        .toDF("query_id", "qv", "qn")
+        .join(broadcast(cents))
+        .withColumn("dot", expr("graft_dot(qv, cv)"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+      val wRank = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("cand_id").asc)
+      probes.join(
+          assigned.toDF("cand_id", "cv", "cn", "cell"), Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos_sim", cosine("qv", "cv", "qn", "cn"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "cand_id", "rank", "cos_sim")
+    }, None,
+      notes = "IVF coarse-quantized ANN (assign via broadcast-centroid argmax, 2-cell probe); rows-only (approximate)")
   )
 }

@@ -71,4 +71,12 @@ object Bronze {
     * deduplicated, date-partitionable. One shuffle (the dedup window). */
   def pipeline(raw: DataFrame): DataFrame =
     stages.foldLeft(raw) { case (d, (_, f)) => d.transform(f) }
+
+  /** Typed view of the bronze boundary: case-class Dataset for callers who
+    * want compile-time column safety downstream (SURVEY §1.4). */
+  def typed(bronze: DataFrame): org.apache.spark.sql.Dataset[graft.model.Transaction] = {
+    val spark = bronze.sparkSession
+    import spark.implicits._
+    bronze.as[graft.model.Transaction]
+  }
 }

@@ -79,4 +79,12 @@ class BronzeSpec extends SparkSpec {
     val out = Bronze.pipeline(rawDf(Seq(valid)))
     assert(out.schema == Schemas.bronze)
   }
+
+  test("typed bronze boundary: Dataset[Transaction] round-trips") {
+    val ds = Bronze.typed(Bronze.pipeline(rawDf(Seq(valid))))
+    val t = ds.collect().head
+    assert(t.txn_id == "T1" && t.currency == "GBP")
+    assert(t.amount.compareTo(new java.math.BigDecimal("12.34")) == 0)
+    assert(t.txn_date.toString == "2025-08-01")
+  }
 }
