@@ -78,4 +78,19 @@ object Audit {
     val row = dqSummary(tagged).withColumn("run_date", lit(runDate))
     row.toJSON.collect().head
   }
+
+  /** Zero-extra-scan DQ metrics: attach an [[org.apache.spark.sql.Observation]]
+    * to the tagged frame so whatever action runs next (e.g. the silver
+    * write) ALSO produces the counts — the 100 TB-friendly alternative to a
+    * second aggregation pass over the lake. Read `obs.get` after the
+    * action completes. */
+  def observed(tagged: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("dq")
+    val observed = tagged.observe(obs,
+      count(lit(1)).as("input_rows"),
+      count(when(col("reject_reason").isNull, 1)).as("valid_rows"),
+      count(col("reject_reason")).as("invalid_rows"),
+      count(when(col("blank_user_flag"), 1)).as("blank_user_rows"))
+    (observed, obs)
+  }
 }

@@ -117,4 +117,17 @@ class SilverAuditSpec extends SparkSpec {
     assert(kpis.getAs[Long]("distinct_users") == 2)
     assert(kpis.getAs[Double]("success_rate") == 0.5)
   }
+
+  test("observed DQ metrics ride the next action (no extra scan)") {
+    val df = bronzeDf(Seq(good,
+      ("t1", "u_1", "-5.00", "GBP", "SETTLED", "2025-08-01T10:00:00"),
+      ("t4", "", "5.00", "GBP", "SETTLED", "2025-08-01T10:00:00")))
+    val (observed, obs) = Audit.observed(Audit.tagRejects(df))
+    observed.write.mode("overwrite").format("noop").save() // the one action
+    val m = obs.get
+    assert(m("input_rows") == 3L)
+    assert(m("valid_rows") == 2L)
+    assert(m("invalid_rows") == 1L)
+    assert(m("blank_user_rows") == 1L)
+  }
 }
