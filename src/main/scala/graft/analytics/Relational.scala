@@ -557,6 +557,68 @@ object Relational {
       GROUP BY n_name"""),
       notes = "ad-hoc ANSI SQL through spark.sql on registered tables (README.md:33,67 Athena equivalent)"),
 
+    // ── TPC-H Q5 shape: region-filtered multi-join revenue rollup ──────
+    QueryDef("q46_region_revenue", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val su = t(s, d, "supplier")
+      val n = broadcast(t(s, d, "nation"))
+      val r = broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey")) // local supplier, Q5 twist
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }, Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY n_name"""),
+      notes = "TPC-H Q5 shape: 5-way join, region filter pruned before join"),
+
+    // ── Correlated subquery (decorrelated to a join by Catalyst) ───────
+    QueryDef("q47_above_avg_orders", (s, d) => {
+      val o = t(s, d, "orders")
+      val avgPerCust = o.groupBy(col("o_custkey").as("ac_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("avg_price"))
+      o.join(avgPerCust, o("o_custkey") === avgPerCust("ac_custkey"))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""),
+      notes = "correlated scalar subquery ≡ decorrelated agg-join; decimal-exact threshold"),
+
+    // ── Exact median (interpolated percentile on integral values) ──────
+    QueryDef("q48_median_qty", (s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr"))
+        .select(col("l_returnflag"), col("median_qty"),
+          col("iqr")(0).as("q25"), col("iqr")(1).as("q75"))
+    }, Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.75) AS q75
+      FROM lineitem GROUP BY l_returnflag"""),
+      notes = "linear-interpolated percentiles; l_quantity integral so interpolation is exact"),
+
     // ── Approximate distinct (no cross-engine oracle: sketch differs) ──
     QueryDef("q29_approx_distinct", (s, d) => {
       t(s, d, "orders").agg(
