@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes graft's native expressions
+  * available to ANY session via config, with no code changes:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * The same builders back [[GraftFunctions.register]], which is the
+  * in-process path used by the query catalog; this class is the deployment
+  * path for clusters where the session is constructed by infrastructure.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(a, b) takes two arrays")
+        DotProduct(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_card"),
+      new ExpressionInfo(classOf[SortedLongIntersectCard].getName, "graft_intersect_card"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_intersect_card(a, b) takes two arrays")
+        SortedLongIntersectCard(exprs(0), exprs(1))
+      }))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for partitioned Parquet zones.
+  *
+  * The reference's daily append jobs (`etl_transactions_bronze.py:129-133`)
+  * accumulate one small file batch per run per partition — the classic
+  * lake small-file problem: at 100 TB with thousands of daily runs, scan
+  * planning and open-file overhead dominate. This operator rewrites a
+  * date-partitioned dataset with files sized toward `targetBytesPerFile`,
+  * preserving the Hive partition layout.
+  *
+  * Mechanics: per-partition byte sizes come from the file index (driver
+  * metadata, no data scan); each partition's data is rewritten with
+  * ceil(bytes/target) output files via repartitionByRange on the partition
+  * column + a deterministic intra-partition spread key.
+  */
+object Compaction {
+
+  /** Returns (partitionDir → bytes) from filesystem metadata. */
+  def partitionSizes(spark: SparkSession, root: String): Map[String, Long] = {
+    val base = new java.io.File(root)
+    base.listFiles().iterator
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .map(d => d.getName ->
+        d.listFiles().iterator.filter(_.isFile).map(_.length()).sum)
+      .toMap
+  }
+
+  /** Rewrite `root` (partitioned by `partCol`) into right-sized files.
+    * Output goes to `dest` so the swap is atomic at the directory level —
+    * never compact in place. */
+  def compact(spark: SparkSession, root: String, dest: String,
+      partCol: String, targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
+    val sizes = partitionSizes(spark, root)
+    val totalBytes = math.max(sizes.values.sum, 1L)
+    val totalFiles = math.max(
+      sizes.values.map(b => math.ceil(b.toDouble / targetBytesPerFile).toLong).sum,
+      1L)
+    val df = spark.read.parquet(root)
+    // deterministic spread key: range-partition on (partCol, content hash)
+    // gives each date its proportional share of `totalFiles` output files
+    val spread = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(1000000L))
+    df.withColumn("__spread", spread)
+      .repartitionByRange(totalFiles.toInt, col(partCol), col("__spread"))
+      .drop("__spread")
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy(partCol)
+      .parquet(dest)
+  }
+}
