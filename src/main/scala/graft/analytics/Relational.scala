@@ -440,11 +440,15 @@ object Relational {
 
     // ── Event-time tumbling window (streaming-shaped batch agg) ────────
     QueryDef("q25_events_daily", (s, d) => {
-      // ts arrives as nanos-since-epoch LONG (nanosAsLong read path);
-      // floor-divide to micros = DuckDB's epoch_ns(ts)//1000 exactly.
+      // ts arrives as nanos-since-epoch LONG (nanosAsLong read path).
+      // FLOOR-divide to micros = DuckDB's epoch_ns(ts)//1000 exactly:
+      // `div` truncates toward zero, so pre-1970 (negative) nanos need the
+      // -1 correction when not on a whole microsecond.
       t(s, d, "events")
         .groupBy(
-          to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+          to_date(timestamp_micros(
+            expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+            .as("day"),
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),
@@ -462,7 +466,10 @@ object Relational {
     QueryDef("q26_sessionize", (s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
       t(s, d, "events")
-        .withColumn("us", expr("ts div 1000")) // nanos LONG → micros (floor)
+        // nanos LONG → micros with true FLOOR (matches epoch_ns//1000 for
+        // negative pre-1970 nanos too; `div` alone truncates toward zero)
+        .withColumn("us",
+          expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"))
         .withColumn("prev_us", lag(col("us"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_us").isNull ||

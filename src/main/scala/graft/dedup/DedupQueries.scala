@@ -19,9 +19,16 @@ import Ops._
   */
 object DedupQueries {
 
-  /** 3-token shingles of the space-tokenized text, distinct. */
+  /** 3-token shingles of the space-tokenized text, distinct.
+    * A text of n tokens has n-2 shingles. Spark's sequence(0, stop) turns
+    * DESCENDING when stop < 0 (sequence(0,-1) = [0,-1], which would crash
+    * slice for <=3-token docs), so the index list is built from a safe
+    * non-empty sequence and filtered to the valid range — empty for short
+    * docs, 0..n-3 otherwise. */
   private val shingles =
-    "array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0) - 1), " +
+    "array_distinct(transform(" +
+      "filter(sequence(0, greatest(size(split(text, ' ')) - 2, 1) - 1), " +
+      "i -> i < size(split(text, ' ')) - 2), " +
       "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
 
   private val K = 16 // minhash signature length
@@ -70,11 +77,15 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // per-doc summary (stable per-doc output): candidate count + sig head
+      // per-doc summary (stable one-row-per-doc output): candidate count +
+      // sig head. Base is the full documents table — docs whose shingle set
+      // is empty (<=2 tokens) have no sig rows but must still appear.
       val candCount = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-      sig.join(candCount, Seq("doc_id"), "left_outer")
+      t(s, d, "documents").select(col("doc_id"))
+        .join(sig, Seq("doc_id"), "left_outer")
+        .join(candCount, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           col("h0").as("sig0"), col("h1").as("sig1"))
@@ -113,7 +124,10 @@ object DedupQueries {
         .withColumn("n_grams", size(col("grams_h")))
       val a = docs.as("a"); val b = docs.as("b")
       a.join(b, col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          // drop degenerate pairs where BOTH gram sets are empty (<=2-token
+          // docs): jaccard would be 0/0 (ANSI divide-by-zero)
+          col("a.n_grams") + col("b.n_grams") > 0)
         // intersection computed ONCE per pair; |A∪B| = |A|+|B|-|A∩B| with
         // per-doc sizes precomputed before the join
         .withColumn("n_inter", expr("graft_intersect_card(a.grams_h, b.grams_h)"))
@@ -126,7 +140,7 @@ object DedupQueries {
       WITH g AS (
         SELECT doc_id, source,
           list_distinct(list_transform(
-            range(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
             i -> string_split(text, ' ')[i] || ' ' ||
                  string_split(text, ' ')[i+1] || ' ' ||
                  string_split(text, ' ')[i+2])) AS grams
@@ -135,7 +149,8 @@ object DedupQueries {
         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
           (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
           AS jaccard
-      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id"""),
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+                        AND len(a.grams) + len(b.grams) > 0"""),
       notes = "exact 3-gram Jaccard, blocked by source (LSH is the scale path, q36)")
   )
 }

@@ -59,7 +59,9 @@ object FixtureGen {
     val txnId = new UUID(rng.nextLong(), rng.nextLong()).toString
     val merchant = f"m_${rng.nextInt(50) + 1}%04d"
     var user = f"u_${rng.nextInt(5000) + 1}%06d"
-    var amount = f"${sampleAmount(rng)}%.2f"
+    // Locale.ROOT: a comma-decimal default locale would corrupt the CSV
+    var amount = String.format(java.util.Locale.ROOT, "%.2f",
+      Double.box(sampleAmount(rng)))
     var currency = Currencies(rng.nextInt(Currencies.size))
     var status = weightedPick(rng, Statuses, StatusWeights)
     val sec = rng.nextInt(86400)

@@ -19,13 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** Returns (partitionDir → bytes) from filesystem metadata. */
+  /** Returns (partitionDir → bytes) from filesystem metadata, via the
+    * Hadoop FileSystem API — works on hdfs://, s3a://, and local roots
+    * alike (java.io.File would NPE on anything non-local). */
   def partitionSizes(spark: SparkSession, root: String): Map[String, Long] = {
-    val base = new java.io.File(root)
-    base.listFiles().iterator
-      .filter(f => f.isDirectory && f.getName.contains("="))
-      .map(d => d.getName ->
-        d.listFiles().iterator.filter(_.isFile).map(_.length()).sum)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(rootPath).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { d =>
+        d.getPath.getName ->
+          fs.listStatus(d.getPath).iterator
+            .filter(_.isFile).map(_.getLen).sum
+      }
       .toMap
   }
 
@@ -35,6 +41,8 @@ object Compaction {
   def compact(spark: SparkSession, root: String, dest: String,
       partCol: String, targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
     val sizes = partitionSizes(spark, root)
+    require(sizes.nonEmpty,
+      s"no 'col=' partition directories under $root — compact() expects a partitioned dataset")
     val totalBytes = math.max(sizes.values.sum, 1L)
     val totalFiles = math.max(
       sizes.values.map(b => math.ceil(b.toDouble / targetBytesPerFile).toLong).sum,

@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * key inside an aggregation, and joins where the planner can't see the
   * skew (e.g. freshly shuffled intermediate data with no stats).
   *
-  * Both use DETERMINISTIC salts derived from row content (xxhash64), not
-  * rand() — retries/speculative tasks see the same salt, so results are
-  * stable under failure replay (rand()-salting is not).
+  * Salts come from a SEEDED rand(): Spark seeds the generator per
+  * (seed, partition), so speculative/retried tasks replay identical salts
+  * (unlike unseeded rand()), while byte-identical duplicate rows of a hot
+  * key still spread across salts — a content-hash salt would collapse all
+  * duplicates of one row onto a single reducer, exactly the straggler this
+  * operator exists to prevent.
   */
 object SkewOps {
+
+  private val SaltSeed = 0x5eedL
 
   /** Two-phase (salted) aggregation: spread one hot group over `numSalts`
     * partial groups, then merge. Use for algebraic aggregates when one key
@@ -24,7 +29,7 @@ object SkewOps {
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
       numSalts: Int = 16): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(numSalts))
+    val salt = floor(rand(SaltSeed) * numSalts).cast("long")
     df.withColumn("__salt", salt)
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__partial"))
@@ -41,7 +46,7 @@ object SkewOps {
   def saltedInnerJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, numSalts: Int = 16): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(numSalts)))
+      floor(rand(SaltSeed) * numSalts).cast("long"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(numSalts - 1L))))
     salted.join(replicated,

@@ -33,7 +33,7 @@ object Runner {
     val tagged = Audit.tagRejects(bronzeBack)
     zones.writePartitioned(Audit.invalidRecords(tagged), zones.auditInvalid, mode)
     val dqJson = Audit.dqSummaryJson(tagged, runDate)
-    writeText(s"${zones.auditSummary}/dq_summary_$runDate.json", dqJson)
+    writeText(spark, s"${zones.auditSummary}/dq_summary_$runDate.json", dqJson)
 
     // Gold aggregates over silver
     val silverBack = zones.readSilver(spark)
@@ -47,10 +47,14 @@ object Runner {
       spark.read.parquet(zones.auditInvalid).count(), dqJson)
   }
 
-  private def writeText(path: String, content: String): Unit = {
-    val f = new java.io.File(path)
-    f.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(f.toPath, content)
+  /** Writes through the Hadoop FileSystem API so the audit summary lands in
+    * the SAME filesystem as the lake zones (hdfs://, s3a://, or local) —
+    * java.io would silently write a bogus local path for remote roots. */
+  private def writeText(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** Local end-to-end demo: generate fixtures, run the lake, print counts. */

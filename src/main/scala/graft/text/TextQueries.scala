@@ -18,19 +18,14 @@ import Ops._
   */
 object TextQueries {
 
-  /** Occurrences of a single-space-separated word (documents corpus contract:
-    * words separated by single spaces, no punctuation). */
-  private def wordCount(text: org.apache.spark.sql.Column, word: String) = {
-    // occurrences of `word` as a token == occurrences of (" "+word+" ") in
-    // (" "+text+" "), counted by length difference / (len(word)+2-1)... the
-    // robust engine-portable form: count of non-overlapping replacements.
-    val padded = concat(lit(" "), text, lit(" "))
-    val target = s" $word "
-    // replace " w " with " w w " would overlap; instead count via split-free
-    // arithmetic on a marker substitution:
-    (length(padded) - length(replace(padded, lit(target), lit(" "))))
-      .cast("double") / lit(target.length - 1)
-  }
+  /** Occurrences of `word` as a standalone token, via \b word-boundary
+    * regex — correct for ADJACENT repeats ("the the the" = 3), which a
+    * substring-replace count would miss (non-overlapping replace consumes
+    * the shared delimiter). \b has identical ASCII semantics in Java regex
+    * (Spark) and RE2 (DuckDB oracle: len(regexp_extract_all(...))). */
+  private def wordCount(text: org.apache.spark.sql.Column, word: String) =
+    size(regexp_extract_all(text, lit("\\b" + word + "\\b"), lit(0)))
+      .cast("double")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -74,10 +69,10 @@ object TextQueries {
       WITH q AS (
         SELECT doc_id, text,
           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-          CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' ')) AS DOUBLE)/4
-          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' ')) AS DOUBLE)/2
-          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ' ')) AS DOUBLE)/4
-          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ' ')) AS DOUBLE)/3
+          CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+          + CAST(len(regexp_extract_all(text, '\ba\b')) AS DOUBLE)
+          + CAST(len(regexp_extract_all(text, '\band\b')) AS DOUBLE)
+          + CAST(len(regexp_extract_all(text, '\bof\b')) AS DOUBLE)
           AS stop
         FROM documents)
       SELECT doc_id,
@@ -106,11 +101,11 @@ object TextQueries {
     }, Some("""
       WITH sc AS (
         SELECT doc_id, lang,
-          CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' ')) AS DOUBLE)/4 AS score_en,
-          CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ' ')) AS DOUBLE)/3
-          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' la ', ' ')) AS DOUBLE)/3 AS score_fr,
-          CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ' ')) AS DOUBLE)/4
-          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' und ', ' ')) AS DOUBLE)/4 AS score_de
+          CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE) AS score_en,
+          CAST(len(regexp_extract_all(text, '\ble\b')) AS DOUBLE)
+          + CAST(len(regexp_extract_all(text, '\bla\b')) AS DOUBLE) AS score_fr,
+          CAST(len(regexp_extract_all(text, '\bder\b')) AS DOUBLE)
+          + CAST(len(regexp_extract_all(text, '\bund\b')) AS DOUBLE) AS score_de
         FROM documents)
       SELECT doc_id, lang AS lang_actual, score_en, score_fr, score_de,
         CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en > 0 THEN 'en'

@@ -31,11 +31,16 @@ object Audit {
 
   /** First-match reject reason, NULL when the row passes silver validation.
     * Rule order mirrors the silver filter order (amount → currency → status,
-    * `etl_transactions_silver.py:126-128`). */
+    * `etl_transactions_silver.py:126-128`). NULL currency/status must be
+    * tagged explicitly: `!isin(...)` evaluates to NULL (not true) for NULL
+    * input, while silver's `where(isin(...))` DROPS those rows — without
+    * the isNull arms the audit would disagree with the silver filters. */
   def rejectReasonCol: Column =
     when(col("amount").isNull || col("amount") <= 0, ReasonBadAmount)
-      .when(!col("currency").isin(Schemas.validCurrencies: _*), ReasonBadCurrency)
-      .when(!col("status").isin(Schemas.validStatuses: _*), ReasonBadStatus)
+      .when(col("currency").isNull ||
+        !col("currency").isin(Schemas.validCurrencies: _*), ReasonBadCurrency)
+      .when(col("status").isNull ||
+        !col("status").isin(Schemas.validStatuses: _*), ReasonBadStatus)
       .otherwise(lit(null).cast("string"))
 
   def tagRejects(bronze: DataFrame): DataFrame = bronze

@@ -35,12 +35,17 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
-  test("saltedSum spreads the hot key over multiple partial groups") {
-    val df = skewed()
-    val partials = df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(16)))
-      .filter(col("k") === "hot")
+  test("salting spreads BYTE-IDENTICAL duplicate rows of a hot key") {
+    import spark.implicits._
+    // the case a content-hash salt cannot handle: every row identical
+    val dupes = Seq.fill(1000)(("hot", 1.0)).toDF("k", "v").repartition(4)
+    val salts = dupes
+      .withColumn("__salt", floor(rand(0x5eedL) * 16).cast("long"))
       .select("__salt").distinct().count()
-    assert(partials > 4, s"hot key only spread over $partials salts")
+    assert(salts > 4, s"identical rows only spread over $salts salts")
+    // and the aggregate stays correct
+    val total = SkewOps.saltedSum(dupes, Seq("k"), "v")
+      .collect().head.getDouble(1)
+    assert(total == 1000.0)
   }
 }

@@ -130,4 +130,23 @@ class SilverAuditSpec extends SparkSpec {
     assert(m("invalid_rows") == 1L)
     assert(m("blank_user_rows") == 1L)
   }
+
+  test("audit tags NULL currency/status as invalid, agreeing with silver") {
+    // CSV empty fields arrive as NULL; silver's isin() DROPS them, so the
+    // audit must tag them (regression: !isin(NULL) is NULL, not true)
+    import org.apache.spark.sql.functions.lit
+    val df = bronzeDf(Seq(good))
+      .union(bronzeDf(Seq(("t7", "u_1", "5.00", "GBP", "SETTLED", "2025-08-01T10:00:00")))
+        .withColumn("currency", lit(null).cast("string")))
+      .union(bronzeDf(Seq(("t8", "u_1", "5.00", "GBP", "SETTLED", "2025-08-01T10:00:00")))
+        .withColumn("status", lit(null).cast("string")))
+    val tagged = Audit.tagRejects(df)
+    assert(Audit.validRecords(tagged).count() == Silver.pipeline(df).count())
+    val reasons = Audit.invalidRecords(tagged)
+      .select("txn_id", "reject_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reasons == Map(
+      "T7" -> Audit.ReasonBadCurrency,
+      "T8" -> Audit.ReasonBadStatus))
+  }
 }
