@@ -22,20 +22,40 @@ object Bench {
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Catalyst prune computed projections out of the measure).
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        // A throwing query is flagged, NOT timed: its elapsed-until-failure
+        // time must not deflate (or inflate) the success-shaped total.
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
+    val total = if (timings.nonEmpty) timings.values.sum else 0.0
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    // stdout under sbt is wrapped as "[info] {...}", which the driver's JSON
+    // parser rejects (BENCH_r01 had parsed:null) — so ALSO write the bare line
+    // to a file the driver (or a human) can read directly.
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

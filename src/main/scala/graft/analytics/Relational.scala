@@ -100,12 +100,17 @@ object Relational {
     QueryDef("q05_cast_derive", (s, d) => {
       t(s, d, "orders").select(
         col("o_orderkey"),
-        col("o_totalprice").cast("decimal(12,2)").as("total_dec"),
+        // cast through DECIMAL(12,2) (the P1 semantics under test), then
+        // surface as DOUBLE per the determinism contract (QueryDef) — the
+        // oracle harness fetches DuckDB decimals as float64, so a DECIMAL
+        // output column hash-mismatches even when every value is equal
+        // (CORRECTNESS_r01 q05).
+        col("o_totalprice").cast("decimal(12,2)").cast("double").as("total_dec"),
         col("o_orderdate").cast("date").as("o_date"),
         year(col("o_orderdate")).cast("long").as("o_year"))
     }, Some("""
       SELECT o_orderkey,
-        CAST(o_totalprice AS DECIMAL(12,2)) AS total_dec,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_dec,
         CAST(o_orderdate AS DATE) AS o_date,
         CAST(year(o_orderdate) AS BIGINT) AS o_year
       FROM orders"""),
@@ -479,7 +484,7 @@ object Relational {
         .agg(sum(col("new_session")).as("n_sessions"),
           count(lit(1)).as("n_events"))
     }, Some("""
-      SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM (
         SELECT user_id,
           CASE WHEN prev_us IS NULL

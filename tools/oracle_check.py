@@ -20,8 +20,15 @@ def norm(df):
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    # Sort on ROUNDED float values (6 dp, matching the queries' own rounding):
+    # sub-tolerance cross-engine jitter must not reorder rows between the two
+    # frames, or the element-wise compare misaligns and reports spurious 'far'.
+    key = df.copy()
+    for c in key.columns:
+        if np.issubdtype(key[c].dtype, np.floating):
+            key[c] = key[c].round(6)
+    order = key.sort_values(by=list(key.columns)).index
+    return df.loc[order].reset_index(drop=True)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
