@@ -51,11 +51,25 @@ final case class Zones(root: String) {
      else w).parquet(path)
   }
 
-  /** Register bronze/silver as temp views — the Athena/catalog stand-in. */
-  def registerTables(spark: SparkSession): Unit = {
-    readBronze(spark).createOrReplaceTempView("bronze_transactions")
-    readSilver(spark).createOrReplaceTempView("silver_transactions")
-  }
+  /** Register bronze/silver in the session catalog — the Athena/Glue
+    * stand-in. On a Hive-backed session (`LakeCatalog.session`) these become
+    * persistent EXTERNAL tables with crawled partitions that survive JVM
+    * restarts; on the default in-memory catalog they are session temp views.
+    * Either way `spark.table("bronze_transactions")` resolves. */
+  def registerTables(spark: SparkSession): Unit =
+    if (LakeCatalog.isHive(spark)) {
+      LakeCatalog.registerExternal(spark, "bronze_transactions", bronze)
+      LakeCatalog.registerExternal(spark, "silver_transactions", silver)
+    } else {
+      readBronze(spark).createOrReplaceTempView("bronze_transactions")
+      readSilver(spark).createOrReplaceTempView("silver_transactions")
+    }
+
+  /** Catalog bronze only (silver may not exist yet mid-pipeline). */
+  def registerBronze(spark: SparkSession): Unit =
+    if (LakeCatalog.isHive(spark))
+      LakeCatalog.registerExternal(spark, "bronze_transactions", bronze)
+    else readBronze(spark).createOrReplaceTempView("bronze_transactions")
 }
 
 /** Helpers for the driver-provided star-schema testdata (TESTDATA.md). */

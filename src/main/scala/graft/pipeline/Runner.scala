@@ -24,8 +24,12 @@ object Runner {
     val bronze = Bronze.pipeline(raw)
     zones.writePartitioned(bronze, zones.bronze, mode)
 
-    // Silver + audit jobs read bronze back from disk (job boundary)
-    val bronzeBack = zones.readBronze(spark)
+    // Silver + audit jobs resolve bronze THROUGH THE CATALOG, mirroring the
+    // reference's catalog-only reads (etl_transactions_silver.py:137-139) —
+    // persistent external table under LakeCatalog.session, temp view under
+    // the in-memory catalog.
+    zones.registerBronze(spark)
+    val bronzeBack = spark.table("bronze_transactions")
     val silver = Silver.pipeline(bronzeBack)
     zones.writePartitioned(silver, zones.silver, mode)
 
@@ -35,14 +39,13 @@ object Runner {
     val dqJson = Audit.dqSummaryJson(tagged, runDate)
     writeText(spark, s"${zones.auditSummary}/dq_summary_$runDate.json", dqJson)
 
-    // Gold aggregates over silver
-    val silverBack = zones.readSilver(spark)
+    // Gold aggregates over silver (catalog read, as above)
+    zones.registerTables(spark)
+    val silverBack = spark.table("silver_transactions")
     Gold.merchantDailyKpis(silverBack).write.mode("overwrite")
       .parquet(s"${zones.gold}/merchant_daily_kpis")
     Gold.dailyTotals(silverBack).write.mode("overwrite")
       .parquet(s"${zones.gold}/daily_totals")
-
-    zones.registerTables(spark)
     Result(raw.count(), bronzeBack.count(), silverBack.count(),
       spark.read.parquet(zones.auditInvalid).count(), dqJson)
   }
@@ -60,13 +63,9 @@ object Runner {
   /** Local end-to-end demo: generate fixtures, run the lake, print counts. */
   def main(args: Array[String]): Unit = {
     val root = if (args.nonEmpty) args(0) else "target/lake"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-runner")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Hive-metastore-backed session: the lake's table registrations persist
+    // under <root>/metastore_db across runs (Glue Data Catalog stand-in).
+    val spark = graft.io.LakeCatalog.session(root)
     spark.sparkContext.setLogLevel("WARN")
     val zones = Zones(root)
     graft.gen.FixtureGen.generate(zones.raw.stripSuffix("/transactions"))
