@@ -34,6 +34,16 @@ object DedupQueries {
   private val K = 16 // minhash signature length
   private val Bands = 4 // LSH bands (r = K/Bands rows per band)
 
+  /** Hot-bucket guard: max "representative" docs per (band_id, band_hash)
+    * bucket. A degenerate cluster (thousands of near-identical docs landing
+    * in one bucket) would otherwise self-join quadratically — THE scale
+    * killer for LSH dedup at 100 TB. Capping reps bounds a size-n bucket at
+    * ~MaxBucketReps*n pairs (reps pair with everything, non-reps only with
+    * reps), which keeps every doc connected to its cluster while cutting the
+    * non-rep × non-rep quadratic tail. Buckets smaller than the cap are
+    * byte-identical to the unguarded plan. */
+  private[dedup] val MaxBucketReps = 64
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: hash-groupBy fingerprint clusters ─────────────────
@@ -69,9 +79,16 @@ object DedupQueries {
       val banded = sig.select(col("doc_id"),
           explode(array(bandStructs: _*)).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-      // candidate pairs = docs sharing any (band_id, band_hash) bucket
-      val a = banded.as("a"); val b = banded.as("b")
-      val pairs = a.join(b,
+      // candidate pairs = docs sharing any (band_id, band_hash) bucket,
+      // with the hot-bucket guard: rank docs within their bucket (same
+      // partitioning the join shuffle needs anyway) and let only the first
+      // MaxBucketReps act as the left/"rep" side.
+      val wBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_id", "band_hash").orderBy("doc_id")
+      val ranked = banded.withColumn("rn",
+        row_number().over(wBucket))
+      val reps = ranked.filter(col("rn") <= MaxBucketReps)
+      val pairs = reps.as("a").join(ranked.as("b"),
           col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -37,6 +37,15 @@ final case class Zones(root: String) {
     spark.read.schema(Schemas.raw).option("header", "true").csv(raw)
       .drop("ingest_date")
 
+  /** Crawler-style schema-DISCOVERY raw read (SURVEY §2.1 S3; the Glue
+    * Crawler / notebook `inferSchema=True` path, reference `README.md:80`).
+    * The explicit-contract `readRaw` stays the scale default — inference
+    * costs an extra full pass over the CSV, which is a non-starter at
+    * 100 TB — but new/unknown feeds need the discovery option. */
+  def readRawInferred(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(raw)
+      .drop("ingest_date")
+
   def readBronze(spark: SparkSession): DataFrame = spark.read.parquet(bronze)
   def readSilver(spark: SparkSession): DataFrame = spark.read.parquet(silver)
 

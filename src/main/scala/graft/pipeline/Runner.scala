@@ -16,13 +16,18 @@ object Runner {
   final case class Result(rawRows: Long, bronzeRows: Long, silverRows: Long,
       invalidRows: Long, dqSummaryJson: String)
 
-  /** raw CSV → bronze → silver (+ audit split + DQ summary) → gold. */
+  /** raw CSV → bronze → silver (+ audit split + DQ summary) → gold. Every
+    * stage reports SUCCESS/FAILED + timing through JobStatus.Reporter (the
+    * EventBridge/SNS monitoring equivalent, `README.md:96-104`). */
   def run(spark: SparkSession, zones: Zones,
       mode: String = "append", runDate: String = "1970-01-01"): Result = {
+    val reporter = new JobStatus.Reporter(spark, s"${zones.root}/jobstatus", runDate)
+
     // Bronze job (etl_transactions_bronze.py equivalent)
-    val raw = zones.readRaw(spark)
-    val bronze = Bronze.pipeline(raw)
-    zones.writePartitioned(bronze, zones.bronze, mode)
+    reporter.stage("bronze") {
+      val raw = zones.readRaw(spark)
+      zones.writePartitioned(Bronze.pipeline(raw), zones.bronze, mode)
+    }
 
     // Silver + audit jobs resolve bronze THROUGH THE CATALOG, mirroring the
     // reference's catalog-only reads (etl_transactions_silver.py:137-139) —
@@ -30,23 +35,30 @@ object Runner {
     // the in-memory catalog.
     zones.registerBronze(spark)
     val bronzeBack = spark.table("bronze_transactions")
-    val silver = Silver.pipeline(bronzeBack)
-    zones.writePartitioned(silver, zones.silver, mode)
+    reporter.stage("silver") {
+      zones.writePartitioned(Silver.pipeline(bronzeBack), zones.silver, mode)
+    }
 
-    // Audit: one extra scan of bronze, tag + split (README-declared layer)
-    val tagged = Audit.tagRejects(bronzeBack)
-    zones.writePartitioned(Audit.invalidRecords(tagged), zones.auditInvalid, mode)
-    val dqJson = Audit.dqSummaryJson(tagged, runDate)
-    writeText(spark, s"${zones.auditSummary}/dq_summary_$runDate.json", dqJson)
+    // Audit: one extra scan of bronze, tag + split (README-declared layer).
+    // Its DQ summary rides along as the stage report's metrics object.
+    val dqJson = reporter.stageWithMetrics("audit") {
+      val tagged = Audit.tagRejects(bronzeBack)
+      zones.writePartitioned(Audit.invalidRecords(tagged), zones.auditInvalid, mode)
+      val dq = Audit.dqSummaryJson(tagged, runDate)
+      writeText(spark, s"${zones.auditSummary}/dq_summary_$runDate.json", dq)
+      dq
+    }(dq => Some(dq))
 
     // Gold aggregates over silver (catalog read, as above)
     zones.registerTables(spark)
     val silverBack = spark.table("silver_transactions")
-    Gold.merchantDailyKpis(silverBack).write.mode("overwrite")
-      .parquet(s"${zones.gold}/merchant_daily_kpis")
-    Gold.dailyTotals(silverBack).write.mode("overwrite")
-      .parquet(s"${zones.gold}/daily_totals")
-    Result(raw.count(), bronzeBack.count(), silverBack.count(),
+    reporter.stage("gold") {
+      Gold.merchantDailyKpis(silverBack).write.mode("overwrite")
+        .parquet(s"${zones.gold}/merchant_daily_kpis")
+      Gold.dailyTotals(silverBack).write.mode("overwrite")
+        .parquet(s"${zones.gold}/daily_totals")
+    }
+    Result(zones.readRaw(spark).count(), bronzeBack.count(), silverBack.count(),
       spark.read.parquet(zones.auditInvalid).count(), dqJson)
   }
 

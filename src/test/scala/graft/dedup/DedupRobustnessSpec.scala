@@ -43,6 +43,32 @@ class DedupRobustnessSpec extends SparkSpec {
     assert(identical.exists(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("q36 hot-bucket guard: a 1000-copy cluster yields bounded pairs, one row per doc") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hotbucket").toString
+    val n = 1000
+    val clones = (0L until n.toLong).map(i =>
+      (i, "the same near duplicate document body repeated verbatim", "en", "srcHot", 50L))
+    val normal = (n.toLong until n.toLong + 5).map(i =>
+      (i, s"unique document number $i with its own distinct words here", "en", "srcCold", 55L))
+    (clones ++ normal).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = graft.SparkEntry.queries("q36_minhash_lsh")(spark, dir).collect()
+    assert(out.length == n + 5, s"expected ${n + 5} per-doc rows, got ${out.length}")
+
+    // Unguarded, the 1000-doc bucket self-joins to n(n-1)/2 = 499,500 pairs
+    // (sum of candidates ≈ 999,000). The rep cap bounds total pairs by
+    // MaxBucketReps * n, i.e. candidate-slot sum ≤ 2 * MaxBucketReps * n.
+    val candSum = out.map(_.getAs[Long]("n_candidates")).sum
+    assert(candSum <= 2L * DedupQueries.MaxBucketReps * (n + 5),
+      s"hot bucket went quadratic: sum(n_candidates)=$candSum")
+    // ...but every clone must still be CONNECTED to the cluster (≥1 candidate)
+    assert(out.filter(_.getAs[Long]("doc_id") < n)
+      .forall(_.getAs[Long]("n_candidates") >= 1),
+      "capping must not orphan cluster members")
+  }
+
   test("shingle count is n-2 (last 3-gram included)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -80,6 +80,24 @@ class BronzeSpec extends SparkSpec {
     assert(out.schema == Schemas.bronze)
   }
 
+  test("schema-discovery read (crawler stand-in) agrees with the contract read on seed-42") {
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    val root = java.nio.file.Files.createTempDirectory("graft-infer").toString
+    val zones = graft.io.Zones(root)
+    graft.gen.FixtureGen.generate(zones.raw.stripSuffix("/transactions"))
+    val contract = zones.readRaw(spark)
+    val inferred = zones.readRawInferred(spark)
+    // discovery finds the same 8 logical columns and the same rows
+    assert(inferred.columns.toSeq == contract.columns.toSeq)
+    assert(inferred.count() == contract.count())
+    assert(inferred.select(col("txn_id").cast("string"))
+      .except(contract.select("txn_id")).count() == 0)
+    // numeric agreement regardless of what type inference chose for amount
+    val Seq(si, sc) = Seq(inferred, contract).map(
+      _.agg(sum(expr("try_cast(amount AS double)"))).collect().head.getDouble(0))
+    assert(math.abs(si - sc) < 1e-6, s"inferred=$si contract=$sc")
+  }
+
   test("typed bronze boundary: Dataset[Transaction] round-trips") {
     val ds = Bronze.typed(Bronze.pipeline(rawDf(Seq(valid))))
     val t = ds.collect().head
