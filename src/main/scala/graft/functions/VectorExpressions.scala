@@ -20,6 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Null contract: null input array → null; elements are assumed non-null
   * (embedding vectors) — matching zip_with/aggregate on non-null data.
+  *
+  * Length contract: inputs are assumed EQUAL-LENGTH (vectors of one
+  * embedding space); mismatched lengths are truncated to the shorter —
+  * unlike the zip_with/aggregate form, which null-pads and yields NULL.
+  * The bit-identical-equivalence claim holds only for equal lengths.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -51,8 +51,12 @@ object Compaction {
     // deterministic spread key: range-partition on (partCol, content hash)
     // gives each date its proportional share of `totalFiles` output files
     val spread = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(1000000L))
+    // clamp: repartitionByRange takes Int; past ~2B target files the cast
+    // would overflow (and that many output files means the target size, not
+    // this operator, is what needs fixing)
+    val numFiles = math.min(totalFiles, Int.MaxValue.toLong).toInt
     df.withColumn("__spread", spread)
-      .repartitionByRange(totalFiles.toInt, col(partCol), col("__spread"))
+      .repartitionByRange(numFiles, col(partCol), col("__spread"))
       .drop("__spread")
       .write.mode("overwrite")
       .option("compression", "snappy")

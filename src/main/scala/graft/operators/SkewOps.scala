@@ -38,8 +38,9 @@ object SkewOps {
   }
 
   /** Salted inner equi-join for a skewed LEFT side: left rows get a
-    * content-derived salt in [0, numSalts); the (small-ish) right side is
-    * replicated once per salt. The join key becomes (key, salt) so one hot
+    * seeded-random salt in [0, numSalts) (see class note on why random, not
+    * content-derived); the (small-ish) right side is replicated once per
+    * salt. The join key becomes (key, salt) so one hot
     * key spreads over `numSalts` reducers. Right-side cost: ×numSalts rows
     * — use when the right side is too big to broadcast but small enough to
     * replicate, and AQE's split isn't kicking in. */

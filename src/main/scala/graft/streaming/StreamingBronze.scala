@@ -31,15 +31,34 @@ object StreamingBronze {
       .csv(rawDir)
 
   /** Stream-safe bronze pipeline: cast → normalise → watermarked dedup on
-    * txn_id → derive txn_date. Late data beyond the watermark is dropped
-    * from dedup state (documented divergence from batch, which sees all). */
+    * txn_id → derive txn_date.
+    *
+    * Documented divergences from batch bronze:
+    *  - late data beyond the watermark is dropped from dedup state (batch
+    *    sees all rows);
+    *  - rows whose txn_ts failed to parse (try_to_timestamp → NULL) are
+    *    EXCLUDED here, not carried: a null event-time row cannot take part
+    *    in watermarked dedup, and leaving it in would make the behavior
+    *    engine-version-dependent. Batch keeps them (audit quarantines them
+    *    downstream); streaming callers route them via [[nullTsQuarantine]]
+    *    on the same raw stream instead. */
   def pipeline(raw: DataFrame, watermark: String = "1 day"): DataFrame =
     raw
       .transform(Bronze.castDtypes)
       .transform(Bronze.normaliseStrings)
+      .filter(col("txn_ts").isNotNull)
       .withWatermark("txn_ts", watermark)
       .dropDuplicatesWithinWatermark("txn_id")
       .transform(Bronze.deriveTxnDate)
+
+  /** The streaming audit split for unparseable-timestamp rows excluded by
+    * [[pipeline]] — write this alongside the bronze sink so no raw row is
+    * silently lost (batch parity: Audit.tagRejects catches them later). */
+  def nullTsQuarantine(raw: DataFrame): DataFrame =
+    raw
+      .transform(Bronze.castDtypes)
+      .transform(Bronze.normaliseStrings)
+      .filter(col("txn_ts").isNull)
 
   /** Continuous partitioned-Parquet bronze sink. AvailableNow processes the
     * current backlog then stops — the streaming twin of a scheduled batch
