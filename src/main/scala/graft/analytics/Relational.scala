@@ -631,6 +631,42 @@ object Relational {
       FROM lineitem GROUP BY l_returnflag"""),
       notes = "linear-interpolated percentiles; l_quantity integral so interpolation is exact"),
 
+    // ── As-of join (time-series: last event at-or-before each order) ───
+    // Composed from existing ops per the custom-operator preference order:
+    // equi-join on the entity key with the time bound as a residual, then a
+    // hash-agg argmax via max(struct(ts, id)) — NO per-key window sort over
+    // the joined set. At 100 TB both sides shuffle once on the entity key
+    // (AQE handles hot users); a dedicated merge-based as-of SparkPlan is
+    // only worth it when the joined set can't be re-aggregated (it can).
+    QueryDef("q49_asof_join", (s, d) => {
+      val ev = t(s, d, "events").select(
+        col("user_id"),
+        col("event_id"),
+        // nanos LONG → micros, true floor (see q26)
+        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)").as("us"))
+      val o = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC everywhere,
+        // so the cast to TIMESTAMP is the identity DuckDB's epoch_us assumes
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"))
+      ev.join(o, col("o_custkey") === col("user_id") &&
+          col("odate_us") <= col("us"))
+        .groupBy("event_id")
+        .agg(max(struct(col("odate_us"), col("o_orderkey"))).as("last"))
+        .select(col("event_id"),
+          col("last.o_orderkey").as("last_orderkey"),
+          col("last.odate_us").as("last_order_us"))
+    }, Some("""
+      SELECT event_id, o_orderkey AS last_orderkey, odate_us AS last_order_us
+      FROM (
+        SELECT e.event_id, o.o_orderkey, epoch_us(o.o_orderdate) AS odate_us,
+          row_number() OVER (PARTITION BY e.event_id
+            ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o ON o.o_custkey = e.user_id
+          AND epoch_us(o.o_orderdate) <= epoch_ns(e.ts)//1000)
+      WHERE rn = 1"""),
+      notes = "as-of join: latest order at-or-before each event, argmax(ts,key); deterministic tiebreak"),
+
     // ── Approximate distinct (no cross-engine oracle: sketch differs) ──
     QueryDef("q29_approx_distinct", (s, d) => {
       t(s, d, "orders").agg(

@@ -161,6 +161,57 @@ object TextQueries {
       LIMIT 20"""),
       notes = "explode (Generate) + hash-agg + deterministic top-k; split-on-single-space is engine-portable"),
 
+    // ── TF-IDF term scoring (corpus-statistics operator) ───────────────
+    // Two hash-aggs (term stats, corpus size) + a broadcast of the 1-row
+    // count — no per-doc vectors materialized, so the plan is the same at
+    // 500 docs or 500M: shuffle is one (term)-keyed agg over exploded
+    // tokens with map-side partial counts. ln() is IEEE-identical across
+    // engines for identical double inputs; score still rounds to 6 dp per
+    // the determinism contract (belt and braces vs libm drift).
+    QueryDef("q50_tfidf", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val stats = toks.groupBy("term").agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      stats.crossJoin(broadcast(n))
+        .select(col("term"), col("df"), col("tf"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("tfidf"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+        .limit(20)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      stats AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+        FROM toks WHERE len(term) > 0 GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT term, df, tf,
+        ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM stats, n
+      ORDER BY tfidf DESC, term ASC
+      LIMIT 20"""),
+      notes = "TF-IDF top-20 terms; deterministic tiebreak, 6-dp rounded score"),
+
+    // ── Reproducible hash sampling (training-data split operator) ──────
+    // Content-hash (md5) sampling: the SAME rows are selected on every
+    // engine, every run, every cluster size — the property a train/eval
+    // split needs, which seeded rand() sampling does NOT give across
+    // engines. Narrow scan-filter; pushes nothing to the driver.
+    QueryDef("q51_hash_sample", (s, d) => {
+      t(s, d, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "28")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }, Some("""
+      SELECT doc_id, lang, source
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'"""),
+      notes = "deterministic ~16% content-hash sample (cross-engine reproducible split)"),
+
     // ── Multimodal plumbing: opaque binary column + typed metadata ─────
     QueryDef("q34_binary_meta", (s, d) => {
       t(s, d, "documents").select(
