@@ -667,6 +667,105 @@ object Relational {
       WHERE rn = 1"""),
       notes = "as-of join: latest order at-or-before each event, argmax(ts,key); deterministic tiebreak"),
 
+    // ── Range join via time-bucketing (the Spark-native scale path) ────
+    // Spark has no native band/range join; the idiomatic equivalent is an
+    // equi-join on (entity, time_bucket) with the right side replicated
+    // into the two buckets a match can live in, then an exact residual
+    // filter. Shuffle is keyed (user, bucket) — pair work is bounded by
+    // true pair density, never |left|×|right| per user. DuckDB's oracle
+    // runs the same semantics as a plain inequality join.
+    QueryDef("q52_range_join", (s, d) => {
+      val usCol = expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
+      val W = 30000000L // 30 s in micros = bucket width
+      val ev = t(s, d, "events")
+        .select(col("user_id"), usCol.as("us"))
+        .withColumn("bkt", expr(s"us div $W"))
+      val right = ev.select(
+        col("user_id").as("b_user"), col("us").as("b_us"),
+        explode(array(col("bkt"), col("bkt") - 1)).as("b_bkt"))
+      ev.join(right,
+          col("user_id") === col("b_user") && col("bkt") === col("b_bkt") &&
+          col("b_us") > col("us") && col("b_us") <= col("us") + W)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+    }, Some("""
+      SELECT a.user_id, COUNT(*) AS n_pairs
+      FROM events a JOIN events b ON b.user_id = a.user_id
+        AND epoch_ns(b.ts)//1000 >  epoch_ns(a.ts)//1000
+        AND epoch_ns(b.ts)//1000 <= epoch_ns(a.ts)//1000 + 30000000
+      GROUP BY a.user_id"""),
+      notes = "range join (pairs within 30s) via bucket replication + residual filter"),
+
+    // ── Exact correlation (decimal sums → closed form, cross-engine) ───
+    // Built-in corr() accumulates doubles (summation-order drift); this
+    // computes Pearson r from six EXACT decimal aggregates and does the
+    // one double division at the end — deterministic on both engines.
+    QueryDef("q53_corr", (s, d) => {
+      // work in the exact INTEGER domain: q is integral, y in cents
+      // (Pearson r is invariant under linear scaling of either variable);
+      // every moment sum is then an exact decimal integer on both engines
+      // (DuckDB overflows multiplying two DECIMAL(18)s, HUGEINT doesn't).
+      val q = col("l_quantity").cast("decimal(18,0)")
+      val pc = round(col("l_extendedprice") * 100).cast("decimal(28,0)")
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).cast("double").as("sx"), sum(pc).cast("double").as("sy"),
+          sum(q * pc).cast("double").as("sxy"),
+          sum(q * q).cast("double").as("sxx"), sum(pc * pc).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"))
+    }, Some("""
+      WITH s AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS HUGEINT)) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT) * CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+        ROUND((n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+          AS corr_qty_price
+      FROM s"""),
+      notes = "Pearson r from exact integer moments (order-insensitive, unlike corr())"),
+
+    // ── Histogram binning (fixed-width buckets, closed-form) ───────────
+    QueryDef("q54_histogram", (s, d) => {
+      t(s, d, "orders")
+        .select(least(floor(col("o_totalprice") / 60000).cast("long"), lit(9L))
+          .as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+    }, Some("""
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 60000) AS BIGINT), 9) AS bucket,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1"""),
+      notes = "fixed-width histogram (10 buckets, top-clamped) via closed-form binning"),
+
+    // ── String similarity: edit distance to a per-group anchor ─────────
+    // One window (anchor = name of the min custkey per nation) + a narrow
+    // levenshtein per row — the LINEAR string-similarity shape (vs the
+    // quadratic all-pairs form, which would need blocking like q38).
+    QueryDef("q55_edit_distance", (s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+      t(s, d, "customer")
+        .withColumn("anchor", first(col("c_name")).over(w))
+        .select(col("c_custkey"), col("c_nationkey"),
+          levenshtein(col("c_name"), col("anchor")).cast("long")
+            .as("dist_to_anchor"))
+    }, Some("""
+      SELECT c_custkey, c_nationkey,
+        CAST(levenshtein(c_name, first_value(c_name) OVER (
+          PARTITION BY c_nationkey ORDER BY c_custkey)) AS BIGINT)
+          AS dist_to_anchor
+      FROM customer"""),
+      notes = "levenshtein to per-nation anchor; linear (window + narrow map)"),
+
     // ── Approximate distinct (no cross-engine oracle: sketch differs) ──
     QueryDef("q29_approx_distinct", (s, d) => {
       t(s, d, "orders").agg(
