@@ -703,17 +703,21 @@ object Relational {
     QueryDef("q53_corr", (s, d) => {
       // work in the exact INTEGER domain: q is integral, y in cents
       // (Pearson r is invariant under linear scaling of either variable);
-      // every moment sum is then an exact decimal integer on both engines
-      // (DuckDB overflows multiplying two DECIMAL(18)s, HUGEINT doesn't).
-      val q = col("l_quantity").cast("decimal(18,0)")
-      val pc = round(col("l_extendedprice") * 100).cast("decimal(28,0)")
+      // every moment sum is then an exact integer on both engines (DuckDB
+      // overflows multiplying two DECIMAL(18)s, HUGEINT doesn't). Four of
+      // the five moments provably fit BIGINT (q≤2^6, pc≤2^24, rows≪2^31)
+      // and stay in codegen'd primitive-long hash-agg; only Σpc² can pass
+      // 2^63, so that one column pays the decimal path.
+      val q = col("l_quantity").cast("long")
+      val pc = round(col("l_extendedprice") * 100).cast("long")
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
           sum(q).cast("double").as("sx"), sum(pc).cast("double").as("sy"),
           sum(q * pc).cast("double").as("sxy"),
-          sum(q * q).cast("double").as("sxx"), sum(pc * pc).cast("double").as("syy"))
+          sum(q * q).cast("double").as("sxx"),
+          sum((pc * pc).cast("decimal(38,0)")).cast("double").as("syy"))
         .select(col("l_returnflag"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *

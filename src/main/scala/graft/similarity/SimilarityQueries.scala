@@ -159,6 +159,30 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select("query_id", "cand_id", "rank", "cos_sim")
     }, None,
-      notes = "IVF coarse-quantized ANN (assign via broadcast-centroid argmax, 2-cell probe); rows-only (approximate)")
+      notes = "IVF coarse-quantized ANN (assign via broadcast-centroid argmax, 2-cell probe); rows-only (approximate)"),
+
+    // ── Vector centroid aggregate (the IVF-training / cluster-mean op) ─
+    // posexplode → (label, dim) hash-agg: one shuffle of (label, pos, sum)
+    // partials, dims stay distributed (never a per-label collect of
+    // vectors). Exactness: each float becomes ROUND(v*1e6) — an EXACT
+    // integer (float mantissa 24 bits × 1e6's 20 bits < 53, and a binary
+    // float can never put v*1e6 exactly on .5, so rounding is unambiguous
+    // on both engines) — summed as BIGINT, divided once in DOUBLE.
+    QueryDef("q56_vector_centroid", (s, d) => {
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(
+          sum(round(col("col").cast("double") * 1e6).cast("long")).cast("double")
+            / (lit(1e6) * count(lit(1))), 6).as("centroid_v"))
+    }, Some("""
+      WITH ex AS (
+        SELECT label, unnest(list_zip(embedding, range(len(embedding)))) AS z
+        FROM embeddings)
+      SELECT label, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+        ROUND(CAST(SUM(CAST(ROUND(CAST(struct_extract(z, 1) AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+          / (1000000.0 * COUNT(*)), 6) AS centroid_v
+      FROM ex GROUP BY label, pos"""),
+      notes = "per-label elementwise centroid; exact integer micro-unit sums both engines")
   )
 }
