@@ -29,6 +29,23 @@ object StreamingSessionize {
 
   val DefaultGapUs: Long = 30L * 60 * 1000000 // 30 min, q26 parity
 
+  /** Pure state-merge: fold new event times into the open-session list,
+    * coalescing everything whose gap is ≤ `gapUs`. Order-insensitive in
+    * `points` (they are sorted first) and in how events were split across
+    * prior batches — the property SessionMergeSpec pins. */
+  def mergeSessions(prior: List[(Long, Long, Long)], points: Seq[Long],
+      gapUs: Long): List[(Long, Long, Long)] = {
+    val all = (prior ++ points.sorted.map(u => (u, u, 1L)))
+      .sortBy(s => (s._1, s._2))
+    all.foldLeft(List.empty[(Long, Long, Long)]) {
+      case (acc, s) => acc match {
+        case (hs, he, hn) :: tail if s._1 - he <= gapUs =>
+          (hs, math.max(he, s._2), hn + s._3) :: tail
+        case _ => s :: acc
+      }
+    }.reverse
+  }
+
   /** `events` needs `user_id: bigint` and an event-time `ts: timestamp`
     * column (already watermark-eligible). Emits finalized sessions. */
   def sessions(events: DataFrame, gapUs: Long = DefaultGapUs,
@@ -45,18 +62,7 @@ object StreamingSessionize {
         (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[OpenSessions]) => {
           val prior = if (state.exists) state.get.sessions else Nil
-          // fold the batch's events (sorted — iterators are unordered) into
-          // the session list, then merge adjacent sessions within the gap
-          val newPoints = rows.map(_._2).toArray.sorted
-          val all = (prior ++ newPoints.map(u => (u, u, 1L)))
-            .sortBy(s => (s._1, s._2))
-          val merged = all.foldLeft(List.empty[(Long, Long, Long)]) {
-            case (acc, s) => acc match {
-              case (hs, he, hn) :: tail if s._1 - he <= gapUs =>
-                (hs, math.max(he, s._2), hn + s._3) :: tail
-              case _ => s :: acc
-            }
-          }.reverse
+          val merged = mergeSessions(prior, rows.map(_._2).toSeq, gapUs)
           val wmMs = state.getCurrentWatermarkMs()
           val (closed, open) = merged.partition { case (_, end, _) =>
             // finalized once the watermark proves no event can extend it
