@@ -168,6 +168,45 @@ object DedupQueries {
           AS jaccard
       FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
                         AND len(a.grams) + len(b.grams) > 0"""),
-      notes = "exact 3-gram Jaccard, blocked by source (LSH is the scale path, q36)")
+      notes = "exact 3-gram Jaccard, blocked by source (LSH is the scale path, q36)"),
+
+    // ── Duplicate-cluster resolution (connected components) ────────────
+    // The missing last step of near-dedup: pairs → clusters. Edges are the
+    // exact-Jaccard pairs at ≥ 0.6 (deterministic on both engines — q38's
+    // jaccard values hash-match, so the threshold filter agrees), clusters
+    // via iterative min-label propagation (DedupClusters). The oracle walks
+    // the same graph with a recursive CTE — tractable at oracle scale,
+    // while the Spark loop is the 100 TB form.
+    QueryDef("q57_dup_clusters", (s, d) => {
+      val pairs = defs.find(_.name == "q38_ngram_jaccard").get.fn(s, d)
+        .filter(col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b")
+      DedupClusters.connectedComponents(pairs)
+    }, Some("""
+      WITH RECURSIVE g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+                          AND len(a.grams) + len(b.grams) > 0
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= 0.6),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src"""),
+      notes = "near-dup clusters: min-label-propagation CC over jaccard>=0.6 pairs")
   )
 }
