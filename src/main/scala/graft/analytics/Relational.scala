@@ -569,6 +569,52 @@ object Relational {
       GROUP BY n_name"""),
       notes = "ad-hoc ANSI SQL through spark.sql on registered tables (README.md:33,67 Athena equivalent)"),
 
+    // ── Explicit GROUPING SETS (beyond rollup/cube) ────────────────────
+    QueryDef("q58_grouping_sets", (s, d) => {
+      graft.io.TestTables.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""),
+      notes = "explicit GROUPING SETS + GROUPING() disambiguators (rollup/cube generalization)"),
+
+    // ── Deterministic argmax aggregate (struct-max idiom) ──────────────
+    // max_by() is indeterminate on ties; max(struct(v, tiebreak...)) is the
+    // deterministic argmax — lexicographic struct order == ORDER BY v DESC,
+    // tiebreaks DESC, which the oracle mirrors with a rank-1 window.
+    QueryDef("q59_argmax", (s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))).as("top"))
+        .select(col("l_returnflag"),
+          col("top.l_extendedprice").as("top_price"),
+          col("top.l_orderkey").as("top_orderkey"),
+          col("top.l_linenumber").as("top_linenumber"))
+    }, Some("""
+      SELECT l_returnflag, l_extendedprice AS top_price,
+             l_orderkey AS top_orderkey,
+             CAST(l_linenumber AS BIGINT) AS top_linenumber
+      FROM (
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        FROM lineitem)
+      WHERE rn = 1"""),
+      notes = "deterministic argmax via struct-max (no indeterminate max_by ties)"),
+
     // ── TPC-H Q5 shape: region-filtered multi-join revenue rollup ──────
     QueryDef("q46_region_revenue", (s, d) => {
       val li = t(s, d, "lineitem")
