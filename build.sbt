@@ -30,8 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: at sf0.1 × 32 threads an 8g heap spends measurable time in
-  // GC during the bench (1.85× → 1.68× vs the DuckDB oracle just from the
-  // heap bump); the host has 128 GiB
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Heap per scope: runs (Bench at sf0.1 × 32 threads) measurably GC-throttle
+// at 8g (1.85× → 1.68× vs the DuckDB oracle from the bump alone; host has
+// 128 GiB), while tests are local[4] over small data — keep them at 8g so
+// `sbt test` still works on memory-capped hosts/containers.
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "8g")}"

@@ -23,16 +23,22 @@ final case class QueryDef(
 
 object Ops {
   // One schema/footer read per (session, path) instead of per query: the
-  // testdata tables are immutable, and 58 catalog queries × re-listing +
-  // footer-reading the same files is pure fixed overhead in Verify/Bench.
-  // Keyed by session identity so a new session never sees a stale plan.
+  // catalog reads the driver testdata, which is IMMUTABLE (TESTDATA.md:
+  // "Read-only — do NOT regenerate or modify"), so the frozen file listing
+  // can never go stale; mutable zones go through Zones/LakeCatalog, never
+  // this cache. Keyed by session identity so a new session re-resolves.
+  // Bounded: cleared wholesale past MaxScanEntries so a JVM that churns
+  // many sessions/paths can't pin plans forever.
+  private val MaxScanEntries = 256
   private val scanCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Scan one driver-provided table (TESTDATA.md layout). */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (scanCache.size > MaxScanEntries) scanCache.clear()
     scanCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   /** Exact decimal sum surfaced as DOUBLE — order-insensitive, engine-exact.
     * Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE). */

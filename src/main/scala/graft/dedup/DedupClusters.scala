@@ -23,8 +23,14 @@ object DedupClusters {
 
   /** pairs(doc_a, doc_b) → (doc_id, cluster_id = min doc_id reachable).
     * Only documents that appear in some pair are emitted (singletons need
-    * no resolution). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * no resolution).
+    *
+    * `maxIter` is a safety bound, not a tuning knob: iterations needed =
+    * component diameter, and the default 64 covers even a 64-edit
+    * incremental-revision chain (real near-dup clusters are diameter 1–3).
+    * Hitting the bound FAILS LOUDLY (require) rather than silently emitting
+    * half-merged clusters — wrong dedup output deletes the wrong documents. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()

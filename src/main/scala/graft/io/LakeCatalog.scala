@@ -44,19 +44,33 @@ object LakeCatalog {
 
   /** Crawler stand-in: register (or refresh) an EXTERNAL parquet table over
     * an existing zone path and recover its `k=v` partition directories into
-    * the metastore. Idempotent — call after every zone write. */
+    * the metastore. Idempotent — call after every zone write. If the name
+    * is already cataloged at a DIFFERENT location (zones root moved, two
+    * lakes sharing a metastore) the stale entry is dropped and re-created
+    * rather than silently serving the old lake's data. Schema is inferred
+    * at (re-)creation; in-place schema evolution of an existing location
+    * needs an explicit drop + re-register, like re-running a Glue crawler. */
   def registerExternal(spark: SparkSession, name: String, path: String): Unit = {
     // Qualify through the Hadoop FS: a relative local path in LOCATION would
     // otherwise resolve against the WAREHOUSE dir, not the caller's cwd
     // (and hdfs://, s3a:// roots pass through untouched).
     val p = new org.apache.hadoop.fs.Path(path)
     val loc = p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+    if (spark.catalog.tableExists(name)) {
+      val current = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .location.toString.stripSuffix("/")
+      if (current != loc.toString.stripSuffix("/"))
+        spark.sql(s"DROP TABLE $name")
+    }
     spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING PARQUET LOCATION '$loc'")
     // New files may have landed since the table was cataloged: drop cached
     // listings, then crawl for partition dirs added outside the catalog.
     spark.catalog.refreshTable(name)
+    // AnalysisException = table isn't partitioned (nothing to crawl); any
+    // other failure is a real metastore problem and must surface.
     try spark.catalog.recoverPartitions(name)
-    catch { case _: Throwable => () } // unpartitioned table — nothing to crawl
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
 
   /** Managed catalog write: partitioned snappy parquet via saveAsTable, so

@@ -32,11 +32,14 @@ object Runner {
     // Silver + audit jobs resolve bronze THROUGH THE CATALOG, mirroring the
     // reference's catalog-only reads (etl_transactions_silver.py:137-139) —
     // persistent external table under LakeCatalog.session, temp view under
-    // the in-memory catalog.
-    zones.registerBronze(spark)
-    val bronzeBack = spark.table("bronze_transactions")
-    reporter.stage("silver") {
-      zones.writePartitioned(Silver.pipeline(bronzeBack), zones.silver, mode)
+    // the in-memory catalog. Registration + resolution live INSIDE the
+    // silver stage so a catalog failure (stale Derby lock, corrupt zone)
+    // still produces a FAILED artifact for the monitor.
+    val bronzeBack = reporter.stage("silver") {
+      zones.registerBronze(spark)
+      val b = spark.table("bronze_transactions")
+      zones.writePartitioned(Silver.pipeline(b), zones.silver, mode)
+      b
     }
 
     // Audit: one extra scan of bronze, tag + split (README-declared layer).
@@ -49,14 +52,15 @@ object Runner {
       dq
     }(dq => Some(dq))
 
-    // Gold aggregates over silver (catalog read, as above)
-    zones.registerTables(spark)
-    val silverBack = spark.table("silver_transactions")
-    reporter.stage("gold") {
-      Gold.merchantDailyKpis(silverBack).write.mode("overwrite")
+    // Gold aggregates over silver (catalog read, inside the stage as above)
+    val silverBack = reporter.stage("gold") {
+      zones.registerTables(spark)
+      val sv = spark.table("silver_transactions")
+      Gold.merchantDailyKpis(sv).write.mode("overwrite")
         .parquet(s"${zones.gold}/merchant_daily_kpis")
-      Gold.dailyTotals(silverBack).write.mode("overwrite")
+      Gold.dailyTotals(sv).write.mode("overwrite")
         .parquet(s"${zones.gold}/daily_totals")
+      sv
     }
     Result(zones.readRaw(spark).count(), bronzeBack.count(), silverBack.count(),
       spark.read.parquet(zones.auditInvalid).count(), dqJson)

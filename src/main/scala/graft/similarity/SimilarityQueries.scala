@@ -164,10 +164,12 @@ object SimilarityQueries {
     // ── Vector centroid aggregate (the IVF-training / cluster-mean op) ─
     // posexplode → (label, dim) hash-agg: one shuffle of (label, pos, sum)
     // partials, dims stay distributed (never a per-label collect of
-    // vectors). Exactness: each float becomes ROUND(v*1e6) — an EXACT
-    // integer (float mantissa 24 bits × 1e6's 20 bits < 53, and a binary
-    // float can never put v*1e6 exactly on .5, so rounding is unambiguous
-    // on both engines) — summed as BIGINT, divided once in DOUBLE.
+    // vectors). Exactness: each float becomes ROUND(v*1e6) — the product is
+    // an EXACT double (float mantissa 24 bits × 1e6's 20 bits < 53), so
+    // both engines round the identical value. Exact .5 ties CAN occur
+    // (dyadic rationals: v = 1/128 → 7812.5) and agree because Spark
+    // round() (HALF_UP) and DuckDB round() both take half AWAY FROM ZERO
+    // for either sign — do not swap in bround/HALF_EVEN here.
     QueryDef("q56_vector_centroid", (s, d) => {
       t(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")))

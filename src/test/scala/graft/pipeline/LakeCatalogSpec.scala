@@ -1,0 +1,33 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.io.LakeCatalog
+
+/** registerExternal contract: idempotent re-registration at the same
+  * location, and a table name already cataloged at a DIFFERENT location is
+  * re-pointed (never silently serves the old path's data). */
+class LakeCatalogSpec extends SparkSpec {
+
+  test("re-registering at a new location re-points the table") {
+    import spark.implicits._
+    val a = Files.createTempDirectory("graft-loc-a").toString
+    val b = Files.createTempDirectory("graft-loc-b").toString
+    Seq(1L, 2L, 3L).toDF("v").write.mode("overwrite").parquet(a)
+    Seq(10L, 20L).toDF("v").write.mode("overwrite").parquet(b)
+
+    LakeCatalog.registerExternal(spark, "relocate_t", a)
+    assert(spark.table("relocate_t").count() == 3)
+
+    // same location again: no-op refresh
+    LakeCatalog.registerExternal(spark, "relocate_t", a)
+    assert(spark.table("relocate_t").count() == 3)
+
+    // moved lake: stale entry must be dropped and re-created at b
+    LakeCatalog.registerExternal(spark, "relocate_t", b)
+    assert(spark.table("relocate_t").count() == 2)
+
+    spark.sql("DROP TABLE relocate_t")
+  }
+}
