@@ -212,6 +212,27 @@ object TextQueries {
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'"""),
       notes = "deterministic ~16% content-hash sample (cross-engine reproducible split)"),
 
+    // ── Text scrubbing / redaction (training-data cleaning operator) ───
+    // Narrow scan-project: two regexp_replace passes with patterns chosen
+    // to be portable across regex engines (no backrefs/lookaround — Java
+    // regex here, RE2-class in the oracle). Email first so its digits
+    // aren't pre-mangled by the number pass.
+    QueryDef("q60_redact", (s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("text_redacted"))
+    }, Some("""
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+          '[0-9]+', '<NUM>', 'g') AS text_redacted
+      FROM documents"""),
+      notes = "PII-style redaction (emails, digit runs); portable regex subset, narrow map"),
+
     // ── Multimodal plumbing: opaque binary column + typed metadata ─────
     QueryDef("q34_binary_meta", (s, d) => {
       t(s, d, "documents").select(
