@@ -816,6 +816,33 @@ object Relational {
       FROM customer"""),
       notes = "levenshtein to per-nation anchor; linear (window + narrow map)"),
 
+    // ── RANGE window frame (value-based sliding window) ────────────────
+    // Distinct from every ROWS-frame window in the catalog: the frame is
+    // defined by the ORDER-BY VALUE (trailing 7 days), so tied days all
+    // see the same frame and the decimal sum is deterministic without a
+    // row-level tiebreak. One shuffle per customer partition.
+    QueryDef("q61_range_frame", (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"),
+          col("o_totalprice"))
+        .withColumn("trailing_7d",
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+            .cast("double"))
+        .drop("o_totalprice")
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+          PARTITION BY o_custkey
+          ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+      FROM orders"""),
+      notes = "RANGE frame: trailing-7-day sum per customer (value-based frame, tie-safe)"),
+
     // ── Approximate distinct (no cross-engine oracle: sketch differs) ──
     QueryDef("q29_approx_distinct", (s, d) => {
       t(s, d, "orders").agg(
