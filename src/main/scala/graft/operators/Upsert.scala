@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -8,42 +8,84 @@ import org.apache.spark.sql.expressions.Window
   * form of SCALE.md's "dedup-on-read by key is the upgrade path where Delta
   * would slot in". Latest-wins by (key, version ordering):
   *
-  *  - [[merged]] is the pure resolve: base ∪ updates → one row per key,
-  *    keeping the max (orderCol, tiebreak) row. Same deterministic-tiebreak
-  *    contract as bronze dedup (B3): ties on orderCol resolve by the
-  *    content hash, so re-runs pick the same winner.
-  *  - [[writeMerged]] materializes with dynamic-partition overwrite, so
-  *    only partitions TOUCHED by updates rewrite — the Parquet equivalent
-  *    of MERGE's partition-pruned write.
+  *  - [[latestWins]] is the shared resolve primitive (also backing bronze
+  *    dedup B3): one row per key, max orderCol, ties broken by the ASCENDING
+  *    content hash — the same winner bronze dedup picks.
+  *  - [[merged]] = base ∪ updates → latestWins.
+  *  - [[writeMerged]] materializes with dynamic-partition overwrite over
+  *    exactly the partitions the batch can affect: the updates' partitions
+  *    PLUS every base partition holding an updated key (so a key that moves
+  *    partitions leaves no stale copy behind). The resolve reads only those
+  *    partitions of base — a day's update batch never key-shuffles the
+  *    whole table.
   *
-  * Scale: one shuffle on the key (window rank), and the write rewrites
-  * only affected partitions. The read side needs no dedup because the
-  * merge materializes resolved rows.
+  * Durability note: callers following the read-merge-overwrite-same-path
+  * pattern rely on Spark's commit protocol staging the new files before
+  * partition replacement; a driver crash mid-commit can still lose the
+  * touched partitions because the input WAS the output. Where that window
+  * is unacceptable, write to a fresh snapshot dir (cheap: only touched
+  * partitions are produced) or use a transactional table format.
   */
 object Upsert {
 
-  /** One row per key: the max (orderCol, xxhash64(all)) row wins. */
-  def merged(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
-      orderCol: String): DataFrame = {
-    val all = base.unionByName(updates)
+  /** One row per key: max orderCol wins, ties resolve by ascending content
+    * hash (deterministic across runs/partitionings — the B3 contract). */
+  def latestWins(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val tiebreak = xxhash64(df.columns.map(col).toIndexedSeq: _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(orderCol).desc,
-        xxhash64(all.columns.map(col).toIndexedSeq: _*).desc)
-    all.withColumn("__rn", row_number().over(w))
+      .orderBy(col(orderCol).desc, tiebreak.asc)
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
-  /** Merge and rewrite ONLY the partitions the updates touch. */
+  /** Pure resolve over the full inputs (no partition bounding). */
+  def merged(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      orderCol: String): DataFrame =
+    latestWins(base.unionByName(updates), keyCols, orderCol)
+
+  /** Merge and rewrite ONLY the partitions the batch can affect. The
+    * touched-partition list is collected to the driver — it is METADATA
+    * (distinct partition values of one batch, days-scale), which buys
+    * static partition pruning on the base scan and lets stale dirs be
+    * dropped. Null partition values are kept (they resolve to the default
+    * partition), never silently lost. */
   def writeMerged(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
-      orderCol: String, partCol: String, dest: String): Unit =
-    merged(base, updates, keyCols, orderCol)
-      // restrict the write to touched partitions: everything else on disk
-      // is untouched by dynamic overwrite anyway, so don't re-shuffle it
-      .join(updates.select(col(partCol)).distinct(), Seq(partCol), "left_semi")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .option("compression", "snappy")
-      .partitionBy(partCol)
-      .parquet(dest)
+      orderCol: String, partCol: String, dest: String): Unit = {
+    val spark = base.sparkSession
+    val updKeys = updates.select(keyCols.map(col): _*).distinct()
+    // partitions the batch touches: where updates land + where their keys
+    // already live in base (a partition-moving update must REMOVE the old
+    // copy, so its old partition rewrites too)
+    val touchedVals: Array[Any] = updates.select(col(partCol))
+      .union(base.join(updKeys, keyCols, "left_semi").select(col(partCol)))
+      .distinct().collect().map(_.get(0))
+    if (touchedVals.isEmpty) return // empty batch: nothing to do
+    val hasNull = touchedVals.contains(null)
+    val nonNull = touchedVals.filter(_ != null)
+    val inTouched =
+      (if (nonNull.nonEmpty) col(partCol).isin(nonNull.toIndexedSeq: _*)
+       else lit(false)) ||
+      (if (hasNull) col(partCol).isNull else lit(false))
+    // resolve over only the affected slice of base — statically
+    // partition-pruned scan, shuffle bounded by the batch footprint
+    val resolved = merged(base.filter(inTouched), updates, keyCols, orderCol)
+      .persist()
+    try {
+      resolved.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "snappy")
+        .partitionBy(partCol)
+        .parquet(dest)
+      // a moved key can leave its old partition EMPTY — dynamic overwrite
+      // only rewrites partitions present in the output, so drop the rest
+      val outParts = resolved.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      touchedVals.filterNot(outParts.contains).foreach { v =>
+        val dir = if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString
+        val p = new org.apache.hadoop.fs.Path(s"$dest/$partCol=$dir")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    } finally resolved.unpersist()
+  }
 }

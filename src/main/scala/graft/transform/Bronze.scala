@@ -44,14 +44,10 @@ object Bronze {
     * Divergence B3: ties on txn_ts break on a stable content hash so golden
     * tests are reproducible regardless of partitioning.
     */
-  def deduplicate(df: DataFrame): DataFrame = {
-    val tiebreak = xxhash64(df.columns.map(col).toIndexedSeq: _*)
-    val w = Window.partitionBy("txn_id")
-      .orderBy(col("txn_ts").desc, tiebreak.asc)
-    df.withColumn("row_num", row_number().over(w))
-      .filter(col("row_num") === 1)
-      .drop("row_num")
-  }
+  def deduplicate(df: DataFrame): DataFrame =
+    // shared latest-wins primitive so the B3 tiebreak contract (max txn_ts,
+    // ties by ASCENDING content hash) is defined exactly once
+    graft.operators.Upsert.latestWins(df, Seq("txn_id"), "txn_ts")
 
   /** Derive the partition column txn_date = to_date(txn_ts).
     * Reference: `etl_transactions_bronze.py:83-94` (derive_txn_date). */

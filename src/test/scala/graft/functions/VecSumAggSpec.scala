@@ -14,6 +14,11 @@ class VecSumAggSpec extends SparkSpec {
   test("VecSumAgg centroids == q56 posexplode centroids on the testdata") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // parity precondition: dividing the aggregator's sum by count(*) only
+    // equals q56's per-(label,pos) denominators when every vector is
+    // non-null and same-dimension — pin that the corpus satisfies it
+    assert(emb.filter(col("embedding").isNull).isEmpty)
+    assert(emb.select(size(col("embedding"))).distinct().count() == 1)
     val agg = emb
       .groupBy("label")
       .agg(udaf(VecSumAgg).apply(col("embedding")).as("vsum"),

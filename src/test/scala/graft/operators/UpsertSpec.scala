@@ -33,6 +33,26 @@ class UpsertSpec extends SparkSpec {
     assert(winners.distinct.size == 1, s"nondeterministic tie: $winners")
   }
 
+  test("a key moving partitions leaves NO stale copy behind") {
+    val root = Files.createTempDirectory("graft-upsert-move").toString
+    val dest = s"$root/table"
+    // 'a' lives alone in d1; 'z' keeps d3 untouched
+    df(("a", "old", 1L, "d1"), ("z", "other", 1L, "d3"))
+      .write.partitionBy("dt").parquet(dest)
+
+    val base = spark.read.parquet(dest)
+    Upsert.writeMerged(base, df(("a", "moved", 5L, "d2")),
+      Seq("id"), "version", "dt", dest)
+
+    val after = spark.read.parquet(dest).collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("value"),
+        r.getAs[String]("dt")))
+    // exactly one 'a' row, in its new partition; emptied d1 dir is gone
+    assert(after.toSet == Set(("a", "moved", "d2"), ("z", "other", "d3")))
+    assert(!new java.io.File(s"$dest/dt=d1").exists(),
+      "emptied source partition must be dropped")
+  }
+
   test("writeMerged rewrites only partitions touched by updates") {
     val root = Files.createTempDirectory("graft-upsert").toString
     val dest = s"$root/table"
