@@ -73,6 +73,17 @@ object LakeCatalog {
     catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
 
+  /** Compute table- and column-level statistics for the CBO — the missing
+    * half of a catalog: with rowCount/sizeInBytes and per-column NDV/min/
+    * max in the metastore, Catalyst's cost-based optimizer can reorder
+    * multi-joins and pick broadcast sides from DATA, not just file sizes.
+    * Run after registration/refresh, like a crawler's stats pass. */
+  def analyze(spark: SparkSession, name: String, columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
   /** Managed catalog write: partitioned snappy parquet via saveAsTable, so
     * partition metadata is registered as part of the write (no crawl). */
   def saveTable(df: DataFrame, name: String, partitionCols: Seq[String] = Nil,

@@ -63,4 +63,22 @@ object Compaction {
       .partitionBy(partCol)
       .parquet(dest)
   }
+
+  /** Clustered (sorted-layout) rewrite: range-partition on `sortCols` so
+    * each output FILE owns a disjoint sort-key range, then sort within
+    * partitions so each ROW GROUP's min/max stats are tight. A later scan
+    * filtering on the sort key prunes whole files (footer min/max) and row
+    * groups without reading data — at 100 TB this is the difference between
+    * scanning a table and scanning a sliver. Spark-native Z-ordering-lite:
+    * for one clustering dimension this IS the optimal layout; for several,
+    * put the most-filtered column first. */
+  def clusteredWrite(df: DataFrame, dest: String, numFiles: Int,
+      sortCols: Seq[String]): Unit = {
+    val cs = sortCols.map(col)
+    df.repartitionByRange(numFiles, cs: _*)
+      .sortWithinPartitions(cs: _*)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(dest)
+  }
 }

@@ -36,6 +36,28 @@ class CompactionSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("clusteredWrite: files own disjoint sort-key ranges, rows sorted within") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-cluster").toString
+    val df = spark.range(10000).select(
+      (col("id") * 2654435761L % 10000).as("k"), // scrambled order
+      col("id").as("payload"))
+    Compaction.clusteredWrite(df, s"$root/out", numFiles = 8, sortCols = Seq("k"))
+
+    val perFile = spark.read.parquet(s"$root/out")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"), count(lit(1)).as("n"))
+      .collect().sortBy(_.getAs[Long]("lo"))
+    assert(perFile.length > 1)
+    // disjoint [lo, hi] ranges per file = footer min/max prunes whole files
+    perFile.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+        s"overlapping file ranges: $a vs $b")
+    }
+    assert(perFile.map(_.getAs[Long]("n")).sum == 10000)
+  }
+
   private def countFiles(dir: String): Int = {
     def walk(f: java.io.File): Iterator[java.io.File] =
       if (f.isDirectory) f.listFiles().iterator.flatMap(walk) else Iterator(f)

@@ -30,4 +30,22 @@ class LakeCatalogSpec extends SparkSpec {
 
     spark.sql("DROP TABLE relocate_t")
   }
+
+  test("analyze records table and column statistics for the CBO") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stats").toString
+    (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    LakeCatalog.registerExternal(spark, "stats_t", dir)
+    LakeCatalog.analyze(spark, "stats_t", Seq("id"))
+    val desc = spark.sql("DESCRIBE EXTENDED stats_t")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+    assert(desc.contains("100 rows") || desc.contains("rowCount"),
+      s"no row-count statistic recorded:\n$desc")
+    val colStats = spark.sql("DESCRIBE EXTENDED stats_t id")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").toSeq
+    assert(colStats.exists(s => s.startsWith("distinct_count") && !s.endsWith("=NULL")),
+      s"no NDV statistic for id: $colStats")
+    spark.sql("DROP TABLE stats_t")
+  }
 }
