@@ -338,6 +338,33 @@ object Relational {
       SELECT s_nationkey AS nationkey FROM supplier"""),
       notes = "intersect"),
 
+    // ── EXCEPT ALL (multiset difference — completes the set-op family) ─
+    QueryDef("q19c_except_all", (s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.exceptAll(sn)
+        .groupBy("nationkey").agg(count(lit(1)).as("n")) // stable multiset view
+    }, Some("""
+      SELECT nationkey, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier)
+      GROUP BY nationkey"""),
+      notes = "EXCEPT ALL multiset semantics, aggregated to a deterministic per-key view"),
+
+    // ── Unpivot (inverse of q28's pivot; stack/UNPIVOT reshape) ────────
+    QueryDef("q28b_unpivot", (s, d) => {
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"))
+    }, Some("""
+      SELECT c_custkey, metric, value FROM (
+        SELECT c_custkey, c_acctbal AS acctbal,
+               CAST(c_nationkey AS DOUBLE) AS nationkey
+        FROM customer)
+      UNPIVOT (value FOR metric IN (acctbal, nationkey))"""),
+      notes = "wide→long reshape via stack ≡ SQL UNPIVOT (inverse of q28 pivot)"),
+
     // ── Rollup / cube (gold superset) ──────────────────────────────────
     QueryDef("q20_rollup", (s, d) => {
       t(s, d, "lineitem")
