@@ -33,6 +33,33 @@ class UpsertSpec extends SparkSpec {
     assert(winners.distinct.size == 1, s"nondeterministic tie: $winners")
   }
 
+  test("latestWins == brute-force argmax for random corpora and any base/update split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val rows = (1 to 120).map { _ =>
+        (s"k${rnd.nextInt(12)}", s"v${rnd.nextInt(1000)}",
+          rnd.nextInt(4).toLong, s"d${rnd.nextInt(3)}")
+      }
+      // brute force: per key, max version; ties by min xxhash64 of all cols
+      val all = rows.toDF("id", "value", "version", "dt")
+        .withColumn("__h", xxhash64(col("id"), col("value"), col("version"), col("dt")))
+      val expected = all.collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) =>
+          val best = rs.maxBy(r => (r.getLong(2), -r.getLong(4)))
+          (k, best.getString(1), best.getLong(2))
+        }.toSet
+      val cut = rnd.nextInt(rows.length)
+      val (baseRows, updRows) = rows.splitAt(cut)
+      val got = Upsert.merged(
+          baseRows.toDF("id", "value", "version", "dt"),
+          updRows.toDF("id", "value", "version", "dt"), Seq("id"), "version")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected)
+    }
+  }
+
   test("a key moving partitions leaves NO stale copy behind") {
     val root = Files.createTempDirectory("graft-upsert-move").toString
     val dest = s"$root/table"
