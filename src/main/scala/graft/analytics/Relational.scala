@@ -357,6 +357,9 @@ object Relational {
       t(s, d, "customer")
         .select(col("c_custkey"),
           expr("stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"))
+        // stack keeps NULL values; SQL UNPIVOT (the oracle) excludes them
+        // by default — align semantics explicitly
+        .filter(col("value").isNotNull)
     }, Some("""
       SELECT c_custkey, metric, value FROM (
         SELECT c_custkey, c_acctbal AS acctbal,

@@ -53,12 +53,14 @@ object Upsert {
   def writeMerged(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
       orderCol: String, partCol: String, dest: String): Unit = {
     val spark = base.sparkSession
-    val updKeys = updates.select(keyCols.map(col): _*).distinct()
+    val updKeys = updates.select(keyCols.map(c => col(c).as(s"__k_$c")): _*).distinct()
     // partitions the batch touches: where updates land + where their keys
     // already live in base (a partition-moving update must REMOVE the old
-    // copy, so its old partition rewrites too)
+    // copy, so its old partition rewrites too). NULL-SAFE key equality:
+    // latestWins groups NULL keys together, so the touched set must too.
+    val keyMatch = keyCols.map(c => base(c) <=> updKeys(s"__k_$c")).reduce(_ && _)
     val touchedVals: Array[Any] = updates.select(col(partCol))
-      .union(base.join(updKeys, keyCols, "left_semi").select(col(partCol)))
+      .union(base.join(updKeys, keyMatch, "left_semi").select(col(partCol)))
       .distinct().collect().map(_.get(0))
     if (touchedVals.isEmpty) return // empty batch: nothing to do
     val hasNull = touchedVals.contains(null)
@@ -72,18 +74,25 @@ object Upsert {
     val resolved = merged(base.filter(inTouched), updates, keyCols, orderCol)
       .persist()
     try {
+      // output partitions are computed BEFORE the destructive overwrite:
+      // in the read-from-dest pattern a cache eviction after the write
+      // would recompute from files the write just deleted
+      val outParts = resolved.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSet
       resolved.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("compression", "snappy")
         .partitionBy(partCol)
         .parquet(dest)
       // a moved key can leave its old partition EMPTY — dynamic overwrite
-      // only rewrites partitions present in the output, so drop the rest
-      val outParts = resolved.select(col(partCol)).distinct()
-        .collect().map(_.get(0)).toSet
+      // only rewrites partitions present in the output, so drop the rest.
+      // Use Spark's own partition-path escaping (colons, spaces, unicode in
+      // values become %xx in dir names; null → default partition).
       touchedVals.filterNot(outParts.contains).foreach { v =>
-        val dir = if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString
-        val p = new org.apache.hadoop.fs.Path(s"$dest/$partCol=$dir")
+        val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partCol,
+            if (v == null) null else v.toString)
+        val p = new org.apache.hadoop.fs.Path(s"$dest/$dir")
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     } finally resolved.unpersist()

@@ -80,6 +80,25 @@ class UpsertSpec extends SparkSpec {
       "emptied source partition must be dropped")
   }
 
+  test("moved key cleanup handles Hive-ESCAPED partition values (colons)") {
+    val root = Files.createTempDirectory("graft-upsert-esc").toString
+    val dest = s"$root/table"
+    // 'a' alone in an escaped partition (colon → %3A in the dir name)
+    df(("a", "old", 1L, "h:01"), ("z", "other", 1L, "h:03"))
+      .write.partitionBy("dt").parquet(dest)
+    assert(new java.io.File(s"$dest/dt=h%3A01").exists())
+
+    val base = spark.read.parquet(dest)
+    Upsert.writeMerged(base, df(("a", "moved", 5L, "h:02")),
+      Seq("id"), "version", "dt", dest)
+
+    val after = spark.read.parquet(dest).collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("dt"))).toSet
+    assert(after == Set(("a", "h:02"), ("z", "h:03")))
+    assert(!new java.io.File(s"$dest/dt=h%3A01").exists(),
+      "escaped emptied partition dir must be dropped")
+  }
+
   test("writeMerged rewrites only partitions touched by updates") {
     val root = Files.createTempDirectory("graft-upsert").toString
     val dest = s"$root/table"
