@@ -576,6 +576,24 @@ object Relational {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"""),
       notes = "rank/dense_rank/ntile/lead/first_value over one deterministic window"),
 
+    // ── Distribution window functions (completes the analytic family) ──
+    QueryDef("q42c_distribution_funcs", (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        ROUND(cume_dist() OVER w, 6) AS cume,
+        nth_value(o_orderkey, 2) OVER w AS second_orderkey
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"""),
+      notes = "percent_rank/cume_dist/nth_value; deterministic total order, 6-dp rounding"),
+
     // ── SQL surface (the Athena stand-in): spark.sql over registered views ──
     QueryDef("q43_sql_surface", (s, d) => {
       graft.io.TestTables.registerAll(s, d)
