@@ -150,8 +150,14 @@ object DedupQueries {
         .withColumn("n_inter", expr("graft_intersect_card(a.grams_h, b.grams_h)"))
         .select(
           col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          (col("n_inter").cast("double") /
-            (col("a.n_grams") + col("b.n_grams") - col("n_inter")))
+          // the division must be TOTAL even though the join guard excludes
+          // both-empty pairs: a downstream filter on jaccard (q57) gets
+          // pushed into the join condition, where conjunct evaluation order
+          // is undefined and ANSI 0/0 aborts the job before the guard runs
+          when(col("a.n_grams") + col("b.n_grams") - col("n_inter") > 0,
+            col("n_inter").cast("double") /
+              (col("a.n_grams") + col("b.n_grams") - col("n_inter")))
+            .otherwise(lit(0.0))
             .as("jaccard"))
     }, Some("""
       WITH g AS (
