@@ -25,7 +25,7 @@ object DedupQueries {
     * slice for <=3-token docs), so the index list is built from a safe
     * non-empty sequence and filtered to the valid range — empty for short
     * docs, 0..n-3 otherwise. */
-  private val shingles =
+  private[dedup] val shingles =
     "array_distinct(transform(" +
       "filter(sequence(0, greatest(size(split(text, ' ')) - 2, 1) - 1), " +
       "i -> i < size(split(text, ' ')) - 2), " +

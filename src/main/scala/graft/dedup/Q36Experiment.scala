@@ -17,11 +17,9 @@ object Q36Experiment {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val K = 16
-    val shingles =
-      "array_distinct(transform(" +
-        "filter(sequence(0, greatest(size(split(text, ' ')) - 2, 1) - 1), " +
-        "i -> i < size(split(text, ' ')) - 2), " +
-        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
+    // the PRODUCTION shingle expression — shared, so the experiment can
+    // never silently drift from what q36 actually computes
+    val shingles = DedupQueries.shingles
 
     def explodeAgg() = {
       val sh = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -59,10 +59,17 @@ object Upsert {
     // copy, so its old partition rewrites too). NULL-SAFE key equality:
     // latestWins groups NULL keys together, so the touched set must too.
     val keyMatch = keyCols.map(c => base(c) <=> updKeys(s"__k_$c")).reduce(_ && _)
-    val touchedVals: Array[Any] = updates.select(col(partCol))
+    // collect each touched value BOTH raw (for the pruning filter) and in
+    // Spark's cast-to-string form — the SAME cast the partition writer uses
+    // for dir names, so timestamp values don't render as Timestamp.toString
+    // ("...00:00:00.0") and miss the on-disk dir in the cleanup below
+    val touched: Array[(Any, String)] = updates.select(col(partCol))
       .union(base.join(updKeys, keyMatch, "left_semi").select(col(partCol)))
-      .distinct().collect().map(_.get(0))
-    if (touchedVals.isEmpty) return // empty batch: nothing to do
+      .distinct()
+      .select(col(partCol), col(partCol).cast("string"))
+      .collect().map(r => (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
+    if (touched.isEmpty) return // empty batch: nothing to do
+    val touchedVals = touched.map(_._1)
     val hasNull = touchedVals.contains(null)
     val nonNull = touchedVals.filter(_ != null)
     val inTouched =
@@ -77,8 +84,8 @@ object Upsert {
       // output partitions are computed BEFORE the destructive overwrite:
       // in the read-from-dest pattern a cache eviction after the write
       // would recompute from files the write just deleted
-      val outParts = resolved.select(col(partCol)).distinct()
-        .collect().map(_.get(0)).toSet
+      val outParts = resolved.select(col(partCol).cast("string")).distinct()
+        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
       resolved.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("compression", "snappy")
@@ -87,11 +94,11 @@ object Upsert {
       // a moved key can leave its old partition EMPTY — dynamic overwrite
       // only rewrites partitions present in the output, so drop the rest.
       // Use Spark's own partition-path escaping (colons, spaces, unicode in
-      // values become %xx in dir names; null → default partition).
-      touchedVals.filterNot(outParts.contains).foreach { v =>
+      // values become %xx in dir names; null → default partition) over the
+      // writer-identical string form collected above.
+      touched.map(_._2).filterNot(outParts.contains).foreach { s =>
         val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partCol,
-            if (v == null) null else v.toString)
+          .getPartitionPathString(partCol, s)
         val p = new org.apache.hadoop.fs.Path(s"$dest/$dir")
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }

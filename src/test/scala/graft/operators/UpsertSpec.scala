@@ -99,6 +99,33 @@ class UpsertSpec extends SparkSpec {
       "escaped emptied partition dir must be dropped")
   }
 
+  test("moved key cleanup handles TIMESTAMP partition values (no .0 suffix drift)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-upsert-ts").toString
+    val dest = s"$root/table"
+    def tdf(rows: (String, String, Long, String)*) =
+      rows.toDF("id", "value", "version", "tstr")
+        .select(col("id"), col("value"), col("version"),
+          to_timestamp(col("tstr")).as("pt"))
+    // 'a' alone in the 00:00 hour partition (java.sql.Timestamp.toString of
+    // this value ends in ".0" — the writer's dir name does not)
+    tdf(("a", "old", 1L, "2020-01-01 00:00:00"),
+        ("z", "other", 1L, "2020-01-01 02:00:00"))
+      .write.partitionBy("pt").parquet(dest)
+
+    val base = spark.read.parquet(dest)
+    Upsert.writeMerged(base, tdf(("a", "moved", 5L, "2020-01-01 01:00:00")),
+      Seq("id"), "version", "pt", dest)
+
+    val after = spark.read.parquet(dest).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("value")).toMap
+    assert(after == Map("a" -> "moved", "z" -> "other"),
+      s"stale or missing rows: $after")
+    // exactly one 'a' row: the emptied timestamp partition dir is gone
+    assert(spark.read.parquet(dest).filter("id = 'a'").count() == 1)
+  }
+
   test("writeMerged rewrites only partitions touched by updates") {
     val root = Files.createTempDirectory("graft-upsert").toString
     val dest = s"$root/table"
