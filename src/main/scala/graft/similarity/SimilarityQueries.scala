@@ -32,9 +32,18 @@ object SimilarityQueries {
   /** cosine(a, b) given precomputed norms — norms are evaluated once per
     * vector (narrow pre-pass), not once per pair, and the pair-level dot is
     * the native [[graft.functions.DotProduct]] codegen loop. Arithmetic
-    * (dot/(na·nb), sequential sums) stays bit-identical to the oracle. */
+    * (dot/(na·nb), sequential sums) stays bit-identical to the oracle.
+    *
+    * ZERO-NORM guard: cosine is undefined for a zero vector, and Spark 4
+    * ANSI throws on DOUBLE division by zero (unlike IEEE) — a single
+    * all-zero embedding (models emit them for empty inputs) would
+    * otherwise kill the whole job. NULL similarity → the pair/candidate is
+    * excluded by every downstream threshold filter and sorts last under
+    * desc ordering. Driver testdata has no zero vectors, so oracle parity
+    * is unchanged (the guard branch never fires there). */
   private def cosine(a: String, b: String, na: String, nb: String): Column =
-    expr(s"round(graft_dot($a, $b) / ($na * $nb), 6)")
+    expr(s"CASE WHEN $na * $nb > 0 THEN round(graft_dot($a, $b) / ($na * $nb), 6) " +
+      "ELSE CAST(NULL AS DOUBLE) END")
 
   /** (vec_id, v: array<double>, norm: double) — the shared similarity input. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
