@@ -412,18 +412,23 @@ object Relational {
           max(col("l_quantity")).as("max_qty"),
           n.as("n"),
           sumQ.as("sum_qty"),
-          // sample variance from exact decimal moments, assembled in DOUBLE:
-          ((sumSq - sumQ * sumQ / n) / (n - lit(1))).as("var_qty"))
+          // sample variance from exact decimal moments, assembled in DOUBLE;
+          // undefined (NULL) for 1-row groups — ANSI throws on the n-1=0
+          // division that IEEE would have turned into Infinity
+          when(n > 1, (sumSq - sumQ * sumQ / n) / (n - lit(1)))
+            .otherwise(lit(null).cast("double")).as("var_qty"))
     }, Some("""
       SELECT l_returnflag,
         MIN(l_quantity) AS min_qty,
         MAX(l_quantity) AS max_qty,
         COUNT(*) AS n,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-            * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
-          / (COUNT(*) - 1) AS var_qty
+        CASE WHEN COUNT(*) > 1 THEN
+          (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1)
+        ELSE NULL END AS var_qty
       FROM lineitem GROUP BY l_returnflag"""),
       notes = "variance from exact decimal moments — order-insensitive across engines"),
 
@@ -813,9 +818,14 @@ object Relational {
           sum(q * q).cast("double").as("sxx"),
           sum((pc * pc).cast("decimal(38,0)")).cast("double").as("syy"))
         .select(col("l_returnflag"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                 (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          // r is undefined when either variable has zero variance in the
+          // group (denominator 0) — NULL, not an ANSI div-by-zero abort
+          when((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                   (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            .otherwise(lit(null).cast("double"))
             .as("corr_qty_price"))
     }, Some("""
       WITH s AS (
@@ -827,8 +837,9 @@ object Relational {
           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT) * CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS DOUBLE) AS syy
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag,
-        ROUND((n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
-          AS corr_qty_price
+        CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN
+          ROUND((n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+        ELSE NULL END AS corr_qty_price
       FROM s"""),
       notes = "Pearson r from exact integer moments (order-insensitive, unlike corr())"),
 
