@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{QueryDef, Relational}
+import graft.analytics.{GoldQueries, QueryDef, Relational}
 import graft.dedup.DedupQueries
 import graft.similarity.SimilarityQueries
 import graft.text.TextQueries
@@ -10,7 +10,8 @@ import graft.text.TextQueries
   * derives the driver's `queries`/`oracleSql` maps from this. */
 object QueryCatalog {
   val all: Seq[QueryDef] =
-    Relational.defs ++ TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs
+    Relational.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs ++ GoldQueries.defs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

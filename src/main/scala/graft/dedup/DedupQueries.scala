@@ -1,5 +1,6 @@
 package graft.dedup
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{Ops, QueryDef}
@@ -44,6 +45,121 @@ object DedupQueries {
     * byte-identical to the unguarded plan. */
   private[dedup] val MaxBucketReps = 64
 
+  /** Docs with their 3-gram shingle sets hashed to SORTED long arrays —
+    * the shared exact-verification input (q38 all-pairs, q62 candidate
+    * verify). Hashing once per doc turns the per-pair Jaccard into a
+    * codegen'd two-pointer merge over primitive longs. */
+  private[dedup] def hashedGrams(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"sort_array(array_distinct(transform($shingles, g -> xxhash64(g))))")
+          .as("grams_h"))
+      .withColumn("n_grams", size(col("grams_h")))
+  }
+
+  /** MinHash signatures via explode → codegen'd hash-agg of K seeded
+    * min-hashes: each shingle is hashed K times in one pass (no interpreted
+    * higher-order lambdas, no expression re-evaluation), one shuffle keyed
+    * by doc_id with map-side partial mins. This is the shape that survives
+    * 100 TB — state per doc is K longs. Docs with an empty shingle set
+    * (<=2 tokens) produce no signature row. */
+  private[dedup] def signatures(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), explode(expr(shingles)).as("sng"))
+    val minCols = (0 until K).map(j =>
+      min(xxhash64(col("sng"), lit(j))).as(s"h$j"))
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b, distinct) from a signature frame:
+    * band the signature, bucket-join within (band_id, band_hash), with the
+    * hot-bucket guard capping the quadratic tail (see [[MaxBucketReps]]).
+    *
+    * NO SILENT CAPS: the guard's effect is observed in-flow (an `observe`
+    * node over the ranked bucket rows — zero extra jobs) as metrics
+    * `capped_buckets` / `skipped_pairs` under the name "q36_lsh_guard",
+    * and a session QueryExecutionListener WARN-logs whenever a run
+    * actually capped, so recall changes are visible across versions/scales. */
+  private[dedup] def lshCandidatePairs(sig: DataFrame): DataFrame = {
+    ensureGuardListener(sig.sparkSession)
+    val bandStructs = (0 until Bands).map { b =>
+      val slots = (b * K / Bands until (b + 1) * K / Bands).map(j => col(s"h$j"))
+      struct(lit(b).as("band_id"), xxhash64(slots: _*).as("band_hash"))
+    }
+    val banded = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    // candidate pairs = docs sharing any (band_id, band_hash) bucket,
+    // with the hot-bucket guard: rank docs within their bucket (same
+    // partitioning the join shuffle needs anyway) and let only the first
+    // MaxBucketReps act as the left/"rep" side.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_hash").orderBy("doc_id")
+    val ranked = banded.withColumn("rn", row_number().over(wBucket))
+    // guard metrics ride the full-ranked side of the self-join: rn == cap+1
+    // marks a bucket crossing the cap once; every row past the cap skips
+    // (rn - cap - 1) non-rep partners, summing to C(size-cap, 2) per bucket.
+    val observed = ranked.observe("q36_lsh_guard",
+      count(when(col("rn") === MaxBucketReps + 1, lit(1))).as("capped_buckets"),
+      coalesce(sum(when(col("rn") > MaxBucketReps,
+        (col("rn") - MaxBucketReps - 1).cast("long"))), lit(0L)).as("skipped_pairs"))
+    val reps = ranked.filter(col("rn") <= MaxBucketReps)
+    reps.as("a").join(observed.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** One WARN line per execution whose LSH guard actually capped a bucket —
+    * the observable trail for the recall-affecting cap. Registered at most
+    * once per session. */
+  private val guardListenerSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+  private def ensureGuardListener(s: SparkSession): Unit =
+    if (guardListenerSessions.add(s)) {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.get("q36_lsh_guard").foreach { row =>
+            val capped = if (row.isNullAt(0)) 0L else row.getLong(0)
+            if (capped > 0L)
+              log.warn(s"q36 LSH hot-bucket guard capped $capped bucket(s), " +
+                s"skipped ${row.getLong(1)} non-rep candidate pair slots " +
+                s"(MaxBucketReps=$MaxBucketReps) — recall differs from unguarded LSH")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
+
+  /** Exact-Jaccard verification of candidate pairs ONLY: joins the pairs
+    * back to the hashed gram sets and keeps pairs with jaccard >= `minJ`.
+    * O(candidates), never O(n²) — the verify half of the LSH scale path. */
+  private[dedup] def verifyJaccard(pairs: DataFrame, docs: DataFrame,
+      minJ: Double): DataFrame = {
+    val ja = pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("grams_h").as("ga"),
+        col("n_grams").as("na")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("grams_h").as("gb"),
+        col("n_grams").as("nb")), Seq("doc_b"))
+      .withColumn("n_inter", expr("graft_intersect_card(ga, gb)"))
+      // TOTAL division (see q38): the jaccard expr must never see 0/0 even
+      // after Catalyst reorders filters under ANSI mode
+      .withColumn("jaccard",
+        when(col("na") + col("nb") - col("n_inter") > 0,
+          col("n_inter").cast("double") /
+            (col("na") + col("nb") - col("n_inter")))
+          .otherwise(lit(0.0)))
+    ja.filter(col("jaccard") >= minJ).select("doc_a", "doc_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: hash-groupBy fingerprint clusters ─────────────────
@@ -61,39 +177,8 @@ object DedupQueries {
 
     // ── MinHash signatures + LSH banding (b=4, r=4) ────────────────────
     QueryDef("q36_minhash_lsh", (s, d) => {
-      // Signature via explode → codegen'd hash-agg of K seeded min-hashes:
-      // each shingle is hashed K times in one pass (no interpreted
-      // higher-order lambdas, no expression re-evaluation), one shuffle
-      // keyed by doc_id with map-side partial mins. This is the shape that
-      // survives 100 TB — state per doc is K longs.
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), explode(expr(shingles)).as("sng"))
-      val minCols = (0 until K).map(j =>
-        min(xxhash64(col("sng"), lit(j))).as(s"h$j"))
-      val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      // bands: hash Bands groups of K/Bands consecutive signature slots
-      val bandStructs = (0 until Bands).map { b =>
-        val slots = (b * K / Bands until (b + 1) * K / Bands).map(j => col(s"h$j"))
-        struct(lit(b).as("band_id"), xxhash64(slots: _*).as("band_hash"))
-      }
-      val banded = sig.select(col("doc_id"),
-          explode(array(bandStructs: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-      // candidate pairs = docs sharing any (band_id, band_hash) bucket,
-      // with the hot-bucket guard: rank docs within their bucket (same
-      // partitioning the join shuffle needs anyway) and let only the first
-      // MaxBucketReps act as the left/"rep" side.
-      val wBucket = org.apache.spark.sql.expressions.Window
-        .partitionBy("band_id", "band_hash").orderBy("doc_id")
-      val ranked = banded.withColumn("rn",
-        row_number().over(wBucket))
-      val reps = ranked.filter(col("rn") <= MaxBucketReps)
-      val pairs = reps.as("a").join(ranked.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val sig = signatures(s, d)
+      val pairs = lshCandidatePairs(sig)
       // per-doc summary (stable one-row-per-doc output): candidate count +
       // sig head. Base is the full documents table — docs whose shingle set
       // is empty (<=2 tokens) have no sig rows but must still appear.
@@ -128,17 +213,12 @@ object DedupQueries {
 
     // ── n-gram Jaccard within source groups (exact, set-based) ─────────
     QueryDef("q38_ngram_jaccard", (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      // Shingles hashed to sorted long arrays ONCE per doc; the O(pairs)
-      // inner loop is then a codegen'd two-pointer merge on primitive
-      // longs (graft_intersect_card) instead of string-set hashing.
+      // Shingles hashed to sorted long arrays ONCE per doc ([[hashedGrams]]);
+      // the O(pairs) inner loop is then a codegen'd two-pointer merge on
+      // primitive longs (graft_intersect_card) instead of string-set hashing.
       // Jaccard value is identical to the string-set form modulo xxhash64
       // collisions (~2^-64 — far below the oracle's 1e-6 rounding).
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          expr(s"sort_array(array_distinct(transform($shingles, g -> xxhash64(g))))")
-            .as("grams_h"))
-        .withColumn("n_grams", size(col("grams_h")))
+      val docs = hashedGrams(s, d)
       val a = docs.as("a"); val b = docs.as("b")
       a.join(b, col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -213,6 +293,24 @@ object DedupQueries {
         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
       SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
       FROM reach GROUP BY src"""),
-      notes = "near-dup clusters: min-label-propagation CC over jaccard>=0.6 pairs")
+      notes = "near-dup clusters: min-label-propagation CC over jaccard>=0.6 pairs"),
+
+    // ── Duplicate-cluster resolution, SCALE PATH (LSH-fed) ─────────────
+    // The end-to-end 100 TB dedup pipeline: LSH candidate generation
+    // (q36's guarded bucket join — O(docs) signature shuffle, bounded
+    // bucket self-join) → exact Jaccard verification of CANDIDATES ONLY
+    // (O(candidates) gram-set joins, never all pairs) → connected
+    // components. q57 is the exactness twin: same verify threshold, but
+    // its edges come from the exact all-pairs-within-source join, so q57
+    // finds every >=0.6 pair while this path misses only LSH recall
+    // losses (pairs whose 16-slot signatures disagree on all 4 bands) and
+    // additionally CATCHES cross-source near-dups q57's source blocking
+    // skips. Parity is pinned by DedupClustersLshSpec.
+    QueryDef("q62_dup_clusters_lsh", (s, d) => {
+      val edges = verifyJaccard(
+        lshCandidatePairs(signatures(s, d)), hashedGrams(s, d), 0.6)
+      DedupClusters.connectedComponents(edges)
+    }, None,
+      notes = "scale-path near-dup clusters: LSH candidates -> exact verify (candidates only) -> CC; rows-only (band hashes engine-specific)")
   )
 }

@@ -53,10 +53,32 @@ object SimilarityQueries {
       .withColumn("norm", l2norm("v"))
   }
 
+  /** Session conf key bounding the all-pairs CORRECTNESS BASELINES (q39 /
+    * q40). Set to -1 to disable. */
+  val MaxBruteForceRowsKey = "spark.graft.similarity.maxBruteForceRows"
+  private val DefaultMaxBruteForceRows = 50000L
+
+  /** q39/q40 are quadratic by design (correctness baselines); silently
+    * pointing them at a billion-vector table would run for a week. Fail
+    * loudly instead: a parquet metadata count (no column scan) against the
+    * configurable bound. q41 (LSH) / q42b (IVF) are the scale paths. */
+  private def guardBruteForce(s: SparkSession, d: String, query: String): Unit = {
+    val limit = s.conf.get(MaxBruteForceRowsKey,
+      DefaultMaxBruteForceRows.toString).toLong
+    if (limit >= 0) {
+      val n = t(s, d, "embeddings").count()
+      require(n <= limit,
+        s"$query is an all-pairs correctness BASELINE: input has $n vectors " +
+          s"(> $MaxBruteForceRowsKey=$limit). Use q41_ann_lsh / q42b_ann_ivf " +
+          "at scale, or raise the conf to opt out.")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Near-duplicate pairs by embedding cosine ───────────────────────
     QueryDef("q39_cosine_dup_pairs", (s, d) => {
+      guardBruteForce(s, d, "q39_cosine_dup_pairs")
       val a = vecs(s, d).toDF("id_a", "va", "na")
       val b = vecs(s, d).toDF("id_b", "vb", "nb")
       a.join(b, col("id_a") < col("id_b"))
@@ -76,6 +98,7 @@ object SimilarityQueries {
 
     // ── Brute-force cosine top-k (ANN correctness baseline) ────────────
     QueryDef("q40_ann_topk", (s, d) => {
+      guardBruteForce(s, d, "q40_ann_topk")
       val q = vecs(s, d).filter(col("vec_id") < 10).toDF("query_id", "qv", "qn")
       val c = vecs(s, d).toDF("cand_id", "cv", "cn")
       val w = Window.partitionBy("query_id")
