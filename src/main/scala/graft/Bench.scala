@@ -38,16 +38,22 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
     }
-    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 chars of stdout (BENCH_r01/r02
+    // both stored a 2000-char tail and parsed:null because the full-precision
+    // line was ~2900 chars) — so the line must be COMPACT (ms precision,
+    // short sf) and the VERY LAST thing on stdout, after spark.stop(), with
+    // nothing of ours following it.
+    def ms(v: Double): String = BigDecimal(v).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).underlying.stripTrailingZeros.toPlainString
+    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val fs = failed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
+    val sfShort = sfDir.split('/').last.stripPrefix("sf") // "/root/testdata/sf0.1" -> "0.1"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
-    // stdout under sbt is wrapped as "[info] {...}", which the driver's JSON
-    // parser rejects (BENCH_r01 had parsed:null) — so ALSO write the bare line
-    // to a file the driver (or a human) can read directly.
-    println(json)
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfShort"}"""
+    // File artifact with the same line (SPARK_GRAFT_BENCH_OUT handshake, see
+    // README): survives any stdout truncation and needs no regex archaeology.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
@@ -55,7 +61,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    spark.stop()
+    spark.stop() // BEFORE the println: no Spark shutdown chatter after the JSON
+    println(json)
     if (failed.nonEmpty) sys.exit(2)
   }
 }
