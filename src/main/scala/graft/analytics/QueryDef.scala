@@ -35,7 +35,14 @@ object Ops {
 
   /** Scan one driver-provided table (TESTDATA.md layout). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (scanCache.size > MaxScanEntries) scanCache.clear()
+    if (scanCache.size > MaxScanEntries) {
+      // Evict stopped sessions first — they (and their file-listing state)
+      // must not stay pinned by the cache's strong keys. Wholesale clear
+      // only if live entries alone still exceed the bound.
+      val it = scanCache.keySet.iterator
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      if (scanCache.size > MaxScanEntries) scanCache.clear()
+    }
     scanCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
   }

@@ -57,11 +57,19 @@ object LakeCatalog {
     val p = new org.apache.hadoop.fs.Path(path)
     val loc = p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
     if (spark.catalog.tableExists(name)) {
-      val current = spark.sessionState.catalog
+      val meta = spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
-        .location.toString.stripSuffix("/")
-      if (current != loc.toString.stripSuffix("/"))
+      val current = meta.location.toString.stripSuffix("/")
+      if (current != loc.toString.stripSuffix("/")) {
+        // Only EXTERNAL entries may be dropped here: dropping a MANAGED
+        // table (saveTable output) deletes its data files, so a name
+        // collision would silently destroy data. Fail loudly instead.
+        require(meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+          s"refusing to re-register '$name' over $loc: the existing table is " +
+            s"${meta.tableType.name} at $current and dropping it would delete " +
+            "its data files. Drop it explicitly first.")
         spark.sql(s"DROP TABLE $name")
+      }
     }
     spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING PARQUET LOCATION '$loc'")
     // New files may have landed since the table was cataloged: drop cached
@@ -85,12 +93,29 @@ object LakeCatalog {
   }
 
   /** Managed catalog write: partitioned snappy parquet via saveAsTable, so
-    * partition metadata is registered as part of the write (no crawl). */
+    * partition metadata is registered as part of the write (no crawl).
+    *
+    * `bucketCols`/`numBuckets` (+ optional `sortCols`) materialize the
+    * bucketed layout that makes repeated key-joins shuffle-free: two tables
+    * bucketed `numBuckets` ways on the join key sort-merge-join with ZERO
+    * exchange (BucketedJoinSpec proves it on lineitem⋈orders). At 100 TB
+    * this converts every fact⋈fact query from two full-table shuffles into
+    * a co-located read — pay the shuffle once at write time, never again.
+    * Bucket count is a layout contract: both join sides must use the same
+    * `numBuckets` for the exchange to be elided. */
   def saveTable(df: DataFrame, name: String, partitionCols: Seq[String] = Nil,
-      mode: String = "overwrite"): Unit = {
-    val w = df.write.mode(mode).format("parquet").option("compression", "snappy")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .saveAsTable(name)
+      mode: String = "overwrite", bucketCols: Seq[String] = Nil,
+      numBuckets: Int = 0, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty == (numBuckets > 0),
+      s"bucketCols and numBuckets must be set together (got cols=$bucketCols, n=$numBuckets)")
+    require(sortCols.isEmpty || bucketCols.nonEmpty, "sortCols requires bucketCols")
+    var w = df.write.mode(mode).format("parquet").option("compression", "snappy")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    if (bucketCols.nonEmpty) {
+      w = w.bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    }
+    w.saveAsTable(name)
   }
 }
 

@@ -19,12 +19,13 @@ import org.apache.spark.sql.expressions.Window
   *    partitions of base — a day's update batch never key-shuffles the
   *    whole table.
   *
-  * Durability note: callers following the read-merge-overwrite-same-path
-  * pattern rely on Spark's commit protocol staging the new files before
-  * partition replacement; a driver crash mid-commit can still lose the
-  * touched partitions because the input WAS the output. Where that window
-  * is unacceptable, write to a fresh snapshot dir (cheap: only touched
-  * partitions are produced) or use a transactional table format.
+  * Durability: the resolve is materialized to a sibling staging dir BEFORE
+  * the destructive overwrite, so the overwrite's lineage never depends on
+  * the files it replaces (a lost cache block mid-write cannot recompute
+  * from half-replaced base files), and a crash mid-commit leaves the full
+  * resolved batch on disk for replay. The staging dir is deleted on
+  * success and deliberately kept (with its path in the error) on failure.
+  * For stronger guarantees use a transactional table format.
   */
 object Upsert {
 
@@ -79,14 +80,23 @@ object Upsert {
     // resolve over only the affected slice of base — statically
     // partition-pruned scan, shuffle bounded by the batch footprint
     val resolved = merged(base.filter(inTouched), updates, keyCols, orderCol)
-      .persist()
+    // Materialize the resolve to a SIBLING staging dir before the
+    // destructive overwrite. persist() is not enough when base was read
+    // from dest: losing any cached block mid-write (executor failure)
+    // recomputes from files the overwrite is concurrently replacing,
+    // silently corrupting the merge. Staged files also survive a driver
+    // crash mid-commit — the resolved data exists on disk for replay.
+    // Unpartitioned staging keeps null partCol values as ordinary column
+    // data (no default-partition encoding round-trip).
+    val staging = dest.stripSuffix("/") + ".__graft_merge_staging"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolved.write.mode("overwrite").option("compression", "snappy").parquet(staging)
     try {
-      // output partitions are computed BEFORE the destructive overwrite:
-      // in the read-from-dest pattern a cache eviction after the write
-      // would recompute from files the write just deleted
-      val outParts = resolved.select(col(partCol).cast("string")).distinct()
+      val staged = spark.read.parquet(staging)
+      val outParts = staged.select(col(partCol).cast("string")).distinct()
         .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
-      resolved.write.mode("overwrite")
+      staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("compression", "snappy")
         .partitionBy(partCol)
@@ -102,6 +112,13 @@ object Upsert {
         val p = new org.apache.hadoop.fs.Path(s"$dest/$dir")
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
-    } finally resolved.unpersist()
+      fs.delete(stagingPath, true) // success: staging no longer needed
+    } catch {
+      // overwrite failed: KEEP staging (it holds the only complete copy of
+      // the resolve if dest is now partially rewritten) and say where it is
+      case e: Throwable =>
+        throw new RuntimeException(
+          s"upsert overwrite of $dest failed; resolved batch preserved at $staging", e)
+    }
   }
 }

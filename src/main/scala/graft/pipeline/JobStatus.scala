@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
 object JobStatus {
 
   final case class StageReport(stage: String, status: String, startMs: Long,
-      durationMs: Long, error: Option[String], metricsJson: Option[String]) {
+      durationMs: Long, error: Option[String], metricsJson: Option[String],
+      attempt: Int = 1) {
     def toJson: String = {
       def esc(s: String): String = s.flatMap {
         case '"' => "\\\""
@@ -26,17 +27,35 @@ object JobStatus {
         case c => c.toString
       }
       val err = error.map(e => "\"" + esc(e) + "\"").getOrElse("null")
-      // metricsJson is already a JSON object — embedded raw, not escaped
-      val met = metricsJson.getOrElse("null")
+      // metricsJson is embedded raw ONLY if it actually parses as JSON —
+      // a stage whose metrics mapper returns junk must not produce a
+      // malformed artifact (the monitor consuming it is the whole point).
+      // Fallback: embed the junk as an escaped string value.
+      val met = metricsJson match {
+        case None => "null"
+        case Some(m) =>
+          try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(m); m }
+          catch { case _: Exception => "\"" + esc(m) + "\"" }
+      }
       s"""{"stage":"${esc(stage)}","status":"$status","start_ms":$startMs,""" +
-        s""""duration_ms":$durationMs,"error":$err,"metrics":$met}"""
+        s""""duration_ms":$durationMs,"attempt":$attempt,"error":$err,"metrics":$met}"""
     }
   }
 
   /** Wraps each stage in try/catch + timing and persists the report. A
-    * failing stage writes its FAILED artifact BEFORE rethrowing, so the
-    * alert exists even when the driver dies with the job. */
-  final class Reporter(spark: SparkSession, outDir: String, runDate: String) {
+    * failing stage writes its FAILED artifact BEFORE rethrowing (or
+    * retrying), so the alert exists even when the driver dies with the job.
+    *
+    * `maxRetries` > 0 mirrors the reference trigger chain's at-least-once
+    * stage retry (`README.md:35-37,96-104`): each failed attempt leaves a
+    * FAILED artifact at `<stage>_<runDate>_attempt<k>.json`, then the body
+    * re-runs; the final outcome lands at the canonical `<stage>_<runDate>
+    * .json` with its attempt number — so a transient failure yields a
+    * FAILED(attempt=1) + SUCCESS(attempt=2) trail for the monitor. Retry
+    * assumes stage writes are idempotent (overwrite mode, or appends guarded
+    * by Spark's output-commit protocol — a failed job commits nothing). */
+  final class Reporter(spark: SparkSession, outDir: String, runDate: String,
+      maxRetries: Int = 0) {
 
     def stage[T](name: String)(body: => T): T = stageWithMetrics(name)(body)(_ => None)
 
@@ -44,24 +63,30 @@ object JobStatus {
       * object (e.g. the audit stage's DQ summary). */
     def stageWithMetrics[T](name: String)(body: => T)(
         metrics: T => Option[String]): T = {
-      val t0 = System.currentTimeMillis()
-      try {
-        val out = body
-        write(StageReport(name, "SUCCESS", t0,
-          System.currentTimeMillis() - t0, None, metrics(out)))
-        out
-      } catch {
-        case e: Throwable =>
-          write(StageReport(name, "FAILED", t0,
-            System.currentTimeMillis() - t0,
-            Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"),
-            None))
-          throw e
+      var attempt = 1
+      while (true) {
+        val t0 = System.currentTimeMillis()
+        try {
+          val out = body
+          write(StageReport(name, "SUCCESS", t0,
+            System.currentTimeMillis() - t0, None, metrics(out), attempt))
+          return out
+        } catch {
+          case e: Throwable =>
+            val report = StageReport(name, "FAILED", t0,
+              System.currentTimeMillis() - t0,
+              Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"),
+              None, attempt)
+            if (attempt > maxRetries) { write(report); throw e }
+            write(report, suffix = s"_attempt$attempt")
+            attempt += 1
+        }
       }
+      throw new IllegalStateException("unreachable")
     }
 
-    private def write(r: StageReport): Unit = {
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/${r.stage}_$runDate.json")
+    private def write(r: StageReport, suffix: String = ""): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/${r.stage}_$runDate$suffix.json")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(p, true)
       try out.write((r.toJson + "\n").getBytes("UTF-8")) finally out.close()

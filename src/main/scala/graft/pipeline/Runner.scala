@@ -21,7 +21,11 @@ object Runner {
     * EventBridge/SNS monitoring equivalent, `README.md:96-104`). */
   def run(spark: SparkSession, zones: Zones,
       mode: String = "append", runDate: String = "1970-01-01"): Result = {
-    val reporter = new JobStatus.Reporter(spark, s"${zones.root}/jobstatus", runDate)
+    // One bounded retry per stage (the Glue-trigger at-least-once stand-in):
+    // safe because every stage write is either overwrite-mode or an append
+    // guarded by the output-commit protocol (failed jobs commit nothing).
+    val reporter = new JobStatus.Reporter(spark, s"${zones.root}/jobstatus", runDate,
+      maxRetries = 1)
 
     // Bronze job (etl_transactions_bronze.py equivalent)
     reporter.stage("bronze") {

@@ -78,6 +78,8 @@ class UpsertSpec extends SparkSpec {
     assert(after.toSet == Set(("a", "moved", "d2"), ("z", "other", "d3")))
     assert(!new java.io.File(s"$dest/dt=d1").exists(),
       "emptied source partition must be dropped")
+    assert(!new java.io.File(dest + ".__graft_merge_staging").exists(),
+      "staging dir must be removed after a successful merge")
   }
 
   test("moved key cleanup handles Hive-ESCAPED partition values (colons)") {

@@ -36,6 +36,48 @@ class JobStatusSpec extends SparkSpec {
     assert(metrics.getAs[Long]("input_rows") == 42L)
   }
 
+  test("transient first-attempt failure retries to SUCCESS with a FAILED trail") {
+    val dir = Files.createTempDirectory("graft-jobstatus-retry").toString
+    val reporter = new JobStatus.Reporter(spark, dir, "2025-08-03", maxRetries = 1)
+    var calls = 0
+    val out = reporter.stage("bronze") {
+      calls += 1
+      if (calls == 1) throw new RuntimeException("transient executor loss")
+      "ok"
+    }
+    assert(out == "ok" && calls == 2)
+    // trail: FAILED attempt-1 artifact AND the canonical SUCCESS artifact
+    val failed = spark.read.json(s"$dir/bronze_2025-08-03_attempt1.json").collect().head
+    assert(failed.getAs[String]("status") == "FAILED")
+    assert(failed.getAs[Long]("attempt") == 1L)
+    assert(failed.getAs[String]("error").contains("transient"))
+    val ok = spark.read.json(s"$dir/bronze_2025-08-03.json").collect().head
+    assert(ok.getAs[String]("status") == "SUCCESS")
+    assert(ok.getAs[Long]("attempt") == 2L)
+  }
+
+  test("retries exhausted: FAILED lands at the canonical path and rethrows") {
+    val dir = Files.createTempDirectory("graft-jobstatus-exhaust").toString
+    val reporter = new JobStatus.Reporter(spark, dir, "2025-08-03", maxRetries = 1)
+    var calls = 0
+    intercept[RuntimeException] {
+      reporter.stage("bronze") { calls += 1; throw new RuntimeException("permanent") }
+    }
+    assert(calls == 2) // original + one retry
+    val row = spark.read.json(s"$dir/bronze_2025-08-03.json").collect().head
+    assert(row.getAs[String]("status") == "FAILED")
+    assert(row.getAs[Long]("attempt") == 2L)
+  }
+
+  test("non-JSON metrics embed as an escaped string, artifact stays parseable") {
+    val dir = Files.createTempDirectory("graft-jobstatus-junk").toString
+    val reporter = new JobStatus.Reporter(spark, dir, "2025-08-03")
+    reporter.stageWithMetrics("audit") { 1 }(_ => Some("not {json"))
+    val df = spark.read.json(s"$dir/audit_2025-08-03.json")
+    assert(!df.columns.contains("_corrupt_record"), "artifact is malformed JSON")
+    assert(df.collect().head.getAs[String]("metrics") == "not {json")
+  }
+
   test("Runner e2e leaves one SUCCESS artifact per stage") {
     val root = Files.createTempDirectory("graft-lake-status").toString
     val zones = graft.io.Zones(root)

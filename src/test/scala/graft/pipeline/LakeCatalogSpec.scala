@@ -31,6 +31,21 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE relocate_t")
   }
 
+  test("registerExternal refuses to drop a MANAGED table on location mismatch") {
+    import spark.implicits._
+    val other = Files.createTempDirectory("graft-loc-managed").toString
+    Seq(9L).toDF("v").write.mode("overwrite").parquet(other)
+    LakeCatalog.saveTable(Seq(1L, 2L).toDF("v"), "managed_t")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LakeCatalog.registerExternal(spark, "managed_t", other)
+      }
+      assert(e.getMessage.contains("MANAGED"))
+      // the managed table and its data must be untouched by the failed call
+      assert(spark.table("managed_t").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS managed_t")
+  }
+
   test("analyze records table and column statistics for the CBO") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stats").toString
