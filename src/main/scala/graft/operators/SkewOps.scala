@@ -22,10 +22,14 @@ object SkewOps {
   private val SaltSeed = 0x5eedL
 
   /** Two-phase (salted) aggregation: spread one hot group over `numSalts`
-    * partial groups, then merge. Use for algebraic aggregates when one key
-    * dominates (e.g. a null-ish default merchant taking 30% of a 100 TB
-    * day). Shuffle 1 is keyed (key, salt) — bounded partition size; shuffle
-    * 2 moves `numSalts` rows per key.
+    * partial groups, then merge. Shuffle 1 is keyed (key, salt) — bounded
+    * partition size; shuffle 2 moves `numSalts` rows per key.
+    *
+    * Measured caveat (BASELINE.md §skew): for ALGEBRAIC aggregates like sum,
+    * map-side combine already reduces a hot key to one row per mapper — the
+    * unsalted plan won 0.64 s vs 1.66 s at 32M rows/80% hot. Salting pays
+    * off when the partial state is LARGE (collect_list/set-like) or the
+    * combine is ineffective; measure before reaching for this.
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
       numSalts: Int = 16): DataFrame = {
@@ -35,6 +39,32 @@ object SkewOps {
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+
+  /** Skew-safe COUNT(DISTINCT v) BY key. Plain countDistinct plans as two
+    * aggregations where the second shuffles every distinct (key, value)
+    * pair of a key to ONE reducer — a hot key with 10M distinct values is
+    * a 10M-row straggler no combiner can shrink. Salting here is by VALUE
+    * HASH (not random): the same value always lands in the same salt
+    * bucket, so per-bucket distinct counts are disjoint and therefore
+    * ADDITIVE — `sum` of partials is exact, not approximate. Shuffle 1 is
+    * keyed (key, salt): the hot key spreads over `numSalts` reducers;
+    * shuffle 2 moves `numSalts` rows per key.
+    *
+    * Measured caveat (BASELINE.md §skew): locally the unsalted two-stage
+    * distinct plan won (4.63 s vs 5.76 s at 32M rows/80% hot) — its heavy
+    * (key,value) shuffle is already well spread, and the hot final reducer
+    * only counts pre-deduped rows. This operator is insurance for cluster
+    * scale, where that one reducer's shuffle-READ bandwidth (not CPU)
+    * becomes the wall. */
+  def saltedDistinctCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      numSalts: Int = 16): DataFrame = {
+    val salt = pmod(hash(col(valueCol)), lit(numSalts))
+    df.withColumn("__salt", salt)
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(count_distinct(col(valueCol)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__partial")).as(s"distinct_$valueCol"))
   }
 
   /** Salted inner equi-join for a skewed LEFT side: left rows get a

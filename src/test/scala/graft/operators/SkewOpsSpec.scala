@@ -35,6 +35,21 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("saltedDistinctCount equals plain countDistinct (incl duplicate values)") {
+    import spark.implicits._
+    // hot key with many distinct values AND repeated ones (dupes must not
+    // double-count across salt buckets — value-hash salting keeps every
+    // occurrence of a value in one bucket)
+    val df = ((1 to 500).map(i => ("hot", i % 200)) ++
+      (1 to 50).map(i => (s"k$i", i))).toDF("k", "v")
+    val plain = df.groupBy("k").agg(count_distinct(col("v")).as("distinct_v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewOps.saltedDistinctCount(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(plain("hot") == 200L)
+  }
+
   test("salting spreads BYTE-IDENTICAL duplicate rows of a hot key") {
     import spark.implicits._
     // the case a content-hash salt cannot handle: every row identical
