@@ -45,6 +45,14 @@ object DedupQueries {
     * byte-identical to the unguarded plan. */
   private[dedup] val MaxBucketReps = 64
 
+  /** q64 document-frequency cap: a 3-gram appearing in more than this many
+    * TRAINING docs is excluded from the contamination join — it is
+    * stopword-ish noise, and (the scale reason) it bounds the per-gram join
+    * fan-out at MaxGramDf train partners instead of the whole corpus. The
+    * cap is part of the query's declared semantics, mirrored in the oracle
+    * SQL — not a silent truncation. */
+  private[dedup] val MaxGramDf = 64
+
   /** Docs with their 3-gram shingle sets hashed to SORTED long arrays —
     * the shared exact-verification input (q38 all-pairs, q62 candidate
     * verify). Hashing once per doc turns the per-pair Jaccard into a
@@ -311,6 +319,111 @@ object DedupQueries {
         lshCandidatePairs(signatures(s, d)), hashedGrams(s, d), 0.6)
       DedupClusters.connectedComponents(edges)
     }, None,
-      notes = "scale-path near-dup clusters: LSH candidates -> exact verify (candidates only) -> CC; rows-only (band hashes engine-specific)")
+      notes = "scale-path near-dup clusters: LSH candidates -> exact verify (candidates only) -> CC; rows-only (band hashes engine-specific)"),
+
+    // ── Benchmark-contamination check (train ↔ eval n-gram collisions) ─
+    // The training-pipeline op that guards eval integrity: for every doc in
+    // a deterministic held-out set (q51's md5 split), find the training doc
+    // sharing the most 3-gram shingles. Plan shape at 100 TB: one
+    // gram-hash-keyed shuffle join (the inverted index), with fan-out per
+    // gram BOUNDED by the document-frequency cap — without it one stopword
+    // trigram joins every doc against every eval doc. Spark joins on
+    // xxhash64(gram) (primitive longs through the shuffle); the oracle
+    // joins the gram strings — identical counts modulo 2^-64 collisions,
+    // the same argument as q38.
+    QueryDef("q64_contamination", (s, d) => {
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 2) <= "0a"
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), isEval.as("is_eval"), explode(expr(shingles)).as("gram"))
+        .select(col("doc_id"), col("is_eval"), xxhash64(col("gram")).as("g"))
+      val ev = grams.filter(col("is_eval")).select(col("doc_id").as("eval_doc"), col("g"))
+      val tr = grams.filter(!col("is_eval")).select(col("doc_id").as("train_doc"), col("g"))
+      // DF cap: grams present in > MaxGramDf training docs are both noise
+      // (stopword-ish shingles) and unbounded join fan-out — drop them.
+      val keep = tr.groupBy("g")
+        .agg(countDistinct(col("train_doc")).as("df"))
+        .filter(col("df") <= MaxGramDf).select("g")
+      val shared = tr.join(keep, "g").join(ev, "g")
+        .groupBy("eval_doc", "train_doc")
+        .agg(count(lit(1)).as("n_shared"))
+      val top = shared.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("eval_doc")
+            .orderBy(col("n_shared").desc, col("train_doc").asc)))
+        .filter(col("rn") === 1).drop("rn")
+      val evalSizes = t(s, d, "documents").filter(isEval)
+        .select(col("doc_id").as("eval_doc"),
+          expr(s"size($shingles)").cast("long").as("n_eval_grams"))
+      top.join(evalSizes, Seq("eval_doc"))
+        .select(col("eval_doc"), col("train_doc"), col("n_shared"),
+          // eval docs with zero grams never emit gram rows, so n_eval_grams
+          // here is always > 0 — the division is total
+          (col("n_shared").cast("double") / col("n_eval_grams")).as("overlap"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      ev AS (SELECT doc_id AS eval_doc, gram FROM ex
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0a'),
+      tr AS (SELECT doc_id AS train_doc, gram FROM ex
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) > '0a'),
+      keep AS (SELECT gram FROM tr GROUP BY gram
+               HAVING count(DISTINCT train_doc) <= 64),
+      shared AS (
+        SELECT ev.eval_doc, tr.train_doc, CAST(count(*) AS BIGINT) AS n_shared
+        FROM tr JOIN keep USING (gram) JOIN ev USING (gram)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT eval_doc, train_doc, n_shared,
+          row_number() OVER (PARTITION BY eval_doc
+            ORDER BY n_shared DESC, train_doc ASC) AS rn
+        FROM shared)
+      SELECT r.eval_doc, r.train_doc, r.n_shared,
+        CAST(r.n_shared AS DOUBLE) / len(g.grams) AS overlap
+      FROM ranked r JOIN g ON g.doc_id = r.eval_doc
+      WHERE r.rn = 1"""),
+      notes = "eval-set contamination: top contaminating train doc per eval doc via DF-capped 3-gram collision join"),
+
+    // ── Intra-document repetition (Gopher-style duplicate-gram fraction) ─
+    // The within-doc counterpart of near-dedup: fraction of 3-gram slots
+    // occupied by a repeated gram. A doc of n tokens has n-2 gram slots;
+    // rep_fraction = 1 - distinct/total. Narrow scan-project, no shuffle —
+    // the same single-pass shape as the q30/q31 quality signals.
+    QueryDef("q65_repetition", (s, d) => {
+      val nTok = size(split(col("text"), " "))
+      val total = greatest(nTok - lit(2), lit(0)).cast("long")
+      val distinctG = expr(s"size($shingles)").cast("long")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        total.as("n_grams_total"),
+        distinctG.as("n_grams_distinct"),
+        when(total > 0,
+          lit(1.0) - distinctG.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)).as("rep_fraction"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS BIGINT)
+          AS n_grams_total,
+        CAST(len(list_distinct(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2]))) AS BIGINT) AS n_grams_distinct,
+        CASE WHEN len(string_split(text, ' ')) - 2 > 0
+          THEN 1.0 - CAST(len(list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2]))) AS DOUBLE)
+            / (len(string_split(text, ' ')) - 2)
+          ELSE 0.0 END AS rep_fraction
+      FROM documents"""),
+      notes = "duplicate 3-gram fraction per doc (repetition quality filter); narrow map, no shuffle")
   )
 }

@@ -233,6 +233,38 @@ object TextQueries {
       FROM documents"""),
       notes = "PII-style redaction (emails, digit runs); portable regex subset, narrow map"),
 
+    // ── Training-shard packing (token-budget assignment) ───────────────
+    // Assigns each doc to a training shard by greedy sequential fill: docs
+    // stream in (source, doc_id) order and a doc lands in shard
+    // floor(tokens_before_it / 2048). Packing is PER SOURCE — the window
+    // partitions by source, so shard assignment distributes across the
+    // cluster; a single global pack would serialize one reducer (the shard
+    // ids are source-local by design, like per-source output files).
+    QueryDef("q66_shard_pack", (s, d) => {
+      val nTokens = (length(col("text"))
+        - length(replace(col("text"), lit(" "), lit(""))) + lit(1)).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("shard_id",
+          expr("CAST((cum_tokens - n_tokens) DIV 2048 AS BIGINT)"))
+    }, Some("""
+      SELECT doc_id, source,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+          AS n_tokens,
+        CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        CAST((SUM(length(text) - length(replace(text, ' ', '')) + 1) OVER (
+          PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - (length(text) - length(replace(text, ' ', '')) + 1)) // 2048
+          AS BIGINT) AS shard_id
+      FROM documents"""),
+      notes = "greedy per-source token-budget shard assignment (2048-token shards) via running-sum window"),
+
     // ── Multimodal plumbing: opaque binary column + typed metadata ─────
     QueryDef("q34_binary_meta", (s, d) => {
       t(s, d, "documents").select(
