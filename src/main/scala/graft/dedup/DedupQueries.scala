@@ -32,6 +32,22 @@ object DedupQueries {
       "i -> i < size(split(text, ' ')) - 2), " +
       "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
 
+  /** The same shingle definition over a PRE-SPLIT token array (`__toks`,
+    * added by [[tokenized]]). The inline [[shingles]] form re-evaluates
+    * `split(text)` inside every lambda element — O(tokens) splits per doc,
+    * measured 2-3× slower at sf0.1 (higher-order lambdas run interpreted, so
+    * Catalyst never CSEs the split). CollapseProject leaves the producer
+    * projection alone because `__toks` is non-cheap and referenced many
+    * times, so the split genuinely runs once per row. */
+  private[dedup] val shinglesOfToks =
+    "array_distinct(transform(" +
+      "filter(sequence(0, greatest(size(__toks) - 2, 1) - 1), " +
+      "i -> i < size(__toks) - 2), " +
+      "i -> concat_ws(' ', slice(__toks, i + 1, 3))))"
+
+  private[dedup] def tokenized(df: DataFrame): DataFrame =
+    df.withColumn("__toks", split(col("text"), " "))
+
   private val K = 16 // minhash signature length
   private val Bands = 4 // LSH bands (r = K/Bands rows per band)
 
@@ -59,9 +75,9 @@ object DedupQueries {
     * codegen'd two-pointer merge over primitive longs. */
   private[dedup] def hashedGrams(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    t(s, d, "documents")
+    tokenized(t(s, d, "documents"))
       .select(col("doc_id"), col("source"),
-        expr(s"sort_array(array_distinct(transform($shingles, g -> xxhash64(g))))")
+        expr(s"sort_array(array_distinct(transform($shinglesOfToks, g -> xxhash64(g))))")
           .as("grams_h"))
       .withColumn("n_grams", size(col("grams_h")))
   }
@@ -73,8 +89,8 @@ object DedupQueries {
     * 100 TB — state per doc is K longs. Docs with an empty shingle set
     * (<=2 tokens) produce no signature row. */
   private[dedup] def signatures(s: SparkSession, d: String): DataFrame = {
-    val sh = t(s, d, "documents")
-      .select(col("doc_id"), explode(expr(shingles)).as("sng"))
+    val sh = tokenized(t(s, d, "documents"))
+      .select(col("doc_id"), explode(expr(shinglesOfToks)).as("sng"))
     val minCols = (0 until K).map(j =>
       min(xxhash64(col("sng"), lit(j))).as(s"h$j"))
     sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
@@ -333,8 +349,9 @@ object DedupQueries {
     // the same argument as q38.
     QueryDef("q64_contamination", (s, d) => {
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 2) <= "0a"
-      val grams = t(s, d, "documents")
-        .select(col("doc_id"), isEval.as("is_eval"), explode(expr(shingles)).as("gram"))
+      val grams = tokenized(t(s, d, "documents"))
+        .select(col("doc_id"), isEval.as("is_eval"),
+          explode(expr(shinglesOfToks)).as("gram"))
         .select(col("doc_id"), col("is_eval"), xxhash64(col("gram")).as("g"))
       val ev = grams.filter(col("is_eval")).select(col("doc_id").as("eval_doc"), col("g"))
       val tr = grams.filter(!col("is_eval")).select(col("doc_id").as("train_doc"), col("g"))
@@ -351,9 +368,9 @@ object DedupQueries {
             .partitionBy("eval_doc")
             .orderBy(col("n_shared").desc, col("train_doc").asc)))
         .filter(col("rn") === 1).drop("rn")
-      val evalSizes = t(s, d, "documents").filter(isEval)
+      val evalSizes = tokenized(t(s, d, "documents").filter(isEval))
         .select(col("doc_id").as("eval_doc"),
-          expr(s"size($shingles)").cast("long").as("n_eval_grams"))
+          expr(s"size($shinglesOfToks)").cast("long").as("n_eval_grams"))
       top.join(evalSizes, Seq("eval_doc"))
         .select(col("eval_doc"), col("train_doc"), col("n_shared"),
           // eval docs with zero grams never emit gram rows, so n_eval_grams
@@ -396,10 +413,10 @@ object DedupQueries {
     // rep_fraction = 1 - distinct/total. Narrow scan-project, no shuffle —
     // the same single-pass shape as the q30/q31 quality signals.
     QueryDef("q65_repetition", (s, d) => {
-      val nTok = size(split(col("text"), " "))
+      val nTok = size(col("__toks"))
       val total = greatest(nTok - lit(2), lit(0)).cast("long")
-      val distinctG = expr(s"size($shingles)").cast("long")
-      t(s, d, "documents").select(
+      val distinctG = expr(s"size($shinglesOfToks)").cast("long")
+      tokenized(t(s, d, "documents")).select(
         col("doc_id"),
         total.as("n_grams_total"),
         distinctG.as("n_grams_distinct"),
