@@ -20,25 +20,20 @@ import Ops._
   */
 object DedupQueries {
 
-  /** 3-token shingles of the space-tokenized text, distinct.
-    * A text of n tokens has n-2 shingles. Spark's sequence(0, stop) turns
-    * DESCENDING when stop < 0 (sequence(0,-1) = [0,-1], which would crash
-    * slice for <=3-token docs), so the index list is built from a safe
-    * non-empty sequence and filtered to the valid range — empty for short
-    * docs, 0..n-3 otherwise. */
-  private[dedup] val shingles =
-    "array_distinct(transform(" +
-      "filter(sequence(0, greatest(size(split(text, ' ')) - 2, 1) - 1), " +
-      "i -> i < size(split(text, ' ')) - 2), " +
-      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
-
-  /** The same shingle definition over a PRE-SPLIT token array (`__toks`,
-    * added by [[tokenized]]). The inline [[shingles]] form re-evaluates
-    * `split(text)` inside every lambda element — O(tokens) splits per doc,
-    * measured 2-3× slower at sf0.1 (higher-order lambdas run interpreted, so
-    * Catalyst never CSEs the split). CollapseProject leaves the producer
-    * projection alone because `__toks` is non-cheap and referenced many
-    * times, so the split genuinely runs once per row. */
+  /** 3-token shingles of the space-tokenized text, distinct — over the
+    * PRE-SPLIT token array `__toks` added by [[tokenized]]. A text of n
+    * tokens has n-2 shingles. Spark's sequence(0, stop) turns DESCENDING
+    * when stop < 0 (sequence(0,-1) = [0,-1], which would crash slice for
+    * <=3-token docs), so the index list is built from a safe non-empty
+    * sequence and filtered to the valid range — empty for short docs,
+    * 0..n-3 otherwise.
+    *
+    * Why pre-split (round 3, BASELINE.md): an inline `split(text, ' ')`
+    * re-evaluates inside every lambda element — higher-order lambdas run
+    * interpreted and Catalyst never CSEs the call — measured 2-7× slower
+    * per gram query at sf0.1. CollapseProject leaves the producer
+    * projection alone because `__toks` is non-cheap and multiply
+    * referenced, so the split genuinely runs once per row. */
   private[dedup] val shinglesOfToks =
     "array_distinct(transform(" +
       "filter(sequence(0, greatest(size(__toks) - 2, 1) - 1), " +

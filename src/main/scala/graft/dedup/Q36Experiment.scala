@@ -17,19 +17,20 @@ object Q36Experiment {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val K = 16
-    // the PRODUCTION shingle expression — shared, so the experiment can
-    // never silently drift from what q36 actually computes
-    val shingles = DedupQueries.shingles
+    // the PRODUCTION shingle expression — shared (tokenized + split-once
+    // form, round 3), so the experiment can never silently drift from what
+    // q36 actually computes
+    val shingles = DedupQueries.shinglesOfToks
+    def docs() = DedupQueries.tokenized(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
 
     def explodeAgg() = {
-      val sh = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), explode(expr(shingles)).as("sng"))
+      val sh = docs().select(col("doc_id"), explode(expr(shingles)).as("sng"))
       val minCols = (0 until K).map(j => min(xxhash64(col("sng"), lit(j))).as(s"h$j"))
       sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     }
     def higherOrder() = {
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), expr(shingles).as("sh"))
+      docs().select(col("doc_id"), expr(shingles).as("sh"))
         .select(col("doc_id"), expr(
           s"transform(sequence(0, ${K - 1}), j -> array_min(transform(sh, g -> xxhash64(g, j))))")
           .as("sig"))
