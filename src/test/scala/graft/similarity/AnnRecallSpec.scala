@@ -1,0 +1,43 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+/** Approximate ANN quality contract: q41 (multi-table sign-LSH) and q42b
+  * (IVF coarse quantize + multi-cell probe) are rows-only in the driver
+  * gate, so THIS spec is what keeps "approximate" honest — recall@5
+  * against the exact brute-force baseline (q40) must not silently
+  * degrade. Floors sit below the measured values (q41 0.66-0.68, q42b
+  * 0.58-0.62 across sf0.001/sf0.01) by a noise margin; both paths are
+  * deterministic (literal planes / fixed centroids), so a drop means a
+  * code change, not sampling variance. */
+class AnnRecallSpec extends SparkSpec {
+
+  private def topk(q: String, sf: String): Set[(Long, Long)] =
+    graft.SparkEntry.queries(q)(spark, sf)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+
+  private def recall(q: String, sf: String): Double = {
+    val exact = topk("q40_ann_topk", sf)
+    val approx = topk(q, sf)
+    (approx & exact).size.toDouble / exact.size
+  }
+
+  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    val name = sf.split('/').last
+
+    test(s"q41 multi-table LSH recall@5 >= 0.6 at $name") {
+      val r = recall("q41_ann_lsh", sf)
+      assert(r >= 0.6, s"q41 recall@5 degraded to $r (was 0.66-0.68)")
+    }
+
+    test(s"q42b IVF 6-probe recall@5 >= 0.5 at $name") {
+      val r = recall("q42b_ann_ivf", sf)
+      assert(r >= 0.5, s"q42b recall@5 degraded to $r (was 0.58-0.62)")
+    }
+  }
+
+  test("q41 recall is deterministic across runs (literal planes, no RNG state)") {
+    val sf = "/root/testdata/sf0.001"
+    assert(topk("q41_ann_lsh", sf) == topk("q41_ann_lsh", sf))
+  }
+}
