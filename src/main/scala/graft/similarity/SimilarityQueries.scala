@@ -217,6 +217,58 @@ object SimilarityQueries {
     }, None,
       notes = "IVF coarse-quantized ANN (assign via broadcast-centroid argmax, 2-cell probe); rows-only (approximate)"),
 
+    // ── Embedding int8 quantization (storage-side compression op) ──────
+    // Per-vector symmetric max-abs quantization: scale = max|v|/127,
+    // q_i = round(v_i/scale) ∈ [-127,127], plus the reconstruction RMSE a
+    // storage pipeline monitors before swapping float32 for int8 (4×
+    // smaller at rest). Narrow scan-project, no shuffle. Cross-engine
+    // exactness: the RMSE reduces to a sequential dot product of the
+    // residual array — the same fold order as the oracle's
+    // list_dot_product, the q39-proven bit-compatible pair — and scale/
+    // rmse round to 6 dp per the determinism contract. Zero vectors get
+    // scale 0 / rmse 0 (the division guard, ANSI-safe).
+    QueryDef("q67_quantize_embeddings", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("scale",
+          expr("CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END"))
+        .withColumn("q", expr(
+          "CASE WHEN amax > 0 THEN transform(v, x -> cast(round(x / scale) AS long)) " +
+          "ELSE transform(v, x -> 0L) END"))
+        .withColumn("resid", expr("zip_with(v, q, (a, b) -> a - b * scale)"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          expr("round(sqrt(graft_dot(resid, resid) / size(resid)), 6)").as("rmse"))
+    }, Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s AS (
+        SELECT vec_id, e,
+          list_max(list_transform(e, x -> abs(x))) AS amax
+        FROM v),
+      sc AS (
+        SELECT vec_id, e,
+          CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale
+        FROM s),
+      r AS (
+        SELECT vec_id, scale,
+          list_zip(e, CASE WHEN scale > 0
+            THEN list_transform(e, x -> CAST(round(x / scale) AS BIGINT))
+            ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END) AS z
+        FROM sc),
+      resid AS (
+        SELECT vec_id, scale,
+          list_transform(z, p ->
+            struct_extract(p, 1) - struct_extract(p, 2) * scale) AS d
+        FROM r)
+      SELECT vec_id, round(scale, 6) AS scale,
+        round(sqrt(list_dot_product(d, d) / len(d)), 6) AS rmse
+      FROM resid"""),
+      notes = "symmetric int8 max-abs quantization + reconstruction RMSE; narrow map, 4x storage cut"),
+
     // ── Vector centroid aggregate (the IVF-training / cluster-mean op) ─
     // posexplode → (label, dim) hash-agg: one shuffle of (label, pos, sum)
     // partials, dims stay distributed (never a per-label collect of

@@ -22,10 +22,11 @@ object TextQueries {
     * regex — correct for ADJACENT repeats ("the the the" = 3), which a
     * substring-replace count would miss (non-overlapping replace consumes
     * the shared delimiter). \b has identical ASCII semantics in Java regex
-    * (Spark) and RE2 (DuckDB oracle: len(regexp_extract_all(...))). */
+    * (Spark) and RE2 (DuckDB oracle: len(regexp_extract_all(...))).
+    * Definition lives in [[TextSignals]] — shared with the streaming
+    * ingest pipeline so batch/stream quality scores can never drift. */
   private def wordCount(text: org.apache.spark.sql.Column, word: String) =
-    size(regexp_extract_all(text, lit("\\b" + word + "\\b"), lit(0)))
-      .cast("double")
+    TextSignals.wordCount(text, word)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -53,18 +54,15 @@ object TextQueries {
     // ── Quality scoring ────────────────────────────────────────────────
     QueryDef("q31_quality_score", (s, d) => {
       val text = col("text")
-      val nTokens = length(text) - length(replace(text, lit(" "), lit(""))) + lit(1)
-      val stop = wordCount(text, "the") + wordCount(text, "a") +
-        wordCount(text, "and") + wordCount(text, "of")
       t(s, d, "documents").select(
         col("doc_id"),
-        nTokens.cast("long").as("n_tokens"),
-        stop.as("stopword_hits"),
-        (stop / nTokens.cast("double")).as("stopword_ratio"),
-        // composite quality: in-range length + stopword presence
-        (when(length(text) >= 100 && length(text) <= 20000, 0.5).otherwise(0.0) +
-          when(stop / nTokens.cast("double") > 0.01, 0.5).otherwise(0.0))
-          .as("quality_score"))
+        TextSignals.nTokens(text).cast("long").as("n_tokens"),
+        TextSignals.stopwordHits(text).as("stopword_hits"),
+        (TextSignals.stopwordHits(text) / TextSignals.nTokens(text).cast("double"))
+          .as("stopword_ratio"),
+        // composite quality: in-range length + stopword presence (shared
+        // TextSignals definition — also the streaming ingest gate)
+        TextSignals.qualityScore(text).as("quality_score"))
     }, Some("""
       WITH q AS (
         SELECT doc_id, text,
@@ -120,7 +118,7 @@ object TextQueries {
       t(s, d, "documents").select(
         col("doc_id"),
         md5(col("text")).as("fp_exact"),
-        md5(lower(replace(col("text"), lit(" "), lit("")))).as("fp_normalized"))
+        TextSignals.normalizedFingerprint(col("text")).as("fp_normalized"))
     }, Some("""
       SELECT doc_id,
         md5(text) AS fp_exact,
