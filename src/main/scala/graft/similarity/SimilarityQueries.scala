@@ -70,8 +70,34 @@ object SimilarityQueries {
       require(n <= limit,
         s"$query is an all-pairs correctness BASELINE: input has $n vectors " +
           s"(> $MaxBruteForceRowsKey=$limit). Use q41_ann_lsh / q42b_ann_ivf " +
-          "at scale, or raise the conf to opt out.")
+          "(top-k) or q68_cosine_pairs_lsh (pair mining) at scale, or raise " +
+          "the conf to opt out.")
     }
+  }
+
+  /** Multi-table sign-LSH bucket assignment: (vec_id, v, norm, table_id,
+    * bucket) — one row per (vector, table). OR-amplification: L tables × k
+    * hyperplane bits each; a pair at angular similarity p collides in at
+    * least one table with prob 1-(1-p^k)^L. k bounds bucket size (2^k
+    * buckets/table), L buys recall linearly in cost — the same math as
+    * q36's band/row split. Planes are a PRECOMPUTED LITERAL (deterministic
+    * seeded SplittableRandom — reproducible on any cluster, never rebuilt
+    * per row the way an expression-derived plane array is). Shared by the
+    * ANN top-k (q41) and the near-dup pair scale path (q68). */
+  private[similarity] def lshTableBuckets(df: DataFrame,
+      nTables: Int = 8, bits: Int = 4): DataFrame = {
+    val rng = new java.util.SplittableRandom(0x9e3779b97f4a7c15L)
+    val planes: Seq[Seq[Double]] = Seq.fill(nTables * bits)(
+      Seq.fill(64)(rng.nextDouble() * 2.0 - 1.0))
+    df.withColumn("planes", typedLit(planes))
+      .withColumn("signs",
+        expr("transform(planes, plane -> if(graft_dot(v, plane) >= 0.0, 1L, 0L))"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${nTables - 1}), t ->
+             |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
+             |    acc | shiftleft(element_at(signs, t * $bits + b + 1), b)))"""
+            .stripMargin)).as(Seq("table_id", "bucket")))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -127,34 +153,11 @@ object SimilarityQueries {
 
     // ── LSH-bucketed ANN (multi-table hyperplane signs; the scale path) ─
     QueryDef("q41_ann_lsh", (s, d) => {
-      // OR-amplified sign-LSH: L tables × k hyperplane bits each. A single
-      // k-bit table finds a neighbor at angular similarity p with prob p^k
-      // (the old single-table k=6 shape measured recall@5 of only
-      // 0.04-0.08 on this corpus); the union over L independent tables
-      // lifts that to 1-(1-p^k)^L — k=4, L=8 measures 0.66-0.68
-      // (AnnRecallSpec pins the floor). k bounds bucket size (2^k
-      // buckets/table), L buys recall linearly in cost — the two scale
-      // knobs, same math as q36's band/row split. Planes are a PRECOMPUTED
-      // LITERAL (deterministic seeded SplittableRandom — reproducible on
-      // any cluster, and never rebuilt per row the way an
-      // expression-derived plane array is).
-      val nTables = 8
-      val bits = 4
-      val rng = new java.util.SplittableRandom(0x9e3779b97f4a7c15L)
-      val planes: Seq[Seq[Double]] = Seq.fill(nTables * bits)(
-        Seq.fill(64)(rng.nextDouble() * 2.0 - 1.0))
-      val planesCol = typedLit(planes)
-      // per-table bucket ids from one pass of nTables*bits dots
-      val ids = vecs(s, d)
-        .withColumn("planes", planesCol)
-        .withColumn("signs",
-          expr("transform(planes, plane -> if(graft_dot(v, plane) >= 0.0, 1L, 0L))"))
-        .select(col("vec_id"), col("v"), col("norm"),
-          posexplode(expr(
-            s"""transform(sequence(0, ${nTables - 1}), t ->
-               |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
-               |    acc | shiftleft(element_at(signs, t * $bits + b + 1), b)))"""
-              .stripMargin)).as(Seq("table_id", "bucket")))
+      // OR-amplified multi-table sign-LSH ([[lshTableBuckets]]). The old
+      // single-table k=6 shape measured recall@5 of only 0.04-0.08 on
+      // this corpus; k=4 × L=8 measures 0.66-0.68 (AnnRecallSpec pins the
+      // floor).
+      val ids = lshTableBuckets(vecs(s, d))
       val q = ids.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("norm").as("qn"), col("table_id"), col("bucket"))
@@ -216,6 +219,41 @@ object SimilarityQueries {
         .select("query_id", "cand_id", "rank", "cos_sim")
     }, None,
       notes = "IVF coarse-quantized ANN (assign via broadcast-centroid argmax, 2-cell probe); rows-only (approximate)"),
+
+    // ── Cosine near-dup pairs, SCALE PATH (LSH-fed) ────────────────────
+    // The embedding mirror of q62's composed dedup pipeline: multi-table
+    // LSH candidate generation (O(n·L) bucket rows, shuffled by
+    // (table_id, bucket) — never the cross product) → exact cosine
+    // verification of CANDIDATES ONLY at the same 0.35 threshold as q39.
+    // q39 is the exactness twin: every pair this path emits carries the
+    // IDENTICAL cos_sim value (same fold, same rounding); what differs is
+    // coverage — pairs whose signs disagree in all L tables are missed
+    // (CosinePairsLshSpec pins the measured recall floor and value
+    // equality). Rows-only in the driver gate: the candidate set depends
+    // on the engine-side plane literals.
+    QueryDef("q68_cosine_pairs_lsh", (s, d) => {
+      // k=3 bits × L=12 tables (vs q41's 4×8): pair MINING wants high
+      // recall at the 0.35 threshold — p=0.61 collision prob per bit-agree
+      // gives 1-(1-p^3)^12 ≈ 0.96 theoretical vs 0.71 at 4×8, for ~3×
+      // the candidate volume (candidates ∝ L/2^k) — measured in
+      // CosinePairsLshSpec.
+      val ids = lshTableBuckets(vecs(s, d), nTables = 12, bits = 3)
+        .select(col("vec_id"), col("table_id"), col("bucket"))
+      val cand = ids.as("a").join(ids.as("b"),
+          col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct() // a pair colliding in several tables verifies ONCE
+      val v = vecs(s, d)
+      cand
+        .join(v.toDF("id_a", "va", "na"), Seq("id_a"))
+        .join(v.toDF("id_b", "vb", "nb"), Seq("id_b"))
+        .withColumn("cos_sim", cosine("va", "vb", "na", "nb"))
+        .filter(col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    }, None,
+      notes = "scale-path cosine near-dup: LSH candidates -> exact cosine verify (candidates only); rows-only (plane literals engine-side)"),
 
     // ── Embedding int8 quantization (storage-side compression op) ──────
     // Per-vector symmetric max-abs quantization: scale = max|v|/127,

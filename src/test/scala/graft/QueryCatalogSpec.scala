@@ -21,7 +21,8 @@ class QueryCatalogSpec extends SparkSpec {
   test("oracle coverage: every SQL-expressible query declares an oracle") {
     val noOracle = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == Set("q29_approx_distinct", "q36_minhash_lsh",
-      "q37_simhash", "q41_ann_lsh", "q42b_ann_ivf", "q62_dup_clusters_lsh"),
+      "q37_simhash", "q41_ann_lsh", "q42b_ann_ivf", "q62_dup_clusters_lsh",
+      "q68_cosine_pairs_lsh"),
       "only engine-specific-hash / approximate ops may omit the oracle")
   }
 
