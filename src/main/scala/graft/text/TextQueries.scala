@@ -210,6 +210,34 @@ object TextQueries {
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'"""),
       notes = "deterministic ~16% content-hash sample (cross-engine reproducible split)"),
 
+    // ── Stratified sampling (training-data mixing operator) ────────────
+    // Per-SOURCE sampling rates — the data-mixing primitive (weight
+    // high-quality sources up, boilerplate down) — via the q51
+    // content-hash draw so the mix is reproducible across engines, runs,
+    // and cluster sizes. Rates are expressed as 2-hex-char thresholds on
+    // the md5 prefix (a uniform [0,256) draw): 0.75→'c0', 0.5→'80',
+    // 0.25→'40', 0.1→'1a'. Narrow scan-filter, no shuffle; at 100 TB the
+    // rate table would broadcast-join instead of inlining as a CASE.
+    QueryDef("q69_stratified_sample", (s, d) => {
+      val stratum = expr("try_cast(substring(source, 4) AS int) % 4")
+      val threshold = when(stratum === 0, "c0").when(stratum === 1, "80")
+        .when(stratum === 2, "40").otherwise("1a")
+      t(s, d, "documents")
+        .withColumn("__thr", threshold)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < col("__thr"))
+        .select(col("doc_id"), col("source"), col("lang"))
+    }, Some("""
+      WITH rated AS (
+        SELECT doc_id, source, lang,
+          CASE CAST(substr(source, 4) AS INT) % 4
+            WHEN 0 THEN 'c0' WHEN 1 THEN '80' WHEN 2 THEN '40'
+            ELSE '1a' END AS thr
+        FROM documents)
+      SELECT doc_id, source, lang
+      FROM rated
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thr"""),
+      notes = "per-source stratified hash sampling (data-mixing rates 0.75/0.5/0.25/0.1); deterministic cross-engine"),
+
     // ── Text scrubbing / redaction (training-data cleaning operator) ───
     // Narrow scan-project: two regexp_replace passes with patterns chosen
     // to be portable across regex engines (no backrefs/lookaround — Java
