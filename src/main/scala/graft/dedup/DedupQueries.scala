@@ -402,6 +402,47 @@ object DedupQueries {
       WHERE r.rn = 1"""),
       notes = "eval-set contamination: top contaminating train doc per eval doc via DF-capped 3-gram collision join"),
 
+    // ── Incremental dedup (new batch vs existing corpus) ───────────────
+    // The most common production dedup shape: an arriving batch admits
+    // only docs whose normalized fingerprint is (a) absent from the
+    // already-clean base — LEFT ANTI join on fp, shuffles fingerprints
+    // not documents — and (b) not claimed by an earlier doc within the
+    // batch itself (min-doc_id window, WindowGroupLimit-optimized). The
+    // batch/base split is the q51 hash split, so the scenario is
+    // reproducible cross-engine. At 100 TB the base side is a
+    // fingerprint-bucketed table: the anti join then runs shuffle-free
+    // against the bucketed layout (LakeCatalog.saveTable bucketing).
+    QueryDef("q70_incremental_dedup", (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("fp", graft.text.TextSignals.normalizedFingerprint(col("text")))
+        .withColumn("is_batch",
+          substring(md5(col("doc_id").cast("string")), 1, 2) <= "28")
+      val base = docs.filter(!col("is_batch"))
+      val batch = docs.filter(col("is_batch"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      batch.join(base.select("fp").distinct(), Seq("fp"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("fp"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+          md5(lower(replace(text, ' ', ''))) AS fp,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28' AS is_batch
+        FROM documents),
+      fresh AS (
+        SELECT b.doc_id, b.source, b.fp
+        FROM f b
+        WHERE b.is_batch AND NOT EXISTS (
+          SELECT 1 FROM f ba WHERE NOT ba.is_batch AND ba.fp = b.fp)),
+      ranked AS (
+        SELECT doc_id, source, fp,
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fresh)
+      SELECT doc_id, source, fp FROM ranked WHERE rn = 1"""),
+      notes = "incremental batch-vs-base exact dedup: anti-join on fingerprint + within-batch min-id winner"),
+
     // ── Intra-document repetition (Gopher-style duplicate-gram fraction) ─
     // The within-doc counterpart of near-dedup: fraction of 3-gram slots
     // occupied by a repeated gram. A doc of n tokens has n-2 gram slots;
