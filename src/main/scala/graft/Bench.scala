@@ -40,12 +40,16 @@ object Bench {
     }
     // The driver keeps only the LAST ~2000 chars of stdout (BENCH_r01/r02
     // both stored a 2000-char tail and parsed:null because the full-precision
-    // line was ~2900 chars) — so the line must be COMPACT (ms precision,
-    // short sf) and the VERY LAST thing on stdout, after spark.stop(), with
-    // nothing of ours following it.
-    def ms(v: Double): String = BigDecimal(v).setScale(3,
+    // line was ~2900 chars) — so the line must be COMPACT and the VERY LAST
+    // thing on stdout, after spark.stop(), with nothing of ours following
+    // it. Per-query values round to CENTISECONDS: at 77 queries the 3-dp
+    // line hit 1943 chars, which plus sbt's trailing "[success]" line
+    // (~75 chars) would clip the JSON head out of the 2000-char tail.
+    // 2 dp ≈ 1870 chars with margin; the total keeps 3 dp.
+    def r(v: Double, dp: Int): String = BigDecimal(v).setScale(dp,
       BigDecimal.RoundingMode.HALF_UP).underlying.stripTrailingZeros.toPlainString
-    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    def ms(v: Double): String = r(v, 3)
+    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + r(v, 2) }
       .mkString("{", ",", "}")
     val fs = failed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
