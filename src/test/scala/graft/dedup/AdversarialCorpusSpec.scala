@@ -33,10 +33,13 @@ class AdversarialCorpusSpec extends SparkSpec {
   private val perDocQueries = Seq(
     "q30_text_stats", "q31_quality_score", "q32_lang_id", "q33_fingerprint",
     "q34_binary_meta", "q36_minhash_lsh", "q37_simhash",
-    "q45_regex_tokens", "q51_hash_sample", "q60_redact")
+    "q45_regex_tokens", "q51_hash_sample", "q60_redact", "q65_repetition",
+    "q66_shard_pack")
 
   private val otherDocQueries = Seq(
-    "q38_ngram_jaccard", "q44_token_topk", "q50_tfidf", "q57_dup_clusters")
+    "q38_ngram_jaccard", "q44_token_topk", "q50_tfidf", "q57_dup_clusters",
+    "q62_dup_clusters_lsh", "q64_contamination", "q69_stratified_sample",
+    "q70_incremental_dedup")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
@@ -62,5 +65,40 @@ class AdversarialCorpusSpec extends SparkSpec {
     val out = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir)
       .filter("cluster_size = 2").collect()
     assert(out.length == 1 && out.head.getAs[Long]("keeper_doc_id") == 6L)
+  }
+
+  test("q65: all-repeat doc has rep_fraction near 1, short docs exactly 0") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (0L, Seq.fill(100)("same same same").mkString(" "), "en", "s", 0L), // one distinct 3-gram
+      (1L, "just two", "en", "s", 8L),                                    // < 3 tokens
+      (2L, (1 to 50).map(i => s"u$i").mkString(" "), "en", "s", 0L)       // all distinct
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("q65_repetition")(spark, d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("rep_fraction")).toMap
+    assert(rows(0L) > 0.99, s"all-repeat doc scored ${rows(0L)}")
+    assert(rows(1L) == 0.0)
+    assert(rows(2L) == 0.0)
+  }
+
+  test("q64: a gram present in EVERY train doc is DF-capped out of the join") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-hotgram").toString
+    // 200 docs all share the hot trigram; each also has unique grams.
+    // q64's md5 split (<= '0a') puts ~4% of them in the eval set.
+    val hot = "common shared trigram"
+    val docs = (0L until 200L).map(i =>
+      (i, s"$hot u${i}a u${i}b u${i}c u${i}d", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = graft.SparkEntry.queries("q64_contamination")(spark, d).collect()
+    // the hot gram appears in ~168 train docs (> MaxGramDf=64) -> excluded;
+    // unique grams never collide -> NO contamination pairs survive. Without
+    // the cap every eval doc would "contaminate" against all 168 train docs.
+    assert(out.isEmpty,
+      s"DF cap failed: ${out.length} pairs emitted from a stopword-only overlap")
   }
 }
