@@ -11,7 +11,7 @@ import graft.operators.SkewOps
   *
   * Shapes measured (all materialized through the noop sink — full execution,
   * no driver collect):
-  *  - inner join, 70%-hot left key, right too big to broadcast:
+  *  - inner join, 80%-hot left key, right too big to broadcast:
   *    unsalted with AQE skew handling OFF (the planner-blind case SkewOps
   *    targets), unsalted with AQE ON (the runtime's own mitigation, for
   *    honest comparison), and saltedInnerJoin.

@@ -92,27 +92,18 @@ object Upsert {
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     resolved.write.mode("overwrite").option("compression", "snappy").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val outParts = staged.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
+    // the catch covers ONLY the destructive overwrite: a cleanup failure
+    // after a committed write must not masquerade as a failed upsert
+    // (an operator would replay a batch that already landed)
     try {
-      val staged = spark.read.parquet(staging)
-      val outParts = staged.select(col(partCol).cast("string")).distinct()
-        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
       staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("compression", "snappy")
         .partitionBy(partCol)
         .parquet(dest)
-      // a moved key can leave its old partition EMPTY — dynamic overwrite
-      // only rewrites partitions present in the output, so drop the rest.
-      // Use Spark's own partition-path escaping (colons, spaces, unicode in
-      // values become %xx in dir names; null → default partition) over the
-      // writer-identical string form collected above.
-      touched.map(_._2).filterNot(outParts.contains).foreach { s =>
-        val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partCol, s)
-        val p = new org.apache.hadoop.fs.Path(s"$dest/$dir")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      }
-      fs.delete(stagingPath, true) // success: staging no longer needed
     } catch {
       // overwrite failed: KEEP staging (it holds the only complete copy of
       // the resolve if dest is now partially rewritten) and say where it is
@@ -120,5 +111,19 @@ object Upsert {
         throw new RuntimeException(
           s"upsert overwrite of $dest failed; resolved batch preserved at $staging", e)
     }
+    // post-commit cleanup: failures here propagate as themselves — dest is
+    // already correct, so no "upsert failed" framing and no replay prompt.
+    // a moved key can leave its old partition EMPTY — dynamic overwrite
+    // only rewrites partitions present in the output, so drop the rest.
+    // Use Spark's own partition-path escaping (colons, spaces, unicode in
+    // values become %xx in dir names; null → default partition) over the
+    // writer-identical string form collected above.
+    touched.map(_._2).filterNot(outParts.contains).foreach { s =>
+      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partCol, s)
+      val p = new org.apache.hadoop.fs.Path(s"$dest/$dir")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    fs.delete(stagingPath, true) // success: staging no longer needed
   }
 }

@@ -34,8 +34,18 @@ object JobStatus {
       val met = metricsJson match {
         case None => "null"
         case Some(m) =>
-          try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(m); m }
-          catch { case _: Exception => "\"" + esc(m) + "\"" }
+          try {
+            // strict parse: readTree alone accepts "" (MissingNode) and
+            // trailing garbage ("{...} junk") — both would still produce a
+            // malformed artifact
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            mapper.enable(com.fasterxml.jackson.databind
+              .DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+            val node = mapper.readTree(m)
+            if (node == null || node.isMissingNode)
+              throw new IllegalArgumentException("empty metrics")
+            m
+          } catch { case _: Exception => "\"" + esc(m) + "\"" }
       }
       s"""{"stage":"${esc(stage)}","status":"$status","start_ms":$startMs,""" +
         s""""duration_ms":$durationMs,"attempt":$attempt,"error":$err,"metrics":$met}"""
@@ -60,19 +70,24 @@ object JobStatus {
     def stage[T](name: String)(body: => T): T = stageWithMetrics(name)(body)(_ => None)
 
     /** `metrics` maps the stage result to an optional raw-JSON metrics
-      * object (e.g. the audit stage's DQ summary). */
+      * object (e.g. the audit stage's DQ summary). Only the stage BODY is
+      * retried: a failure in metrics mapping or artifact writing after the
+      * body succeeded propagates without re-executing the stage (re-running
+      * committed data work because a report write hiccuped would be worse
+      * than the missing report). */
     def stageWithMetrics[T](name: String)(body: => T)(
         metrics: T => Option[String]): T = {
+      clearAttemptArtifacts(name) // a re-run must not inherit a stale trail
       var attempt = 1
       while (true) {
         val t0 = System.currentTimeMillis()
-        try {
-          val out = body
-          write(StageReport(name, "SUCCESS", t0,
-            System.currentTimeMillis() - t0, None, metrics(out), attempt))
-          return out
-        } catch {
-          case e: Throwable =>
+        val result = try Right(body) catch { case e: Throwable => Left(e) }
+        result match {
+          case Right(out) =>
+            write(StageReport(name, "SUCCESS", t0,
+              System.currentTimeMillis() - t0, None, metrics(out), attempt))
+            return out
+          case Left(e) =>
             val report = StageReport(name, "FAILED", t0,
               System.currentTimeMillis() - t0,
               Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"),
@@ -83,6 +98,20 @@ object JobStatus {
         }
       }
       throw new IllegalStateException("unreachable")
+    }
+
+    /** Delete `_attempt*` artifacts from a PRIOR run of the same (stage,
+      * runDate): a clean re-run overwrites the canonical artifact, but the
+      * old attempt trail would otherwise survive beside it and read as a
+      * contradictory history. */
+    private def clearAttemptArtifacts(stage: String): Unit = {
+      val glob = new org.apache.hadoop.fs.Path(
+        s"$outDir/${stage}_${runDate}_attempt*.json")
+      val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try fs.globStatus(glob) match {
+        case null => ()
+        case stale => stale.foreach(s => fs.delete(s.getPath, false))
+      } catch { case _: java.io.IOException => () } // best-effort hygiene
     }
 
     private def write(r: StageReport, suffix: String = ""): Unit = {

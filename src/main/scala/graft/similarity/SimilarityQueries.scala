@@ -158,17 +158,22 @@ object SimilarityQueries {
       // this corpus; k=4 × L=8 measures 0.66-0.68 (AnnRecallSpec pins the
       // floor).
       val ids = lshTableBuckets(vecs(s, d))
-      val q = ids.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("norm").as("qn"), col("table_id"), col("bucket"))
-      val c = ids.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-        col("norm").as("cn"), col("table_id"), col("bucket"))
+        .select(col("vec_id"), col("table_id"), col("bucket"))
+      val q = ids.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+      val c = ids.withColumnRenamed("vec_id", "cand_id")
+      // a pair colliding in several tables must score ONCE — dedup on the
+      // NARROW id pair (16 bytes/row through the exchange), then join the
+      // vectors back; distinct over rows carrying two 64-dim arrays would
+      // shuffle ~1 KB per collision row for the same result
+      val cand = q.join(c, Seq("table_id", "bucket"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id").distinct()
+      val v = vecs(s, d)
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("cand_id").asc)
-      q.join(c, Seq("table_id", "bucket"))
-        .filter(col("query_id") =!= col("cand_id"))
-        // a pair colliding in several tables must score ONCE
-        .select("query_id", "qv", "qn", "cand_id", "cv", "cn").distinct()
+      cand
+        .join(v.toDF("query_id", "qv", "qn"), Seq("query_id"))
+        .join(v.toDF("cand_id", "cv", "cn"), Seq("cand_id"))
         .withColumn("cos_sim", cosine("qv", "cv", "qn", "cn"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)

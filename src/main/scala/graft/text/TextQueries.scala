@@ -267,8 +267,7 @@ object TextQueries {
     // cluster; a single global pack would serialize one reducer (the shard
     // ids are source-local by design, like per-source output files).
     QueryDef("q66_shard_pack", (s, d) => {
-      val nTokens = (length(col("text"))
-        - length(replace(col("text"), lit(" "), lit(""))) + lit(1)).cast("long")
+      val nTokens = TextSignals.nTokens(col("text")).cast("long")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
