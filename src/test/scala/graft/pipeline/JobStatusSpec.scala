@@ -69,6 +69,35 @@ class JobStatusSpec extends SparkSpec {
     assert(row.getAs[Long]("attempt") == 2L)
   }
 
+  test("clean re-run clears the stale attempt trail from a prior failed run") {
+    val dir = Files.createTempDirectory("graft-jobstatus-rerun").toString
+    val reporter = new JobStatus.Reporter(spark, dir, "2025-08-03", maxRetries = 1)
+    var calls = 0
+    // run 1: transient failure -> FAILED attempt-1 artifact + SUCCESS
+    reporter.stage("bronze") {
+      calls += 1
+      if (calls == 1) throw new RuntimeException("transient"); "ok"
+    }
+    assert(new java.io.File(s"$dir/bronze_2025-08-03_attempt1.json").exists())
+    // run 2 (same runDate) succeeds first try: the old trail must go
+    reporter.stage("bronze") { "ok" }
+    assert(!new java.io.File(s"$dir/bronze_2025-08-03_attempt1.json").exists(),
+      "stale FAILED attempt artifact survived a clean re-run")
+    val row = spark.read.json(s"$dir/bronze_2025-08-03.json").collect().head
+    assert(row.getAs[String]("status") == "SUCCESS" && row.getAs[Long]("attempt") == 1L)
+  }
+
+  test("metrics-mapper failure after a successful body does NOT re-run the body") {
+    val dir = Files.createTempDirectory("graft-jobstatus-metrics").toString
+    val reporter = new JobStatus.Reporter(spark, dir, "2025-08-03", maxRetries = 1)
+    var bodyRuns = 0
+    intercept[RuntimeException] {
+      reporter.stageWithMetrics("audit") { bodyRuns += 1; 42 }(_ =>
+        throw new RuntimeException("metrics boom"))
+    }
+    assert(bodyRuns == 1, s"stage body re-ran $bodyRuns times on a reporting failure")
+  }
+
   test("non-JSON metrics embed as an escaped string, artifact stays parseable") {
     val dir = Files.createTempDirectory("graft-jobstatus-junk").toString
     val reporter = new JobStatus.Reporter(spark, dir, "2025-08-03")
