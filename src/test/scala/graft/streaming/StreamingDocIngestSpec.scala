@@ -74,6 +74,20 @@ class StreamingDocIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("writeDocs lands the cleaned stream as parquet, checkpointed") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-docingest").toString
+    val (input, docs) = stream()
+    input.addData((1L, goodText, T0), (2L, goodText, T0 + Min), // dup of 1
+      (3L, shortText, T0 + Min))                                // gated
+    val q = StreamingDocIngest.writeDocs(
+      StreamingDocIngest.pipeline(docs), s"$root/clean", s"$root/ckpt")
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$root/clean")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.columns.contains("quality_score") && out.columns.contains("fp"))
+  }
+
   test("batch/stream parity: the gate uses the very expression q31 serves") {
     import spark.implicits._
     val df = Seq((1L, goodText), (2L, shortText)).toDF("doc_id", "text")
