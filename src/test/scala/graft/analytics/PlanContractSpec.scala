@@ -1,0 +1,76 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** SCALE.md's physical-plan claims as build-failing contracts. Each
+  * assertion encodes a property the 100 TB posture depends on (pushed
+  * filters, broadcast dims, top-k without global sort, rank-limit
+  * pushdown, narrow no-shuffle maps). A Spark upgrade or query edit that
+  * silently loses one of these now fails the suite instead of waiting for
+  * a manual ExplainAudit pass. */
+class PlanContractSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).size
+
+  test("q02: all three predicates reach the parquet scan (PushedFilters)") {
+    // formatted mode prints the FULL PushedFilters list (toString elides it)
+    val p = graft.SparkEntry.queries("q02_filter_project")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThan(l_quantity"), "quantity filter not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_discount"), "discount filter not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+  }
+
+  test("q12: every dimension joins broadcast; the fact table never sort-merges") {
+    val p = plan("q12_revenue_by_nation")
+    assert(countOf(p, "BroadcastHashJoin") >= 3,
+      s"expected >=3 broadcast dim joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact table sort-merged a dim:\n$p")
+  }
+
+  test("q13/q18: top-k runs as TakeOrderedAndProject, never a global sort") {
+    Seq("q13_top_unshipped", "q18_topk_orders").foreach { q =>
+      assert(plan(q).contains("TakeOrderedAndProject"), s"$q lost its top-k plan")
+    }
+  }
+
+  test("q07: dedup rank-filter gets WindowGroupLimit map-side") {
+    val p = plan("q07_dedup_latest")
+    assert(countOf(p, "WindowGroupLimit") >= 2,
+      s"rank-limit pushdown lost (need it both sides of the exchange):\n$p")
+  }
+
+  test("narrow text/vector maps stay shuffle-free") {
+    Seq("q30_text_stats", "q33_fingerprint", "q60_redact",
+      "q65_repetition", "q67_quantize_embeddings").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+    }
+  }
+
+  test("q66: exactly one shuffle (the per-source window partition)") {
+    assert(countOf(plan("q66_shard_pack"), "Exchange hashpartitioning") == 1)
+  }
+
+  test("q49: as-of join is agg-argmax, no Window over the joined set") {
+    val p = plan("q49_asof_join")
+    assert(!p.contains("Window"), s"as-of join regressed to a window sort:\n$p")
+  }
+
+  test("silver pipeline is shuffle-free (matches the reference's structure)") {
+    import spark.implicits._
+    val bronzeish = Seq(("t1", "m1", "u1", BigDecimal("10.00"), "GBP", "SUCCESS"))
+      .toDF("txn_id", "merchant_id", "user_id", "amount", "currency", "status")
+    val p: DataFrame = graft.transform.Silver.pipeline(bronzeish)
+    assert(!p.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
