@@ -239,9 +239,21 @@ object SimilarityQueries {
     QueryDef("q68_cosine_pairs_lsh", (s, d) => {
       // k=3 bits × L=12 tables (vs q41's 4×8): pair MINING wants high
       // recall at the 0.35 threshold — p=0.61 collision prob per bit-agree
-      // gives 1-(1-p^3)^12 ≈ 0.96 theoretical vs 0.71 at 4×8, for ~3×
-      // the candidate volume (candidates ∝ L/2^k) — measured in
-      // CosinePairsLshSpec.
+      // gives 1-(1-p^3)^12 ≈ 0.96 theoretical (0.96-0.98 measured,
+      // CosinePairsLshSpec).
+      //
+      // SIZING HONESTY (measured, Q68 stage profile at sf0.1): candidate
+      // volume per table is ~n²/2^(k+1), so k is the CORPUS-SIZE knob —
+      // pick k ≈ log2(n/B) for target bucket size B. At the 5000-vector
+      // test corpus, k=3 (8 buckets/table) yields ~19M candidate rows,
+      // MORE than the 12.5M brute-force pairs: at toy scale this path
+      // wins on plan SHAPE (bounded buckets, candidate-only verification,
+      // id-only shuffles), not wall-clock. A billion-vector corpus at the
+      // same bucket size runs k≈27 and never materializes a cross
+      // product. Note also that sign-LSH selectivity at LOW thresholds is
+      // intrinsically weak (p=0.61 vs chance 0.5 at cos 0.35); for
+      // high-threshold near-dup mining (cos ≥ 0.7, p=0.75) the same k
+      // buys far more precision per bit.
       val ids = lshTableBuckets(vecs(s, d), nTables = 12, bits = 3)
         .select(col("vec_id"), col("table_id"), col("bucket"))
       val cand = ids.as("a").join(ids.as("b"),
