@@ -139,6 +139,27 @@ object CatalogRoundTrip {
         val n = spark.table("roundtrip_t").count()
         val parts = spark.sql("SHOW PARTITIONS roundtrip_t").count()
         println(s"CATALOG_READ_OK $n $parts")
+      // bucketed layout contract: the ZERO-SHUFFLE join must hold for a
+      // FRESH JVM that knows the tables only through the metastore — bucket
+      // metadata has to survive the round trip or the "pay the shuffle once
+      // at write time" story is false across jobs.
+      case "write-bucketed" =>
+        import spark.implicits._
+        val l = (1L to 10000L).map(i => (i, s"l$i")).toDF("id", "lv")
+        val r = (1L to 10000L).map(i => (i, s"r$i")).toDF("oid", "rv")
+        LakeCatalog.saveTable(l, "bk_left",
+          bucketCols = Seq("id"), numBuckets = 8, sortCols = Seq("id"))
+        LakeCatalog.saveTable(r, "bk_right",
+          bucketCols = Seq("oid"), numBuckets = 8, sortCols = Seq("oid"))
+        println("CATALOG_BUCKETED_WRITE_OK")
+      case "read-bucketed" =>
+        import org.apache.spark.sql.functions.col
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.table("bk_left")
+          .join(spark.table("bk_right"), col("id") === col("oid"))
+        val shuffles = "Exchange hashpartitioning".r
+          .findAllIn(j.queryExecution.executedPlan.toString).size
+        println(s"CATALOG_BUCKETED_READ_OK ${j.count()} $shuffles")
     }
     spark.stop()
   }

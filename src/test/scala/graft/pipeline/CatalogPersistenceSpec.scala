@@ -44,4 +44,17 @@ class CatalogPersistenceSpec extends AnyFunSuite {
     // 3 rows, 2 dt= partitions — resolved by name from the metastore alone.
     assert(outR.contains("CATALOG_READ_OK 3 2"), outR)
   }
+
+  test("bucket metadata survives the metastore: zero-shuffle join in a fresh JVM") {
+    val root = java.nio.file.Files.createTempDirectory("graft-catalog-bk").toString
+    val (rcW, outW) = fork("write-bucketed", root)
+    assert(rcW == 0, s"bucketed write JVM failed:\n$outW")
+    assert(outW.contains("CATALOG_BUCKETED_WRITE_OK"), outW)
+
+    val (rcR, outR) = fork("read-bucketed", root)
+    assert(rcR == 0, s"bucketed read JVM failed:\n$outR")
+    // 10000 joined rows, 0 hash-partition exchanges: the co-located layout
+    // written by one job is picked up by the next purely from the catalog.
+    assert(outR.contains("CATALOG_BUCKETED_READ_OK 10000 0"), outR)
+  }
 }
