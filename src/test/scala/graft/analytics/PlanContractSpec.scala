@@ -66,6 +66,24 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Window"), s"as-of join regressed to a window sort:\n$p")
   }
 
+  test("no cartesian products anywhere; nested-loop joins only where intended") {
+    // BroadcastNestedLoopJoin is legitimate exactly where a small broadcast
+    // side meets a non-equi (or absent) condition BY DESIGN: q39 (guarded
+    // all-pairs baseline), q40 (broadcast query side, <> condition), q42b
+    // (broadcast centroid assignment), q50 (broadcast 1-row corpus count).
+    // Anywhere else it means a join key got lost. CartesianProduct is never
+    // acceptable.
+    val bnljWhitelist = Set("q39_cosine_dup_pairs", "q40_ann_topk",
+      "q42b_ann_ivf", "q50_tfidf")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!bnljWhitelist(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name gained an unplanned nested-loop join")
+    }
+  }
+
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
     import spark.implicits._
     val bronzeish = Seq(("t1", "m1", "u1", BigDecimal("10.00"), "GBP", "SUCCESS"))
