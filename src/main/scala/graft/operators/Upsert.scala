@@ -24,8 +24,17 @@ import org.apache.spark.sql.expressions.Window
   * the files it replaces (a lost cache block mid-write cannot recompute
   * from half-replaced base files), and a crash mid-commit leaves the full
   * resolved batch on disk for replay. The staging dir is deleted on
-  * success and deliberately kept (with its path in the error) on failure.
-  * For stronger guarantees use a transactional table format.
+  * success (in a finally once the overwrite has committed, so a
+  * post-commit cleanup failure cannot leak it) and deliberately kept
+  * (with its path in the error) on overwrite failure. Its name carries a
+  * per-call unique suffix so a crashed run's leftover staging is never
+  * clobbered or mistaken for a live one.
+  *
+  * Concurrency: SINGLE WRITER PER DEST. Two concurrent upserts to the
+  * same dest would race the dynamic-partition overwrite itself (Spark's
+  * partition overwrite is not transactional across jobs) — serialize
+  * writers externally, or use a transactional table format for
+  * multi-writer guarantees.
   */
 object Upsert {
 
@@ -88,7 +97,11 @@ object Upsert {
     // crash mid-commit — the resolved data exists on disk for replay.
     // Unpartitioned staging keeps null partCol values as ordinary column
     // data (no default-partition encoding round-trip).
-    val staging = dest.stripSuffix("/") + ".__graft_merge_staging"
+    // unique per call: a concurrent or crashed run's staging dir must
+    // never be clobbered (single-writer is still required for dest itself
+    // — see the class doc — but staging collisions would corrupt silently)
+    val staging = dest.stripSuffix("/") + ".__graft_merge_staging_" +
+      java.util.UUID.randomUUID().toString.take(8)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     resolved.write.mode("overwrite").option("compression", "snappy").parquet(staging)
@@ -118,12 +131,16 @@ object Upsert {
     // Use Spark's own partition-path escaping (colons, spaces, unicode in
     // values become %xx in dir names; null → default partition) over the
     // writer-identical string form collected above.
-    touched.map(_._2).filterNot(outParts.contains).foreach { s =>
-      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(partCol, s)
-      val p = new org.apache.hadoop.fs.Path(s"$dest/$dir")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    fs.delete(stagingPath, true) // success: staging no longer needed
+    // Staging is deleted in the finally: the overwrite has committed, so
+    // staging is dead weight even if an emptied-partition delete fails —
+    // without the finally, that failure would leak the staging dir forever.
+    try {
+      touched.map(_._2).filterNot(outParts.contains).foreach { s =>
+        val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partCol, s)
+        val p = new org.apache.hadoop.fs.Path(s"$dest/$dir")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    } finally fs.delete(stagingPath, true)
   }
 }

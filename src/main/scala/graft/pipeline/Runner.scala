@@ -22,8 +22,11 @@ object Runner {
   def run(spark: SparkSession, zones: Zones,
       mode: String = "append", runDate: String = "1970-01-01"): Result = {
     // One bounded retry per stage (the Glue-trigger at-least-once stand-in):
-    // safe because every stage write is either overwrite-mode or an append
-    // guarded by the output-commit protocol (failed jobs commit nothing).
+    // safe because every retried stage body ends at its ONE write — either
+    // overwrite-mode, dynamic-partition overwrite (audit invalid), or an
+    // append guarded by the output-commit protocol (failed jobs commit
+    // nothing). Multi-action bodies are split into separate stages so a
+    // late-action failure never replays an earlier committed write.
     val reporter = new JobStatus.Reporter(spark, s"${zones.root}/jobstatus", runDate,
       maxRetries = 1)
 
@@ -47,10 +50,20 @@ object Runner {
     }
 
     // Audit: one extra scan of bronze, tag + split (README-declared layer).
-    // Its DQ summary rides along as the stage report's metrics object.
-    val dqJson = reporter.stageWithMetrics("audit") {
-      val tagged = Audit.tagRejects(bronzeBack)
-      zones.writePartitioned(Audit.invalidRecords(tagged), zones.auditInvalid, mode)
+    // Two stages, because a retried body must be idempotent end-to-end:
+    //  - "audit" writes the invalid split via dynamic-partition OVERWRITE
+    //    (recomputed from bronze, so a retry rewrites the same partitions
+    //    with the same rows — append here would duplicate the audit zone
+    //    and inflate Result.invalidRows on any retry);
+    //  - "audit_summary" computes + writes the DQ summary (pure aggregate
+    //    plus an overwriting text write — trivially re-runnable). Its DQ
+    //    JSON rides along as the stage report's metrics object.
+    val tagged = Audit.tagRejects(bronzeBack)
+    reporter.stage("audit") {
+      zones.writePartitioned(Audit.invalidRecords(tagged), zones.auditInvalid,
+        mode = "overwrite", overwriteDynamic = true)
+    }
+    val dqJson = reporter.stageWithMetrics("audit_summary") {
       val dq = Audit.dqSummaryJson(tagged, runDate)
       writeText(spark, s"${zones.auditSummary}/dq_summary_$runDate.json", dq)
       dq

@@ -229,7 +229,7 @@ object TextQueries {
     }, Some("""
       WITH rated AS (
         SELECT doc_id, source, lang,
-          CASE CAST(substr(source, 4) AS INT) % 4
+          CASE TRY_CAST(substr(source, 4) AS INT) % 4
             WHEN 0 THEN 'c0' WHEN 1 THEN '80' WHEN 2 THEN '40'
             ELSE '1a' END AS thr
         FROM documents)

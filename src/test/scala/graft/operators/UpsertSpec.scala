@@ -78,8 +78,12 @@ class UpsertSpec extends SparkSpec {
     assert(after.toSet == Set(("a", "moved", "d2"), ("z", "other", "d3")))
     assert(!new java.io.File(s"$dest/dt=d1").exists(),
       "emptied source partition must be dropped")
-    assert(!new java.io.File(dest + ".__graft_merge_staging").exists(),
-      "staging dir must be removed after a successful merge")
+    // staging name now carries a unique suffix — assert NO staging sibling
+    // survives a successful merge, whatever its suffix
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("table.__graft_merge_staging"))
+    assert(leftovers.isEmpty,
+      s"staging dir must be removed after a successful merge: ${leftovers.toSeq}")
   }
 
   test("moved key cleanup handles Hive-ESCAPED partition values (colons)") {

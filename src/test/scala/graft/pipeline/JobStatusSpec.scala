@@ -56,6 +56,29 @@ class JobStatusSpec extends SparkSpec {
     assert(ok.getAs[Long]("attempt") == 2L)
   }
 
+  test("retried audit-style write stage does not duplicate the invalid zone") {
+    // Regression: the audit stage once appended invalid records AND wrote
+    // the DQ summary in one retried body — a summary failure after the
+    // append committed duplicated the zone on retry. The write is now
+    // dynamic-partition overwrite, so commit-then-fail-then-retry must
+    // leave exactly one copy.
+    val dir = Files.createTempDirectory("graft-jobstatus-audit").toString
+    val reporter = new JobStatus.Reporter(spark, dir, "2025-08-03", maxRetries = 1)
+    val zones = graft.io.Zones(s"$dir/lake")
+    import spark.implicits._
+    val invalid = Seq(("t1", "2025-08-01"), ("t2", "2025-08-02"))
+      .toDF("txn_id", "txn_date")
+    var calls = 0
+    reporter.stage("audit") {
+      calls += 1
+      zones.writePartitioned(invalid, zones.auditInvalid,
+        mode = "overwrite", overwriteDynamic = true)
+      if (calls == 1) throw new RuntimeException("failure AFTER the committed write")
+    }
+    assert(calls == 2)
+    assert(spark.read.parquet(zones.auditInvalid).count() == 2L)
+  }
+
   test("retries exhausted: FAILED lands at the canonical path and rethrows") {
     val dir = Files.createTempDirectory("graft-jobstatus-exhaust").toString
     val reporter = new JobStatus.Reporter(spark, dir, "2025-08-03", maxRetries = 1)
@@ -112,7 +135,7 @@ class JobStatusSpec extends SparkSpec {
     val zones = graft.io.Zones(root)
     graft.gen.FixtureGen.generate(zones.raw.stripSuffix("/transactions"))
     Runner.run(spark, zones, mode = "overwrite", runDate = "2025-08-03")
-    val stages = Seq("bronze", "silver", "audit", "gold")
+    val stages = Seq("bronze", "silver", "audit", "audit_summary", "gold")
     for (s <- stages) {
       val row = spark.read.json(s"$root/jobstatus/${s}_2025-08-03.json").collect().head
       assert(row.getAs[String]("status") == "SUCCESS", s"stage $s not SUCCESS")
