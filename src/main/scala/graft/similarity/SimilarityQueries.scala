@@ -100,6 +100,73 @@ object SimilarityQueries {
             .stripMargin)).as(Seq("table_id", "bucket")))
   }
 
+  /** Sequential left-fold dot product — the SAME summation order as
+    * [[graft.functions.DotProduct]] and DuckDB's list_dot_product, so a
+    * driver-side-computed value is bit-identical to either engine's. */
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Nearest-centroid assignment against a DRIVER-HELD centroid list (k
+    * centroids — bounded metadata, the MLlib KMeans shape): the centroids
+    * inline as literals, so assignment is a NARROW projection — no join, no
+    * shuffle, regardless of input size. d² = v·v − 2·v·c + c·c with v·v
+    * pre-projected once (HOF lambdas are interpreted and never CSE'd — an
+    * in-lambda v·v would recompute per centroid) and c·c precomputed on the
+    * driver via the fold-order-compatible [[dotSeq]]. Ties break to the
+    * lowest centroid id: `array_position` returns the FIRST minimum and
+    * `cents` is sorted by id. Adds (cluster, d2) to the frame. */
+  private[similarity] def assignToCentroids(all: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty && cents.map(_._1) == cents.map(_._1).sorted,
+      "centroids must be non-empty and sorted by id (tie-break contract)")
+    all
+      .withColumn("vv", expr("graft_dot(v, v)"))
+      .withColumn("__cents", typedLit(cents.map(_._2)))
+      .withColumn("__ccs", typedLit(cents.map(c => dotSeq(c._2, c._2))))
+      .withColumn("__d2s",
+        expr("zip_with(__cents, __ccs, (c, cc) -> vv - 2 * graft_dot(v, c) + cc)"))
+      .withColumn("d2", expr("array_min(__d2s)"))
+      .withColumn("cluster", element_at(typedLit(cents.map(_._1)),
+        expr("array_position(__d2s, d2)").cast("int")))
+      .drop("vv", "__cents", "__ccs", "__d2s")
+  }
+
+  /** One Lloyd step: assign → per-(cluster, pos) exact micro-unit mean
+    * (the q56 centroid aggregate — cross-engine exact, 6-dp surfaced) →
+    * collect the k×dims result to the driver (k·64 doubles — bounded
+    * metadata, like MLlib's per-iteration center collect). Empty clusters
+    * simply drop out, matching the oracle's GROUP BY. Per iteration the
+    * cluster pays one narrow scan + one tiny (cluster, pos)-keyed agg
+    * shuffle — nothing vector-sized ever shuffles. */
+  private[similarity] def lloydStep(all: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
+    assignToCentroids(all, cents)
+      .select(col("cluster"), posexplode(col("v")))
+      .groupBy("cluster", "pos")
+      .agg(round(
+        sum(round(col("col") * 1e6).cast("long")).cast("double")
+          / (lit(1e6) * count(lit(1))), 6).as("cv"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cl, rows) =>
+        (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq) }
+      .toSeq.sortBy(_._1)
+
+  /** IVF-cell assignment via broadcast-centroid argmax-dot + window — the
+    * shared dataflow of q42b (ANN probe) and q74 (semantic dedup). */
+  private[similarity] def ivfAssign(all: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("dot").desc, col("cent_id").asc)
+    all.join(broadcast(cents))
+      .withColumn("dot", expr("graft_dot(v, cv)"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Near-duplicate pairs by embedding cosine ───────────────────────
@@ -196,13 +263,7 @@ object SimilarityQueries {
       val all = vecs(s, d)
       val cents = all.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("dot").desc, col("cent_id").asc)
-      val assigned = all.join(broadcast(cents))
-        .withColumn("dot", expr("graft_dot(v, cv)"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+      val assigned = ivfAssign(all, cents)
       val nProbe = 6
       val wProbe = Window.partitionBy("query_id")
         .orderBy(col("dot").desc, col("cent_id").asc)
@@ -348,6 +409,105 @@ object SimilarityQueries {
         ROUND(CAST(SUM(CAST(ROUND(CAST(struct_extract(z, 1) AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
           / (1000000.0 * COUNT(*)), 6) AS centroid_v
       FROM ex GROUP BY label, pos"""),
-      notes = "per-label elementwise centroid; exact integer micro-unit sums both engines")
+      notes = "per-label elementwise centroid; exact integer micro-unit sums both engines"),
+
+    // ── K-means training (Lloyd's algorithm — the real IVF quantizer) ──
+    // Two unrolled Lloyd iterations, k=8, deterministic init (the 8
+    // lowest-id vectors). Upgrades q42b's "every 25th vector" stand-in
+    // quantizer to an actual trainer while keeping the driver-gated
+    // cross-engine exactness story: assignment d² uses the
+    // fold-order-compatible dot (q39-proven), centroid recompute uses the
+    // q56 exact micro-unit mean (6-dp surfaced), and the 6-dp centroids
+    // round identically in both engines — so even the ITERATED state
+    // (centroids-of-assignments-of-centroids) stays bit-comparable.
+    // Scale shape per iteration: narrow assignment projection (centroids
+    // are driver-held literals — no join) + one (cluster, pos)-keyed agg
+    // shuffle of partial sums + a k×dims driver collect. At a billion
+    // vectors that is one scan and a few-KB shuffle per iteration — the
+    // exact MLlib KMeans dataflow. More iterations = more unrolled steps;
+    // convergence is pinned by KMeansSpec (inertia non-increasing).
+    QueryDef("q71_kmeans_train", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id"), asDouble("embedding").as("v"))
+      val init = all.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+      val c1 = lloydStep(all, init)
+      assignToCentroids(all, c1)
+        .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("d2"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c0 AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 8),
+      d1 AS (
+        SELECT v.vec_id, c0.cent_id,
+          list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c0.ce)
+            + list_dot_product(c0.ce, c0.ce) AS d2
+        FROM v CROSS JOIN c0),
+      m1 AS (
+        SELECT vec_id, cent_id AS cluster FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      z1 AS (
+        SELECT m1.cluster, unnest(list_zip(v.e, range(len(v.e)))) AS z
+        FROM v JOIN m1 USING (vec_id)),
+      c1 AS (
+        SELECT cluster, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+          ROUND(CAST(SUM(CAST(ROUND(struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
+            / (1000000.0 * COUNT(*)), 6) AS cv
+        FROM z1 GROUP BY cluster, pos),
+      c1l AS (SELECT cluster AS cent_id, list(cv ORDER BY pos) AS ce
+              FROM c1 GROUP BY cluster),
+      d2s AS (
+        SELECT v.vec_id, c1l.cent_id,
+          list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c1l.ce)
+            + list_dot_product(c1l.ce, c1l.ce) AS d2
+        FROM v CROSS JOIN c1l)
+      SELECT vec_id, cent_id AS cluster, round(d2, 6) AS d2
+      FROM d2s
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1"""),
+      notes = "k-means (2 Lloyd iterations, k=8, lowest-id init): narrow literal-centroid assignment + q56 exact centroid recompute; ties to lowest centroid id"),
+
+    // ── Semantic dedup (SemDeDup-style: cluster, then drop near-dups) ──
+    // The embedding twin of the q62 dedup composition: IVF-cell
+    // assignment (broadcast-centroid argmax — the q42b dataflow) bounds
+    // the candidate space, exact cosine runs WITHIN CELLS ONLY, and a
+    // vector is dropped iff an earlier (lower-id) vector in its cell
+    // matches at >= 0.35 (q39's threshold). The keep-earliest rule makes
+    // the survivor set closed under the pair relation: two survivors in
+    // the same cell are NEVER >= tau similar (SemanticDedupSpec pins
+    // this), and the whole query is deterministic — so unlike q68 it is
+    // fully oracle-gated, no rows-only carve-out. Scale: candidate volume
+    // is sum(cell²) not n²; cell count (centroid density) is the knob,
+    // and a q71-trained quantizer balances the cells.
+    QueryDef("q74_semantic_dedup", (s, d) => {
+      val all = vecs(s, d)
+      val cents = all.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val assigned = ivfAssign(all, cents)
+      val dominated = assigned.toDF("id_a", "va", "na", "cell")
+        .join(assigned.toDF("id_b", "vb", "nb", "cell"), Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", cosine("va", "vb", "na", "nb"))
+        .filter(col("cos_sim") >= 0.35)
+        .select(col("id_b").as("vec_id")).distinct()
+      assigned.join(dominated, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 25 = 0),
+      asg AS (
+        SELECT v.vec_id, v.e, cents.cent_id AS cell
+        FROM v CROSS JOIN cents
+        QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY list_dot_product(v.e, cents.ce) DESC, cents.cent_id ASC) = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+          >= 0.35)
+      SELECT vec_id, cell FROM asg
+      WHERE vec_id NOT IN (SELECT id_b FROM pairs)"""),
+      notes = "SemDeDup-style semantic dedup: IVF cells bound candidates, exact cosine within cells, keep-earliest survivor rule; fully oracled")
   )
 }

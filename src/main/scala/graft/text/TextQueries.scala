@@ -301,6 +301,59 @@ object TextQueries {
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         md5(text) AS digest
       FROM documents"""),
-      notes = "binary-column metadata path (multimodal schema plumbing; decode stubs live in graft.multimodal)")
+      notes = "binary-column metadata path (multimodal schema plumbing; decode stubs live in graft.multimodal)"),
+
+    // ── BPE pair counting (the tokenizer-training primitive) ───────────
+    // Corpus-wide adjacent-token-pair frequencies — the inner loop of BPE
+    // training (count pairs → merge the most frequent → repeat). One
+    // narrow explode + one pair-keyed hash-agg (map-side partials) +
+    // TakeOrderedAndProject for the top-50: at 100 TB the only shuffle
+    // carries (pair, partial-count) rows. Pairs are built by zipping the
+    // pre-split token array against its own tail — no index lookups, so
+    // ANSI element_at bounds semantics never apply, and a 1-token doc
+    // yields an empty zip, not a null pair.
+    QueryDef("q72_bpe_pairs", (s, d) => {
+      t(s, d, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .select(explode(expr(
+          """zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),
+            |         slice(tk, 2, greatest(size(tk) - 1, 0)),
+            |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(50)
+    }, Some("""
+      WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      pairs AS (
+        SELECT unnest(list_transform(range(1, greatest(len(tk), 2)),
+          i -> tk[i] || ' ' || tk[i+1])) AS pair
+        FROM toks)
+      SELECT pair, CAST(count(*) AS BIGINT) AS n
+      FROM pairs WHERE pair IS NOT NULL
+      GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50"""),
+      notes = "adjacent-token-pair counts (BPE training step), top-50 with total tiebreak"),
+
+    // ── Per-source quantile gate (quality filtering by distribution) ───
+    // Keep each source's longer half: ntile(4) over (n_chars, doc_id)
+    // within source, keep quartiles 3-4. This is the distribution-relative
+    // quality gate (absolute thresholds misfire when sources differ in
+    // style); ntile + total tie order is deterministic and engine-portable
+    // where percent_rank's tie plateaus are not. One source-keyed window
+    // sort — at 100 TB, sources partition the shuffle and a skewed mega-
+    // source would move to the q69 hash-rate path instead.
+    QueryDef("q73_quantile_gate", (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .filter(col("quartile") >= 3)
+    }, Some("""
+      SELECT doc_id, source, n_chars,
+        CAST(ntile(4) OVER (PARTITION BY source
+          ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+      FROM documents
+      QUALIFY quartile >= 3"""),
+      notes = "per-source length-distribution quality gate: keep the top half by ntile(4), deterministic tie order")
   )
 }

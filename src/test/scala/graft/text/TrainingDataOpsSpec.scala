@@ -1,0 +1,45 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** q72 (BPE pair counts) and q73 (per-source quantile gate) against
+  * brute-force Scala recomputation on the sf0.001 corpus — an engine-free
+  * second opinion on top of the driver's DuckDB oracle. */
+class TrainingDataOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q72 top-50 pair counts match a brute-force recount") {
+    val texts = graft.analytics.Ops.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    for (t <- texts; pair <- t.split(" ", -1).sliding(2) if pair.length == 2)
+      counts.update(pair.mkString(" "), counts.getOrElse(pair.mkString(" "), 0L) + 1L)
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+
+    val got = graft.SparkEntry.queries("q72_bpe_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("q73 keeps exactly the ntile-3/4 half per source, in tuple order") {
+    val docs = graft.analytics.Ops.t(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val kept = graft.SparkEntry.queries("q73_quantile_gate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    for ((source, rows) <- docs.groupBy(_._2)) {
+      val ordered = rows.sortBy(v => (v._3, v._1)) // (n_chars, doc_id)
+      val n = ordered.length
+      // ntile(4): first (n mod 4) buckets get ceil(n/4); keep buckets 3-4
+      val sizes = (1 to 4).map(i => n / 4 + (if (i <= n % 4) 1 else 0))
+      val expectKept = ordered.drop(sizes(0) + sizes(1)).map(_._1).toSet
+      val gotKept = rows.filter(v => kept.contains((v._1, source))).map(_._1).toSet
+      assert(gotKept == expectKept, s"source $source: kept set mismatch")
+    }
+    assert(kept.size == docs.groupBy(_._2).values
+      .map { rows => val n = rows.length; n - (n / 4 * 2 +
+        (if (n % 4 >= 1) 1 else 0) + (if (n % 4 >= 2) 1 else 0)) }.sum)
+  }
+}
