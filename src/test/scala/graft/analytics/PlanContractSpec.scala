@@ -66,6 +66,26 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Window"), s"as-of join regressed to a window sort:\n$p")
   }
 
+  test("q71: k-means assignment is a narrow projection — no join, no shuffle") {
+    // the trainer's per-iteration collect jobs run at plan-build time; the
+    // FINAL assignment must inline the trained centroids as literals and
+    // stay join-free and exchange-free (the SCALE.md claim)
+    val p = plan("q71_kmeans_train")
+    assert(!p.contains("Join"), s"q71 assignment gained a join:\n$p")
+    assert(!p.contains("Exchange"), s"q71 assignment gained a shuffle:\n$p")
+  }
+
+  test("q72: pair counts end in TakeOrderedAndProject over one hash shuffle") {
+    val p = plan("q72_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"q72 lost its top-k plan:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"q72 should shuffle once (pair-keyed agg):\n$p")
+  }
+
+  test("q73: quantile gate is one source-keyed window shuffle") {
+    assert(countOf(plan("q73_quantile_gate"), "Exchange hashpartitioning") == 1)
+  }
+
   test("no cartesian products anywhere; nested-loop joins only where intended") {
     // BroadcastNestedLoopJoin is legitimate exactly where a small broadcast
     // side meets a non-equi (or absent) condition BY DESIGN: q39 (guarded
