@@ -43,21 +43,30 @@ object Bench {
     // line was ~2900 chars) — so the line must be COMPACT and the VERY LAST
     // thing on stdout, after spark.stop(), with nothing of ours following
     // it except sbt's own "[success] ..." line (~75 chars). Budget for the
-    // JSON is therefore ~1925 chars. Per-query values use TIERED precision
-    // so the line keeps shrinking headroom as the catalog grows: 2 dp below
-    // 0.1 s, 1 dp below 10 s, integer above. Sub-0.3 s entries are
-    // scheduler-overhead-dominated (BASELINE.md), so their coarser deciseconds
-    // lose no real signal; full-precision timings live in BASELINE.md from
-    // dedicated runs. At 81 queries this encodes ~1890
-    // chars (verified); the total keeps 3 dp.
+    // JSON is therefore ~1925 chars. Two compactions:
+    //  - per-query KEYS are the short id prefix ("q19b", not
+    //    "q19b_intersect") — the driver contract's own example uses "q1";
+    //    the id↔full-name mapping is the catalog's unambiguous qNN prefix
+    //    (BASELINE.md keeps full names beside full-precision timings);
+    //  - per-query VALUES use tiered precision: 2 dp below 0.1 s, 1 dp
+    //    below 10 s, integer above. Sub-0.3 s entries are
+    //    scheduler-overhead-dominated (BASELINE.md), so coarser deciseconds
+    //    lose no real signal.
+    // At 81 queries (r04) the full-name line measured 1892 chars — ~100 of
+    // headroom; with short keys it is ~1190, leaving room for the catalog
+    // to keep growing. The total keeps 3 dp.
     def r(v: Double, dp: Int): String = BigDecimal(v).setScale(dp,
       BigDecimal.RoundingMode.HALF_UP).underlying.stripTrailingZeros.toPlainString
     def ms(v: Double): String = r(v, 3)
     def qv(v: Double): String =
       if (v >= 10) r(v, 0) else if (v >= 0.1) r(v, 1) else r(v, 2)
-    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + qv(v) }
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    require(SparkEntry.queries.keys.map(shortId).toSet.size ==
+      SparkEntry.queries.size,
+      "short query ids must stay unique — rename the colliding catalog entry")
+    val qs = timings.map { case (k, v) => s"\"" + shortId(k) + "\":" + qv(v) }
       .mkString("{", ",", "}")
-    val fs = failed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
+    val fs = failed.map(n => s"\"" + shortId(n) + "\"").mkString("[", ",", "]")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     val sfShort = sfDir.split('/').last.stripPrefix("sf") // "/root/testdata/sf0.1" -> "0.1"
     val json =
