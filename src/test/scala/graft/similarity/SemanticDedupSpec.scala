@@ -33,8 +33,9 @@ class SemanticDedupSpec extends SparkSpec {
     val all = graft.analytics.Ops.t(spark, sf, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
-    val cents = all.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    import spark.implicits._
+    val cents = SimilarityQueries.trainedCentroids(all, k = 20, iters = 1)
+      .toDF("cent_id", "cv")
     val byCell = SimilarityQueries.ivfAssign(all, cents)
       .select("vec_id", "v", "cell").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
