@@ -64,6 +64,30 @@ object DedupQueries {
     * SQL — not a silent truncation. */
   private[dedup] val MaxGramDf = 64
 
+  /** Session conf key bounding the all-pairs-within-source CORRECTNESS
+    * BASELINE (q38, and q57 which consumes q38's edges). Set to -1 to
+    * disable. Mirrors [[graft.similarity.SimilarityQueries.MaxBruteForceRowsKey]]. */
+  val MaxBruteForceDocsKey = "spark.graft.dedup.maxBruteForceDocs"
+  private val DefaultMaxBruteForceDocs = 50000L
+
+  /** q38's within-source self-join is quadratic by design (it is the
+    * exactness twin of the q36/q62 LSH path) — if one source dominates, the
+    * block is O(n²) and silently pointing it at a billion-doc corpus would
+    * run for a week. Fail loudly instead: a parquet metadata count (no
+    * column scan) against the configurable bound. */
+  private def guardBruteForce(s: SparkSession, d: String, query: String): Unit = {
+    val limit = s.conf.get(MaxBruteForceDocsKey,
+      DefaultMaxBruteForceDocs.toString).toLong
+    if (limit >= 0) {
+      val n = t(s, d, "documents").count()
+      require(n <= limit,
+        s"$query is an all-pairs-within-source correctness BASELINE: input " +
+          s"has $n docs (> $MaxBruteForceDocsKey=$limit). Use q36_minhash_lsh " +
+          "candidates / q62_dup_clusters_lsh (LSH candidates + exact verify " +
+          "of candidates only) at scale, or raise the conf to opt out.")
+    }
+  }
+
   /** Docs with their 3-gram shingle sets hashed to SORTED long arrays —
     * the shared exact-verification input (q38 all-pairs, q62 candidate
     * verify). Hashing once per doc turns the per-pair Jaccard into a
@@ -232,6 +256,7 @@ object DedupQueries {
 
     // ── n-gram Jaccard within source groups (exact, set-based) ─────────
     QueryDef("q38_ngram_jaccard", (s, d) => {
+      guardBruteForce(s, d, "q38_ngram_jaccard")
       // Shingles hashed to sorted long arrays ONCE per doc ([[hashedGrams]]);
       // the O(pairs) inner loop is then a codegen'd two-pointer merge on
       // primitive longs (graft_intersect_card) instead of string-set hashing.
@@ -410,8 +435,9 @@ object DedupQueries {
     // batch itself (min-doc_id window, WindowGroupLimit-optimized). The
     // batch/base split is the q51 hash split, so the scenario is
     // reproducible cross-engine. At 100 TB the base side is a
-    // fingerprint-bucketed table: the anti join then runs shuffle-free
-    // against the bucketed layout (LakeCatalog.saveTable bucketing).
+    // fingerprint-bucketed table: the anti join then runs exchange-free on
+    // the base side against the bucketed layout (LakeCatalog.saveTable
+    // bucketing; plan-asserted by BucketedJoinSpec's q70 case).
     QueryDef("q70_incremental_dedup", (s, d) => {
       val docs = t(s, d, "documents")
         .withColumn("fp", graft.text.TextSignals.normalizedFingerprint(col("text")))

@@ -37,6 +37,57 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("q70's anti-join is exchange-free on the base side against an fp-bucketed base") {
+    // Build-enforces the q70 scaladoc claim (DedupQueries): at 100 TB the
+    // clean base lives as a fingerprint-bucketed table, and the incremental
+    // batch-vs-base anti-join then shuffles ONLY the arriving batch — the
+    // base side is read co-located, no Exchange above its scan.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // inspect the static plan
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("fp", graft.text.TextSignals.normalizedFingerprint(col("text")))
+        .withColumn("is_batch",
+          substring(md5(col("doc_id").cast("string")), 1, 2) <= "28")
+      LakeCatalog.saveTable(docs.filter(!col("is_batch")).select("fp").distinct(),
+        "b_base_fp", bucketCols = Seq("fp"), numBuckets = 8)
+
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      val result = docs.filter(col("is_batch"))
+        .join(spark.table("b_base_fp"), Seq("fp"), "left_anti")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "source", "fp")
+
+      val smj = result.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "expected a sort-merge anti join in the plan")
+      assert(smj.get.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti)
+      // base (right) side: bucketed scan, ZERO exchanges above it
+      assert(smj.get.right.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.bucketedScan => s }.nonEmpty,
+        s"base side does not read the bucketed layout:\n${smj.get.right}")
+      assert(smj.get.right.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.isEmpty,
+        s"base side of the anti-join still shuffles:\n${smj.get.right}")
+
+      // layout changes the plan, not the rows: same output as q70's
+      // path-read form on the identical batch/base split
+      val expected = graft.SparkEntry.queries("q70_incremental_dedup")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val got = result.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_base_fp")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("LakeCatalog.saveTable bucketing makes lineitem⋈orders shuffle-free") {
     val sf = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ

@@ -27,6 +27,29 @@ class BruteForceGuardSpec extends SparkSpec {
     }
   }
 
+  test("q38 trips the dedup guard when the corpus exceeds the bound") {
+    assume(new java.io.File(sf).isDirectory)
+    spark.conf.set(graft.dedup.DedupQueries.MaxBruteForceDocsKey, "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.SparkEntry.queries("q38_ngram_jaccard")(spark, sf)
+      }
+      assert(e.getMessage.contains("BASELINE"), s"q38 guard message: ${e.getMessage}")
+      assert(e.getMessage.contains("q62_dup_clusters_lsh"),
+        "message must name the scale path")
+    } finally spark.conf.unset(graft.dedup.DedupQueries.MaxBruteForceDocsKey)
+  }
+
+  test("q38 rows unchanged under the default dedup guard") {
+    assume(new java.io.File(sf).isDirectory)
+    // default guard (50k docs) admits the testdata corpus — build succeeds
+    // and rows match an explicitly unguarded run
+    val n = graft.SparkEntry.queries("q38_ngram_jaccard")(spark, sf).count()
+    spark.conf.set(graft.dedup.DedupQueries.MaxBruteForceDocsKey, "-1")
+    try assert(graft.SparkEntry.queries("q38_ngram_jaccard")(spark, sf).count() == n)
+    finally spark.conf.unset(graft.dedup.DedupQueries.MaxBruteForceDocsKey)
+  }
+
   test("guard can be disabled with -1 and passes at default under testdata scale") {
     assume(new java.io.File(sf).isDirectory)
     // default guard (50k) admits the testdata embeddings — rows unchanged
