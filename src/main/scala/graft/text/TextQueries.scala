@@ -354,6 +354,67 @@ object TextQueries {
           ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
       FROM documents
       QUALIFY quartile >= 3"""),
-      notes = "per-source length-distribution quality gate: keep the top half by ntile(4), deterministic tie order")
+      notes = "per-source length-distribution quality gate: keep the top half by ntile(4), deterministic tie order"),
+
+    // ── BPE training loop (count → merge → recount, 3 rounds) ──────────
+    // q72 is ONE pair-count step; this is the trainer's actual inner loop.
+    // Per round: count adjacent-symbol pairs corpus-wide, adopt the most
+    // frequent pair (count desc, pair asc — deterministic) as a merge,
+    // apply it greedily left-to-right to every doc, recount. Merged
+    // symbols are plain concatenations living in the same symbol space
+    // (the Sennrich BPE convention), so later rounds can merge merged
+    // symbols. The merge table is DRIVER-HELD bounded state — one
+    // (pair, n) row per round, the q71 pattern — so each round costs one
+    // narrow scan + one pair-keyed hash-agg shuffle (map-side partials) +
+    // a 1-row TakeOrderedAndProject collect: the shape a 100 TB tokenizer
+    // trainer runs, just with more rounds. Production trainers batch many
+    // non-overlapping merges per scan to amortize passes; one merge per
+    // scan here keeps the semantics spec-pinnable.
+    //
+    // The greedy application is a sequential `aggregate` fold, because
+    // overlapping occurrences ("a a a" under merge (a,a)) must pair off
+    // left-to-right — not expressible as a positional transform. The
+    // array-append accumulator makes a round O(L²) worst-case in a doc's
+    // symbol count; fine for prose-shaped docs, and the first thing merge
+    // batching removes at scale.
+    //
+    // Rows-only: SQL list ops cannot express the greedy sequential merge,
+    // so there is no DuckDB twin; TrainingDataOpsSpec pins all three
+    // rounds (chosen pair AND count) against a brute-force Scala recount.
+    QueryDef("q75_bpe_train", (s, d) => {
+      import s.implicits._
+      def sqlStr(v: String): String =
+        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      def pairsOf(tk: String): String =
+        s"""zip_with(slice($tk, 1, greatest(size($tk) - 1, 0)),
+           |         slice($tk, 2, greatest(size($tk) - 1, 0)),
+           |         (a, b) -> concat(a, ' ', b))""".stripMargin
+      // greedy left-to-right merge: the size(acc) > 0 conjunct guards the
+      // ANSI element_at(-1) (And evaluates lazily, also interpreted)
+      def mergeExpr(tk: String, a: String, b: String): String =
+        s"""aggregate($tk, cast(array() as array<string>),
+           |  (acc, x) -> CASE WHEN size(acc) > 0
+           |      AND element_at(acc, -1) = ${sqlStr(a)} AND x = ${sqlStr(b)}
+           |    THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(a + b)}))
+           |    ELSE concat(acc, array(x)) END)""".stripMargin
+      val base = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
+      var tkExpr = "tk"
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (step <- 1 to 3) {
+        val top = base
+          .select(explode(expr(pairsOf(tkExpr))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1)
+          .collect()(0)
+        val pair = top.getString(0)
+        merges += ((step.toLong, pair, top.getLong(1)))
+        // symbols never contain spaces (split on ' ', merges concatenate),
+        // so the first space is the pair separator
+        val i = pair.indexOf(' ')
+        tkExpr = mergeExpr(tkExpr, pair.substring(0, i), pair.substring(i + 1))
+      }
+      merges.toSeq.toDF("step", "pair", "n")
+    }, None,
+      notes = "BPE training loop: 3 rounds of count -> greedy merge -> recount, driver-held merge table; rows-only (sequential merge not SQL-expressible)")
   )
 }

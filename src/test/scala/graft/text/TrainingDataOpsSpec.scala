@@ -22,6 +22,37 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q75 merge table matches a brute-force greedy BPE train loop") {
+    // greedy left-to-right non-overlapping merge — the reference semantics
+    // q75's aggregate-fold must reproduce exactly
+    def applyMerge(v: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    var seqs = graft.analytics.Ops.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).split(" ", -1).toVector).toVector
+    val expected = (1 to 3).map { step =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      for (sq <- seqs; i <- 0 until sq.length - 1) {
+        val p = sq(i) + " " + sq(i + 1)
+        counts.update(p, counts.getOrElse(p, 0L) + 1L)
+      }
+      val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val sp = pair.indexOf(' ')
+      seqs = seqs.map(applyMerge(_, pair.substring(0, sp), pair.substring(sp + 1)))
+      (step.toLong, pair, n)
+    }
+
+    val got = graft.SparkEntry.queries("q75_bpe_train")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == expected)
+  }
+
   test("q73 keeps exactly the ntile-3/4 half per source, in tuple order") {
     val docs = graft.analytics.Ops.t(spark, sf, "documents")
       .select("doc_id", "source", "n_chars").collect()
