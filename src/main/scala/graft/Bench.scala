@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Fail fast, BEFORE the warm-up + timed loops: a colliding catalog
+    // entry must abort in milliseconds, not after a full wasted bench run.
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    require(SparkEntry.queries.keys.map(shortId).toSet.size ==
+      SparkEntry.queries.size,
+      "short query ids must stay unique — rename the colliding catalog entry")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,10 +66,6 @@ object Bench {
     def ms(v: Double): String = r(v, 3)
     def qv(v: Double): String =
       if (v >= 10) r(v, 0) else if (v >= 0.1) r(v, 1) else r(v, 2)
-    def shortId(name: String): String = name.takeWhile(_ != '_')
-    require(SparkEntry.queries.keys.map(shortId).toSet.size ==
-      SparkEntry.queries.size,
-      "short query ids must stay unique — rename the colliding catalog entry")
     val qs = timings.map { case (k, v) => s"\"" + shortId(k) + "\":" + qv(v) }
       .mkString("{", ",", "}")
     val fs = failed.map(n => s"\"" + shortId(n) + "\"").mkString("[", ",", "]")
