@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling datapoints for the per-query baseline comparison (BASELINE.md):
+  * run the named catalog queries at sf0.001 / sf0.01 / sf0.1 in ONE JVM
+  * (median of 3 noop-sink materializations after a codegen warm-up pass)
+  * and print a single JSON line. Pairs with `tools/scaling_check.py`, which
+  * times the same queries' DuckDB oracles at the same three SFs — together
+  * they show whether a Spark:DuckDB gap is fixed scheduler overhead (flat
+  * Spark seconds, falling ratio as data grows) or a real O(n) divergence.
+  */
+object ScalingBench {
+
+  private val DefaultQueries = Seq(
+    "q12_revenue_by_nation", "q49_asof_join", "q61_range_frame", "q63_gold_kpis")
+  private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+
+  private def timed(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def median3(body: => Unit): Double =
+    (1 to 3).map(_ => timed(body)).sorted.apply(1)
+
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else DefaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(name: String, sf: String): Unit =
+      SparkEntry.queries(name)(spark, s"/root/testdata/$sf")
+        .write.mode("overwrite").format("noop").save()
+    // codegen + JIT warm-up: every (query, sf) shape once
+    for (n <- names; sf <- Sfs) run(n, sf)
+    val out = names.map { n =>
+      val per = Sfs.map(sf => s""""$sf":${f"${median3(run(n, sf))}%.3f"}""")
+      s""""$n":{${per.mkString(",")}}"""
+    }
+    spark.stop()
+    println(out.mkString("{", ",", "}"))
+  }
+}

@@ -371,12 +371,19 @@ object TextQueries {
     // non-overlapping merges per scan to amortize passes; one merge per
     // scan here keeps the semantics spec-pinnable.
     //
-    // The greedy application is a sequential `aggregate` fold, because
-    // overlapping occurrences ("a a a" under merge (a,a)) must pair off
-    // left-to-right — not expressible as a positional transform. The
-    // array-append accumulator makes a round O(L²) worst-case in a doc's
-    // symbol count; fine for prose-shaped docs, and the first thing merge
-    // batching removes at scale.
+    // The greedy application: for a ≠ b (with b non-empty) adjacent
+    // occurrences CANNOT overlap (position i+1 starting a merge would need
+    // tk[i+1] = a AND tk[i+1] = b), so greedy left-to-right reduces to a
+    // positional filter+transform — O(L) per doc. Only an a == b merge
+    // ("a a a" pairs off left-to-right) needs the sequential `aggregate`
+    // fold fallback, whose array-append accumulator is O(L²) worst-case.
+    // Each round's merged array is materialized as a COLUMN (withColumn),
+    // not textually nested into the next round's expression: higher-order
+    // lambdas run interpreted and are never CSE'd, so a nested expression
+    // referenced 4× per element would re-evaluate the whole previous layer
+    // per reference (the round-3 split-once lesson; CollapseProject leaves
+    // the producer projection alone because the column is non-cheap and
+    // multiply referenced).
     //
     // Rows-only: SQL list ops cannot express the greedy sequential merge,
     // so there is no DuckDB twin; TrainingDataOpsSpec pins all three
@@ -385,24 +392,34 @@ object TextQueries {
       import s.implicits._
       def sqlStr(v: String): String =
         "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-      def pairsOf(tk: String): String =
-        s"""zip_with(slice($tk, 1, greatest(size($tk) - 1, 0)),
-           |         slice($tk, 2, greatest(size($tk) - 1, 0)),
-           |         (a, b) -> concat(a, ' ', b))""".stripMargin
-      // greedy left-to-right merge: the size(acc) > 0 conjunct guards the
-      // ANSI element_at(-1) (And evaluates lazily, also interpreted)
-      def mergeExpr(tk: String, a: String, b: String): String =
-        s"""aggregate($tk, cast(array() as array<string>),
+      val pairsOfTk =
+        """zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),
+          |         slice(tk, 2, greatest(size(tk) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin
+      // O(L) non-overlapping case: drop positions consumed as the second
+      // half of a merge, rewrite positions that start one. Lazy AND guards
+      // every boundary element_at (split output is never empty: size >= 1).
+      def mergeScan(a: String, b: String): String =
+        s"""transform(
+           |  filter(sequence(1, size(tk)),
+           |    i -> NOT (i > 1 AND element_at(tk, i - 1) = ${sqlStr(a)}
+           |              AND element_at(tk, i) = ${sqlStr(b)})),
+           |  i -> IF(element_at(tk, i) = ${sqlStr(a)} AND i < size(tk)
+           |          AND element_at(tk, i + 1) = ${sqlStr(b)},
+           |        ${sqlStr(a + b)}, element_at(tk, i)))""".stripMargin
+      // sequential fold for the overlapping a == b (or empty-b) case; the
+      // size(acc) > 0 conjunct guards the ANSI element_at(-1)
+      def mergeFold(a: String, b: String): String =
+        s"""aggregate(tk, cast(array() as array<string>),
            |  (acc, x) -> CASE WHEN size(acc) > 0
            |      AND element_at(acc, -1) = ${sqlStr(a)} AND x = ${sqlStr(b)}
            |    THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(a + b)}))
            |    ELSE concat(acc, array(x)) END)""".stripMargin
-      val base = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
-      var tkExpr = "tk"
+      var cur = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
       for (step <- 1 to 3) {
-        val top = base
-          .select(explode(expr(pairsOf(tkExpr))).as("pair"))
+        val top = cur
+          .select(explode(expr(pairsOfTk)).as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("pair").asc).limit(1)
           .collect()(0)
@@ -411,7 +428,9 @@ object TextQueries {
         // symbols never contain spaces (split on ' ', merges concatenate),
         // so the first space is the pair separator
         val i = pair.indexOf(' ')
-        tkExpr = mergeExpr(tkExpr, pair.substring(0, i), pair.substring(i + 1))
+        val (a, b) = (pair.substring(0, i), pair.substring(i + 1))
+        cur = cur.withColumn("tk",
+          expr(if (a != b && b.nonEmpty) mergeScan(a, b) else mergeFold(a, b)))
       }
       merges.toSeq.toDF("step", "pair", "n")
     }, None,
