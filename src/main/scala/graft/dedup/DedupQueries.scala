@@ -92,12 +92,20 @@ object DedupQueries {
     * the shared exact-verification input (q38 all-pairs, q62 candidate
     * verify). Hashing once per doc turns the per-pair Jaccard into a
     * codegen'd two-pointer merge over primitive longs. */
-  private[dedup] def hashedGrams(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    tokenized(t(s, d, "documents"))
-      .select(col("doc_id"), col("source"),
+  private[dedup] def hashedGrams(s: SparkSession, d: String): DataFrame =
+    hashedGramsOf(t(s, d, "documents"))
+
+  /** Frame-level variant for composition (streaming near-dup ingest): the
+    * same hashed-gram computation over any (doc_id, text[, source]) frame —
+    * batch⇄stream parity by shared definition. */
+  private[graft] def hashedGramsOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val keep = col("doc_id") +:
+      (if (docs.columns.contains("source")) Seq(col("source")) else Nil)
+    tokenized(docs)
+      .select(keep :+
         expr(s"sort_array(array_distinct(transform($shinglesOfToks, g -> xxhash64(g))))")
-          .as("grams_h"))
+          .as("grams_h"): _*)
       .withColumn("n_grams", size(col("grams_h")))
   }
 
@@ -107,12 +115,28 @@ object DedupQueries {
     * by doc_id with map-side partial mins. This is the shape that survives
     * 100 TB — state per doc is K longs. Docs with an empty shingle set
     * (<=2 tokens) produce no signature row. */
-  private[dedup] def signatures(s: SparkSession, d: String): DataFrame = {
-    val sh = tokenized(t(s, d, "documents"))
+  private[dedup] def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(t(s, d, "documents"))
+
+  /** Frame-level variant for composition (streaming near-dup ingest). */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
+    val sh = tokenized(docs)
       .select(col("doc_id"), explode(expr(shinglesOfToks)).as("sng"))
     val minCols = (0 until K).map(j =>
       min(xxhash64(col("sng"), lit(j))).as(s"h$j"))
     sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** (doc_id, band_id, band_hash) banding of a signature frame — the LSH
+    * bucket key shared by the batch self-join ([[lshCandidatePairs]]) and
+    * the streaming ingest's batch-vs-base join. */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val slots = (b * K / Bands until (b + 1) * K / Bands).map(j => col(s"h$j"))
+      struct(lit(b).as("band_id"), xxhash64(slots: _*).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
   }
 
   /** LSH candidate pairs (doc_a < doc_b, distinct) from a signature frame:
@@ -124,15 +148,9 @@ object DedupQueries {
     * `capped_buckets` / `skipped_pairs` under the name "q36_lsh_guard",
     * and a session QueryExecutionListener WARN-logs whenever a run
     * actually capped, so recall changes are visible across versions/scales. */
-  private[dedup] def lshCandidatePairs(sig: DataFrame): DataFrame = {
+  private[graft] def lshCandidatePairs(sig: DataFrame): DataFrame = {
     ensureGuardListener(sig.sparkSession)
-    val bandStructs = (0 until Bands).map { b =>
-      val slots = (b * K / Bands until (b + 1) * K / Bands).map(j => col(s"h$j"))
-      struct(lit(b).as("band_id"), xxhash64(slots: _*).as("band_hash"))
-    }
-    val banded = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val banded = bandsOf(sig)
     // candidate pairs = docs sharing any (band_id, band_hash) bucket,
     // with the hot-bucket guard: rank docs within their bucket (same
     // partitioning the join shuffle needs anyway) and let only the first
@@ -185,7 +203,7 @@ object DedupQueries {
   /** Exact-Jaccard verification of candidate pairs ONLY: joins the pairs
     * back to the hashed gram sets and keeps pairs with jaccard >= `minJ`.
     * O(candidates), never O(n²) — the verify half of the LSH scale path. */
-  private[dedup] def verifyJaccard(pairs: DataFrame, docs: DataFrame,
+  private[graft] def verifyJaccard(pairs: DataFrame, docs: DataFrame,
       minJ: Double): DataFrame = {
     val ja = pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("grams_h").as("ga"),

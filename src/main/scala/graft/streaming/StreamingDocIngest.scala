@@ -19,10 +19,13 @@ import graft.text.TextSignals
   * dedup state is ONE (fingerprint → timestamp) entry per distinct doc
   * inside the watermark horizon — bounded by ingest rate × watermark, not
   * by stream lifetime (plain dropDuplicates would grow state forever).
-  * Near-dup (MinHash) dedup stays a batch compaction pass over the landed
-  * zone (q36/q62): LSH banding needs cross-row joins that streaming state
-  * can't express without unbounded buffering — the lambda-architecture
-  * split is deliberate and documented, not an omission. */
+  *
+  * NEAR-dup (MinHash+LSH) dedup cannot live in streaming state — banding
+  * needs cross-row joins that watermarked state can't express without
+  * unbounded buffering — so [[nearDupIngest]] runs it as a foreachBatch
+  * stage instead: each micro-batch joins against a persistent base
+  * signature TABLE (bounded bytes per doc), reusing the exact q36/q62
+  * batch building blocks. */
 object StreamingDocIngest {
 
   /** quality-gate + watermark-bounded exact dedup over a stream of
@@ -46,4 +49,92 @@ object StreamingDocIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  // ── Streaming near-duplicate (MinHash+LSH) dedup ─────────────────────
+
+  /** Continuous near-dup dedup — the streaming counterpart of the q62
+    * batch pipeline, composed from the SAME [[graft.dedup.DedupQueries]]
+    * building blocks (signatures, banding, exact-Jaccard verification), so
+    * batch⇄stream parity holds by shared definition. Per micro-batch:
+    *  1. MinHash signatures + hashed 3-gram sets for the batch docs;
+    *  2. LSH candidates WITHIN the batch (the guarded q36 self-join) and
+    *     AGAINST the base signature table at `sigPath` — every doc seen so
+    *     far, joined band-to-band (3 longs per band row, never documents);
+    *  3. exact Jaccard verifies candidates only; a batch doc with a
+    *     verified >= minJ witness (any earlier-arrived doc, or a lower-id
+    *     doc within its own batch) is dropped;
+    *  4. survivors append to `outPath`; ALL batch signatures+grams (kept
+    *     AND dropped) append to `sigPath`.
+    *
+    * Persisting dropped docs' signatures makes the survivor set
+    * micro-batch-boundary INVARIANT: a witness suppresses later dups
+    * whether or not the witness itself survived, so one replay batch or
+    * many yield the same survivors as the one-shot [[nearDupBatchTwin]]
+    * (StreamingNearDupSpec pins this). Witness order is arrival order —
+    * an in-order replay makes it doc_id order, matching the twin.
+    *
+    * Scale posture: signatures are K=16 longs + the gram-hash array per
+    * doc; candidate generation shuffles (band_id, band_hash, doc_id)
+    * triples; the base table grows with corpus lifetime and at 100 TB
+    * lives bucketed by band/fingerprint (LakeCatalog.saveTable — the q70
+    * base pattern). The parquet appends share writeDocs' at-least-once
+    * recovery contract; an idempotent sink needs batchId-keyed commits. */
+  def nearDupIngest(docs: DataFrame, outPath: String, sigPath: String,
+      checkpoint: String, minJ: Double = 0.6): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupBatch(batch, outPath, sigPath, minJ)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[streaming] def dedupBatch(batch: DataFrame, outPath: String,
+      sigPath: String, minJ: Double): Unit = {
+    import graft.dedup.DedupQueries
+    val spark = batch.sparkSession
+    val docs = batch.select("doc_id", "text")
+    val grams = DedupQueries.hashedGramsOf(docs)
+    val sigs = DedupQueries.signaturesOf(docs)
+    // one persisted row per signature-bearing doc: signature + gram set
+    val sigRows = sigs.join(grams.select("doc_id", "grams_h", "n_grams"), "doc_id")
+    val p = new org.apache.hadoop.fs.Path(sigPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = if (fs.exists(p)) spark.read.parquet(sigPath) else sigRows.limit(0)
+
+    val innerDrops = DedupQueries.verifyJaccard(
+      DedupQueries.lshCandidatePairs(sigs), grams, minJ).select("doc_b")
+    // base docs arrived earlier by construction: base is always the witness
+    val crossPairs = DedupQueries.bandsOf(base)
+      .withColumnRenamed("doc_id", "doc_a")
+      .join(DedupQueries.bandsOf(sigs).withColumnRenamed("doc_id", "doc_b"),
+        Seq("band_id", "band_hash"))
+      .select("doc_a", "doc_b").distinct()
+    val gramsAll = grams.select("doc_id", "grams_h", "n_grams")
+      .unionByName(base.select("doc_id", "grams_h", "n_grams"))
+    val crossDrops = DedupQueries.verifyJaccard(crossPairs, gramsAll, minJ)
+      .select("doc_b")
+
+    val dropped = innerDrops.unionByName(crossDrops).distinct()
+      .withColumnRenamed("doc_b", "doc_id")
+    val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
+    // write survivors FIRST: it materializes every join above against the
+    // base file listing pinned at read() time, before sigPath gains files
+    survivors.write.mode("append").parquet(outPath)
+    sigRows.write.mode("append").parquet(sigPath)
+  }
+
+  /** One-shot batch computation with the identical survivor rule — drop
+    * every doc with a lower-id LSH-verified >= minJ witness, kept or not —
+    * for the batch⇄stream parity spec. (q62 continues past this point to
+    * connected components; the ingest stage only needs the drop set.) */
+  def nearDupBatchTwin(docs: DataFrame, minJ: Double = 0.6): DataFrame = {
+    import graft.dedup.DedupQueries
+    val d = docs.select("doc_id", "text")
+    val dropped = DedupQueries.verifyJaccard(
+      DedupQueries.lshCandidatePairs(DedupQueries.signaturesOf(d)),
+      DedupQueries.hashedGramsOf(d), minJ)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
 }
