@@ -556,6 +556,80 @@ object SimilarityQueries {
           >= 0.35)
       SELECT vec_id, cell FROM asg
       WHERE vec_id NOT IN (SELECT id_b FROM pairs)"""),
-      notes = "SemDeDup-style semantic dedup: Lloyd-trained IVF cells bound candidates, exact cosine within cells, keep-earliest survivor rule; fully oracled incl. training")
+      notes = "SemDeDup-style semantic dedup: Lloyd-trained IVF cells bound candidates, exact cosine within cells, keep-earliest survivor rule; fully oracled incl. training"),
+
+    // ── Top principal component via power iteration (embedding analysis) ─
+    // The q71 pattern applied to PCA: per-doc projection scores onto the
+    // dominant eigenvector of the (uncentered) second-moment matrix EᵀE,
+    // computed by two unrolled power-iteration steps with DRIVER-HELD
+    // 64-double state. Per step the cluster pays one narrow scan (the
+    // current direction inlines as a literal — no join) + one 64-row
+    // pos-keyed agg shuffle of bounded partials + a 64-double collect.
+    // At a billion vectors that is one scan and a KB-sized shuffle per
+    // step — the classic distributed power-iteration dataflow.
+    //
+    // Cross-engine exactness: the ONLY order-sensitive reduction (the
+    // per-dimension sum Σᵢ sᵢ·eᵢⱼ) uses q56's micro-unit integer trick —
+    // round(x·1e6) AS BIGINT sums are order-independent and both engines
+    // round identical doubles identically. Everything else (v₀ = e₀/‖e₀‖,
+    // the dot products, the normalizations) is pure IEEE double arithmetic
+    // on bit-identical inputs in the SAME fold order (graft_dot ≡
+    // list_dot_product, q39-proven), so NO intermediate rounding is needed
+    // — only the surfaced score rounds to 6 dp. Init follows the q71
+    // dense-id contract (vec_id 0 exists); sign of the component is fixed
+    // by the init choice, so scores are deterministic, not just
+    // deterministic-up-to-sign. Training-pipeline use: outlier scoring /
+    // whitening diagnostics over an embedding corpus.
+    QueryDef("q76_power_iteration", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val all = t(s, d, "embeddings")
+        .select(col("vec_id"), asDouble("embedding").as("v"))
+      def normalize(v: Seq[Double]): Seq[Double] = {
+        val n = math.sqrt(dotSeq(v, v)); v.map(_ / n)
+      }
+      val e0 = all.filter(col("vec_id") === 0)
+        .select("v").collect()(0).getSeq[Double](0).toSeq
+      var dir = normalize(e0)
+      for (_ <- 1 to 2) {
+        val sums = all
+          .withColumn("__dir", typedLit(dir))
+          .withColumn("s", expr("graft_dot(v, __dir)"))
+          .select(col("s"), posexplode(col("v")))
+          .groupBy("pos")
+          .agg(sum(round(col("s") * col("col") * 1e6).cast("long")).as("wsum"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+          .sortBy(_._1).map(_._2.toDouble / 1e6).toSeq
+        dir = normalize(sums)
+      }
+      all.withColumn("__dir", typedLit(dir))
+        .select(col("vec_id"), expr("round(graft_dot(v, __dir), 6)").as("pc1_score"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      v0 AS (
+        SELECT list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS vv
+        FROM v WHERE vec_id = 0),
+      s1 AS (SELECT v.e, list_dot_product(v.e, v0.vv) AS s FROM v CROSS JOIN v0),
+      z1 AS (SELECT s, unnest(list_zip(e, range(len(e)))) AS z FROM s1),
+      w1 AS (
+        SELECT CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+          CAST(SUM(CAST(ROUND(s * struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 AS w
+        FROM z1 GROUP BY pos),
+      w1l AS (SELECT list(w ORDER BY pos) AS wl FROM w1),
+      v1 AS (SELECT list_transform(wl, x -> x / sqrt(list_dot_product(wl, wl))) AS vv
+             FROM w1l),
+      s2 AS (SELECT v.e, list_dot_product(v.e, v1.vv) AS s FROM v CROSS JOIN v1),
+      z2 AS (SELECT s, unnest(list_zip(e, range(len(e)))) AS z FROM s2),
+      w2 AS (
+        SELECT CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+          CAST(SUM(CAST(ROUND(s * struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 AS w
+        FROM z2 GROUP BY pos),
+      w2l AS (SELECT list(w ORDER BY pos) AS wl FROM w2),
+      v2 AS (SELECT list_transform(wl, x -> x / sqrt(list_dot_product(wl, wl))) AS vv
+             FROM w2l)
+      SELECT v.vec_id, round(list_dot_product(v.e, v2.vv), 6) AS pc1_score
+      FROM v CROSS JOIN v2"""),
+      notes = "top principal component by 2 power-iteration steps (driver-held 64-double state, micro-unit exact per-dim sums); per-doc PC1 projection scores")
   )
 }

@@ -75,6 +75,14 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"q71 assignment gained a shuffle:\n$p")
   }
 
+  test("q76: power-iteration scoring is a narrow projection — no join, no shuffle") {
+    // the per-step collect jobs run at plan-build time (q71 pattern); the
+    // FINAL scoring pass inlines the trained direction as a literal
+    val p = plan("q76_power_iteration")
+    assert(!p.contains("Join"), s"q76 scoring gained a join:\n$p")
+    assert(!p.contains("Exchange"), s"q76 scoring gained a shuffle:\n$p")
+  }
+
   test("q72: pair counts end in TakeOrderedAndProject over one hash shuffle") {
     val p = plan("q72_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"), s"q72 lost its top-k plan:\n$p")
