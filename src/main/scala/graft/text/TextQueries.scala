@@ -417,20 +417,24 @@ object TextQueries {
            |    ELSE concat(acc, array(x)) END)""".stripMargin
       var cur = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-      for (step <- 1 to 3) {
+      var exhausted = false
+      for (step <- 1 to 3 if !exhausted) {
         val top = cur
           .select(explode(expr(pairsOfTk)).as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("pair").asc).limit(1)
-          .collect()(0)
-        val pair = top.getString(0)
-        merges += ((step.toLong, pair, top.getLong(1)))
-        // symbols never contain spaces (split on ' ', merges concatenate),
-        // so the first space is the pair separator
-        val i = pair.indexOf(' ')
-        val (a, b) = (pair.substring(0, i), pair.substring(i + 1))
-        cur = cur.withColumn("tk",
-          expr(if (a != b && b.nonEmpty) mergeScan(a, b) else mergeFold(a, b)))
+          .collect()
+        if (top.isEmpty) exhausted = true // no adjacent pairs left (degenerate corpus)
+        else {
+          val pair = top(0).getString(0)
+          merges += ((step.toLong, pair, top(0).getLong(1)))
+          // symbols never contain spaces (split on ' ', merges concatenate),
+          // so the first space is the pair separator
+          val i = pair.indexOf(' ')
+          val (a, b) = (pair.substring(0, i), pair.substring(i + 1))
+          cur = cur.withColumn("tk",
+            expr(if (a != b && b.nonEmpty) mergeScan(a, b) else mergeFold(a, b)))
+        }
       }
       merges.toSeq.toDF("step", "pair", "n")
     }, None,

@@ -39,7 +39,7 @@ class AdversarialCorpusSpec extends SparkSpec {
   private val otherDocQueries = Seq(
     "q38_ngram_jaccard", "q44_token_topk", "q50_tfidf", "q57_dup_clusters",
     "q62_dup_clusters_lsh", "q64_contamination", "q69_stratified_sample",
-    "q70_incremental_dedup")
+    "q70_incremental_dedup", "q75_bpe_train")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
@@ -82,6 +82,29 @@ class AdversarialCorpusSpec extends SparkSpec {
     assert(rows(0L) > 0.99, s"all-repeat doc scored ${rows(0L)}")
     assert(rows(1L) == 0.0)
     assert(rows(2L) == 0.0)
+  }
+
+  test("q75: a corpus with no adjacent pairs stops merging instead of crashing") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-nopairs").toString
+    Seq((0L, "solo", "en", "s", 4L), (1L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("q75_bpe_train")(spark, d).collect()
+    assert(rows.isEmpty, s"expected an empty merge table, got ${rows.length} rows")
+  }
+
+  test("q75: merging exhausts gracefully when fewer than 3 rounds are possible") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-fewpairs").toString
+    // exactly one adjacent pair corpus-wide: round 1 merges it, round 2
+    // finds nothing and stops — the merge table has one row
+    Seq((0L, "left right", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("q75_bpe_train")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "left right", 1L)))
   }
 
   test("q64: a gram present in EVERY train doc is DF-capped out of the join") {
