@@ -438,6 +438,59 @@ object TextQueries {
       }
       merges.toSeq.toDF("step", "pair", "n")
     }, None,
-      notes = "BPE training loop: 3 rounds of count -> greedy merge -> recount, driver-held merge table; rows-only (sequential merge not SQL-expressible)")
+      notes = "BPE training loop: 3 rounds of count -> greedy merge -> recount, driver-held merge table; rows-only (sequential merge not SQL-expressible)"),
+
+    // ── Unigram LM quality score (CCNet-style perplexity proxy) ────────
+    // Per-doc mean log-probability under the corpus's own unigram model —
+    // the classic LM-based quality gate (docs of improbable tokens score
+    // low). Two corpus stats (token frequencies + total count, one
+    // token-keyed hash-agg and a 1-row broadcast — the q50 shapes), then
+    // each token occurrence joins its frequency and sums per doc.
+    // Exactness: ln() on identical doubles is cross-engine (q50-proven);
+    // the per-doc SUM is order-sensitive in doubles, so each occurrence
+    // contributes round(ln(p)·1e6) AS BIGINT — order-independent integer
+    // sums, the q56 trick — and only the surfaced mean rounds to 6 dp.
+    // Tokenless docs (empty/whitespace text) keep a row with n_tokens 0 /
+    // score 0.0 via the left join (per-doc contract, total division).
+    // Scale: the vocab join shuffles by token; a Zipf vocab is small
+    // enough to BROADCAST at any corpus size (top-V + OOV floor is the
+    // production variant), and the hot-token skew is exactly what AQE
+    // skew-join handles — the SkewOps salting path applies if not.
+    QueryDef("q77_unigram_lm", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val perdoc = toks.join(vocab, "tok").crossJoin(broadcast(tot))
+        .withColumn("lp",
+          round(log(col("cnt").cast("double") / col("n")) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("s"))
+      docs.select(col("doc_id"))
+        .join(perdoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(round((col("s").cast("double") / 1e6) / col("n_tokens"), 6),
+            lit(0.0)).as("lm_score"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tw AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+      vocab AS (SELECT tok, COUNT(*) AS cnt FROM tw GROUP BY tok),
+      tot AS (SELECT COUNT(*) AS n FROM tw),
+      perdoc AS (
+        SELECT tw.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          SUM(CAST(ROUND(LN(CAST(vocab.cnt AS DOUBLE) / tot.n) * 1000000) AS BIGINT)) AS s
+        FROM tw JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY tw.doc_id)
+      SELECT d.doc_id,
+        COALESCE(p.n_tokens, 0) AS n_tokens,
+        COALESCE(round((CAST(p.s AS DOUBLE) / 1000000.0) / p.n_tokens, 6), 0.0)
+          AS lm_score
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
+      notes = "per-doc mean unigram log-prob (LM quality proxy): corpus freq agg + broadcast total + micro-unit exact per-doc sums")
   )
 }

@@ -99,10 +99,10 @@ class PlanContractSpec extends SparkSpec {
     // side meets a non-equi (or absent) condition BY DESIGN: q39 (guarded
     // all-pairs baseline), q40 (broadcast query side, <> condition), q42b
     // and q74 (broadcast centroid assignment via the shared ivfAssign),
-    // q50 (broadcast 1-row corpus count). Anywhere else it means a join
-    // key got lost. CartesianProduct is never acceptable.
+    // q50 and q77 (broadcast 1-row corpus count). Anywhere else it means a
+    // join key got lost. CartesianProduct is never acceptable.
     val bnljWhitelist = Set("q39_cosine_dup_pairs", "q40_ann_topk",
-      "q42b_ann_ivf", "q74_semantic_dedup", "q50_tfidf")
+      "q42b_ann_ivf", "q74_semantic_dedup", "q50_tfidf", "q77_unigram_lm")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -34,7 +34,7 @@ class AdversarialCorpusSpec extends SparkSpec {
     "q30_text_stats", "q31_quality_score", "q32_lang_id", "q33_fingerprint",
     "q34_binary_meta", "q36_minhash_lsh", "q37_simhash",
     "q45_regex_tokens", "q51_hash_sample", "q60_redact", "q65_repetition",
-    "q66_shard_pack")
+    "q66_shard_pack", "q77_unigram_lm")
 
   private val otherDocQueries = Seq(
     "q38_ngram_jaccard", "q44_token_topk", "q50_tfidf", "q57_dup_clusters",
