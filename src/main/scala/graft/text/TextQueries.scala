@@ -18,6 +18,14 @@ import Ops._
   */
 object TextQueries {
 
+  /** Adjacent-symbol pairs of the pre-split token array `tk`, as
+    * "a b" strings — shared by the BPE trainers (q72 builds its own
+    * equivalent; q75/q78 recount over merged arrays). */
+  private val bpePairsOfTk =
+    """zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),
+      |         slice(tk, 2, greatest(size(tk) - 1, 0)),
+      |         (a, b) -> concat(a, ' ', b))""".stripMargin
+
   /** Occurrences of `word` as a standalone token, via \b word-boundary
     * regex — correct for ADJACENT repeats ("the the the" = 3), which a
     * substring-replace count would miss (non-overlapping replace consumes
@@ -392,10 +400,7 @@ object TextQueries {
       import s.implicits._
       def sqlStr(v: String): String =
         "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-      val pairsOfTk =
-        """zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),
-          |         slice(tk, 2, greatest(size(tk) - 1, 0)),
-          |         (a, b) -> concat(a, ' ', b))""".stripMargin
+      val pairsOfTk = bpePairsOfTk
       // O(L) non-overlapping case: drop positions consumed as the second
       // half of a merge, rewrite positions that start one. Lazy AND guards
       // every boundary element_at (split output is never empty: size >= 1).
@@ -439,6 +444,60 @@ object TextQueries {
       merges.toSeq.toDF("step", "pair", "n")
     }, None,
       notes = "BPE training loop: 3 rounds of count -> greedy merge -> recount, driver-held merge table; rows-only (sequential merge not SQL-expressible)"),
+
+    // ── Batched BPE (the production-trainer scan shape) ────────────────
+    // q75 is the semantics-exact one-merge-per-scan loop; THIS is what a
+    // production tokenizer trainer actually runs: pick the top-M (M=8)
+    // merges whose symbols are PAIRWISE DISJOINT (greedy over the top-64
+    // candidates by count desc, pair asc; a != b only) and apply them all
+    // in ONE positional scan. Disjointness is what makes a single
+    // simultaneous pass correct: no token can belong to two different
+    // merges, a != b rules out same-merge overlap, and a consumed
+    // position can never chain into another merge (its symbol is already
+    // used) — so one filter+transform with a MAP LITERAL lookup
+    // (a → b, try_element_at for the null-safe miss) applies the whole
+    // batch in O(L·1) per doc where q75's loop costs O(L·M) over M scans.
+    // Per round the cluster pays ONE narrow scan + one pair-keyed hash-agg
+    // shuffle for 8 merges instead of 8 of each. Output is the
+    // post-batch top-20 recount: it pins BOTH the selection and the
+    // application (either going wrong changes the counts). Rows-only —
+    // the greedy disjoint selection is driver logic with no SQL twin;
+    // TrainingDataOpsSpec pins it against a brute-force Scala replica.
+    QueryDef("q78_bpe_batch", (s, d) => {
+      val base = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
+      def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(expr(bpePairsOfTk)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+      val candidates = pairCounts(base)
+        .orderBy(col("n").desc, col("pair").asc).limit(64).collect()
+      val taken = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val used = scala.collection.mutable.HashSet.empty[String]
+      for (r <- candidates if taken.size < 8) {
+        val p = r.getString(0); val i = p.indexOf(' ')
+        val (a, b) = (p.substring(0, i), p.substring(i + 1))
+        if (a != b && b.nonEmpty && !used(a) && !used(b)) {
+          taken(a) = b; used += a; used += b
+        }
+      }
+      val batchMergeExpr =
+        """transform(
+          |  filter(sequence(1, size(tk)),
+          |    i -> NOT (i > 1 AND ifnull(
+          |      try_element_at(__m, element_at(tk, i - 1)) = element_at(tk, i),
+          |      false))),
+          |  i -> IF(i < size(tk) AND ifnull(
+          |      try_element_at(__m, element_at(tk, i)) = element_at(tk, i + 1),
+          |      false),
+          |    concat(element_at(tk, i), element_at(tk, i + 1)),
+          |    element_at(tk, i)))""".stripMargin
+      val merged =
+        if (taken.isEmpty) base
+        else base.withColumn("__m", typedLit(taken.toMap))
+          .withColumn("tk", expr(batchMergeExpr)).drop("__m")
+      pairCounts(merged)
+        .orderBy(col("n").desc, col("pair").asc).limit(20)
+    }, None,
+      notes = "batched BPE: top-8 symbol-disjoint merges applied in one scan (map-literal lookup); output = post-batch top-20 recount; rows-only (greedy selection is driver logic)"),
 
     // ── Unigram LM quality score (CCNet-style perplexity proxy) ────────
     // Per-doc mean log-probability under the corpus's own unigram model —

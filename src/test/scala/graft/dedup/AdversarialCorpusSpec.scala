@@ -39,7 +39,7 @@ class AdversarialCorpusSpec extends SparkSpec {
   private val otherDocQueries = Seq(
     "q38_ngram_jaccard", "q44_token_topk", "q50_tfidf", "q57_dup_clusters",
     "q62_dup_clusters_lsh", "q64_contamination", "q69_stratified_sample",
-    "q70_incremental_dedup", "q75_bpe_train")
+    "q70_incremental_dedup", "q75_bpe_train", "q78_bpe_batch")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()

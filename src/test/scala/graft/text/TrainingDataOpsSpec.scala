@@ -53,6 +53,48 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q78 post-batch recount matches a brute-force batched-BPE replica") {
+    val seqs = graft.analytics.Ops.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).split(" ", -1).toVector)
+
+    def countPairs(ss: Iterable[Vector[String]]): Map[String, Long] = {
+      val m = new scala.collection.mutable.HashMap[String, Long]()
+      for (sq <- ss; i <- 0 until sq.length - 1) {
+        val p = sq(i) + " " + sq(i + 1)
+        m.update(p, m.getOrElse(p, 0L) + 1L)
+      }
+      m.toMap
+    }
+    // greedy top-8 symbol-disjoint selection over the top-64 candidates
+    val cands = countPairs(seqs).toSeq.sortBy { case (p, n) => (-n, p) }.take(64)
+    val taken = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val used = scala.collection.mutable.HashSet.empty[String]
+    for ((p, _) <- cands if taken.size < 8) {
+      val i = p.indexOf(' ')
+      val (a, b) = (p.substring(0, i), p.substring(i + 1))
+      if (a != b && b.nonEmpty && !used(a) && !used(b)) {
+        taken(a) = b; used += a; used += b
+      }
+    }
+    assert(taken.size == 8, s"corpus should yield a full batch (got ${taken.size})")
+    // simultaneous application (disjointness makes left-to-right == positional)
+    def applyBatch(v: Vector[String]): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && taken.get(v(i)).contains(v(i + 1))) {
+          out += (v(i) + v(i + 1)); i += 2
+        } else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = countPairs(seqs.map(applyBatch))
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+
+    val got = graft.SparkEntry.queries("q78_bpe_batch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("q73 keeps exactly the ntile-3/4 half per source, in tuple order") {
     val docs = graft.analytics.Ops.t(spark, sf, "documents")
       .select("doc_id", "source", "n_chars").collect()
