@@ -22,12 +22,12 @@ import Ops._
 object SimilarityQueries {
 
   /** Elementwise-double view of an embedding column. */
-  private def asDouble(c: String): Column =
+  private[similarity] def asDouble(c: String): Column =
     expr(s"transform($c, x -> cast(x AS double))")
 
   /** L2 norm via the native codegen'd dot product (same sequential
     * summation as the oracle's sqrt(list_dot_product(e,e))). */
-  private def l2norm(c: String): Column = expr(s"sqrt(graft_dot($c, $c))")
+  private[similarity] def l2norm(c: String): Column = expr(s"sqrt(graft_dot($c, $c))")
 
   /** cosine(a, b) given precomputed norms — norms are evaluated once per
     * vector (narrow pre-pass), not once per pair, and the pair-level dot is
@@ -41,7 +41,7 @@ object SimilarityQueries {
     * excluded by every downstream threshold filter and sorts last under
     * desc ordering. Driver testdata has no zero vectors, so oracle parity
     * is unchanged (the guard branch never fires there). */
-  private def cosine(a: String, b: String, na: String, nb: String): Column =
+  private[similarity] def cosine(a: String, b: String, na: String, nb: String): Column =
     expr(s"CASE WHEN $na * $nb > 0 THEN round(graft_dot($a, $b) / ($na * $nb), 6) " +
       "ELSE CAST(NULL AS DOUBLE) END")
 
@@ -175,7 +175,7 @@ object SimilarityQueries {
 
   /** Driver-held centroids as a (cent_id, cv) frame for the broadcast side
     * of [[ivfAssign]] — a k-row local relation, never a scan. */
-  private def centroidFrame(s: SparkSession, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+  private[similarity] def centroidFrame(s: SparkSession, cents: Seq[(Long, Seq[Double])]): DataFrame = {
     import s.implicits._
     cents.toDF("cent_id", "cv")
   }

@@ -1,0 +1,75 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.LakeCatalog
+
+/** Persisted IVF index — the "train once, assign many" workflow that the
+  * q42b catalog query demonstrates inline. [[build]] pays the training
+  * and assignment cost ONCE and persists both halves through the catalog;
+  * [[probe]] then serves any number of query batches against the stored
+  * layout without retraining or re-assigning.
+  *
+  * Layout contract:
+  *  - `<name>_centroids` (cent_id, cv): k rows of bounded metadata —
+  *    always broadcast;
+  *  - `<name>_cells` (vec_id, v, norm, cell): every corpus vector with its
+  *    cell assignment, BUCKETED (and sorted) BY cell via
+  *    `LakeCatalog.saveTable` — a probe joining on `cell` reads co-located
+  *    buckets with ZERO exchange on the index side (VectorIndexSpec
+  *    plan-asserts it; the BucketedJoinSpec story applied to ANN).
+  *
+  * At 100 TB: build is two Lloyd scans + one assignment scan + one
+  * bucketed write (the one-time shuffle); each probe batch costs a
+  * broadcast-centroid argmax over the QUERIES only plus a cell-keyed join
+  * that moves probe rows, never the corpus. Small probe batches broadcast
+  * into the cells scan; huge ones sort-merge against the bucketed layout
+  * — either way the corpus stays put. */
+object VectorIndex {
+
+  private def withNorm(emb: DataFrame, v: String, n: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), SimilarityQueries.asDouble("embedding").as(v))
+      .withColumn(n, expr(s"sqrt(graft_dot($v, $v))"))
+  }
+
+  /** Train a k-means quantizer over `emb` (vec_id, embedding) and persist
+    * the index tables. Same defaults as q42b (k=20, two Lloyd steps). */
+  def build(emb: DataFrame, name: String, k: Int = 20, iters: Int = 2,
+      buckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    val all = withNorm(emb, "v", "norm")
+    val cdf = SimilarityQueries.centroidFrame(s,
+      SimilarityQueries.trainedCentroids(all, k, iters))
+    cdf.write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    LakeCatalog.saveTable(SimilarityQueries.ivfAssign(all, cdf), s"${name}_cells",
+      bucketCols = Seq("cell"), numBuckets = buckets, sortCols = Seq("cell"))
+  }
+
+  /** Top-k cosine neighbors for a query batch against the stored index —
+    * the q42b probe dataflow reading persisted tables. */
+  def probe(s: SparkSession, name: String, queries: DataFrame,
+      nProbe: Int = 6, topK: Int = 5): DataFrame = {
+    val cents = s.table(s"${name}_centroids")
+    val q = withNorm(queries, "qv", "qn").withColumnRenamed("vec_id", "query_id")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("cent_id").asc)
+    val probes = q.join(broadcast(cents))
+      .withColumn("dot", expr("graft_dot(qv, cv)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    val cells = s.table(s"${name}_cells").select(col("vec_id").as("cand_id"),
+      col("v").as("cv"), col("norm").as("cn"), col("cell"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", SimilarityQueries.cosine("qv", "cv", "qn", "cn"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "cand_id", "rank", "cos_sim")
+  }
+}
