@@ -521,6 +521,70 @@ object DedupQueries {
             / (len(string_split(text, ' ')) - 2)
           ELSE 0.0 END AS rep_fraction
       FROM documents"""),
-      notes = "duplicate 3-gram fraction per doc (repetition quality filter); narrow map, no shuffle")
+      notes = "duplicate 3-gram fraction per doc (repetition quality filter); narrow map, no shuffle"),
+
+    // ── Canonical-document selection per near-dup cluster ──────────────
+    // The step AFTER clustering that q57/q62 stop short of: a dedup
+    // pipeline doesn't just name clusters, it elects one survivor per
+    // cluster and drops the rest. Policy here: keep the longest member
+    // (n_chars desc, doc_id asc tiebreak) — "longest wins" is the common
+    // retention rule because near-dup shorter members are usually
+    // truncations. Output is the per-cluster keep decision: (cluster_id,
+    // canonical_doc, members). Shapes on top of the q57 edges: one
+    // doc_id-keyed join against the (narrow) documents projection, one
+    // cluster-keyed window — both proportional to CLUSTERED docs only,
+    // a vanishing fraction of the corpus. The edge source composes: this
+    // uses q38's exact pairs (the guarded exactness twin, so the oracle
+    // can follow); at 100 TB the same two stages run unchanged on q62's
+    // LSH-fed clusters.
+    QueryDef("q81_cluster_canonical", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = defs.find(_.name == "q38_ngram_jaccard").get.fn(s, d)
+        .filter(col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b")
+      DedupClusters.connectedComponents(pairs)
+        .join(t(s, d, "documents").select("doc_id", "n_chars"), Seq("doc_id"))
+        .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .withColumn("members",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+          col("members"))
+    }, Some("""
+      WITH RECURSIVE g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+                          AND len(a.grams) + len(b.grams) > 0
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= 0.6),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      clusters AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+          row_number() OVER (PARTITION BY c.cluster_id
+            ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+          CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS members
+        FROM clusters c JOIN documents d USING (doc_id))
+      SELECT cluster_id, doc_id AS canonical_doc, members
+      FROM ranked WHERE rn = 1"""),
+      notes = "per-cluster survivor election (longest member wins, deterministic tiebreak) over q57's exact near-dup clusters")
   )
 }

@@ -550,6 +550,130 @@ object TextQueries {
         COALESCE(round((CAST(p.s AS DOUBLE) / 1000000.0) / p.n_tokens, 6), 0.0)
           AS lm_score
       FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
-      notes = "per-doc mean unigram log-prob (LM quality proxy): corpus freq agg + broadcast total + micro-unit exact per-doc sums")
+      notes = "per-doc mean unigram log-prob (LM quality proxy): corpus freq agg + broadcast total + micro-unit exact per-doc sums"),
+
+    // ── Token-budget mixture sampling (data-mixing to a budget) ────────
+    // The mixture-weighting primitive stated in TOKENS, not rates: each
+    // source contributes documents — in the reproducible q51 content-hash
+    // order — until its token budget fills (the budget-crossing doc is
+    // kept, so every non-exhausted source meets its budget). This is how
+    // pretraining mixes are actually specified ("x B tokens of source A,
+    // y B of source B"); q69 is the rate-based twin. One source-keyed
+    // window shuffle (cumulative sum over the hash order). At 100 TB the
+    // cumsum stays per-source-sequential by necessity, but the practical
+    // scale path converts budget → hash-prefix threshold via a per-source
+    // token histogram (one agg), then admits by pure narrow filter — the
+    // window form here is the exact-semantics anchor the approximation is
+    // judged against. Budgets inline as a CASE for oracle parity; a real
+    // run would broadcast-join a budget table.
+    QueryDef("q79_token_budget_mix", (s, d) => {
+      val toks = filter(split(col("text"), " "),
+        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      val stratum = expr("try_cast(substring(source, 4) AS int) % 4")
+      val budget = when(stratum === 0, 900L).when(stratum === 1, 700L)
+        .when(stratum === 2, 500L).otherwise(300L)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tokens"), budget.as("budget"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+            AS BIGINT) AS n_tokens,
+          CASE TRY_CAST(substr(source, 4) AS INT) % 4
+            WHEN 0 THEN 900 WHEN 1 THEN 700 WHEN 2 THEN 500 ELSE 300
+          END AS budget
+        FROM documents),
+      cum AS (
+        SELECT doc_id, source, n_tokens, budget,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM base)
+      SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+      WHERE cum_tokens - n_tokens < budget"""),
+      notes = "per-source token-budget fill in content-hash order (mixture weights in tokens): cumulative-sum window, budget-crossing doc kept"),
+
+    // ── End-to-end curation pipeline (dedup → length floor → quality) ──
+    // The composed manifest a curation run actually reports: every doc is
+    // labeled with its FIRST failing gate — 'dup' (prefix-3-token
+    // fingerprint, min-doc_id winner: the URL/boilerplate-prefix dedup
+    // shape), then 'short' (< 15 tokens), then 'quality' (bottom
+    // per-source length quartile among gate survivors — ntile partitioned
+    // by (source, eligible) so the distribution is computed over exactly
+    // the docs still in play, the q73 relative-gate rationale) — and the
+    // per-source outcome mix plus surviving token mass is the output.
+    // Shapes: one fp-keyed window shuffle, one source-keyed window
+    // shuffle, one source-keyed agg — all map-side-combined; no joins. At
+    // 100 TB each gate is the already-proven scale component (q35/q70
+    // fp shuffle; q73 per-source window); the composition adds nothing
+    // quadratic, and the labeled intermediate is exactly what gets
+    // written as a curation audit table.
+    QueryDef("q80_curation_pipeline", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = filter(split(col("text"), " "),
+        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), col("source"), col("n_chars"),
+        md5(array_join(slice(toks, 1, 3), " ")).as("fp"),
+        size(toks).cast("long").as("n_tokens"))
+      val flagged = docs
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .withColumn("eligible", col("rn") === 1 && col("n_tokens") >= 15)
+      val gated = flagged.withColumn("quartile",
+        ntile(4).over(Window.partitionBy("source", "eligible")
+          .orderBy(col("n_chars").asc, col("doc_id").asc)))
+      val labeled = gated.withColumn("status",
+        when(col("rn") > 1, "dup")
+          .when(col("n_tokens") < 15, "short")
+          .when(col("quartile") === 1, "quality")
+          .otherwise("kept"))
+      labeled.groupBy("source").agg(
+        count(when(col("status") === "kept", 1)).as("kept_docs"),
+        count(when(col("status") === "dup", 1)).as("dup_dropped"),
+        count(when(col("status") === "short", 1)).as("short_dropped"),
+        count(when(col("status") === "quality", 1)).as("quality_dropped"),
+        coalesce(sum(when(col("status") === "kept", col("n_tokens"))), lit(0L))
+          .as("kept_tokens"))
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, source, n_chars,
+          md5(array_to_string(
+            list_filter(string_split(text, ' '), t -> len(t) > 0)[1:3], ' '))
+            AS fp,
+          CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+            AS BIGINT) AS n_tokens
+        FROM documents),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM base),
+      flagged AS (
+        SELECT *, (rn = 1) AND (n_tokens >= 15) AS eligible FROM ranked),
+      gated AS (
+        SELECT *, ntile(4) OVER (PARTITION BY source, eligible
+          ORDER BY n_chars, doc_id) AS quartile FROM flagged),
+      labeled AS (
+        SELECT source, n_tokens,
+          CASE WHEN rn > 1 THEN 'dup' WHEN n_tokens < 15 THEN 'short'
+               WHEN quartile = 1 THEN 'quality' ELSE 'kept' END AS status
+        FROM gated)
+      SELECT source,
+        CAST(count(*) FILTER (status = 'kept') AS BIGINT) AS kept_docs,
+        CAST(count(*) FILTER (status = 'dup') AS BIGINT) AS dup_dropped,
+        CAST(count(*) FILTER (status = 'short') AS BIGINT) AS short_dropped,
+        CAST(count(*) FILTER (status = 'quality') AS BIGINT) AS quality_dropped,
+        CAST(COALESCE(SUM(n_tokens) FILTER (status = 'kept'), 0) AS BIGINT)
+          AS kept_tokens
+      FROM labeled GROUP BY source"""),
+      notes = "composed curation manifest: prefix-fp dedup -> 15-token floor -> per-source quartile gate, first-failing-gate label, per-source outcome counts + kept token mass")
   )
 }
