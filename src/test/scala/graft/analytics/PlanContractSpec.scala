@@ -94,6 +94,22 @@ class PlanContractSpec extends SparkSpec {
     assert(countOf(plan("q73_quantile_gate"), "Exchange hashpartitioning") == 1)
   }
 
+  test("q79: token-budget mix is one source-keyed window shuffle, no joins") {
+    val p = plan("q79_token_budget_mix")
+    assert(!p.contains("Join"), s"q79 gained a join:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"q79 should shuffle once (source window):\n$p")
+  }
+
+  test("q80: curation pipeline is three keyed shuffles (fp window, source window, agg), no joins") {
+    val p = plan("q80_curation_pipeline")
+    assert(!p.contains("Join"), s"q80 gained a join:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 3,
+      s"q80 should shuffle exactly three times:\n$p")
+    assert(countOf(p, "HashAggregate") == 2,
+      s"q80 lost its map-side partial aggregation:\n$p")
+  }
+
   test("no cartesian products anywhere; nested-loop joins only where intended") {
     // BroadcastNestedLoopJoin is legitimate exactly where a small broadcast
     // side meets a non-equi (or absent) condition BY DESIGN: q39 (guarded
