@@ -908,6 +908,33 @@ object Relational {
         approx_count_distinct(col("o_custkey")).as("approx_custs"),
         countDistinct(col("o_custkey")).as("exact_custs"))
     }, None,
-      notes = "HLL++ sketch — rows-only check (sketches are engine-specific)")
+      notes = "HLL++ sketch — rows-only check (sketches are engine-specific)"),
+
+    // ── Mergeable HLL sketch rollup (the pre-aggregated distinct table) ─
+    // q29 is a one-shot approx distinct; THIS is the pattern that makes
+    // sketches matter at 100 TB: materialize per-(day, event_type)
+    // DataSketches HLL sketches ONCE (a daily rollup table of a few KB per
+    // row), then answer any date-range distinct-users question by UNIONING
+    // sketches — never rescanning events. HLL union takes the per-bucket
+    // register max, exactly what a direct build over the concatenated data
+    // computes, so merging daily sketches loses nothing vs sketching raw
+    // (HllSketchSpec pins estimate equality, plus a ±5% accuracy band vs
+    // exact and cross-run determinism). Two hash-agg shuffles, both
+    // map-side partial: (day, type)-keyed build, then type-keyed union of
+    // DAYS-many sketch blobs, not rows. Rows-only: the sketch registers
+    // are engine-specific (DuckDB's approx sketch differs).
+    QueryDef("q82_hll_sketch_rollup", (s, d) => {
+      val day = to_date(timestamp_micros(
+        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+      t(s, d, "events")
+        .groupBy(day.as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .groupBy("event_type")
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("est_users"),
+          count(lit(1)).as("n_days"))
+    }, None,
+      notes = "per-day HLL sketch rollup unioned per event_type (mergeable distinct-count table); rows-only (sketch registers are engine-specific)")
   )
 }

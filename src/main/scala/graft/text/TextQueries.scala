@@ -674,6 +674,68 @@ object TextQueries {
         CAST(COALESCE(SUM(n_tokens) FILTER (status = 'kept'), 0) AS BIGINT)
           AS kept_tokens
       FROM labeled GROUP BY source"""),
-      notes = "composed curation manifest: prefix-fp dedup -> 15-token floor -> per-source quartile gate, first-failing-gate label, per-source outcome counts + kept token mass")
+      notes = "composed curation manifest: prefix-fp dedup -> 15-token floor -> per-source quartile gate, first-failing-gate label, per-source outcome counts + kept token mass"),
+
+    // ── Deterministic negative-pair sampling (contrastive training) ────
+    // Embedding/reranker training needs (anchor, negative) pairs that are
+    // (a) cross-domain, (b) pseudo-random, (c) REPRODUCIBLE — a re-run on
+    // different cluster sizes must emit the same pairs or training isn't
+    // auditable. Construction: index each source's docs in the q51
+    // content-hash order (per-source windows — partition-parallel, no
+    // global sort), then anchor i of source s takes negatives at positions
+    // (i + 1) and (i + 17) mod |t| of the NEXT source t = (s+1) mod
+    // n_sources. The hash order makes the pairing effectively random;
+    // the ring structure guarantees every pair is cross-source and every
+    // target doc serves ≈ k anchors (balanced negative usage, no hot
+    // docs). Shapes: two broadcast joins (1-row source count via
+    // crossJoin — BNLJ by design, whitelisted; 20-row per-source counts),
+    // one (source, position)-keyed shuffle join moving id-only triples.
+    // At 100 TB nothing here touches text or embeddings — the pair
+    // manifest joins payloads back later, by id.
+    QueryDef("q83_negative_pairs", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val idx = docs.select(col("doc_id"), col("source"))
+        .withColumn("i", (row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc))
+          - 1).cast("long"))
+      val nsrc = docs.agg(countDistinct(col("source")).as("ns"))
+      val cnts = docs.groupBy(col("source").as("tsrc"))
+        .agg(count(lit(1)).as("cnt"))
+      val anchors = idx.crossJoin(broadcast(nsrc))
+        .withColumn("tsrc", concat(lit("src"),
+          ((expr("try_cast(substring(source, 4) AS int)") + 1) % col("ns"))
+            .cast("string")))
+        .select(col("doc_id").as("anchor_doc"), col("i"), col("tsrc"))
+      val cand = anchors.join(broadcast(cnts), "tsrc")
+        .withColumn("ofs", explode(array(lit(1L), lit(17L))))
+        .withColumn("j", (col("i") + col("ofs")) % col("cnt"))
+      cand.join(
+        idx.select(col("source").as("tsrc"), col("i").as("j"),
+          col("doc_id").as("neg_doc")),
+        Seq("tsrc", "j"))
+        .select(col("anchor_doc"), col("neg_doc"), col("ofs"))
+    }, Some("""
+      WITH idx AS (
+        SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS i
+        FROM documents),
+      nsrc AS (SELECT count(DISTINCT source) AS ns FROM documents),
+      cnts AS (SELECT source AS tsrc, CAST(count(*) AS BIGINT) AS cnt
+               FROM documents GROUP BY source),
+      anchors AS (
+        SELECT idx.doc_id AS anchor_doc, idx.i,
+          'src' || CAST((TRY_CAST(substr(idx.source, 4) AS INT) + 1) % nsrc.ns
+            AS VARCHAR) AS tsrc
+        FROM idx CROSS JOIN nsrc),
+      cand AS (
+        SELECT a.anchor_doc, a.tsrc, ofs.ofs, (a.i + ofs.ofs) % c.cnt AS j
+        FROM anchors a
+        JOIN cnts c USING (tsrc)
+        CROSS JOIN (SELECT CAST(unnest([1, 17]) AS BIGINT) AS ofs) ofs)
+      SELECT cand.anchor_doc, idx.doc_id AS neg_doc, cand.ofs
+      FROM cand JOIN idx ON idx.source = cand.tsrc AND idx.i = cand.j"""),
+      notes = "reproducible cross-source negative pairs: per-source hash-order ring, k=2 offset draws per anchor, id-only shuffles")
   )
 }

@@ -22,7 +22,8 @@ class QueryCatalogSpec extends SparkSpec {
     val noOracle = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == Set("q29_approx_distinct", "q36_minhash_lsh",
       "q37_simhash", "q41_ann_lsh", "q42b_ann_ivf", "q62_dup_clusters_lsh",
-      "q68_cosine_pairs_lsh", "q75_bpe_train", "q78_bpe_batch"),
+      "q68_cosine_pairs_lsh", "q75_bpe_train", "q78_bpe_batch",
+      "q82_hll_sketch_rollup"),
       "only engine-specific-hash / approximate / sequential-merge ops may omit the oracle")
   }
 

@@ -115,10 +115,12 @@ class PlanContractSpec extends SparkSpec {
     // side meets a non-equi (or absent) condition BY DESIGN: q39 (guarded
     // all-pairs baseline), q40 (broadcast query side, <> condition), q42b
     // and q74 (broadcast centroid assignment via the shared ivfAssign),
-    // q50 and q77 (broadcast 1-row corpus count). Anywhere else it means a
-    // join key got lost. CartesianProduct is never acceptable.
+    // q50, q77 and q83 (broadcast 1-row corpus/source count). Anywhere
+    // else it means a join key got lost. CartesianProduct is never
+    // acceptable.
     val bnljWhitelist = Set("q39_cosine_dup_pairs", "q40_ann_topk",
-      "q42b_ann_ivf", "q74_semantic_dedup", "q50_tfidf", "q77_unigram_lm")
+      "q42b_ann_ivf", "q74_semantic_dedup", "q50_tfidf", "q77_unigram_lm",
+      "q83_negative_pairs")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -148,4 +148,23 @@ class CurationPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected)
   }
+
+  test("q83 negative pairs: 2 per anchor, all cross-source, reproducible") {
+    val ds = docs()
+    val srcOf = ds.map(d => d.id -> d.source).toMap
+    def run(): Set[(Long, Long, Long)] =
+      graft.SparkEntry.queries("q83_negative_pairs")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pairs = run()
+    assert(pairs.size == ds.size * 2, "every anchor draws exactly 2 negatives")
+    assert(pairs.groupBy(_._1).keySet == ds.map(_.id).toSet)
+    pairs.foreach { case (a, n, _) =>
+      assert(srcOf(a) != srcOf(n), s"pair ($a, $n) is same-source")
+    }
+    // target docs serve a balanced number of anchors (ring property):
+    // with equal source sizes every doc appears as a negative exactly twice
+    val usage = pairs.toSeq.groupBy(_._2).values.map(_.size).toSet
+    assert(usage == Set(2), s"negative usage unbalanced: $usage")
+    assert(run() == pairs, "pairing must be reproducible across runs")
+  }
 }
