@@ -736,6 +736,45 @@ object TextQueries {
         CROSS JOIN (SELECT CAST(unnest([1, 17]) AS BIGINT) AS ofs) ofs)
       SELECT cand.anchor_doc, idx.doc_id AS neg_doc, cand.ofs
       FROM cand JOIN idx ON idx.source = cand.tsrc AND idx.i = cand.j"""),
-      notes = "reproducible cross-source negative pairs: per-source hash-order ring, k=2 offset draws per anchor, id-only shuffles")
+      notes = "reproducible cross-source negative pairs: per-source hash-order ring, k=2 offset draws per anchor, id-only shuffles"),
+
+    // ── Document chunking with overlap (context-window splitting) ──────
+    // The preprocessing step between curation and training/RAG indexing:
+    // split each doc into 40-token chunks on a 30-token stride (10-token
+    // overlap so no boundary context is lost), keeping the trailing
+    // remainder chunk. Pure narrow explode — tokens split once, chunk
+    // starts generated per doc, each chunk sliced from the SAME token
+    // array (no re-parse, no shuffle; the q75 materialize-once lesson).
+    // Chunk identity is (doc_id, chunk_id = start/stride) so downstream
+    // embedding/indexing jobs join back deterministically. At 100 TB this
+    // is a scan-project whose output is ~4/3 the input tokens (the
+    // overlap tax) — the fan-out is bounded and proportional, never
+    // quadratic; empty docs emit no chunks by construction.
+    QueryDef("q84_doc_chunks", (s, d) => {
+      val toksCol = filter(split(col("text"), " "),
+        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      t(s, d, "documents")
+        .select(col("doc_id"), toksCol.as("tk"))
+        .filter(size(col("tk")) > 0)
+        .withColumn("s", explode(sequence(lit(0), size(col("tk")) - 1, lit(30))))
+        .select(col("doc_id"),
+          expr("s div 30").as("chunk_id"),
+          least(lit(40), size(col("tk")) - col("s")).cast("long")
+            .as("n_chunk_tokens"),
+          array_join(slice(col("tk"), col("s") + 1, lit(40)), " ")
+            .as("chunk_text"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, unnest(range(0, len(tk), 30)) AS s, tk FROM toks)
+      SELECT doc_id,
+        CAST(s / 30 AS BIGINT) AS chunk_id,
+        CAST(least(40, len(tk) - s) AS BIGINT) AS n_chunk_tokens,
+        array_to_string(tk[s + 1 : s + 40], ' ') AS chunk_text
+      FROM chunks"""),
+      notes = "40-token chunks on a 30-token stride (10 overlap), trailing remainder kept; narrow explode, no shuffle")
   )
 }

@@ -51,7 +51,7 @@ class PlanContractSpec extends SparkSpec {
 
   test("narrow text/vector maps stay shuffle-free") {
     Seq("q30_text_stats", "q33_fingerprint", "q60_redact",
-      "q65_repetition", "q67_quantize_embeddings").foreach { q =>
+      "q65_repetition", "q67_quantize_embeddings", "q84_doc_chunks").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
     }

@@ -167,4 +167,28 @@ class CurationPipelineSpec extends SparkSpec {
     assert(usage == Set(2), s"negative usage unbalanced: $usage")
     assert(run() == pairs, "pairing must be reproducible across runs")
   }
+
+  test("q84 chunks tile every document: contiguous ids, full coverage, exact overlap") {
+    val ds = docs()
+    val byDoc = graft.SparkEntry.queries("q84_doc_chunks")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(byDoc.keySet == ds.filter(_.nTokens > 0).map(_.id).toSet)
+    ds.filter(_.nTokens > 0).foreach { d =>
+      val chunks = byDoc(d.id).sortBy(_._2)
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong),
+        s"doc ${d.id}: chunk ids not contiguous")
+      chunks.foreach { case (_, cid, n, text) =>
+        val start = (cid * 30).toInt
+        val expectTokens = d.toks.slice(start, start + 40)
+        assert(n == expectTokens.length && text == expectTokens.mkString(" "),
+          s"doc ${d.id} chunk $cid: content mismatch")
+      }
+      // the last chunk reaches the end of the doc
+      val (_, lastId, lastN, _) = chunks.last
+      assert(lastId * 30 + lastN == d.nTokens,
+        s"doc ${d.id}: coverage stops short of the last token")
+    }
+  }
 }
