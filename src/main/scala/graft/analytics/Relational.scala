@@ -502,6 +502,43 @@ object Relational {
       FROM events GROUP BY 1, 2"""),
       notes = "tumbling daily window as batch groupBy (streaming twin in graft.streaming)"),
 
+    // ── Sliding event-time windows (30 min window, 15 min slide) ───────
+    // The sliding counterpart of q25's tumbling day: every event lands in
+    // exactly window/slide = 2 windows, generated by explicit floor-div
+    // bucket arithmetic (the MicrosFloorDivSpec-pinned q25/q26 pattern)
+    // instead of the built-in `window()` struct — bucket starts stay
+    // BIGINT micros, bit-identical to the DuckDB `//` twin even for
+    // pre-1970 timestamps, so the query is fully hash-gated. Shape: one
+    // narrow 2× explode then a (window, type)-keyed hash-agg with
+    // map-side partials — the overlap tax is the bounded ×2 fan-out, the
+    // shuffle carries only group rows. The streaming twin is a
+    // `window(col, "30 minutes", "15 minutes")` groupBy under a
+    // watermark; this batch form is its backfill/replay equivalent.
+    QueryDef("q85_sliding_windows", (s, d) => {
+      val slide = 900000000L // 15 min in micros; window = 2 slides
+      t(s, d, "events")
+        .withColumn("t_us",
+          expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("base",
+          expr(s"t_us div ${slide}L - (CASE WHEN t_us % ${slide}L < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("k", explode(array(lit(0L), lit(1L))))
+        .select(((col("base") - col("k")) * slide).as("window_start_us"),
+          col("event_type"), col("value"))
+        .groupBy("window_start_us", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }, Some("""
+      WITH e AS (
+        SELECT epoch_ns(ts) // 1000 AS t_us, event_type, value FROM events),
+      x AS (
+        SELECT (t_us // 900000000 - k.k) * 900000000 AS window_start_us,
+          event_type, value
+        FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+      SELECT CAST(window_start_us AS BIGINT) AS window_start_us, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM x GROUP BY 1, 2"""),
+      notes = "sliding 30-min/15-min event windows via floor-div bucket arithmetic (exact cross-engine), 2x bounded fan-out + keyed agg"),
+
     // ── Sessionization (gap-based, window-over-window) ─────────────────
     QueryDef("q26_sessionize", (s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)

@@ -58,6 +58,22 @@ class AdversarialEventsSpec extends SparkSpec {
     assert(graft.SparkEntry.queries("q49_asof_join")(spark, dir).collect().isEmpty)
   }
 
+  test("q85 sliding windows: true floor bucketing for pre-1970 timestamps") {
+    // hand-computed: each event lands in windows (floor(t_us/S) - {0,1})·S;
+    // truncating `div` without the negative-remainder correction would put
+    // ev0 (-6e9 us, -6.667 slides) in buckets -6/-7 instead of -7/-8
+    val S = 900000000L // 15-min slide in micros
+    val out = graft.SparkEntry.queries("q85_sliding_windows")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = Map(
+      (-8L * S, "click") -> 1L, (-7L * S, "click") -> 2L, (-6L * S, "click") -> 1L,
+      (0L, "click") -> 2L, (-S, "click") -> 2L,
+      (13L * S, "click") -> 1L, (12L * S, "click") -> 1L,
+      (2L * S, "view") -> 1L, (S, "view") -> 1L,
+      (0L, "view") -> 1L, (-S, "view") -> 1L)
+    assert(out == expected, s"got $out")
+  }
+
   test("q27 json extract: null and malformed props become NULL, not errors") {
     val out = graft.SparkEntry.queries("q27_json_extract")(spark, dir)
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
