@@ -775,6 +775,84 @@ object TextQueries {
         CAST(least(40, len(tk) - s) AS BIGINT) AS n_chunk_tokens,
         array_to_string(tk[s + 1 : s + 40], ' ') AS chunk_text
       FROM chunks"""),
-      notes = "40-token chunks on a 30-token stride (10 overlap), trailing remainder kept; narrow explode, no shuffle")
+      notes = "40-token chunks on a 30-token stride (10 overlap), trailing remainder kept; narrow explode, no shuffle"),
+
+    // ── BM25 keyword retrieval (lexical complement of the ANN surface) ─
+    // Score every document against a fixed query-term set with Lucene-
+    // style BM25 (k1 = 1.2, b = 0.75, idf = ln(1 + (N-df+.5)/(df+.5)))
+    // and return the top-20 — hybrid (lexical + vector) retrieval's other
+    // half next to q40/q41/q42b. Terms mix common and rare tokens so the
+    // idf spread is exercised. Exactness: every double expression is
+    // mirrored sub-term-for-sub-term in the oracle with EXPLICIT double
+    // casts — integer-looking literals like 0.5 are DECIMAL in SQL
+    // engines and decimal arithmetic diverges from Spark's doubles, so
+    // idf uses the integer-preserving form (2(N-df)+1)/(2df+1) and every
+    // BIGINT enters the formula through CAST AS DOUBLE; per-(doc, term)
+    // scores round to micro-units (BIGINT) so the per-doc sum is
+    // order-independent (the q77 trick), and the top-20 orders by the
+    // exact integer sum with a doc_id tiebreak. Shapes: the query-term
+    // filter prunes the token stream BEFORE any shuffle; df/avgdl/N are
+    // KB-sized broadcasts; one (doc, term) agg + one doc agg +
+    // TakeOrderedAndProject. At 100 TB the term filter is the whole
+    // point — only postings for the query terms move.
+    QueryDef("q86_bm25", (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val tot = toks.agg(count(lit(1)).as("t_toks"))
+      val qt = toks.filter(col("tok").isin("query", "dup", "scan"))
+      val dfT = qt.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val tf = qt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val terms = tf.join(dl, "doc_id")
+        .crossJoin(broadcast(stats)).crossJoin(broadcast(tot))
+        .join(broadcast(dfT), "tok")
+        .withColumn("micro", round(
+          log(lit(1.0) +
+            (lit(2) * (col("n_docs") - col("df")) + lit(1)).cast("double") /
+              (lit(2) * col("df") + lit(1)))
+            * col("tf").cast("double") * lit(2.2)
+            / (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * col("dl").cast("double") /
+                  (col("t_toks").cast("double") / col("n_docs").cast("double"))))
+            * 1000000).cast("long"))
+      terms.groupBy("doc_id")
+        .agg(sum(col("micro")).as("s"), count(lit(1)).as("n_terms"))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"),
+          round(col("s").cast("double") / 1e6, 6).as("bm25"), col("n_terms"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS t_toks FROM toks),
+      q AS (SELECT unnest(['query', 'dup', 'scan']) AS tok),
+      df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             FROM toks JOIN q USING (tok) GROUP BY tok),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM toks JOIN q USING (tok) GROUP BY doc_id, tok),
+      terms AS (
+        SELECT tf.doc_id,
+          CAST(ROUND(
+            LN(1.0 + CAST(2 * (stats.n_docs - df.df) + 1 AS DOUBLE)
+                / (2 * df.df + 1))
+            * CAST(tf.tf AS DOUBLE) * 2.2
+            / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+                + 0.75 * CAST(dl.dl AS DOUBLE)
+                  / (CAST(tot.t_toks AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+            * 1000000) AS BIGINT) AS micro
+        FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN tot
+        JOIN df ON df.tok = tf.tok),
+      scored AS (
+        SELECT doc_id, SUM(micro) AS s, CAST(count(*) AS BIGINT) AS n_terms
+        FROM terms GROUP BY doc_id)
+      SELECT doc_id, round(CAST(s AS DOUBLE) / 1000000.0, 6) AS bm25, n_terms
+      FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20"""),
+      notes = "Lucene-style BM25 top-20 for a fixed query-term set (k1=1.2, b=0.75): term-filtered postings, broadcast corpus stats, micro-unit exact scores")
   )
 }
