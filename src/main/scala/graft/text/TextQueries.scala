@@ -853,6 +853,54 @@ object TextQueries {
         FROM terms GROUP BY doc_id)
       SELECT doc_id, round(CAST(s AS DOUBLE) / 1000000.0, 6) AS bm25, n_terms
       FROM scored ORDER BY s DESC, doc_id ASC LIMIT 20"""),
-      notes = "Lucene-style BM25 top-20 for a fixed query-term set (k1=1.2, b=0.75): term-filtered postings, broadcast corpus stats, micro-unit exact scores")
+      notes = "Lucene-style BM25 top-20 for a fixed query-term set (k1=1.2, b=0.75): term-filtered postings, broadcast corpus stats, micro-unit exact scores"),
+
+    // ── Proximity search (positional postings) ─────────────────────────
+    // The position-AWARE half of lexical retrieval: find documents where
+    // 'query' and 'scan' occur within 2 tokens of each other (phrase-ish
+    // matching), reporting the closest distance and how many position
+    // pairs exist. This is the positional-postings shape: posexplode
+    // tags each term occurrence with its position, the term filter prunes
+    // the stream before any shuffle (only postings for the two terms
+    // move), and the per-doc position join is bounded by tf_a × tf_b —
+    // per-document arithmetic, never corpus-quadratic; a pathological
+    // doc repeating both terms thousands of times would hit a tf cap
+    // first (the q64 MaxGramDf pattern applies verbatim). One doc-keyed
+    // join + one doc-keyed agg.
+    QueryDef("q87_proximity", (s, d) => {
+      val tagged = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0)))
+          .as(Seq("p0", "tok")))
+        .filter(col("tok").isin("query", "scan"))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+      val a = tagged.filter(col("tok") === "query")
+        .select(col("doc_id"), col("p").as("pa"))
+      val b = tagged.filter(col("tok") === "scan")
+        .select(col("doc_id"), col("p").as("pb"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"), abs(col("pa") - col("pb")).as("dist"))
+        .groupBy("doc_id")
+        .agg(min(col("dist")).as("min_dist"), count(lit(1)).as("n_pairs"))
+        .filter(col("min_dist") <= 2)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(range(1, len(tk) + 1)) AS p, tk FROM toks),
+      tagged AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p, tk[p] AS tok FROM pos
+        WHERE tk[p] IN ('query', 'scan')),
+      a AS (SELECT doc_id, p AS pa FROM tagged WHERE tok = 'query'),
+      b AS (SELECT doc_id, p AS pb FROM tagged WHERE tok = 'scan'),
+      pairs AS (
+        SELECT a.doc_id, abs(a.pa - b.pb) AS dist
+        FROM a JOIN b USING (doc_id))
+      SELECT doc_id, CAST(min(dist) AS BIGINT) AS min_dist,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY doc_id HAVING min(dist) <= 2"""),
+      notes = "positional-postings proximity search: 'query' within 2 tokens of 'scan'; term filter before any shuffle, per-doc bounded position join")
   )
 }
