@@ -70,13 +70,17 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition. The imperative loop
     * touches each payload exactly once per partition; no bytes cross the
-    * shuffle boundary. */
+    * shuffle boundary. Metadata goes through [[HeaderCodec]] FIRST — real
+    * PNG/WAV header parsing, byte arithmetic only — and falls back to the
+    * stub for unknown/corrupt containers, so ingest never crashes and
+    * only pixel/sample decode remains stubbed. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         MediaFeatures(r.media_id,
-          FakeCodec.decode(r.kind, r.content),
+          HeaderCodec.decode(r.kind, r.content)
+            .getOrElse(FakeCodec.decode(r.kind, r.content)),
           FakeCodec.extractFeatures(r.content))
       }
     }
