@@ -630,6 +630,102 @@ object SimilarityQueries {
              FROM w2l)
       SELECT v.vec_id, round(list_dot_product(v.e, v2.vv), 6) AS pc1_score
       FROM v CROSS JOIN v2"""),
-      notes = "top principal component by 2 power-iteration steps (driver-held 64-double state, micro-unit exact per-dim sums); per-doc PC1 projection scores")
+      notes = "top principal component by 2 power-iteration steps (driver-held 64-double state, micro-unit exact per-dim sums); per-doc PC1 projection scores"),
+
+    // ── Hybrid retrieval: reciprocal-rank fusion of BM25 + cosine ──────
+    // The composition hybrid search actually runs: the LEXICAL ranking
+    // (q86's exact BM25 integer scores via TextQueries.bm25MicroScores —
+    // both queries rank the SAME micro-unit sums) fused with a VECTOR
+    // ranking (cosine to a fixed query embedding, vec_id 0, over the
+    // embeddings table whose ids align with doc_ids in the driver
+    // testdata) by RRF: score = Σ 1/(60 + rank), the standard k=60 form.
+    // Docs missing from one list contribute nothing from it (full outer
+    // join + coalesce) — RRF's defined behavior. Exactness: ranks are
+    // integers from totally-tiebroken orderings (exact BIGINT BM25 sums;
+    // 6dp-rounded cosines, q39-proven cross-engine); 1/(60+r) on integer
+    // r is identical IEEE everywhere, so the fusion is fully hash-gated.
+    // Scale: both arms are top-N candidate lists in production, so the
+    // rank windows run over bounded candidate sets, not the corpus — the
+    // unpartitioned window here covers the 500-doc demo corpus and would
+    // be fed by q41/q42b + q86-top-N at 100 TB; the fusion join moves
+    // (id, rank) pairs only.
+    QueryDef("q88_hybrid_rrf", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.text.TextQueries.bm25MicroScores(s, d)
+        .withColumn("r_lex", row_number()
+          .over(Window.orderBy(col("s").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("r_lex"))
+      val v = vecs(s, d)
+      val qv = v.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("norm").as("qn"))
+      val vec = v.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .withColumn("cos_sim", cosine("v", "qv", "norm", "qn"))
+        .withColumn("r_vec", row_number()
+          .over(Window.orderBy(col("cos_sim").desc, col("vec_id").asc))
+          .cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(15)
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_vec"), lit(0L)).as("r_vec"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS t_toks FROM toks),
+      q AS (SELECT unnest(['query', 'dup', 'scan']) AS tok),
+      df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             FROM toks JOIN q USING (tok) GROUP BY tok),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM toks JOIN q USING (tok) GROUP BY doc_id, tok),
+      terms AS (
+        SELECT tf.doc_id,
+          CAST(ROUND(
+            LN(1.0 + CAST(2 * (stats.n_docs - df.df) + 1 AS DOUBLE)
+                / (2 * df.df + 1))
+            * CAST(tf.tf AS DOUBLE) * 2.2
+            / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+                + 0.75 * CAST(dl.dl AS DOUBLE)
+                  / (CAST(tot.t_toks AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+            * 1000000) AS BIGINT) AS micro
+        FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN tot
+        JOIN df ON df.tok = tf.tok),
+      scored AS (SELECT doc_id, SUM(micro) AS s FROM terms GROUP BY doc_id),
+      lex AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT)
+            AS r_lex
+        FROM scored),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      qv AS (SELECT e FROM v WHERE vec_id = 0),
+      cos AS (
+        SELECT v.vec_id AS doc_id,
+          round(list_dot_product(v.e, qv.e) /
+            (sqrt(list_dot_product(v.e, v.e))
+              * sqrt(list_dot_product(qv.e, qv.e))), 6) AS cos_sim
+        FROM v CROSS JOIN qv WHERE v.vec_id <> 0),
+      vec AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT)
+            AS r_vec
+        FROM cos),
+      fused AS (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+          COALESCE(CAST(1 AS DOUBLE) / (60 + lex.r_lex), 0)
+            + COALESCE(CAST(1 AS DOUBLE) / (60 + vec.r_vec), 0) AS rrf,
+          lex.r_lex, vec.r_vec
+        FROM lex FULL OUTER JOIN vec USING (doc_id))
+      SELECT doc_id, round(rrf, 6) AS rrf,
+        COALESCE(r_lex, 0) AS r_lex, COALESCE(r_vec, 0) AS r_vec
+      FROM fused ORDER BY fused.rrf DESC, doc_id ASC LIMIT 15"""),
+      notes = "hybrid search: RRF (k=60) fusion of the exact BM25 ranking with a cosine-to-query-vector ranking; full-outer rank join, id+rank pairs only")
   )
 }

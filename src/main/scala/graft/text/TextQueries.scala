@@ -26,6 +26,39 @@ object TextQueries {
       |         slice(tk, 2, greatest(size(tk) - 1, 0)),
       |         (a, b) -> concat(a, ' ', b))""".stripMargin
 
+  /** BM25 micro-unit scores (doc_id, s: BIGINT, n_terms) for the fixed
+    * demo term set ('query', 'dup', 'scan') — the q86 scoring core,
+    * shared with the hybrid-fusion q88 so both rank the SAME exact
+    * integer scores. Every double sub-expression is mirrored term-for-
+    * term in the q86/q88 oracles (explicit DOUBLE casts, integer-
+    * preserving idf form); see q86's scaladoc for the rationale. */
+  private[graft] def bm25MicroScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(filter(split(col("text"), " "),
+        (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val tot = toks.agg(count(lit(1)).as("t_toks"))
+    val qt = toks.filter(col("tok").isin("query", "dup", "scan"))
+    val dfT = qt.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = qt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(tot))
+      .join(broadcast(dfT), "tok")
+      .withColumn("micro", round(
+        log(lit(1.0) +
+          (lit(2) * (col("n_docs") - col("df")) + lit(1)).cast("double") /
+            (lit(2) * col("df") + lit(1)))
+          * col("tf").cast("double") * lit(2.2)
+          / (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl").cast("double") /
+                (col("t_toks").cast("double") / col("n_docs").cast("double"))))
+          * 1000000).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("micro")).as("s"), count(lit(1)).as("n_terms"))
+  }
+
   /** Occurrences of `word` as a standalone token, via \b word-boundary
     * regex — correct for ADJACENT repeats ("the the the" = 3), which a
     * substring-replace count would miss (non-overlapping replace consumes
@@ -796,29 +829,7 @@ object TextQueries {
     // TakeOrderedAndProject. At 100 TB the term filter is the whole
     // point — only postings for the query terms move.
     QueryDef("q86_bm25", (s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(filter(split(col("text"), " "),
-          (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
-      val tot = toks.agg(count(lit(1)).as("t_toks"))
-      val qt = toks.filter(col("tok").isin("query", "dup", "scan"))
-      val dfT = qt.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-      val tf = qt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val terms = tf.join(dl, "doc_id")
-        .crossJoin(broadcast(stats)).crossJoin(broadcast(tot))
-        .join(broadcast(dfT), "tok")
-        .withColumn("micro", round(
-          log(lit(1.0) +
-            (lit(2) * (col("n_docs") - col("df")) + lit(1)).cast("double") /
-              (lit(2) * col("df") + lit(1)))
-            * col("tf").cast("double") * lit(2.2)
-            / (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-                lit(0.75) * col("dl").cast("double") /
-                  (col("t_toks").cast("double") / col("n_docs").cast("double"))))
-            * 1000000).cast("long"))
-      terms.groupBy("doc_id")
-        .agg(sum(col("micro")).as("s"), count(lit(1)).as("n_terms"))
+      bm25MicroScores(s, d)
         .orderBy(col("s").desc, col("doc_id").asc).limit(20)
         .select(col("doc_id"),
           round(col("s").cast("double") / 1e6, 6).as("bm25"), col("n_terms"))
