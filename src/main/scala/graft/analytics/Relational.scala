@@ -972,6 +972,111 @@ object Relational {
             .as("est_users"),
           count(lit(1)).as("n_days"))
     }, None,
-      notes = "per-day HLL sketch rollup unioned per event_type (mergeable distinct-count table); rows-only (sketch registers are engine-specific)")
+      notes = "per-day HLL sketch rollup unioned per event_type (mergeable distinct-count table); rows-only (sketch registers are engine-specific)"),
+
+    // ── Global contiguous row numbering (two-pass, no global window) ───
+    // `row_number() OVER (ORDER BY ...)` with an empty PARTITION BY pulls
+    // the ENTIRE table through one Exchange SinglePartition — the classic
+    // 100 TB killer (one task sorts everything). This is the distributed
+    // twin: (1) range-partition on the order key so partition i holds a
+    // contiguous slice of the global order, sort within partitions, and
+    // let `monotonically_increasing_id` stamp pid<<33|row — a NARROW
+    // projection, no window at all on the data path; (2) aggregate the
+    // per-partition counts (32 rows), cumulative-sum them into offsets —
+    // the only single-partition work is over partition COUNT, not rows —
+    // and broadcast-join the offsets back. global_id = offset + local + 1
+    // reproduces the exact rank in total order because RangePartitioning
+    // orders partitions and the local sort completes the total order
+    // ((source, doc_id) is a unique key). The double reference to the
+    // ranged base is one physical exchange (ReuseExchange). Plan contract
+    // in PlanContractSpec: every Window / SinglePartition exchange sits
+    // above the tiny count aggregate, never the raw table.
+    QueryDef("q89_global_ids", (s, d) => {
+      val base = t(s, d, "documents").select("doc_id", "source")
+        .repartitionByRange(32, col("source"), col("doc_id"))
+        .sortWithinPartitions("source", "doc_id")
+        .withColumn("mid", monotonically_increasing_id())
+        .withColumn("pid", shiftrightunsigned(col("mid"), 33).cast("int"))
+      val offW = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+        .select("pid", "offset")
+      base.join(broadcast(offsets), "pid")
+        .select(col("doc_id"), col("source"),
+          (col("offset") + (col("mid") % (1L << 33)) + 1L).as("global_id"))
+    }, Some("""
+      SELECT doc_id, source,
+        row_number() OVER (ORDER BY source, doc_id) AS global_id
+      FROM documents"""),
+      notes = "global contiguous ids WITHOUT a single-partition window: range partition + local sort + monotonic ids + 32-row offset table broadcast back"),
+
+    // ── Bloom-prefiltered semi join ────────────────────────────────────
+    // The shuffled-semi-join killer at 100 TB: when the dim key set can't
+    // broadcast exactly but its bloom SKETCH can, prefilter the fact with
+    // a codegen'd membership probe BEFORE the exchange — shuffle volume
+    // drops by the join selectivity (~80% here), and the exact semi join
+    // afterwards removes the sketch's false positives, so the result is
+    // bit-identical to the plain semi join the oracle runs. See
+    // BloomPrune's scaladoc for the relationship to AQE's runtime bloom
+    // filters; BloomPruneSpec pins no-false-negatives, fpp sanity, and
+    // the filter-below-the-join plan shape.
+    QueryDef("q90_bloom_semi", (s, d) => {
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.operators.BloomPrune
+        .semiJoin(t(s, d, "lineitem"), "l_orderkey", dim, "o_orderkey", fpp = 0.01)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+      FROM lineitem
+      WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      GROUP BY l_returnflag"""),
+      notes = "bloom-prefiltered exact semi join (sketch prunes the probe side pre-shuffle; exact join removes false positives)"),
+
+    // ── Z-order key (Morton interleave, cross-engine exact) ────────────
+    // The clustering key behind ZOrderLayout, surfaced as an oracled
+    // query: both engines compute the SAME bit-interleave — Spark via the
+    // codegen graft_zorder expression, DuckDB via the identical magic-mask
+    // shift chain spelled out in SQL (16-bit inputs keep every shift
+    // overflow-free in BIGINT). Hash-gating this pins the expression's
+    // arithmetic against an independent implementation; ZOrderSpec pins
+    // the layout consequence (min/max skipping on both dimensions).
+    QueryDef("q91_zorder_key", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          call_function("graft_zorder",
+            col("l_partkey") % 32768L, col("l_suppkey") % 32768L).as("z"))
+        .orderBy(col("z").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100)
+    }, Some("""
+      WITH b AS (
+        SELECT l_orderkey, l_linenumber,
+          l_partkey % 32768 AS xa, l_suppkey % 32768 AS xb
+        FROM lineitem),
+      s1 AS (SELECT l_orderkey, l_linenumber,
+        ((xa | (xa << 8)) & 16711935) AS a1,
+        ((xb | (xb << 8)) & 16711935) AS b1 FROM b),
+      s2 AS (SELECT l_orderkey, l_linenumber,
+        ((a1 | (a1 << 4)) & 252645135) AS a2,
+        ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+      s3 AS (SELECT l_orderkey, l_linenumber,
+        ((a2 | (a2 << 2)) & 858993459) AS a3,
+        ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+      s4 AS (SELECT l_orderkey, l_linenumber,
+        ((a3 | (a3 << 1)) & 1431655765) AS a4,
+        ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3)
+      SELECT l_orderkey, l_linenumber, CAST(a4 | (b4 << 1) AS BIGINT) AS z
+      FROM s4
+      ORDER BY z ASC, l_orderkey ASC, l_linenumber ASC
+      LIMIT 100"""),
+      notes = "Morton z-order key, bit-exact across engines (independent shift/mask oracle); top-100 with total tiebreak")
   )
 }

@@ -33,5 +33,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_intersect_card(a, b) takes two arrays")
         SortedLongIntersectCard(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_zorder(a, b) takes two BIGINT keys")
+        ZOrder2(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_bloom_contains(key, bloomBytes) takes a key and a foldable binary sketch")
+        require(exprs(1).foldable,
+          "graft_bloom_contains: the sketch argument must be a literal")
+        BloomMightContain(exprs(0), exprs(1).eval().asInstanceOf[Array[Byte]])
+      }))
   }
 }

@@ -149,6 +149,19 @@ object GraftFunctions {
     "graft_intersect_card" -> { exprs =>
       require(exprs.length == 2, "graft_intersect_card(a, b) takes two arrays")
       SortedLongIntersectCard(exprs(0), exprs(1))
+    },
+    "graft_zorder" -> { exprs =>
+      require(exprs.length == 2, "graft_zorder(a, b) takes two BIGINT keys")
+      ZOrder2(exprs(0), exprs(1))
+    },
+    "graft_bloom_contains" -> { exprs =>
+      require(exprs.length == 2,
+        "graft_bloom_contains(key, bloomBytes) takes a key and a foldable binary sketch")
+      require(exprs(1).foldable,
+        "graft_bloom_contains: the sketch argument must be a literal (fold the " +
+          "serialized BloomFilter in as lit(bytes))")
+      BloomMightContain(exprs(0),
+        exprs(1).eval().asInstanceOf[Array[Byte]])
     })
 
   def register(spark: SparkSession): Unit = {

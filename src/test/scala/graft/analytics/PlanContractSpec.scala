@@ -110,6 +110,30 @@ class PlanContractSpec extends SparkSpec {
       s"q80 lost its map-side partial aggregation:\n$p")
   }
 
+  test("q89: no full-data window; single-partition work is the offset table only") {
+    // the scale contract: the raw table flows through ONE range exchange
+    // and a narrow monotonic-id projection; the only Window, the only
+    // SinglePartition exchange, and both HashAggregates (partial+final
+    // pid counts) live in the tiny offset-table subtree, which prints
+    // BELOW the Window line; the offsets come back as a broadcast join
+    val p = plan("q89_global_ids")
+    val nRange = countOf(p, "Exchange rangepartitioning")
+    assert(nRange >= 1 && nRange <= 2, // 2 until AQE reuses the exchange
+      s"expected the one range exchange (maybe not yet reused):\n$p")
+    assert(countOf(p, "Window \\[") == 1, s"window count drifted:\n$p")
+    val wIdx = p.indexOf("Window [")
+    assert(countOf(p, "Exchange SinglePartition") == 1,
+      s"single-partition exchanges drifted:\n$p")
+    assert(p.indexOf("Exchange SinglePartition") > wIdx,
+      s"SinglePartition exchange escaped the offset subtree:\n$p")
+    assert(countOf(p, "HashAggregate") == 2,
+      s"expected exactly the partial+final pid-count aggregates:\n$p")
+    assert(p.indexOf("HashAggregate") > wIdx,
+      s"an aggregate escaped the offset subtree:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset table must join back as a broadcast:\n$p")
+  }
+
   test("no cartesian products anywhere; nested-loop joins only where intended") {
     // BroadcastNestedLoopJoin is legitimate exactly where a small broadcast
     // side meets a non-equi (or absent) condition BY DESIGN: q39 (guarded
