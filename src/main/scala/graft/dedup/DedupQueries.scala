@@ -585,6 +585,47 @@ object DedupQueries {
         FROM clusters c JOIN documents d USING (doc_id))
       SELECT cluster_id, doc_id AS canonical_doc, members
       FROM ranked WHERE rn = 1"""),
-      notes = "per-cluster survivor election (longest member wins, deterministic tiebreak) over q57's exact near-dup clusters")
+      notes = "per-cluster survivor election (longest member wins, deterministic tiebreak) over q57's exact near-dup clusters"),
+
+    // ── Cross-source overlap matrix (corpus contamination audit) ───────
+    // q64 answers "is my EVAL set in my training data"; this answers the
+    // corpus-level question "how much do my SOURCES overlap each other" —
+    // the audit run before mixing crawls that share upstream origins.
+    // Key: the q80 prefix fingerprint widened to 15 tokens (boilerplate/
+    // mirror detection). Shape: fingerprints aggregate per (fp, source)
+    // FIRST — so the self-join fans out per fp over at most |sources|
+    // rows, never over document rows (a fp shared by every source costs
+    // |sources|² pair rows, bounded by the catalog dimension, not the
+    // corpus) — then one fp-keyed shuffle join + a pair-keyed agg.
+    // n_doc_pairs = Σ cnt_a·cnt_b counts document-level collisions
+    // without ever materializing document pairs.
+    QueryDef("q93_source_overlap", (s, d) => {
+      val toks = filter(split(col("text"), " "),
+        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      val g = t(s, d, "documents")
+        .select(col("source"), md5(array_join(slice(toks, 1, 15), " ")).as("fp"))
+        .groupBy("fp", "source").agg(count(lit(1)).as("cnt"))
+      val a = g.select(col("fp"), col("source").as("source_a"), col("cnt").as("cnt_a"))
+      val b = g.select(col("fp"), col("source").as("source_b"), col("cnt").as("cnt_b"))
+      a.join(b, Seq("fp"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared_fps"),
+          sum(col("cnt_a") * col("cnt_b")).as("n_doc_pairs"))
+    }, Some("""
+      WITH f AS (
+        SELECT source,
+          md5(array_to_string(
+            list_filter(string_split(text, ' '), t -> len(t) > 0)[1:15], ' '))
+            AS fp
+        FROM documents),
+      g AS (SELECT fp, source, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM f GROUP BY 1, 2)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+        CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS n_doc_pairs
+      FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2"""),
+      notes = "pairwise source-overlap matrix on 15-token prefix fingerprints; (fp,source) pre-agg bounds the self-join fan-out by |sources|, not documents")
   )
 }

@@ -912,6 +912,95 @@ object TextQueries {
       SELECT doc_id, CAST(min(dist) AS BIGINT) AS min_dist,
         CAST(count(*) AS BIGINT) AS n_pairs
       FROM pairs GROUP BY doc_id HAVING min(dist) <= 2"""),
-      notes = "positional-postings proximity search: 'query' within 2 tokens of 'scan'; term filter before any shuffle, per-doc bounded position join")
+      notes = "positional-postings proximity search: 'query' within 2 tokens of 'scan'; term filter before any shuffle, per-doc bounded position join"),
+
+    // ── Mergeable heavy-hitter sketch rollup (frequent tokens) ─────────
+    // q44 computes exact token top-k with a full token-keyed shuffle; at
+    // 100 TB the right pattern is the q82 (HLL) one applied to frequent
+    // items: ACCUMULATE a bounded-size DataSketches frequent-items sketch
+    // per source partition, COMBINE the per-source sketches (sketch rows,
+    // not token rows, cross the final exchange), ESTIMATE top-k once.
+    // The per-source sketch table is the reusable artifact — any
+    // source-subset's heavy hitters come from unioning its sketches, no
+    // token rescan. maxItemsTracked=4096 bounds sketch memory; the
+    // estimate is exact whenever a source's distinct-token count stays
+    // under the tracked capacity (HeavyHittersSpec pins merge==direct==
+    // exact in that regime, plus determinism). Rows-only: the sketch
+    // registers and error bounds are engine-specific.
+    QueryDef("q92_heavy_hitters", (s, d) => {
+      val toks = filter(split(col("text"), " "),
+        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      t(s, d, "documents")
+        .select(col("source"), explode(toks).as("token"))
+        .groupBy("source")
+        .agg(expr("approx_top_k_accumulate(token, 4096)").as("sk"))
+        .agg(expr("approx_top_k_combine(sk, 4096)").as("csk"))
+        .select(explode(expr("approx_top_k_estimate(csk, 20)")).as("hh"))
+        .select(col("hh.item").as("token"), col("hh.count").as("est_count"))
+        .orderBy(col("est_count").desc, col("token").asc)
+    }, None,
+      notes = "mergeable frequent-items sketch rollup: per-source accumulate -> combine -> top-20 estimate; rows-only (sketch internals engine-specific), exactness regime pinned by HeavyHittersSpec"),
+
+    // ── Training-sequence packing (fixed-length block composition) ─────
+    // Pretraining data prep: concatenate the corpus in doc_id order and
+    // cut it into fixed B=512-token blocks that CROSS document boundaries
+    // (the GPT-style packing step), reporting each block's composition.
+    // Global token offsets come from the q89 two-pass pattern — range
+    // partition on doc_id, per-partition cumulative sums (pid-partitioned
+    // window, never a single-partition window over data), tiny
+    // per-partition token totals cumulated into offsets and broadcast
+    // back. Each doc then explodes into only the blocks it touches
+    // (fan-out ≤ n_tokens/B + 1, bounded), and a block-keyed hash-agg
+    // computes per-block doc counts and token mass. Three bounded
+    // full-data exchanges total (range, pid window, block agg) — no
+    // global sort, no driver loop.
+    QueryDef("q94_sequence_pack", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 512L
+      val toks = filter(split(col("text"), " "),
+        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val base = docs.repartitionByRange(32, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wLoc = Window.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val withEnd = base.withColumn("local_end", sum(col("n_tokens")).over(wLoc))
+      val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy("pid").agg(sum(col("n_tokens")).as("ptoks"))
+        .withColumn("toff", coalesce(sum(col("ptoks")).over(wOff), lit(0L)))
+        .select("pid", "toff")
+      withEnd.join(broadcast(offsets), "pid")
+        .withColumn("tend", col("toff") + col("local_end"))
+        .withColumn("tstart", col("tend") - col("n_tokens"))
+        .withColumn("block_id",
+          explode(sequence(expr(s"tstart div $B"), expr(s"(tend - 1) div $B"))))
+        .groupBy("block_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("tend"), (col("block_id") + 1) * B) -
+            greatest(col("tstart"), col("block_id") * B)).as("block_tokens"))
+    }, Some("""
+      WITH dtok AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+            AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tend
+        FROM dtok WHERE n_tokens > 0),
+      x AS (
+        SELECT doc_id, n_tokens, tend, tend - n_tokens AS tstart,
+          unnest(generate_series((tend - n_tokens) // 512, (tend - 1) // 512))
+            AS block_id
+        FROM c)
+      SELECT CAST(block_id AS BIGINT) AS block_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(LEAST(tend, (block_id + 1) * 512) -
+                 GREATEST(tstart, block_id * 512)) AS BIGINT) AS block_tokens
+      FROM x GROUP BY 1"""),
+      notes = "fixed-512-token training-block packing across doc boundaries: q89-style two-pass global offsets + bounded block-span explode + block-keyed agg")
   )
 }
