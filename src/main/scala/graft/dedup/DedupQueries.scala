@@ -626,6 +626,75 @@ object DedupQueries {
         CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS n_doc_pairs
       FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
       GROUP BY 1, 2"""),
-      notes = "pairwise source-overlap matrix on 15-token prefix fingerprints; (fp,source) pre-agg bounds the self-join fan-out by |sources|, not documents")
+      notes = "pairwise source-overlap matrix on 15-token prefix fingerprints; (fp,source) pre-agg bounds the self-join fan-out by |sources|, not documents"),
+
+    // ── Asymmetric containment (near-superset / quote detection) ───────
+    // q38's Jaccard is SYMMETRIC: a short doc quoted inside a long one
+    // scores |A|/|B| ≈ 0 and slips through. Containment C(A→B) =
+    // |A∩B|/|A| is the asymmetric fix (the suffix-dedup motivation from
+    // the dedup literature): a contained quote scores 1.0 regardless of
+    // the host's length. Candidates come from the q64 DF-capped inverted
+    // index — shared-gram collisions, fan-out ≤ MaxGramDf per gram, NOT
+    // all-pairs — then the exact verify joins gram arrays back for only
+    // the candidate ids and computes both directions with the codegen
+    // two-pointer intersect. On the sf0.01 corpus every τ≥0.8 hit is
+    // genuinely asymmetric (max-side containment < 1): pairs q38 cannot
+    // see. Shapes: gram-keyed shuffles + id-keyed candidate dedup; no
+    // quadratic stage.
+    QueryDef("q95_containment", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val g = hashedGrams(s, d)
+      val ex = tokenized(t(s, d, "documents"))
+        .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      val keep = ex.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= MaxGramDf).select("gh")
+      val kept = ex.join(keep, "gh")
+      val cand = kept.select(col("gh"), col("doc_id").as("doc_a"))
+        .join(kept.select(col("gh"), col("doc_id").as("doc_b")), Seq("gh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(g.select(col("doc_id").as("doc_a"), col("grams_h").as("ga"),
+          col("n_grams").as("na")), Seq("doc_a"))
+        .join(g.select(col("doc_id").as("doc_b"), col("grams_h").as("gb"),
+          col("n_grams").as("nb")), Seq("doc_b"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .withColumn("n_inter", expr("graft_intersect_card(ga, gb)").cast("long"))
+        .withColumn("c_ab", col("n_inter").cast("double") / col("na"))
+        .withColumn("c_ba", col("n_inter").cast("double") / col("nb"))
+        .filter(greatest(col("c_ab"), col("c_ba")) >= 0.8)
+        .select("doc_a", "doc_b", "n_inter", "c_ab", "c_ba")
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      keep AS (SELECT gram FROM ex GROUP BY gram
+               HAVING count(DISTINCT doc_id) <= 64),
+      k AS (SELECT doc_id, gram FROM ex JOIN keep USING (gram)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM k a JOIN k b USING (gram) WHERE a.doc_id < b.doc_id),
+      v AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_inter,
+          len(ga.grams) AS na, len(gb.grams) AS nb
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.doc_a
+        JOIN g gb ON gb.doc_id = c.doc_b
+        WHERE len(ga.grams) > 0 AND len(gb.grams) > 0)
+      SELECT doc_a, doc_b, n_inter,
+        CAST(n_inter AS DOUBLE) / na AS c_ab,
+        CAST(n_inter AS DOUBLE) / nb AS c_ba
+      FROM v
+      WHERE greatest(CAST(n_inter AS DOUBLE) / na,
+                     CAST(n_inter AS DOUBLE) / nb) >= 0.8"""),
+      notes = "asymmetric shingle containment >= 0.8 (quote/near-superset pairs Jaccard misses): DF-capped inverted-index candidates + exact two-pointer verify")
   )
 }

@@ -81,6 +81,40 @@ object LakeCatalog {
     catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
 
+  /** Schema-evolution refresh — the "re-run the crawler" half that
+    * registerExternal's scaladoc points at. When newer writers have landed
+    * files with ADDED columns, the cataloged schema (inferred once at
+    * registration, possibly from an old footer) goes stale and the new
+    * columns stay invisible. This re-infers the UNION schema across all
+    * footers (`mergeSchema`, the Spark-native evolution mechanism: added
+    * columns surface, pre-evolution rows read as NULL — column REMOVAL or
+    * retype is not evolution and still fails loudly at read), then
+    * re-creates the external entry with the merged schema pinned
+    * explicitly, preserving partition columns.
+    *
+    * Scale note: the merge pass reads footers only, not data — but ALL of
+    * them; run it on evolution events (a new writer version), not per
+    * query. Returns the merged schema so callers can diff/log it. */
+  def refreshSchema(spark: SparkSession, name: String): org.apache.spark.sql.types.StructType = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+    require(meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      s"refreshSchema is for EXTERNAL tables; '$name' is ${meta.tableType.name} " +
+        "(managed tables evolve through their writer, not a crawl)")
+    val loc = meta.location.toString
+    val partCols = meta.partitionColumnNames
+    val merged = spark.read.option("mergeSchema", "true").parquet(loc).schema
+    spark.sql(s"DROP TABLE $name")
+    val partClause =
+      if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})" else ""
+    spark.sql(
+      s"CREATE TABLE $name (${merged.toDDL}) USING PARQUET$partClause LOCATION '$loc'")
+    spark.catalog.refreshTable(name)
+    try spark.catalog.recoverPartitions(name)
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
+    merged
+  }
+
   /** Compute table- and column-level statistics for the CBO — the missing
     * half of a catalog: with rowCount/sizeInBytes and per-column NDV/min/
     * max in the metastore, Catalyst's cost-based optimizer can reorder

@@ -32,11 +32,33 @@ object StreamingDocIngest {
     * (doc_id, text, ingest_ts). Output adds quality_score + fp. */
   def pipeline(docs: DataFrame, minQuality: Double = 1.0,
       watermark: String = "10 minutes"): DataFrame =
-    docs.withWatermark("ingest_ts", watermark)
+    build(docs, minQuality, watermark, observed = false)
+
+  /** [[pipeline]] + per-micro-batch observability: input and quality-drop
+    * counts piggyback on the pass the gate already makes via `observe`
+    * (zero extra scans — the Audit.observed rationale, streaming edition)
+    * and surface in every `StreamingQueryProgress.observedMetrics` under
+    * "doc_ingest". A silent rise in the drop RATE is the production
+    * incident signal for an upstream format change; watermark-dropped
+    * late rows are already reported natively via
+    * `progress.stateOperators.numRowsDroppedByWatermark`. */
+  def observedPipeline(docs: DataFrame, minQuality: Double = 1.0,
+      watermark: String = "10 minutes"): DataFrame =
+    build(docs, minQuality, watermark, observed = true)
+
+  private def build(docs: DataFrame, minQuality: Double,
+      watermark: String, observed: Boolean): DataFrame = {
+    val scored = docs.withWatermark("ingest_ts", watermark)
       .withColumn("quality_score", TextSignals.qualityScore(col("text")))
-      .filter(col("quality_score") >= minQuality)
+    val tapped =
+      if (observed) scored.observe("doc_ingest",
+        count(lit(1)).as("n_in"),
+        count(when(col("quality_score") < minQuality, 1)).as("n_quality_dropped"))
+      else scored
+    tapped.filter(col("quality_score") >= minQuality)
       .withColumn("fp", TextSignals.normalizedFingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fp")
+  }
 
   /** Append the cleaned stream to a parquet zone (checkpointed,
     * backlog-drain trigger — the same posture as the other streaming

@@ -96,4 +96,36 @@ class StreamingDocIngestSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(scores == Map(1L -> 1.0, 2L -> 0.0))
   }
+
+  test("observedPipeline reports per-batch input and quality-drop counts") {
+    val (input, docs) = stream()
+    val q = StreamingDocIngest.observedPipeline(docs)
+      .writeStream.format("memory").queryName("docs_obs")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, goodText, T0),             // passes
+        (2L, shortText, T0 + Min),      // quality-dropped
+        (3L, shortText + "!", T0 + Min) // quality-dropped
+      )
+      q.processAllAvailable()
+      // sum the observed metrics across all progress entries (empty
+      // trailing batches carry no "doc_ingest" entry)
+      var nIn = 0L; var nDropped = 0L
+      q.recentProgress.foreach { p =>
+        val m = p.observedMetrics
+        if (m.containsKey("doc_ingest")) {
+          val row = m.get("doc_ingest")
+          nIn += row.getAs[Long]("n_in")
+          nDropped += row.getAs[Long]("n_quality_dropped")
+        }
+      }
+      assert(nIn == 3L, s"observed n_in=$nIn, want 3")
+      assert(nDropped == 2L, s"observed n_quality_dropped=$nDropped, want 2")
+      // and the gate itself still behaves identically to pipeline()
+      val out = spark.table("docs_obs").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(out == Seq(1L))
+    } finally q.stop()
+  }
 }
