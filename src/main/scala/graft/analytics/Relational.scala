@@ -1077,6 +1077,131 @@ object Relational {
       FROM s4
       ORDER BY z ASC, l_orderkey ASC, l_linenumber ASC
       LIMIT 100"""),
-      notes = "Morton z-order key, bit-exact across engines (independent shift/mask oracle); top-100 with total tiebreak")
+      notes = "Morton z-order key, bit-exact across engines (independent shift/mask oracle); top-100 with total tiebreak"),
+
+    // ── Calendar gap-fill (time-series densification) ──────────────────
+    // Feature pipelines need DENSE per-entity daily series (a model can't
+    // learn from missing rows); the naive global calendar cross join is a
+    // cartesian. This fills each user's OWN [first_day, last_day] span:
+    // per-(user, day) agg, per-user span agg (exchange-reused off the
+    // same daily frame), bounded sequence-explode spine (fan-out = span
+    // days, never a cross join), left join actuals back, zeros for gaps.
+    // Day buckets use the q25/q26 floor-div micros pattern — exact
+    // cross-engine even pre-1970.
+    QueryDef("q96_gap_fill", (s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("us",
+          expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("day",
+          expr("us div 86400000000 - (CASE WHEN us % 86400000000 < 0 THEN 1 ELSE 0 END)"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+      val spans = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val spine = spans.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("day_value"), lit(0.0)).as("day_value"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id,
+          (epoch_ns(ts) // 1000) // 86400000000 AS day, value
+        FROM events),
+      daily AS (
+        SELECT user_id, CAST(day AS BIGINT) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+        FROM e GROUP BY 1, 2),
+      spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                FROM daily GROUP BY 1),
+      spine AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+                FROM spans)
+      SELECT s.user_id, CAST(s.day AS BIGINT) AS day,
+        COALESCE(d.n_events, 0) AS n_events,
+        COALESCE(d.day_value, 0.0) AS day_value
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day"""),
+      notes = "per-user daily gap-fill: bounded sequence-explode spine + left join, zeros for missing days (no calendar cross join)"),
+
+    // ── Retention cohorts (week-offset activity matrix) ────────────────
+    // The Athena-style product question: of users first seen in week W,
+    // how many were active W+k weeks later. Two aggs off one distinct
+    // (user, week) frame — cohort = min(week) per user — then a user-keyed
+    // broadcast-scale join and a (cohort, offset)-keyed count distinct.
+    // Week index = floor(day / 7) in exact integer micros arithmetic.
+    QueryDef("q97_retention", (s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("us",
+          expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("day",
+          expr("us div 86400000000 - (CASE WHEN us % 86400000000 < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("week",
+          expr("day div 7 - (CASE WHEN day % 7 < 0 THEN 1 ELSE 0 END)"))
+      val uw = ev.select("user_id", "week").distinct()
+      val cohorts = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id,
+          ((epoch_ns(ts) // 1000) // 86400000000) // 7 AS week
+        FROM events),
+      uw AS (SELECT DISTINCT user_id, CAST(week AS BIGINT) AS week FROM e),
+      c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+      SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+      FROM uw JOIN c ON uw.user_id = c.user_id
+      GROUP BY 1, 2"""),
+      notes = "weekly retention cohort matrix: first-seen week x offset, distinct users; exact integer week buckets"),
+
+    // ── Conversion funnel (signup → purchase within 7 days) ────────────
+    // Ordered-step funnel per signup-day cohort: first signup per user,
+    // then any purchase inside the 7-day window after it. One user-keyed
+    // agg per step, one user-keyed join (semi-scale: purchases filtered
+    // to funnel users), exact micros window arithmetic, and a day-keyed
+    // rollup of cohort size / conversions / exact-double rate.
+    QueryDef("q98_funnel", (s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("us",
+          expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("s_us"))
+        .withColumn("s_day",
+          expr("s_us div 86400000000 - (CASE WHEN s_us % 86400000000 < 0 THEN 1 ELSE 0 END)"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"))
+      val win = 7L * 86400000000L
+      val converted = purchase.join(signup, "user_id")
+        .filter(col("p_us") >= col("s_us") && col("p_us") <= col("s_us") + win)
+        .select("user_id").distinct()
+        .withColumn("converted", lit(1L))
+      signup.join(converted, Seq("user_id"), "left")
+        .groupBy("s_day")
+        .agg(count(lit(1)).as("n_signups"),
+          sum(coalesce(col("converted"), lit(0L))).as("n_converted"))
+        .withColumn("conversion_rate",
+          col("n_converted").cast("double") / col("n_signups"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+      s AS (
+        SELECT user_id, MIN(us) AS s_us,
+          CAST(MIN(us) // 86400000000 AS BIGINT) AS s_day
+        FROM e WHERE event_type = 'signup' GROUP BY 1),
+      conv AS (
+        SELECT DISTINCT p.user_id
+        FROM e p JOIN s ON p.user_id = s.user_id
+        WHERE p.event_type = 'purchase'
+          AND p.us >= s.s_us AND p.us <= s.s_us + 604800000000)
+      SELECT s.s_day,
+        CAST(COUNT(*) AS BIGINT) AS n_signups,
+        CAST(COUNT(conv.user_id) AS BIGINT) AS n_converted,
+        CAST(COUNT(conv.user_id) AS DOUBLE) / COUNT(*) AS conversion_rate
+      FROM s LEFT JOIN conv ON s.user_id = conv.user_id
+      GROUP BY 1"""),
+      notes = "signup->purchase-within-7d funnel per signup-day cohort; exact micros window, exact-double conversion rate")
   )
 }
