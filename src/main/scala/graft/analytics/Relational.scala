@@ -1202,6 +1202,73 @@ object Relational {
         CAST(COUNT(conv.user_id) AS DOUBLE) / COUNT(*) AS conversion_rate
       FROM s LEFT JOIN conv ON s.user_id = conv.user_id
       GROUP BY 1"""),
-      notes = "signup->purchase-within-7d funnel per signup-day cohort; exact micros window, exact-double conversion rate")
+      notes = "signup->purchase-within-7d funnel per signup-day cohort; exact micros window, exact-double conversion rate"),
+
+    // ── Cross-table referential-integrity audit ────────────────────────
+    // The DQ check a lake runs before promoting a snapshot: per declared
+    // FK relation, orphaned children (fk with no parent — broken joins
+    // downstream) and childless parents (coverage holes; nonzero is often
+    // FINE — customers without orders — but the number should be known).
+    // Shape per relation: two LEFT ANTI joins (null-safe, the idiomatic
+    // Spark "NOT IN" that can't be fooled by nulls) + two scan counts,
+    // composed via 1-row broadcast cross joins (whitelisted BNLJ). At
+    // 100 TB each anti join is one fk-keyed shuffle (or broadcast when
+    // the parent key set fits); nothing quadratic.
+    QueryDef("q99_ref_integrity", (s, d) => {
+      def audit(relName: String, parent: org.apache.spark.sql.DataFrame,
+          pk: String, child: org.apache.spark.sql.DataFrame, fk: String) = {
+        val p = parent.select(col(pk).as("k"))
+        val c = child.select(col(fk).as("k"))
+        val orphan = c.join(p.distinct(), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("orphan_children"))
+        val childless = p.distinct().join(c.distinct(), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("childless_parents"))
+        p.agg(count(lit(1)).as("n_parents"))
+          .crossJoin(c.agg(count(lit(1)).as("n_children")))
+          .crossJoin(orphan).crossJoin(childless)
+          .select(lit(relName).as("relation"), col("n_parents"),
+            col("n_children"), col("orphan_children"), col("childless_parents"))
+      }
+      audit("orders->customer", t(s, d, "customer"), "c_custkey",
+          t(s, d, "orders"), "o_custkey")
+        .union(audit("lineitem->orders", t(s, d, "orders"), "o_orderkey",
+          t(s, d, "lineitem"), "l_orderkey"))
+        .union(audit("lineitem->part", t(s, d, "part"), "p_partkey",
+          t(s, d, "lineitem"), "l_partkey"))
+        .union(audit("embeddings->documents", t(s, d, "documents"), "doc_id",
+          t(s, d, "embeddings"), "vec_id"))
+    }, Some("""
+      SELECT 'orders->customer' AS relation,
+        (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_parents,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_children,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS orphan_children,
+        (SELECT CAST(count(*) AS BIGINT) FROM customer
+         WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)) AS childless_parents
+      UNION ALL
+      SELECT 'lineitem->orders',
+        (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        (SELECT CAST(count(*) AS BIGINT) FROM orders
+         WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem))
+      UNION ALL
+      SELECT 'lineitem->part',
+        (SELECT CAST(count(*) AS BIGINT) FROM part),
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+        (SELECT CAST(count(*) AS BIGINT) FROM part
+         WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem))
+      UNION ALL
+      SELECT 'embeddings->documents',
+        (SELECT CAST(count(*) AS BIGINT) FROM documents),
+        (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
+        (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         WHERE vec_id NOT IN (SELECT doc_id FROM documents)),
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+         WHERE doc_id NOT IN (SELECT DISTINCT vec_id FROM embeddings))"""),
+      notes = "per-FK-relation orphan/coverage audit via anti joins; the pre-promotion DQ gate over the whole lake")
   )
 }
