@@ -1269,6 +1269,55 @@ object Relational {
          WHERE vec_id NOT IN (SELECT doc_id FROM documents)),
         (SELECT CAST(count(*) AS BIGINT) FROM documents
          WHERE doc_id NOT IN (SELECT DISTINCT vec_id FROM embeddings))"""),
-      notes = "per-FK-relation orphan/coverage audit via anti joins; the pre-promotion DQ gate over the whole lake")
+      notes = "per-FK-relation orphan/coverage audit via anti joins; the pre-promotion DQ gate over the whole lake"),
+
+    // ── Order-invariant table checksums (replication equality audit) ───
+    // "Is the replica byte-equal to the source" without moving either
+    // table: per-row md5 over a canonical '|'-joined column string,
+    // folded to a 60-bit integer (15 hex chars — portable: Spark conv(),
+    // DuckDB '0x' cast), then SUMMED in exact DECIMAL(38,0). Addition is
+    // commutative, so the checksum is invariant under row order AND
+    // partitioning — two copies match iff multisets of canonical rows
+    // match (unlike XOR folds, duplicate rows don't cancel). One
+    // full-scan hash-agg per table, single row out: the cheapest possible
+    // cross-site comparison at 100 TB (ship 3 rows, not 100 TB).
+    QueryDef("q100_table_checksum", (s, d) => {
+      def check(name: String, df: org.apache.spark.sql.DataFrame,
+          cols: Seq[String]) = {
+        val rowStr = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+        val h = conv(substring(md5(rowStr), 1, 15), 16, 10)
+          .cast("decimal(38,0)")
+        // checksum surfaces as STRING: DECIMAL(38,0) survives parquet but
+        // dataframe tooling (the oracle compare included) coerces wide
+        // decimals to float and destroys the exactness the audit IS
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(h).cast("string").as("checksum"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+      }
+      check("orders", t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .union(check("lineitem", t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")))
+        .union(check("documents", t(s, d, "documents"),
+          Seq("doc_id", "source", "lang", "n_chars")))
+    }, Some("""
+      SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(CAST('0x' || substr(md5(
+          o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+          o_orderpriority), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(count(*) AS BIGINT),
+        CAST(SUM(CAST(CAST('0x' || substr(md5(
+          l_orderkey || '|' || l_partkey || '|' || l_suppkey || '|' ||
+          l_linenumber), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'documents', CAST(count(*) AS BIGINT),
+        CAST(SUM(CAST(CAST('0x' || substr(md5(
+          doc_id || '|' || source || '|' || lang || '|' ||
+          n_chars), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+      FROM documents"""),
+      notes = "order/partitioning-invariant md5-fold checksums per table (exact decimal sum); cross-copy equality audit shipping rows, not tables")
   )
 }
