@@ -988,8 +988,10 @@ object Relational {
     // reproduces the exact rank in total order because RangePartitioning
     // orders partitions and the local sort completes the total order
     // ((source, doc_id) is a unique key). The double reference to the
-    // ranged base is one physical exchange (ReuseExchange). Plan contract
-    // in PlanContractSpec: every Window / SinglePartition exchange sits
+    // ranged base plans two IDENTICAL range exchanges that AQE's
+    // exchange-reuse collapses to one shuffle at runtime (the plan
+    // contract tolerates 1-2 in the pre-AQE plan). Plan contract in
+    // PlanContractSpec: every Window / SinglePartition exchange sits
     // above the tiny count aggregate, never the raw table.
     QueryDef("q89_global_ids", (s, d) => {
       val base = t(s, d, "documents").select("doc_id", "source")
@@ -1083,9 +1085,10 @@ object Relational {
     // Feature pipelines need DENSE per-entity daily series (a model can't
     // learn from missing rows); the naive global calendar cross join is a
     // cartesian. This fills each user's OWN [first_day, last_day] span:
-    // per-(user, day) agg, per-user span agg (exchange-reused off the
-    // same daily frame), bounded sequence-explode spine (fan-out = span
-    // days, never a cross join), left join actuals back, zeros for gaps.
+    // per-(user, day) agg, per-user span agg (Catalyst prunes the span
+    // branch to keys, collapsing its two-level agg into one user-keyed
+    // pass), bounded sequence-explode spine (fan-out = span days, never
+    // a cross join), left join actuals back, zeros for gaps.
     // Day buckets use the q25/q26 floor-div micros pattern — exact
     // cross-engine even pre-1970.
     QueryDef("q96_gap_fill", (s, d) => {
