@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingDocIngest
+import graft.text.TextSignals
+
+/** End-to-end training-data curation — the corpus counterpart of the
+  * payments [[Runner]]: one composed call from raw documents to a
+  * shard-assigned curated corpus plus a per-stage manifest.
+  *
+  * Stages, each an already-proven catalog component (parity by shared
+  * definition, not re-implementation):
+  *  1. quality gate — [[TextSignals.qualityScore]] (q31 / streaming gate);
+  *  2. exact dedup — normalized fingerprint, earliest doc wins (q35/q07
+  *     window rule);
+  *  3. near-dup dedup — MinHash+LSH candidates + exact-Jaccard verify via
+  *     [[StreamingDocIngest.nearDupBatchTwin]] (the q36/q62 blocks);
+  *  4. shard packing — per-source cumulative token budget (q66 rule).
+  *
+  * The pipeline is IDEMPOTENT (CorpusCurateSpec pins it): re-running on
+  * its own output drops nothing — survivors all pass the gate, own unique
+  * fingerprints, and are pairwise non-near-dup under the survivor rule
+  * (any qualifying pair would have dropped its higher id already).
+  *
+  * Scale posture: every stage is a catalog-audited shape (narrow gate,
+  * one fp-keyed window, LSH band shuffles + candidate-only verify, one
+  * source-keyed window); the driver actions are the five manifest COUNTS
+  * — no row ever reaches the driver. At 100 TB insert a
+  * `localCheckpoint`/zone write between 3 and 4 to cut the replayed
+  * lineage, exactly as Runner stages through zones. */
+object CorpusCurate {
+
+  final case class Manifest(
+      inputDocs: Long,
+      qualityDropped: Long,
+      exactDupDropped: Long,
+      nearDupDropped: Long,
+      keptDocs: Long,
+      keptTokens: Long,
+      shards: Long) {
+    require(inputDocs == qualityDropped + exactDupDropped + nearDupDropped + keptDocs,
+      s"manifest does not partition the input: $this")
+  }
+
+  /** Curate `docs` (doc_id, source, text, ...) → (curated frame with
+    * quality_score/fp/n_tokens/shard_id columns, per-stage manifest). */
+  def run(docs: DataFrame, minQuality: Double = 1.0, minJ: Double = 0.6,
+      shardTokens: Long = 2048L): (DataFrame, Manifest) = {
+    require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
+    val n0 = docs.count()
+
+    val gated = docs
+      .withColumn("quality_score", TextSignals.qualityScore(col("text")))
+      .filter(col("quality_score") >= minQuality)
+    val n1 = gated.count()
+
+    val exact = gated
+      .withColumn("fp", TextSignals.normalizedFingerprint(col("text")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn")
+    val n2 = exact.count()
+
+    val near = StreamingDocIngest.nearDupBatchTwin(exact, minJ)
+    val n3 = near.count()
+
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curated = near
+      .withColumn("n_tokens", TextSignals.nTokens(col("text")).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(wSrc))
+      // q66 rule: a doc belongs to the shard its cumulative sum CLOSES in
+      .withColumn("shard_id", expr(s"(__cum - 1) div ${shardTokens}L"))
+      .drop("__cum")
+
+    val stats = curated.agg(
+      coalesce(sum(col("n_tokens")), lit(0L)).as("toks"),
+      countDistinct(col("source"), col("shard_id")).as("shards")).collect()(0)
+
+    val manifest = Manifest(
+      inputDocs = n0,
+      qualityDropped = n0 - n1,
+      exactDupDropped = n1 - n2,
+      nearDupDropped = n2 - n3,
+      keptDocs = n3,
+      keptTokens = stats.getLong(0),
+      shards = stats.getLong(1))
+    (curated, manifest)
+  }
+}
