@@ -90,4 +90,34 @@ object CorpusCurate {
       shards = stats.getLong(1))
     (curated, manifest)
   }
+
+  /** CLI: `runMain graft.pipeline.CorpusCurate <docsParquetDir> <outRoot>` —
+    * curates, lands the shard-assigned corpus at `<outRoot>/curated`, and
+    * writes the manifest as a JobStatus-style JSON artifact beside it. */
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outRoot) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-corpus-curate")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val (curated, m) = run(spark.read.parquet(inDir))
+      curated.write.mode("overwrite")
+        .option("compression", "snappy").parquet(s"$outRoot/curated")
+      val json =
+        s"""{"input_docs":${m.inputDocs},"quality_dropped":${m.qualityDropped},""" +
+          s""""exact_dup_dropped":${m.exactDupDropped},"near_dup_dropped":${m.nearDupDropped},""" +
+          s""""kept_docs":${m.keptDocs},"kept_tokens":${m.keptTokens},"shards":${m.shards}}"""
+      val dir = java.nio.file.Paths.get(outRoot)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("manifest.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"CORPUS_CURATE_OK $json")
+    } finally spark.stop()
+  }
 }
