@@ -134,6 +134,25 @@ class PlanContractSpec extends SparkSpec {
       s"offset table must join back as a broadcast:\n$p")
   }
 
+  test("q94: two pid-bounded windows, one tiny single-partition stage, offsets broadcast") {
+    val p = plan("q94_sequence_pack")
+    assert(countOf(p, "Window \\[") == 2, s"window count drifted:\n$p")
+    assert(countOf(p, "Exchange SinglePartition") == 1,
+      s"only the 32-row offset table may go single-partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must come back as a broadcast:\n$p")
+  }
+
+  test("q100: checksums are pure scan-aggregates — no joins, no windows, no keyed shuffles") {
+    val p = plan("q100_table_checksum")
+    assert(!p.contains("Join"), s"q100 gained a join:\n$p")
+    assert(!p.contains("Window"), s"q100 gained a window:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 0,
+      s"q100 should not shuffle by key (global aggs only):\n$p")
+    assert(countOf(p, "Exchange SinglePartition") == 3,
+      s"expected one 1-row final agg per table:\n$p")
+  }
+
   test("no cartesian products anywhere; nested-loop joins only where intended") {
     // BroadcastNestedLoopJoin is legitimate exactly where a small broadcast
     // side meets a non-equi (or absent) condition BY DESIGN: q39 (guarded
