@@ -79,4 +79,53 @@ class AdversarialEventsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(out(3L).isEmpty && out(4L).isEmpty && out(5L).contains(5L))
   }
+
+  test("q96 gap-fill: negative days floor correctly, spans stay per-user") {
+    // hand-computed: user 1's pre-1970 pair lands on day -1 (floor of
+    // -6e9 µs / 86400e6; truncation would give 0), its +40 min event on
+    // day 0 — a 2-day span with no gap; users 2/3 are day-0 only
+    val out = graft.SparkEntry.queries("q96_gap_fill")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val expected = Map(
+      (1L, -1L) -> (2L, 3.0), (1L, 0L) -> (1L, 3.0),
+      (2L, 0L) -> (3L, 3.0), (3L, 0L) -> (1L, 0.0))
+    assert(out == expected, s"got $out")
+  }
+
+  test("q97 retention: pre-1970 cohort week is -1, offsets count from it") {
+    val out = graft.SparkEntry.queries("q97_retention")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // user 1: weeks {-1, 0} → cohort -1, offsets {0, 1}; users 2/3: cohort 0
+    val expected = Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L, (0L, 0L) -> 2L)
+    assert(out == expected, s"got $out")
+  }
+
+  test("q98 funnel: no signups in the corpus → empty result, no crash") {
+    assert(graft.SparkEntry.queries("q98_funnel")(spark, dir).collect().isEmpty)
+  }
+
+  test("q98 funnel: 7-day window is inclusive and pre-1970 signup days floor to -1") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-adv-funnel").toString
+    val Day7Us = 7L * 86400000000L
+    val rows = Seq(
+      // u1: pre-1970 signup; purchase at EXACTLY +7 days → converted
+      (0L, -100L * MinNs, 1L, "signup", 0.0, null.asInstanceOf[String]),
+      (1L, (-100L * MinNs) + Day7Us * 1000L, 1L, "purchase", 1.0, null.asInstanceOf[String]),
+      // u2: signup at epoch; purchase 1 µs past the window → NOT converted
+      (2L, 0L, 2L, "signup", 0.0, null.asInstanceOf[String]),
+      (3L, (Day7Us + 1L) * 1000L, 2L, "purchase", 1.0, null.asInstanceOf[String]),
+      // u3: signup, no purchase; u4: purchase BEFORE signup
+      (4L, 10L * MinNs, 3L, "signup", 0.0, null.asInstanceOf[String]),
+      (5L, 5L * MinNs, 4L, "purchase", 1.0, null.asInstanceOf[String]),
+      (6L, 10L * MinNs, 4L, "signup", 0.0, null.asInstanceOf[String]))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.SparkEntry.queries("q98_funnel")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // s_day -1: u1 converted at the inclusive boundary; s_day 0: u2 (1 µs
+    // late), u3 (no purchase), u4 (purchase precedes signup) all fail
+    val expected = Map(-1L -> (1L, 1L, 1.0), 0L -> (3L, 0L, 0.0))
+    assert(out == expected, s"got $out")
+  }
 }
