@@ -22,6 +22,21 @@ object StreamingRefundJoin {
     * [txn_ts, txn_ts + maxLag]. */
   def joined(txns: DataFrame, refunds: DataFrame,
       watermark: String = "1 hour", maxLag: String = "7 days"): DataFrame =
+    join(txns, refunds, watermark, maxLag, "inner")
+
+  /** LEFT OUTER variant — the "which transactions were NEVER refunded"
+    * stream. Matched rows emit like the inner join; an UNMATCHED txn
+    * emits with NULL refund columns only once the watermark passes the
+    * end of its whole match window (txn_ts + maxLag + watermark) — the
+    * earliest moment "no refund" is a fact rather than "not yet". Same
+    * bounded-state contract: the event-time bound lets Spark expire both
+    * sides' join state. */
+  def joinedLeftOuter(txns: DataFrame, refunds: DataFrame,
+      watermark: String = "1 hour", maxLag: String = "7 days"): DataFrame =
+    join(txns, refunds, watermark, maxLag, "leftOuter")
+
+  private def join(txns: DataFrame, refunds: DataFrame,
+      watermark: String, maxLag: String, how: String): DataFrame =
     txns.withWatermark("txn_ts", watermark)
       .join(
         refunds.withWatermark("refund_ts", watermark),
@@ -29,5 +44,5 @@ object StreamingRefundJoin {
           refund_txn_id = txn_id AND
           refund_ts >= txn_ts AND
           refund_ts <= txn_ts + INTERVAL $maxLag"""),
-        "inner")
+        how)
 }
