@@ -1001,6 +1001,52 @@ object TextQueries {
         CAST(SUM(LEAST(tend, (block_id + 1) * 512) -
                  GREATEST(tstart, block_id * 512)) AS BIGINT) AS block_tokens
       FROM x GROUP BY 1"""),
-      notes = "fixed-512-token training-block packing across doc boundaries: q89-style two-pass global offsets + bounded block-span explode + block-keyed agg")
+      notes = "fixed-512-token training-block packing across doc boundaries: q89-style two-pass global offsets + bounded block-span explode + block-keyed agg"),
+
+    // ── Robust outlier detection (median absolute deviation) ───────────
+    // q73 gates on quartiles; MAD is the robust-statistics upgrade: the
+    // median of |x − median(x)| is immune to the very outliers it hunts
+    // (a mean/stddev gate moves when a single pathological doc lands).
+    // Flag docs beyond k·MAD from their source's median length — the
+    // boilerplate/garbage tail a curation pass drops. Shapes: one
+    // source-keyed exact-percentile agg, broadcast medians back, second
+    // percentile agg for the MAD, broadcast join, narrow flag — two
+    // small aggs + two broadcast joins, no window over raw docs. Exact
+    // cross-engine: interpolated percentiles over integers (the q48
+    // contract) and identical IEEE double compares.
+    QueryDef("q101_mad_outliers", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val med = docs.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val dev = docs.join(broadcast(med), "source")
+        .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
+      val mad = dev.groupBy("source")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "source")
+        .withColumn("is_outlier",
+          col("adev") > lit(3.0) * col("mad") && col("mad") > 0.0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          first(col("med")).as("med"), first(col("mad")).as("mad"))
+    }, Some("""
+      WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med
+        FROM documents GROUP BY 1),
+      dev AS (
+        SELECT d.doc_id, d.source, m.med,
+          abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+        FROM documents d JOIN med m ON d.source = m.source),
+      mad AS (
+        SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+      SELECT dev.source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COALESCE(SUM(CASE WHEN dev.adev > 3.0 * mad.mad AND mad.mad > 0.0
+          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers,
+        ANY_VALUE(dev.med) AS med, ANY_VALUE(mad.mad) AS mad
+      FROM dev JOIN mad ON dev.source = mad.source
+      GROUP BY 1"""),
+      notes = "per-source MAD outlier gate (robust to the outliers it hunts): two exact-percentile aggs + broadcast joins; 3-MAD length flag")
   )
 }
