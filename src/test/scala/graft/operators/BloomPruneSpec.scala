@@ -51,6 +51,23 @@ class BloomPruneSpec extends SparkSpec {
       "bloom semi join diverged from the exact semi join")
   }
 
+  test("interpreted eval agrees with codegen (wholestage off vs on)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val dim = (0L until 2000L).map(_ * 11L).toDF("k")
+    val bytes = sketchBytes(dim, "k", 2000L, 0.01)
+    val probes = spark.range(20000).select($"id".as("k"))
+    def hits(): Long = probes
+      .filter(call_function("graft_bloom_contains", $"k", lit(bytes)))
+      .count()
+    val withCodegen = hits()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(hits() == withCodegen,
+      "interpreted bloom probe diverged from the codegen path")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("the bloom probe sits below the semi join (prunes before the exchange)") {
     import spark.implicits._
     // spark.range, not a local Seq: Catalyst eagerly evaluates filters over
