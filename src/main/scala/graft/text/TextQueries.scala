@@ -1047,6 +1047,64 @@ object TextQueries {
         ANY_VALUE(dev.med) AS med, ANY_VALUE(mad.mad) AS mad
       FROM dev JOIN mad ON dev.source = mad.source
       GROUP BY 1"""),
-      notes = "per-source MAD outlier gate (robust to the outliers it hunts): two exact-percentile aggs + broadcast joins; 3-MAD length flag")
+      notes = "per-source MAD outlier gate (robust to the outliers it hunts): two exact-percentile aggs + broadcast joins; 3-MAD length flag"),
+
+    // ── Temperature-rebalanced source mixing (hash-threshold path) ─────
+    // The multilingual-sampling idea (downweight oversized sources by a
+    // sublinear power of their size) as the NARROW-FILTER admission q79's
+    // notes promise for 100 TB: no window over docs — a tiny per-source
+    // token histogram sets each source's admission RATE, and every doc
+    // admits itself independently by comparing a content-hash uniform to
+    // its source's rate. rate_s = min(1, sqrt(median_tokens / tokens_s))
+    // halves the exponent of size imbalance (temperature α = 0.5).
+    // Cross-engine exactness by construction: sqrt and power-of-two
+    // division are correctly-rounded IEEE, the md5-prefix uniform is the
+    // same 60-bit integer on both engines, and the only aggregate feeding
+    // the math is an exact interpolated percentile over per-source longs
+    // (the q48 contract) — no order-sensitive double summation anywhere.
+    QueryDef("q102_temperature_mix", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))
+          + lit(1)).cast("long").as("n_tokens"))
+      val bySrc = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      val medRow = bySrc.agg(expr("percentile(src_tokens, 0.5)").as("med"))
+      val rates = bySrc.crossJoin(broadcast(medRow))
+        .withColumn("rate",
+          least(lit(1.0), sqrt(col("med") / col("src_tokens"))))
+        .select("source", "src_tokens", "rate")
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976L) // 2^60
+      docs.join(broadcast(rates), "source")
+        .withColumn("u", u)
+        .filter(col("u") < col("rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("admitted_docs"),
+          sum("n_tokens").as("admitted_tokens"),
+          first("rate").as("rate"),
+          first("src_tokens").as("src_tokens"))
+    }, Some("""
+      WITH dt AS (
+        SELECT doc_id, source,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      bysrc AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+                FROM dt GROUP BY 1),
+      m AS (SELECT quantile_cont(src_tokens, 0.5) AS med FROM bysrc),
+      rates AS (
+        SELECT source, src_tokens,
+          LEAST(1.0, sqrt(m.med / src_tokens)) AS rate
+        FROM bysrc, m),
+      adm AS (
+        SELECT dt.source, dt.n_tokens, r.rate, r.src_tokens,
+          CAST(CAST('0x' || substr(md5(CAST(dt.doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        FROM dt JOIN rates r ON dt.source = r.source)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS admitted_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS admitted_tokens,
+        ANY_VALUE(rate) AS rate, ANY_VALUE(src_tokens) AS src_tokens
+      FROM adm WHERE u < rate GROUP BY 1"""),
+      notes = "alpha=0.5 temperature source rebalancing via per-doc hash-threshold admission (q79's promised narrow scale path); IEEE-exact cross-engine by construction")
   )
 }

@@ -164,7 +164,8 @@ class PlanContractSpec extends SparkSpec {
     val bnljWhitelist = Set("q39_cosine_dup_pairs", "q40_ann_topk",
       "q42b_ann_ivf", "q74_semantic_dedup", "q50_tfidf", "q77_unigram_lm",
       "q83_negative_pairs", "q86_bm25", "q88_hybrid_rrf",
-      "q99_ref_integrity") // 1-row aggregate cross joins by design
+      "q99_ref_integrity", // 1-row aggregate cross joins by design
+      "q102_temperature_mix") // broadcast 1-row median cross join
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
