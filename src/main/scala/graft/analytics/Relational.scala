@@ -994,19 +994,10 @@ object Relational {
     // PlanContractSpec: every Window / SinglePartition exchange sits
     // above the tiny count aggregate, never the raw table.
     QueryDef("q89_global_ids", (s, d) => {
-      val base = t(s, d, "documents").select("doc_id", "source")
-        .repartitionByRange(32, col("source"), col("doc_id"))
-        .sortWithinPartitions("source", "doc_id")
-        .withColumn("mid", monotonically_increasing_id())
-        .withColumn("pid", shiftrightunsigned(col("mid"), 33).cast("int"))
-      val offW = Window.orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy("pid").agg(count(lit(1)).as("cnt"))
-        .withColumn("offset", coalesce(sum(col("cnt")).over(offW), lit(0L)))
-        .select("pid", "offset")
-      base.join(broadcast(offsets), "pid")
-        .select(col("doc_id"), col("source"),
-          (col("offset") + (col("mid") % (1L << 33)) + 1L).as("global_id"))
+      graft.operators.GlobalOrder.withRowNumbers(
+        t(s, d, "documents").select("doc_id", "source"),
+        Seq(col("source"), col("doc_id")))
+        .select("doc_id", "source", "global_id")
     }, Some("""
       SELECT doc_id, source,
         row_number() OVER (ORDER BY source, doc_id) AS global_id

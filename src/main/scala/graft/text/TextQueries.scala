@@ -955,25 +955,14 @@ object TextQueries {
     // full-data exchanges total (range, pid window, block agg) — no
     // global sort, no driver loop.
     QueryDef("q94_sequence_pack", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val B = 512L
       val toks = filter(split(col("text"), " "),
         (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
       val docs = t(s, d, "documents")
         .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
         .filter(col("n_tokens") > 0)
-      val base = docs.repartitionByRange(32, col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-      val wLoc = Window.partitionBy("pid").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val withEnd = base.withColumn("local_end", sum(col("n_tokens")).over(wLoc))
-      val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy("pid").agg(sum(col("n_tokens")).as("ptoks"))
-        .withColumn("toff", coalesce(sum(col("ptoks")).over(wOff), lit(0L)))
-        .select("pid", "toff")
-      withEnd.join(broadcast(offsets), "pid")
-        .withColumn("tend", col("toff") + col("local_end"))
-        .withColumn("tstart", col("tend") - col("n_tokens"))
+      graft.operators.GlobalOrder
+        .withRunningTotals(docs, Seq(col("doc_id")), col("n_tokens"))
         .withColumn("block_id",
           explode(sequence(expr(s"tstart div $B"), expr(s"(tend - 1) div $B"))))
         .groupBy("block_id")
