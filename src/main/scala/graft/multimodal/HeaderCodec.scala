@@ -13,12 +13,12 @@ package graft.multimodal
   *    gives duration (RIFF/WAVE spec). Chunks are walked, not assumed at
   *    fixed offsets — writers emit LIST/fact chunks before data.
   *
-  * Only PIXEL/SAMPLE decode stays stubbed in [[Multimodal.FakeCodec]]
-  * (no media libs offline); metadata extraction — the half a lakehouse
-  * query actually touches — is real and spec-pinned against hand-built
-  * byte-exact fixtures (MultimodalSpec). Malformed or truncated headers
-  * return None and the caller falls back to the stub path: ingest never
-  * crashes on a corrupt payload (the CorpusIO audit philosophy).
+  * Pixel/sample decode lives in [[PngCodec]]/[[WavCodec]] (also JDK-only);
+  * this object stays the cheap metadata-only path — the half a lakehouse
+  * query actually touches — spec-pinned against hand-built byte-exact
+  * fixtures (MultimodalSpec). Malformed or truncated headers return None
+  * and the caller degrades to header-less metadata: ingest never crashes
+  * on a corrupt payload (the CorpusIO audit philosophy).
   */
 object HeaderCodec {
 

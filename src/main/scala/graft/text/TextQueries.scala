@@ -342,7 +342,58 @@ object TextQueries {
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         md5(text) AS digest
       FROM documents"""),
-      notes = "binary-column metadata path (multimodal schema plumbing; decode stubs live in graft.multimodal)"),
+      notes = "binary-column metadata path (multimodal schema plumbing; payload decode gated by q103)"),
+
+    // ── Multimodal payload decode (REAL codecs, formula-oracled) ───────
+    // End-to-end proof that the PNG/WAV codec layer decodes real bytes:
+    // payloads are ENCODED from closed-form patterns (8-bit gray PNG with
+    // per-doc filter types 0-4, PCM16 WAV, 3-frame motion-PNG — see
+    // Multimodal.fromDocuments), then DECODED back (Inflater + scanline
+    // unfiltering / LE sample reads), and the decoded integer statistics
+    // (unit counts, sums, sums of squares, parsed dims, duration) are
+    // hash-compared against DuckDB computing the same statistics straight
+    // from the generating formula. A decoder that fabricated pixels or
+    // skipped unfiltering could not match. Scale: one narrow mapPartitions
+    // over (id, payload) — bytes never shuffle, only the 9-column stat row
+    // flows on.
+    QueryDef("q103_media_decode", (s, d) => {
+      graft.multimodal.Multimodal.decodedStats(
+        graft.multimodal.Multimodal.fromDocuments(s, d)).toDF()
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, doc_id % 3 AS m,
+          8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+          256 + doc_id % 128 AS ns
+        FROM documents)
+      SELECT doc_id AS media_id,
+        CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'png-seq' END AS format,
+        CAST(CASE m WHEN 0 THEN w*h WHEN 1 THEN ns ELSE 3*w*h END AS BIGINT)
+          AS n_units,
+        CAST(CASE m
+          WHEN 0 THEN list_sum(list_transform(range(w*h),
+            i -> (doc_id*31 + i*7) % 256))
+          WHEN 1 THEN list_sum(list_transform(range(ns),
+            i -> (doc_id*13 + i*5) % 2001 - 1000))
+          ELSE list_sum(list_transform(range(3*w*h),
+            g -> (doc_id*31 + (g // (w*h))*97 + (g % (w*h))*7) % 256))
+        END AS BIGINT) AS unit_sum,
+        CAST(CASE m
+          WHEN 0 THEN list_sum(list_transform(range(w*h),
+            i -> ((doc_id*31 + i*7) % 256) * ((doc_id*31 + i*7) % 256)))
+          WHEN 1 THEN list_sum(list_transform(range(ns),
+            i -> ((doc_id*13 + i*5) % 2001 - 1000)
+               * ((doc_id*13 + i*5) % 2001 - 1000)))
+          ELSE list_sum(list_transform(range(3*w*h),
+            g -> ((doc_id*31 + (g // (w*h))*97 + (g % (w*h))*7) % 256)
+               * ((doc_id*31 + (g // (w*h))*97 + (g % (w*h))*7) % 256)))
+        END AS BIGINT) AS unit_sumsq,
+        CAST(CASE m WHEN 1 THEN 0 ELSE w END AS BIGINT) AS width,
+        CAST(CASE m WHEN 1 THEN 0 ELSE h END AS BIGINT) AS height,
+        CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN ns * 2 * 1000 // 16000
+          ELSE 120 END AS BIGINT) AS duration_ms
+      FROM d"""),
+      notes = "real PNG/WAV/motion-PNG payload decode (JDK-only codecs) gated on decoded pixel/sample statistics vs the generating formula"),
 
     // ── BPE pair counting (the tokenizer-training primitive) ───────────
     // Corpus-wide adjacent-token-pair frequencies — the inner loop of BPE

@@ -14,15 +14,122 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() == 500)
   }
 
-  test("extractFeatures: decode stub yields deterministic meta + features") {
+  // ── PNG codec round-trips (REAL pixels, all filter types) ────────────
+
+  private def gradient(w: Int, h: Int, ch: Int, seed: Int): PngCodec.PngImage =
+    PngCodec.PngImage(w, h, ch,
+      Array.tabulate(w * h * ch)(i => ((seed * 31 + i * 7) % 256).toByte))
+
+  test("PNG encode/decode round-trips byte-exactly for every filter type x channel count") {
+    for (filter <- 0 to 4; ch <- Seq(1, 2, 3, 4)) {
+      val img = gradient(13, 9, ch, seed = filter * 10 + ch)
+      val decoded = PngCodec.decode(PngCodec.encode(img, filter))
+      assert(decoded.isDefined, s"decode failed for filter=$filter ch=$ch")
+      val d = decoded.get
+      assert(d.width == 13 && d.height == 9 && d.channels == ch)
+      assert(java.util.Arrays.equals(d.pixels, img.pixels),
+        s"pixel mismatch for filter=$filter ch=$ch")
+    }
+  }
+
+  test("PNG decode rejects out-of-scope or corrupt containers with None, never garbage") {
+    val img = gradient(8, 8, 3, seed = 5)
+    val good = PngCodec.encode(img)
+    assert(PngCodec.decode(good).isDefined)
+    // truncated IDAT (cut mid-stream)
+    assert(PngCodec.decode(good.take(good.length - 20)).isEmpty)
+    // palette color type (3) is out of documented scope
+    val palette = good.clone(); palette(25) = 3
+    assert(PngCodec.decode(palette).isEmpty)
+    // 16-bit depth out of scope
+    val deep = good.clone(); deep(24) = 16
+    assert(PngCodec.decode(deep).isEmpty)
+    // broken signature
+    val bad = good.clone(); bad(1) = 'Q'
+    assert(PngCodec.decode(bad).isEmpty)
+    assert(PngCodec.decode("not a png at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("PNG resize resamples real pixels (nearest-neighbor, exact on 2x upscale)") {
+    // 2x2 gray image with distinct corners; 4x4 nearest-neighbor doubles each
+    val img = PngCodec.PngImage(2, 2, 1, Array[Byte](10, 20, 30, 40))
+    val up = PngCodec.resize(img, 4, 4)
+    assert(up.pixels.toSeq == Seq[Byte](
+      10, 10, 20, 20,
+      10, 10, 20, 20,
+      30, 30, 40, 40,
+      30, 30, 40, 40))
+    // downscale back picks the top-left of each 2x2 block = original
+    val down = PngCodec.resize(up, 2, 2)
+    assert(down.pixels.toSeq == img.pixels.toSeq)
+  }
+
+  // ── WAV codec round-trips ────────────────────────────────────────────
+
+  test("WAV PCM16 encode/decode round-trips samples and metadata exactly") {
+    val samples = Array.tabulate(300)(i => ((i * 13) % 2001 - 1000).toShort)
+    val bytes = WavCodec.encode(samples, 8000)
+    val Some((meta, decoded)) = WavCodec.decode(bytes)
+    assert(decoded.toSeq == samples.toSeq)
+    assert(meta.channels == 1 && meta.sampleRate == 8000)
+    assert(meta.dataBytes == 600L)
+    assert(meta.durationMs == 600L * 1000 / 16000)
+    // stereo interleaved
+    val stereo = Array.tabulate(64)(i => (if (i % 2 == 0) 1000 else -1000).toShort)
+    val Some((m2, d2)) = WavCodec.decode(WavCodec.encode(stereo, 44100, channels = 2))
+    assert(m2.channels == 2 && m2.sampleRate == 44100 && d2.toSeq == stereo.toSeq)
+    // negative samples survive the LE round-trip (sign extension check)
+    assert(d2.count(_ < 0) == 32)
+  }
+
+  test("WAV decode rejects non-PCM and malformed containers") {
+    val bytes = WavCodec.encode(Array[Short](1, 2, 3), 8000)
+    val mulaw = bytes.clone(); mulaw(20) = 7 // audioFormat = 7 (mu-law)
+    assert(WavCodec.decode(mulaw).isEmpty)
+    val bits8 = bytes.clone(); bits8(34) = 8 // bitsPerSample = 8
+    assert(WavCodec.decode(bits8).isEmpty)
+    assert(WavCodec.decode("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+  }
+
+  // ── motion-PNG stream (video container) ──────────────────────────────
+
+  test("splitFrames recovers each PNG frame from a concatenated stream") {
+    val frames = (0 until 3).map(f => PngCodec.encode(gradient(6, 4, 1, seed = f)))
+    val stream = frames.flatten.toArray
+    val split = Multimodal.splitFrames(stream)
+    assert(split.size == 3)
+    split.zipWithIndex.foreach { case (fb, i) =>
+      assert(java.util.Arrays.equals(fb, frames(i)))
+      assert(PngCodec.decode(fb).isDefined)
+    }
+    assert(Multimodal.splitFrames("no pngs here".getBytes("UTF-8")).isEmpty)
+  }
+
+  // ── Spark-side operators over the real codecs ────────────────────────
+
+  test("extractFeatures: decoded meta + features per media kind") {
     val media = Multimodal.fromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(media)
     val rows = feats.collect()
     assert(rows.length == 500)
     rows.foreach { r =>
       assert(r.meta.nBytes > 0)
-      assert(r.meta.format == "png") // fake header sniffed
       assert(r.features.length == 8)
+      r.media_id % 3 match {
+        case 0 =>
+          assert(r.meta.format == "png")
+          // feature slots 5/6 carry decoded dims == generator dims
+          assert(r.features(5) == (8 + r.media_id % 9).toFloat)
+          assert(r.features(6) == (8 + r.media_id % 7).toFloat)
+        case 1 =>
+          assert(r.meta.format == "wav")
+          assert(r.features(4) == 8000f) // sample rate from the fmt chunk
+          assert(r.features(6) == (256 + r.media_id % 128).toFloat) // n samples
+        case _ =>
+          assert(r.meta.format == "png-seq")
+          assert(r.features(4) == 3f) // frame count
+          assert(r.meta.durationMs == 120L)
+      }
     }
     // deterministic across runs
     val again = Multimodal.extractFeatures(media).collect()
@@ -35,12 +142,69 @@ class MultimodalSpec extends SparkSpec {
     assert(ids.toSeq == (0L until 500L))
   }
 
-  test("resize + frame sampling stubs keep plumbing shape") {
-    val media = Multimodal.fromDocuments(spark, sf)
-    assert(Multimodal.resized(media, 32, 32).count() == 500)
-    val frames = Multimodal.sampledFrames(media.limit(10), frames = 4)
-    assert(frames.count() <= 40 && frames.count() > 0)
-    assert(frames.collect().forall(_.kind == "image"))
+  test("resized decodes, resamples and re-encodes real pixels; audio passes through") {
+    val media = Multimodal.fromDocuments(spark, sf).filter(_.media_id < 30)
+    val out = Multimodal.resized(media, 16, 16).collect()
+    out.foreach { r =>
+      r.kind match {
+        case "image" =>
+          val img = PngCodec.decode(r.content).get
+          assert(img.width == 16 && img.height == 16)
+        case "video" =>
+          val frames = Multimodal.splitFrames(r.content)
+          assert(frames.size == 3)
+          frames.foreach { f =>
+            val img = PngCodec.decode(f).get
+            assert(img.width == 16 && img.height == 16)
+          }
+        case "audio" => // not an image: payload unchanged
+          assert(WavCodec.decode(r.content).isDefined)
+      }
+    }
+  }
+
+  test("sampledFrames yields decodable stills: 3 per video, 1 per image, 0 per audio") {
+    val media = Multimodal.fromDocuments(spark, sf).filter(_.media_id < 30)
+    val frames = Multimodal.sampledFrames(media, frames = 4).collect()
+    val byParent = frames.groupBy(_.media_id / 1000)
+    (0L until 30L).foreach { id =>
+      val n = byParent.get(id).map(_.length).getOrElse(0)
+      (id % 3) match {
+        case 0 => assert(n == 1, s"image $id")
+        case 1 => assert(n == 0, s"audio $id")
+        case _ => assert(n == 3, s"video $id")
+      }
+    }
+    frames.foreach(f => assert(PngCodec.decode(f.content).isDefined))
+  }
+
+  test("decodedStats matches the generating formula (the q103 contract, locally)") {
+    val media = Multimodal.fromDocuments(spark, sf).filter(_.media_id < 60)
+    val stats = Multimodal.decodedStats(media).collect().map(s => s.media_id -> s).toMap
+    (0L until 60L).foreach { id =>
+      val s = stats(id)
+      (id % 3) match {
+        case 0 =>
+          val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+          val units = (0 until w * h).map(i => (id * 31 + i * 7) % 256)
+          assert(s.format == "png" && s.n_units == w * h)
+          assert(s.unit_sum == units.sum && s.unit_sumsq == units.map(v => v * v).sum)
+          assert(s.width == w && s.height == h)
+        case 1 =>
+          val n = (256 + id % 128).toInt
+          val units = (0 until n).map(i => (id * 13 + i * 5) % 2001 - 1000)
+          assert(s.format == "wav" && s.n_units == n)
+          assert(s.unit_sum == units.sum && s.unit_sumsq == units.map(v => v * v).sum)
+          assert(s.duration_ms == n * 2L * 1000 / 16000)
+        case _ =>
+          val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+          val units = for (f <- 0 until 3; i <- 0 until w * h)
+            yield (id * 31 + f * 97 + i * 7) % 256
+          assert(s.format == "png-seq" && s.n_units == 3L * w * h)
+          assert(s.unit_sum == units.sum && s.unit_sumsq == units.map(v => v * v).sum)
+          assert(s.duration_ms == 120L)
+      }
+    }
   }
 
   // ── real header parsing (byte-exact fixtures, spec-built) ────────────
@@ -93,17 +257,21 @@ class MultimodalSpec extends SparkSpec {
     assert(HeaderCodec.parseWav("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
   }
 
-  test("extractFeatures uses real header meta when present, stub otherwise") {
+  test("undecodable payloads degrade to header-only metadata, never crash") {
     import spark.implicits._
     val rows = Seq(
-      Multimodal.MediaRow(1L, "image", pngBytes(640, 480)),
+      Multimodal.MediaRow(1L, "image", pngBytes(640, 480)), // header, no IDAT
       Multimodal.MediaRow(2L, "audio", wavBytes(1, 8000, 16000, 48000)),
       Multimodal.MediaRow(3L, "image", "garbage payload".getBytes("UTF-8")))
     val out = Multimodal.extractFeatures(rows.toDS())
-      .collect().map(f => f.media_id -> f.meta).toMap
-    assert(out(1L).format == "png" && out(1L).width == 640 && out(1L).height == 480)
-    assert(out(2L).format == "wav" && out(2L).durationMs == 3000L)
-    // unknown container falls back to the stub — no crash, sane fields
-    assert(out(3L).nBytes == 15L && out(3L).width > 0)
+      .collect().map(f => f.media_id -> f).toMap
+    // metadata from the real header even when pixel decode is impossible
+    assert(out(1L).meta.format == "png" &&
+      out(1L).meta.width == 640 && out(1L).meta.height == 480)
+    assert(out(1L).features.forall(_ == 0f)) // honest absence, not fabricated
+    assert(out(2L).meta.format == "wav" && out(2L).meta.durationMs == 3000L)
+    // unknown container: byte count only, zero dims, zero features
+    assert(out(3L).meta.format == "bin" && out(3L).meta.nBytes == 15L)
+    assert(out(3L).meta.width == 0 && out(3L).features.forall(_ == 0f))
   }
 }
