@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *     partition — a narrow projection (monotonic ids) or a
   *     pid-partitioned window (running sums), never a global one;
   *  2. aggregate one row per partition (count / weight total), cumulate
-  *     those few rows into per-partition offsets — the only
-  *     single-partition work is over partition COUNT, not rows — and
+  *     those few rows into per-partition offsets via a broadcast non-equi
+  *     self-join (pid' < pid) — NO window at all, so nothing in the plan
+  *     is single-partition, not even over the partition-count rows — and
   *     broadcast-join the offsets back.
   *
   * Determinism: the caller's order columns must form a UNIQUE key (ties
@@ -31,6 +32,27 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
+  /** Exclusive prefix-sums over the per-partition totals WITHOUT a window:
+    * broadcast non-equi self-join (every pid sums the totals of strictly
+    * lower pids) + re-aggregate. Quadratic in the PARTITION COUNT (≤32² =
+    * bounded metadata), zero single-partition stages, zero WindowExec —
+    * the shape survives any data scale because its input is one row per
+    * partition, never data. */
+  private def exclusiveOffsets(perPid: DataFrame, totalCol: String): DataFrame =
+    // Both references to `perPid` (and the caller's base path) sit in ONE
+    // job over the SAME canonical range exchange, which Spark's exchange
+    // reuse dedupes to a single shuffle at runtime. Do NOT checkpoint the
+    // aggregate to "save" a scan: a checkpoint splits the offsets into a
+    // separate job, repartitionByRange re-SAMPLES its boundaries per job,
+    // and offsets pinned under one boundary set silently misalign with a
+    // base path partitioned under another (caught by GlobalOrderSpec).
+    perPid.join(
+        broadcast(perPid.select(col("__go_pid").as("__go_pid2"),
+          col(totalCol).as("__go_t2"))),
+        col("__go_pid2") < col("__go_pid"), "left")
+      .groupBy("__go_pid")
+      .agg(coalesce(sum(col("__go_t2")), lit(0L)).as("__go_off"))
+
   /** `df` + contiguous 1-based `out` column numbering rows in
     * `orderCols` order. One range exchange + narrow monotonic-id
     * projection on the data path. */
@@ -41,11 +63,8 @@ object GlobalOrder {
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__go_mid", monotonically_increasing_id())
       .withColumn("__go_pid", shiftrightunsigned(col("__go_mid"), 33).cast("int"))
-    val offW = Window.orderBy("__go_pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("__go_pid").agg(count(lit(1)).as("__go_cnt"))
-      .withColumn("__go_off", coalesce(sum(col("__go_cnt")).over(offW), lit(0L)))
-      .select("__go_pid", "__go_off")
+    val offsets = exclusiveOffsets(
+      base.groupBy("__go_pid").agg(count(lit(1)).as("__go_cnt")), "__go_cnt")
     base.join(broadcast(offsets), "__go_pid")
       .withColumn(out,
         col("__go_off") + (col("__go_mid") % (1L << 33)) + 1L)
@@ -66,11 +85,8 @@ object GlobalOrder {
     val wLoc = Window.partitionBy("__go_pid").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val withEnd = base.withColumn("__go_le", sum(col("__go_w")).over(wLoc))
-    val offW = Window.orderBy("__go_pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("__go_pid").agg(sum(col("__go_w")).as("__go_pw"))
-      .withColumn("__go_off", coalesce(sum(col("__go_pw")).over(offW), lit(0L)))
-      .select("__go_pid", "__go_off")
+    val offsets = exclusiveOffsets(
+      base.groupBy("__go_pid").agg(sum(col("__go_w")).as("__go_pw")), "__go_pw")
     withEnd.join(broadcast(offsets), "__go_pid")
       .withColumn(endCol, col("__go_off") + col("__go_le"))
       .withColumn(startCol, col(endCol) - col("__go_w"))

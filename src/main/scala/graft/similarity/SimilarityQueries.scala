@@ -192,6 +192,36 @@ object SimilarityQueries {
       .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
   }
 
+  /** The q104 dataflow, parameterized so the fidelity spec can drive the
+    * approximation knobs: RRF (k=60) fusion of a PostingsIndex.probe
+    * top-`topN` lexical list with a VectorIndex.probe (IVF, `nProbe`
+    * cells) top-`topN` vector list. At nProbe = k (every cell probed) and
+    * topN covering both arms this reproduces q88's exact corpus-rank
+    * fusion top-15 EXACTLY (HybridIndexedSpec pins it at two SFs) — the
+    * only divergence at serving parameters is IVF recall, not the
+    * composition. */
+  private[graft] def hybridIndexed(s: SparkSession, d: String, nProbe: Int,
+      topN: Int): DataFrame = {
+    val (pRoot, vName) = graft.IndexCache.ensure(s, d)
+    val lex = graft.operators.GlobalOrder.withRowNumbers(
+        graft.text.PostingsIndex.probe(s, pRoot,
+          Seq("query", "dup", "scan"), k = topN),
+        Seq(col("bm25").desc, col("doc_id").asc), out = "r_lex")
+      .select(col("doc_id"), col("r_lex"))
+    val q0 = t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select("vec_id", "embedding")
+    val vec = VectorIndex.probe(s, vName, q0, nProbe = nProbe, topK = topN)
+      .select(col("cand_id").as("doc_id"), col("rank").as("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(15)
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0L)).as("r_vec"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Near-duplicate pairs by embedding cosine ───────────────────────
@@ -644,25 +674,24 @@ object SimilarityQueries {
     // integers from totally-tiebroken orderings (exact BIGINT BM25 sums;
     // 6dp-rounded cosines, q39-proven cross-engine); 1/(60+r) on integer
     // r is identical IEEE everywhere, so the fusion is fully hash-gated.
-    // Scale: both arms are top-N candidate lists in production, so the
-    // rank windows run over bounded candidate sets, not the corpus — the
-    // unpartitioned window here covers the 500-doc demo corpus and would
-    // be fed by q41/q42b + q86-top-N at 100 TB; the fusion join moves
-    // (id, rank) pairs only.
+    // Scale: the EXACT full-corpus rankings both arms need are computed by
+    // GlobalOrder.withRowNumbers (range partition + local ids + window-free
+    // broadcast offsets) — identical ranks to row_number() OVER (ORDER BY)
+    // with NO single-partition exchange anywhere (the r06 scale-killer
+    // fixed; PlanContractSpec-asserted). q104 is the index-served twin
+    // whose arms are bounded top-N probe lists instead of corpus ranks.
     QueryDef("q88_hybrid_rrf", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val lex = graft.text.TextQueries.bm25MicroScores(s, d)
-        .withColumn("r_lex", row_number()
-          .over(Window.orderBy(col("s").desc, col("doc_id").asc)).cast("long"))
+      val lex = graft.operators.GlobalOrder.withRowNumbers(
+          graft.text.TextQueries.bm25MicroScores(s, d),
+          Seq(col("s").desc, col("doc_id").asc), out = "r_lex")
         .select(col("doc_id"), col("r_lex"))
       val v = vecs(s, d)
       val qv = v.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("norm").as("qn"))
-      val vec = v.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
-        .withColumn("cos_sim", cosine("v", "qv", "norm", "qn"))
-        .withColumn("r_vec", row_number()
-          .over(Window.orderBy(col("cos_sim").desc, col("vec_id").asc))
-          .cast("long"))
+      val vec = graft.operators.GlobalOrder.withRowNumbers(
+          v.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+            .withColumn("cos_sim", cosine("v", "qv", "norm", "qn")),
+          Seq(col("cos_sim").desc, col("vec_id").asc), out = "r_vec")
         .select(col("vec_id").as("doc_id"), col("r_vec"))
       lex.join(vec, Seq("doc_id"), "full_outer")
         .withColumn("rrf",
@@ -726,6 +755,157 @@ object SimilarityQueries {
       SELECT doc_id, round(rrf, 6) AS rrf,
         COALESCE(r_lex, 0) AS r_lex, COALESCE(r_vec, 0) AS r_vec
       FROM fused ORDER BY fused.rrf DESC, doc_id ASC LIMIT 15"""),
-      notes = "hybrid search: RRF (k=60) fusion of the exact BM25 ranking with a cosine-to-query-vector ranking; full-outer rank join, id+rank pairs only")
+      notes = "hybrid search: RRF (k=60) fusion of the exact BM25 ranking with a cosine-to-query-vector ranking; full-outer rank join, id+rank pairs only"),
+
+    // ── Hybrid retrieval over the PERSISTED indexes (the serving shape) ─
+    // q88 recomposed the way a 100 TB deployment actually runs it: the
+    // lexical arm is a PostingsIndex.probe top-100 (term-pruned postings
+    // reads — PushedFilters on `tok`, never a corpus scan), the vector arm
+    // is a VectorIndex.probe top-100 (broadcast-centroid cell selection +
+    // bucketed-cell candidate join — candidates bounded by the nProbe=6
+    // probed cells, never all vectors), and RRF fuses the two BOUNDED
+    // candidate lists. No corpus-wide rank window exists anywhere: the
+    // lex ranks come from GlobalOrder over the ≤100-row probe result, the
+    // vec ranks from the probe's query-partitioned window over cell-bounded
+    // candidates (PlanContractSpec asserts the no-single-partition shape).
+    // Fully hash-gated: the oracle unrolls the SAME k=20 two-step Lloyd
+    // training (the q71/q74-proven bit-comparable composition), the same
+    // argmax-dot cell assignment, the same nProbe=6 cell probe, and the
+    // same bounded-list RRF — approximation and all, both engines compute
+    // the identical candidate sets and ranks. Fidelity vs q88: RRF's
+    // tail is exactly where IVF recall bites (docs mediocre in BOTH arms),
+    // so serving parameters trade overlap for probe cost — measured
+    // overlap@15 is 11/15 (sf0.001) / 10/15 (sf0.01) at nProbe=6 and
+    // reaches 15/15 ORDERED equality at nProbe=k (every cell probed,
+    // the exact limit). HybridIndexedSpec pins both: the measured floor
+    // at serving parameters and exact q88 equality in the full-probe
+    // limit — proving the composition is faithful and the only
+    // divergence is the IVF recall knob.
+    // Index lifecycle: IndexCache builds once per (corpus, session) and
+    // every later probe reuses the stored layout — Bench pre-builds after
+    // warm-up so the timed number is the PROBE path (production steady
+    // state), not the one-time build.
+    QueryDef("q104_hybrid_indexed",
+      (s, d) => hybridIndexed(s, d, nProbe = 6, topN = 100), Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS t_toks FROM toks),
+      q AS (SELECT unnest(['query', 'dup', 'scan']) AS tok),
+      df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             FROM toks JOIN q USING (tok) GROUP BY tok),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM toks JOIN q USING (tok) GROUP BY doc_id, tok),
+      terms AS (
+        SELECT tf.doc_id,
+          CAST(ROUND(
+            LN(1.0 + CAST(2 * (stats.n_docs - df.df) + 1 AS DOUBLE)
+                / (2 * df.df + 1))
+            * CAST(tf.tf AS DOUBLE) * 2.2
+            / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+                + 0.75 * CAST(dl.dl AS DOUBLE)
+                  / (CAST(tot.t_toks AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+            * 1000000) AS BIGINT) AS micro
+        FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN tot
+        JOIN df ON df.tok = tf.tok),
+      scored AS (SELECT doc_id, SUM(micro) AS s FROM terms GROUP BY doc_id),
+      lex AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT)
+            AS r_lex
+        FROM scored
+        QUALIFY row_number() OVER (ORDER BY s DESC, doc_id ASC) <= 100),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c0 AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 20),
+      d1 AS (
+        SELECT v.vec_id, c0.cent_id,
+          list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c0.ce)
+            + list_dot_product(c0.ce, c0.ce) AS d2
+        FROM v CROSS JOIN c0),
+      m1 AS (
+        SELECT vec_id, cent_id AS cluster FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      z1 AS (
+        SELECT m1.cluster, unnest(list_zip(v.e, range(len(v.e)))) AS z
+        FROM v JOIN m1 USING (vec_id)),
+      c1 AS (
+        SELECT cluster, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+          ROUND(CAST(SUM(CAST(ROUND(struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
+            / (1000000.0 * COUNT(*)), 6) AS cv
+        FROM z1 GROUP BY cluster, pos),
+      c1l AS (SELECT cluster AS cent_id, list(cv ORDER BY pos) AS ce
+              FROM c1 GROUP BY cluster),
+      d2i AS (
+        SELECT v.vec_id, c1l.cent_id,
+          list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c1l.ce)
+            + list_dot_product(c1l.ce, c1l.ce) AS d2
+        FROM v CROSS JOIN c1l),
+      m2 AS (
+        SELECT vec_id, cent_id AS cluster FROM d2i
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      z2 AS (
+        SELECT m2.cluster, unnest(list_zip(v.e, range(len(v.e)))) AS z
+        FROM v JOIN m2 USING (vec_id)),
+      c2 AS (
+        SELECT cluster, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+          ROUND(CAST(SUM(CAST(ROUND(struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
+            / (1000000.0 * COUNT(*)), 6) AS cv
+        FROM z2 GROUP BY cluster, pos),
+      c2l AS (SELECT cluster AS cent_id, list(cv ORDER BY pos) AS ce
+              FROM c2 GROUP BY cluster),
+      asg AS (
+        SELECT v.vec_id, v.e, c2l.cent_id AS cell
+        FROM v CROSS JOIN c2l
+        QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY list_dot_product(v.e, c2l.ce) DESC, c2l.cent_id ASC) = 1),
+      qv AS (SELECT e FROM v WHERE vec_id = 0),
+      pc AS (
+        SELECT c2l.cent_id AS cell FROM c2l CROSS JOIN qv
+        QUALIFY row_number() OVER (
+          ORDER BY list_dot_product(qv.e, c2l.ce) DESC, c2l.cent_id ASC) <= 6),
+      cand AS (
+        SELECT asg.vec_id AS doc_id,
+          round(list_dot_product(qv.e, asg.e) /
+            (sqrt(list_dot_product(qv.e, qv.e))
+              * sqrt(list_dot_product(asg.e, asg.e))), 6) AS cos_sim
+        FROM asg JOIN pc USING (cell) CROSS JOIN qv
+        WHERE asg.vec_id <> 0),
+      vecarm AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT)
+            AS r_vec
+        FROM cand
+        QUALIFY row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) <= 100),
+      fused AS (
+        SELECT COALESCE(lex.doc_id, vecarm.doc_id) AS doc_id,
+          COALESCE(CAST(1 AS DOUBLE) / (60 + lex.r_lex), 0)
+            + COALESCE(CAST(1 AS DOUBLE) / (60 + vecarm.r_vec), 0) AS rrf,
+          lex.r_lex, vecarm.r_vec
+        FROM lex FULL OUTER JOIN vecarm USING (doc_id))
+      SELECT doc_id, round(rrf, 6) AS rrf,
+        COALESCE(r_lex, 0) AS r_lex, COALESCE(r_vec, 0) AS r_vec
+      FROM fused ORDER BY fused.rrf DESC, doc_id ASC LIMIT 15"""),
+      notes = "hybrid retrieval served from the persisted indexes: PostingsIndex top-100 + VectorIndex (IVF nProbe=6) top-100, RRF over the bounded union; oracle unrolls the identical Lloyd training + cell probe"),
+
+    // ── ANN probe against the pre-built IVF index (the bench shape) ────
+    // q42b measures train+assign+probe in one query — correct dataflow but
+    // the wrong COST model: at scale training is paid once and amortized
+    // over every probe batch. q105 is the same probe (10 queries, nProbe=6,
+    // top-5) against the index IndexCache already built, so its bench line
+    // is the production serving cost. VectorIndexSpec pins probe == q42b
+    // inline exactly; AnnRecallSpec pins recall@5 ≥ 0.85 vs the q40 exact
+    // baseline. Rows-only by the same reasoning as q42b (approximate
+    // candidate set), with the parity/recall specs as the quality gate.
+    QueryDef("q105_ann_indexed", (s, d) => {
+      val (_, vName) = graft.IndexCache.ensure(s, d)
+      val queries = t(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      VectorIndex.probe(s, vName, queries, nProbe = 6, topK = 5)
+    }, None,
+      notes = "IVF probe against the persisted index (build amortized via IndexCache): the production ANN serving path; recall + parity spec-gated")
   )
 }

@@ -23,7 +23,8 @@ class QueryCatalogSpec extends SparkSpec {
     assert(noOracle == Set("q29_approx_distinct", "q36_minhash_lsh",
       "q37_simhash", "q41_ann_lsh", "q42b_ann_ivf", "q62_dup_clusters_lsh",
       "q68_cosine_pairs_lsh", "q75_bpe_train", "q78_bpe_batch",
-      "q82_hll_sketch_rollup", "q92_heavy_hitters"),
+      "q82_hll_sketch_rollup", "q92_heavy_hitters",
+      "q105_ann_indexed"), // == q42b probe (VectorIndexSpec parity + AnnRecallSpec floor)
       "only engine-specific-hash / approximate / sequential-merge ops may omit the oracle")
   }
 
