@@ -48,6 +48,24 @@ object VectorIndex {
       bucketCols = Seq("cell"), numBuckets = buckets, sortCols = Seq("cell"))
   }
 
+  /** Absorb a delta of NEW vectors without retraining or rescanning: each
+    * delta vector is assigned to the STORED (frozen) quantizer — the
+    * standard IVF serving contract between scheduled retrains; assignment
+    * semantics cannot drift because retrain is an explicit [[build]] — and
+    * appended to the bucketed cells table under the same bucket spec, so
+    * probes keep their exchange-free co-located read. Delta-proportional
+    * cost: one broadcast-centroid argmax over the NEW vectors + one
+    * bucketed append. IncrementalIndexSpec pins cells-after-append ==
+    * base cells ∪ frozen-quantizer assignment of the delta, and that
+    * probes surface delta candidates immediately. */
+  def append(s: SparkSession, name: String, emb: DataFrame,
+      buckets: Int = 8): Unit = {
+    val cents = s.table(s"${name}_centroids")
+    val delta = SimilarityQueries.ivfAssign(withNorm(emb, "v", "norm"), cents)
+    LakeCatalog.saveTable(delta, s"${name}_cells", mode = "append",
+      bucketCols = Seq("cell"), numBuckets = buckets, sortCols = Seq("cell"))
+  }
+
   /** Top-k cosine neighbors for a query batch against the stored index —
     * the q42b probe dataflow reading persisted tables. */
   def probe(s: SparkSession, name: String, queries: DataFrame,

@@ -113,6 +113,19 @@ object StreamingDocIngest {
 
   private[streaming] def dedupBatch(batch: DataFrame, outPath: String,
       sigPath: String, minJ: Double): Unit = {
+    val (survivors, sigRows) = survivorsOf(batch, sigPath, minJ)
+    // write survivors FIRST: it materializes every join above against the
+    // base file listing pinned at read() time, before sigPath gains files
+    survivors.write.mode("append").parquet(outPath)
+    sigRows.write.mode("append").parquet(sigPath)
+  }
+
+  /** The near-dup survivor computation shared by [[dedupBatch]] and
+    * [[indexedIngest]]: (survivor rows, this batch's signature rows).
+    * Callers must materialize survivors BEFORE appending sigRows to
+    * `sigPath` — the base listing is pinned at read() time. */
+  private[streaming] def survivorsOf(batch: DataFrame, sigPath: String,
+      minJ: Double): (DataFrame, DataFrame) = {
     import graft.dedup.DedupQueries
     val spark = batch.sparkSession
     val docs = batch.select("doc_id", "text")
@@ -139,11 +152,53 @@ object StreamingDocIngest {
 
     val dropped = innerDrops.unionByName(crossDrops).distinct()
       .withColumnRenamed("doc_b", "doc_id")
-    val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
-    // write survivors FIRST: it materializes every join above against the
-    // base file listing pinned at read() time, before sigPath gains files
-    survivors.write.mode("append").parquet(outPath)
-    sigRows.write.mode("append").parquet(sigPath)
+    (batch.join(dropped, Seq("doc_id"), "left_anti"), sigRows)
+  }
+
+  // ── Ingest + incremental index maintenance ───────────────────────────
+
+  /** [[nearDupIngest]] extended with the daily-delta index upkeep the
+    * persisted indexes need: each micro-batch's near-dup SURVIVORS are
+    * absorbed into the BM25 postings index ([[graft.text.PostingsIndex.append]]
+    * — delta-proportional appends + vocabulary-sized merges, never a
+    * corpus rescan) and, when the stream carries an `embedding` column
+    * and a vector index name is given, assigned to the FROZEN trained
+    * quantizer and appended to the bucketed cells table
+    * ([[graft.similarity.VectorIndex.append]]). Survivors are cached for
+    * the duration of the batch: they feed the landing write plus every
+    * index append without recomputing the LSH verification joins. */
+  def indexedIngest(docs: DataFrame, outPath: String, sigPath: String,
+      checkpoint: String, postingsRoot: String,
+      vectorIndexName: Option[String] = None,
+      minJ: Double = 0.6): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        indexedBatch(batch, outPath, sigPath, postingsRoot,
+          vectorIndexName, minJ)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def indexedBatch(batch: DataFrame, outPath: String,
+      sigPath: String, postingsRoot: String,
+      vectorIndexName: Option[String], minJ: Double): Unit = {
+    val (survivorsDf, sigRows) = survivorsOf(batch, sigPath, minJ)
+    val survivors = survivorsDf.persist()
+    try {
+      survivors.write.mode("append").parquet(outPath)
+      graft.text.PostingsIndex.buildOrAppend(
+        survivors.select("doc_id", "text"), postingsRoot)
+      // the vector index must already be BUILT (training is an explicit
+      // VectorIndex.build decision, never an ingest side effect): a
+      // missing table fails loudly here rather than training implicitly
+      vectorIndexName.foreach { vn =>
+        if (batch.columns.contains("embedding"))
+          graft.similarity.VectorIndex.append(batch.sparkSession, vn,
+            survivors.select(col("doc_id").as("vec_id"), col("embedding")))
+      }
+      sigRows.write.mode("append").parquet(sigPath)
+    } finally survivors.unpersist()
   }
 
   /** One-shot batch computation with the identical survivor rule — drop

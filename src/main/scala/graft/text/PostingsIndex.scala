@@ -41,6 +41,58 @@ object PostingsIndex {
       .write.mode("overwrite").parquet(s"$root/corpus")
   }
 
+  /** Absorb a delta of NEW documents without rescanning the corpus — the
+    * daily-delta maintenance path (the q70 incremental-dedup motivation
+    * applied to index upkeep). Doc-keyed tables (postings, docstats) are
+    * pure parquet APPENDS proportional to the delta; term-keyed tables
+    * merge at VOCABULARY size (termdf: base ∪ delta df re-summed; corpus:
+    * two 1-row totals added) and are swapped in via write-aside + rename —
+    * the only rewrites are dictionary-sized, never corpus-sized.
+    *
+    * CONTRACT: `docs` must be docs the index has never seen (new doc_ids).
+    * Appending a doc twice double-counts it everywhere — callers dedup
+    * first (the StreamingDocIngest hook feeds near-dup SURVIVORS).
+    * IncrementalIndexSpec pins append == full rebuild on a split corpus. */
+  def append(docs: DataFrame, root: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = tokens(docs)
+    toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$root/postings")
+    toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(s"$root/docstats")
+    val termdf = spark.read.parquet(s"$root/termdf")
+      .unionByName(toks.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df")))
+      .groupBy("tok").agg(sum(col("df")).as("df"))
+    replace(termdf, s"$root/termdf")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .unionByName(docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(toks.agg(count(lit(1)).as("t_toks"))))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_toks")).as("t_toks"))
+    replace(corpus, s"$root/corpus")
+  }
+
+  /** First call bootstraps the index, later calls absorb deltas — the
+    * streaming-ingest entry point (a fresh deployment has no index yet). */
+  def buildOrAppend(docs: DataFrame, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/corpus")
+    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) append(docs, root) else build(docs, root)
+  }
+
+  /** Overwrite a table that feeds its own replacement: write aside, then
+    * swap by rename (Spark refuses to overwrite a path it is reading). */
+  private def replace(df: DataFrame, path: String): Unit = {
+    val tmp = s"${path}_swap"
+    df.write.mode("overwrite").parquet(tmp)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(t, p), s"could not swap $tmp into $path")
+  }
+
   /** BM25 top-k for `terms` from the index alone (no corpus scan).
     * Output (doc_id, bm25, n_terms) matches q86's shape and ordering. */
   def probe(spark: SparkSession, root: String, terms: Seq[String],
