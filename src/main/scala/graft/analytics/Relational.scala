@@ -1203,8 +1203,10 @@ object Relational {
     // FK relation, orphaned children (fk with no parent — broken joins
     // downstream) and childless parents (coverage holes; nonzero is often
     // FINE — customers without orders — but the number should be known).
-    // Shape per relation: two LEFT ANTI joins (null-safe, the idiomatic
-    // Spark "NOT IN" that can't be fooled by nulls) + two scan counts,
+    // Shape per relation: two LEFT ANTI joins + two scan counts,
+    // oracled with NOT EXISTS — the form whose NULL semantics MATCH the
+    // anti join (a NULL fk is an orphan on both engines; NOT IN would
+    // return zero rows the moment the parent side held a single NULL),
     // composed via 1-row broadcast cross joins (whitelisted BNLJ). At
     // 100 TB each anti join is one fk-keyed shuffle (or broadcast when
     // the parent key set fits); nothing quadratic.
@@ -1236,33 +1238,33 @@ object Relational {
         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_parents,
         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_children,
         (SELECT CAST(count(*) AS BIGINT) FROM orders
-         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS orphan_children,
+         WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS orphan_children,
         (SELECT CAST(count(*) AS BIGINT) FROM customer
-         WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)) AS childless_parents
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS childless_parents
       UNION ALL
       SELECT 'lineitem->orders',
         (SELECT CAST(count(*) AS BIGINT) FROM orders),
         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
-        (SELECT CAST(count(*) AS BIGINT) FROM orders
-         WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem))
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        (SELECT CAST(count(*) AS BIGINT) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey))
       UNION ALL
       SELECT 'lineitem->part',
         (SELECT CAST(count(*) AS BIGINT) FROM part),
         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-         WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+         WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)),
         (SELECT CAST(count(*) AS BIGINT) FROM part
-         WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem))
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey))
       UNION ALL
       SELECT 'embeddings->documents',
         (SELECT CAST(count(*) AS BIGINT) FROM documents),
         (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
         (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-         WHERE vec_id NOT IN (SELECT doc_id FROM documents)),
-        (SELECT CAST(count(*) AS BIGINT) FROM documents
-         WHERE doc_id NOT IN (SELECT DISTINCT vec_id FROM embeddings))"""),
+         WHERE NOT EXISTS (SELECT 1 FROM documents WHERE doc_id = vec_id)),
+        (SELECT CAST(count(*) AS BIGINT) FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = d.doc_id))"""),
       notes = "per-FK-relation orphan/coverage audit via anti joins; the pre-promotion DQ gate over the whole lake"),
 
     // ── Order-invariant table checksums (replication equality audit) ───

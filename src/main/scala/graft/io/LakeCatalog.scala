@@ -104,11 +104,20 @@ object LakeCatalog {
     val loc = meta.location.toString
     val partCols = meta.partitionColumnNames
     val merged = spark.read.option("mergeSchema", "true").parquet(loc).schema
-    spark.sql(s"DROP TABLE $name")
     val partClause =
       if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})" else ""
-    spark.sql(
-      s"CREATE TABLE $name (${merged.toDDL}) USING PARQUET$partClause LOCATION '$loc'")
+    def create(schema: org.apache.spark.sql.types.StructType): Unit = spark.sql(
+      s"CREATE TABLE $name (${schema.toDDL}) USING PARQUET$partClause LOCATION '$loc'")
+    // Everything fallible (footer merge, DDL rendering) happens BEFORE the
+    // drop; if the replacement CREATE itself still fails, re-register the
+    // ORIGINAL schema so a failed refresh never deletes the catalog entry.
+    spark.sql(s"DROP TABLE $name")
+    try create(merged)
+    catch {
+      case e: Throwable =>
+        try create(meta.schema) catch { case _: Throwable => () }
+        throw e
+    }
     spark.catalog.refreshTable(name)
     try spark.catalog.recoverPartitions(name)
     catch { case _: org.apache.spark.sql.AnalysisException => () }

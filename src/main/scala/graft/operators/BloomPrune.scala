@@ -41,6 +41,19 @@ object BloomPrune {
       dimKey: String,
       fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // The sketch probes LONG keys (graft_bloom_contains hashes the long
+    // representation). A non-integral key would cast to NULL, the probe
+    // filter would drop every row, and the "exact semi join" would
+    // silently return empty — fail loudly instead of wrong-answering.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    for ((df, key, side) <- Seq((fact, factKey, "fact"), (dim, dimKey, "dim"))) {
+      val dt = df.schema(key).dataType
+      require(integral.contains(dt),
+        s"$side key '$key' must be an integral type for the bloom probe " +
+          s"(got ${dt.simpleString}); cast it explicitly or use a plain semi join")
+    }
     GraftFunctions.register(fact.sparkSession)
     // expectedNumItems sizes the bit array; counting first costs one
     // columnar agg over dim and keeps the sketch at its target fpp

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{call_function, col}
+import org.apache.spark.sql.functions.{call_function, col, greatest, least, lit}
 
 import graft.functions.GraftFunctions
 
@@ -25,7 +25,7 @@ import graft.functions.GraftFunctions
   * than one clustering dimension. ZOrderSpec pins both sides of that
   * tradeoff on a grid corpus.
   *
-  * Dims are bounded to 16 bits here (the write clamps via modulo) so
+  * Dims are bounded to 16 bits here (the write saturate-clamps) so
   * layout keys match the overflow-free shift/mask arithmetic a SQL engine
   * (the DuckDB oracle twin, q91) can reproduce; a production caller with
   * wider domains quantizes (e.g. `((v - min) * 65535 / range)`) first —
@@ -33,11 +33,20 @@ import graft.functions.GraftFunctions
   */
 object ZOrderLayout {
 
-  /** Interleaved sort key for two dimension columns (low 16 bits each). */
-  def zkey(a: Column, b: Column): Column =
-    call_function("graft_zorder",
-      (a.cast("long") % 65536L).cast("long"),
-      (b.cast("long") % 65536L).cast("long"))
+  /** Interleaved sort key for two dimension columns, CLAMPED to the
+    * 16-bit domain [0, 65535] — a true clamp, not a modulo: `% 65536`
+    * would WRAP out-of-range values onto small keys (65536 co-clustering
+    * with 0, breaking rank order exactly where skipping needs it) and
+    * hand negative inputs' low bits to all 64 z-bits. Clamping saturates
+    * out-of-range dims at the domain edge: correctness is unaffected
+    * (layout only drives skipping) and in-range rank order is preserved;
+    * callers with wider domains quantize first, as the scaladoc above
+    * prescribes. */
+  def zkey(a: Column, b: Column): Column = {
+    def clamp16(c: Column): Column =
+      least(greatest(c.cast("long"), lit(0L)), lit(65535L))
+    call_function("graft_zorder", clamp16(a), clamp16(b))
+  }
 
   /** Rewrite `df` into `numFiles` z-clustered parquet files at `path`. */
   def write(

@@ -51,9 +51,13 @@ object StreamingDocIngest {
     val scored = docs.withWatermark("ingest_ts", watermark)
       .withColumn("quality_score", TextSignals.qualityScore(col("text")))
     val tapped =
+      // n_quality_dropped counts the COMPLEMENT of what the gate keeps —
+      // including NULL scores (null text): `score < min` would miss them,
+      // under-reporting the drop rate the incident signal watches.
       if (observed) scored.observe("doc_ingest",
         count(lit(1)).as("n_in"),
-        count(when(col("quality_score") < minQuality, 1)).as("n_quality_dropped"))
+        count(when(!(col("quality_score") >= minQuality) ||
+          col("quality_score").isNull, 1)).as("n_quality_dropped"))
       else scored
     tapped.filter(col("quality_score") >= minQuality)
       .withColumn("fp", TextSignals.normalizedFingerprint(col("text")))

@@ -51,6 +51,27 @@ class BloomPruneSpec extends SparkSpec {
       "bloom semi join diverged from the exact semi join")
   }
 
+  test("semiJoin rejects non-integral keys loudly (no silent empty result)") {
+    import spark.implicits._
+    // a string key would cast to NULL in the long probe and silently drop
+    // every row — the guard must throw instead
+    val fact = Seq(("a", 1L), ("b", 2L)).toDF("k", "payload")
+    val dim = Seq("a", "b").toDF("d")
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.semiJoin(fact, "k", dim, "d")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    val factL = Seq((1L, "x")).toDF("k", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      BloomPrune.semiJoin(factL, "k", dim, "d")
+    }
+    assert(e2.getMessage.contains("dim key"), e2.getMessage)
+    // integral widths narrower than long still pass the guard
+    val factI = Seq((1, "x"), (26, "y")).toDF("k", "payload")
+    val dimI = Seq(1, 13, 26).toDF("d")
+    assert(BloomPrune.semiJoin(factI, "k", dimI, "d").count() == 2)
+  }
+
   test("interpreted eval agrees with codegen (wholestage off vs on)") {
     import spark.implicits._
     GraftFunctions.register(spark)

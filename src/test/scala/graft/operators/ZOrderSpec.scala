@@ -43,6 +43,26 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zkey saturate-clamps out-of-range dims: no wraparound, rank order kept") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (-100L, 7L),        // negative -> clamps to 0
+      (0L, 7L),
+      (100L, 7L),
+      (65535L, 7L),
+      (65536L, 7L),       // over-range -> clamps to 65535, NOT to 0
+      (1L << 40, 7L))     // far over-range -> still 65535
+      .toDF("a", "b")
+      .select($"a", ZOrderLayout.zkey($"a", $"b").as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(-100L) == rows(0L), "negative input must clamp to 0")
+    assert(rows(65536L) == rows(65535L), "over-range must saturate, not wrap")
+    assert(rows(1L << 40) == rows(65535L))
+    // in-range rank order is monotone for a fixed second dim
+    assert(rows(0L) < rows(100L) && rows(100L) < rows(65535L))
+  }
+
   test("z-layout bounds BOTH dims per file; a 1-D sort layout only its own") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-zorder").toString

@@ -104,9 +104,12 @@ class StreamingDocIngestSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       input.addData(
-        (1L, goodText, T0),             // passes
-        (2L, shortText, T0 + Min),      // quality-dropped
-        (3L, shortText + "!", T0 + Min) // quality-dropped
+        (1L, goodText, T0),              // passes
+        (2L, shortText, T0 + Min),       // quality-dropped
+        (3L, shortText + "!", T0 + Min), // quality-dropped
+        (4L, null, T0 + Min)             // NULL text: score is NULL — the
+        // gate drops it, and the drop COUNT must include it (counting
+        // `score < min` would miss NULLs and under-report the drop rate)
       )
       q.processAllAvailable()
       // sum the observed metrics across all progress entries (empty
@@ -120,8 +123,8 @@ class StreamingDocIngestSpec extends SparkSpec {
           nDropped += row.getAs[Long]("n_quality_dropped")
         }
       }
-      assert(nIn == 3L, s"observed n_in=$nIn, want 3")
-      assert(nDropped == 2L, s"observed n_quality_dropped=$nDropped, want 2")
+      assert(nIn == 4L, s"observed n_in=$nIn, want 4")
+      assert(nDropped == 3L, s"observed n_quality_dropped=$nDropped, want 3")
       // and the gate itself still behaves identically to pipeline()
       val out = spark.table("docs_obs").select("doc_id")
         .collect().map(_.getLong(0)).sorted.toSeq
