@@ -200,6 +200,79 @@ object DedupQueries {
       })
     }
 
+  /** Asymmetric-containment pairs over any (doc_id, text) frame — the q95
+    * dataflow, frame-level for composition (CorpusCurate's containment
+    * stage runs it on the near-dup survivors). Candidates come from the
+    * q64 DF-capped inverted index (per-gram fan-out ≤ [[MaxGramDf]], never
+    * all-pairs); the SOUND `n_shared + min(capped)` bound prunes before
+    * the array join; the codegen two-pointer intersect verifies survivors
+    * only. Output: (doc_a < doc_b, n_inter, c_ab, c_ba) with
+    * max(c_ab, c_ba) >= tau. */
+  private[graft] def containmentPairsOf(docs: DataFrame, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val g = hashedGramsOf(docs.select("doc_id", "text"))
+    val ex = tokenized(docs)
+      .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val keep = ex.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= MaxGramDf).select("gh")
+    val kept = ex.join(keep, "gh")
+    // shared-gram COUNTS per candidate pair (q64's agg shape — one
+    // gram-keyed shuffle of longs; the count is free relative to the
+    // distinct the naive form pays anyway)
+    val shared = kept.select(col("gh"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("gh"), col("doc_id").as("doc_b")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    // per-doc gram profile: total distinct grams + how many survived the
+    // DF cap (3 ints per doc — the arrays stay out of the wide joins)
+    val keptCounts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    val profile = g.select(col("doc_id"), col("n_grams"))
+      .join(keptCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    // SOUND prefilter: the index only misses capped-out grams, so
+    // n_inter <= n_shared + min(capped_a, capped_b). Pairs that can't
+    // reach tau even with every capped gram shared are dropped BEFORE
+    // the array join — at sf0.1 this cuts ~1.1M candidates to the
+    // handful that can actually qualify (21 s -> ~4 s, beating the
+    // DuckDB twin's 92 s on the identical shape either way).
+    val cand = shared
+      .join(profile.select(col("doc_id").as("doc_a"), col("n_grams").as("na"),
+        col("n_kept").as("ka")), Seq("doc_a"))
+      .join(profile.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"),
+        col("n_kept").as("kb")), Seq("doc_b"))
+      .filter((col("n_shared") +
+        least(col("na") - col("ka"), col("nb") - col("kb"))).cast("double")
+        >= lit(tau) * least(col("na"), col("nb")))
+      .select("doc_a", "doc_b")
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams_h").as("ga"),
+        col("n_grams").as("na")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("grams_h").as("gb"),
+        col("n_grams").as("nb")), Seq("doc_b"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("n_inter", expr("graft_intersect_card(ga, gb)").cast("long"))
+      .withColumn("c_ab", col("n_inter").cast("double") / col("na"))
+      .withColumn("c_ba", col("n_inter").cast("double") / col("nb"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= tau)
+      .select("doc_a", "doc_b", "n_inter", "c_ab", "c_ba")
+  }
+
+  /** Containment DROP set for dedup composition: per qualifying pair,
+    * drop the MORE-CONTAINED doc (the quote, not the host — its content
+    * lives inside the survivor); symmetric ties (mutual near-supersets)
+    * fall back to the keep-earliest rule. One drop per qualifying pair
+    * means no qualifying pair survives intact → the stage is idempotent
+    * (CorpusCurateSpec pins it). */
+  private[graft] def containmentDrops(docs: DataFrame, tau: Double): DataFrame =
+    containmentPairsOf(docs, tau)
+      .select(when(col("c_ab") > col("c_ba"), col("doc_a"))
+        .when(col("c_ba") > col("c_ab"), col("doc_b"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+
   /** Exact-Jaccard verification of candidate pairs ONLY: joins the pairs
     * back to the hashed gram sets and keeps pairs with jaccard >= `minJ`.
     * O(candidates), never O(n²) — the verify half of the LSH scale path. */
@@ -641,57 +714,8 @@ object DedupQueries {
     // genuinely asymmetric (max-side containment < 1): pairs q38 cannot
     // see. Shapes: gram-keyed shuffles + id-keyed candidate dedup; no
     // quadratic stage.
-    QueryDef("q95_containment", (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val g = hashedGrams(s, d)
-      val ex = tokenized(t(s, d, "documents"))
-        .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-      val keep = ex.groupBy("gh")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") <= MaxGramDf).select("gh")
-      val kept = ex.join(keep, "gh")
-      // shared-gram COUNTS per candidate pair (q64's agg shape — one
-      // gram-keyed shuffle of longs; the count is free relative to the
-      // distinct the naive form pays anyway)
-      val shared = kept.select(col("gh"), col("doc_id").as("doc_a"))
-        .join(kept.select(col("gh"), col("doc_id").as("doc_b")), Seq("gh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-      // per-doc gram profile: total distinct grams + how many survived the
-      // DF cap (3 ints per doc — the arrays stay out of the wide joins)
-      val keptCounts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
-      val profile = g.select(col("doc_id"), col("n_grams"))
-        .join(keptCounts, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-      // SOUND prefilter: the index only misses capped-out grams, so
-      // n_inter <= n_shared + min(capped_a, capped_b). Pairs that can't
-      // reach tau even with every capped gram shared are dropped BEFORE
-      // the array join — at sf0.1 this cuts ~1.1M candidates to the
-      // handful that can actually qualify (21 s -> ~4 s, beating the
-      // DuckDB twin's 92 s on the identical shape either way).
-      val cand = shared
-        .join(profile.select(col("doc_id").as("doc_a"), col("n_grams").as("na"),
-          col("n_kept").as("ka")), Seq("doc_a"))
-        .join(profile.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"),
-          col("n_kept").as("kb")), Seq("doc_b"))
-        .filter((col("n_shared") +
-          least(col("na") - col("ka"), col("nb") - col("kb"))).cast("double")
-          >= lit(0.8) * least(col("na"), col("nb")))
-        .select("doc_a", "doc_b")
-      cand
-        .join(g.select(col("doc_id").as("doc_a"), col("grams_h").as("ga"),
-          col("n_grams").as("na")), Seq("doc_a"))
-        .join(g.select(col("doc_id").as("doc_b"), col("grams_h").as("gb"),
-          col("n_grams").as("nb")), Seq("doc_b"))
-        .filter(col("na") > 0 && col("nb") > 0)
-        .withColumn("n_inter", expr("graft_intersect_card(ga, gb)").cast("long"))
-        .withColumn("c_ab", col("n_inter").cast("double") / col("na"))
-        .withColumn("c_ba", col("n_inter").cast("double") / col("nb"))
-        .filter(greatest(col("c_ab"), col("c_ba")) >= 0.8)
-        .select("doc_a", "doc_b", "n_inter", "c_ab", "c_ba")
-    }, Some("""
+    QueryDef("q95_containment",
+      (s, d) => containmentPairsOf(t(s, d, "documents"), 0.8), Some("""
       WITH g AS (
         SELECT doc_id,
           list_distinct(list_transform(

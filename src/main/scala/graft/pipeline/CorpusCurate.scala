@@ -18,12 +18,19 @@ import graft.text.TextSignals
   *     window rule);
   *  3. near-dup dedup — MinHash+LSH candidates + exact-Jaccard verify via
   *     [[StreamingDocIngest.nearDupBatchTwin]] (the q36/q62 blocks);
-  *  4. shard packing — per-source cumulative token budget (q66 rule).
+  *  4. OPTIONAL containment dedup — asymmetric shingle containment
+  *     ([[graft.dedup.DedupQueries.containmentDrops]], the q95 shapes):
+  *     drops quotes/near-subsets Jaccard cannot see, keeping the host;
+  *  5. OPTIONAL semantic dedup — trained-IVF cells + within-cell cosine,
+  *     keep-earliest ([[graft.similarity.SimilarityQueries.semanticAssign]]/
+  *     `dominatedIn`, the q74 shapes) over an aligned embeddings frame;
+  *  6. shard packing — per-source cumulative token budget (q66 rule).
   *
-  * The pipeline is IDEMPOTENT (CorpusCurateSpec pins it): re-running on
-  * its own output drops nothing — survivors all pass the gate, own unique
-  * fingerprints, and are pairwise non-near-dup under the survivor rule
-  * (any qualifying pair would have dropped its higher id already).
+  * The pipeline is IDEMPOTENT (CorpusCurateSpec pins it, including with
+  * both optional stages on): re-running on its own output drops nothing —
+  * survivors all pass the gate, own unique fingerprints, and are pairwise
+  * non-qualifying under each stage's survivor rule (any qualifying pair
+  * would already have dropped one member).
   *
   * Scale posture: every stage is a catalog-audited shape (narrow gate,
   * one fp-keyed window, LSH band shuffles + candidate-only verify, one
@@ -38,17 +45,28 @@ object CorpusCurate {
       qualityDropped: Long,
       exactDupDropped: Long,
       nearDupDropped: Long,
+      containmentDropped: Long,
+      semanticDropped: Long,
       keptDocs: Long,
       keptTokens: Long,
       shards: Long) {
-    require(inputDocs == qualityDropped + exactDupDropped + nearDupDropped + keptDocs,
+    require(inputDocs == qualityDropped + exactDupDropped + nearDupDropped +
+      containmentDropped + semanticDropped + keptDocs,
       s"manifest does not partition the input: $this")
   }
 
   /** Curate `docs` (doc_id, source, text, ...) → (curated frame with
-    * quality_score/fp/n_tokens/shard_id columns, per-stage manifest). */
+    * quality_score/fp/n_tokens/shard_id columns, per-stage manifest).
+    *
+    * `containmentTau = Some(tau)` switches on the q95 containment stage;
+    * `semantic = Some((embeddings, tau))` switches on the q74 semantic
+    * stage, where `embeddings` is a (vec_id, embedding) frame whose ids
+    * align with doc_ids (docs without an embedding pass through — the
+    * stage can only judge what the encoder embedded). */
   def run(docs: DataFrame, minQuality: Double = 1.0, minJ: Double = 0.6,
-      shardTokens: Long = 2048L): (DataFrame, Manifest) = {
+      shardTokens: Long = 2048L,
+      containmentTau: Option[Double] = None,
+      semantic: Option[(DataFrame, Double)] = None): (DataFrame, Manifest) = {
     require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
     val n0 = docs.count()
 
@@ -67,9 +85,37 @@ object CorpusCurate {
     val near = StreamingDocIngest.nearDupBatchTwin(exact, minJ)
     val n3 = near.count()
 
+    val contained = containmentTau match {
+      case Some(tau) =>
+        near.join(graft.dedup.DedupQueries.containmentDrops(
+          near.select("doc_id", "text"), tau), Seq("doc_id"), "left_anti")
+      case None => near
+    }
+    val n4 = contained.count()
+
+    val semantically = semantic match {
+      case Some((emb, tau)) =>
+        import graft.similarity.SimilarityQueries
+        // Train + assign over the FULL caller-provided embeddings frame,
+        // then restrict the within-cell pair search to docs still alive.
+        // Training on the full frame (not the survivors) is what makes
+        // the stage IDEMPOTENT: a re-run sees the same quantizer, so the
+        // surviving vectors keep their cells and every qualifying pair
+        // already lost a member — training on survivors would re-carve
+        // the cells each run and surface new cross-cell pairs forever.
+        val assigned = SimilarityQueries.semanticAssign(emb)
+        val alive = assigned.join(
+          contained.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val drops = SimilarityQueries.dominatedIn(alive, tau)
+          .select(col("vec_id").as("doc_id"))
+        contained.join(drops, Seq("doc_id"), "left_anti")
+      case None => contained
+    }
+    val n5 = semantically.count()
+
     val wSrc = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val curated = near
+    val curated = semantically
       .withColumn("n_tokens", TextSignals.nTokens(col("text")).cast("long"))
       .withColumn("__cum", sum(col("n_tokens")).over(wSrc))
       // q66 rule: a doc belongs to the shard its cumulative sum CLOSES in
@@ -85,7 +131,9 @@ object CorpusCurate {
       qualityDropped = n0 - n1,
       exactDupDropped = n1 - n2,
       nearDupDropped = n2 - n3,
-      keptDocs = n3,
+      containmentDropped = n3 - n4,
+      semanticDropped = n4 - n5,
+      keptDocs = n5,
       keptTokens = stats.getLong(0),
       shards = stats.getLong(1))
     (curated, manifest)
@@ -112,6 +160,7 @@ object CorpusCurate {
       val json =
         s"""{"input_docs":${m.inputDocs},"quality_dropped":${m.qualityDropped},""" +
           s""""exact_dup_dropped":${m.exactDupDropped},"near_dup_dropped":${m.nearDupDropped},""" +
+          s""""containment_dropped":${m.containmentDropped},"semantic_dropped":${m.semanticDropped},""" +
           s""""kept_docs":${m.keptDocs},"kept_tokens":${m.keptTokens},"shards":${m.shards}}"""
       val dir = java.nio.file.Paths.get(outRoot)
       java.nio.file.Files.createDirectories(dir)

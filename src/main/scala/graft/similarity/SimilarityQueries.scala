@@ -192,6 +192,30 @@ object SimilarityQueries {
       .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
   }
 
+  /** Frame-level IVF-cell assignment with a freshly trained quantizer —
+    * the q74 dataflow head over any (vec_id, embedding) frame, for
+    * composition (CorpusCurate's semantic stage): (vec_id, v, norm, cell). */
+  private[graft] def semanticAssign(emb: DataFrame, k: Int = 20,
+      iters: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val all = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", l2norm("v"))
+    ivfAssign(all, centroidFrame(emb.sparkSession,
+      trainedCentroids(all, k, iters)))
+  }
+
+  /** The q74 keep-earliest rule over an assignment frame: vec_ids
+    * dominated by an earlier (lower-id) same-cell vector at cosine >= tau.
+    * Exact cosine runs WITHIN CELLS ONLY (candidate volume Σ cell², never
+    * n²) — the SemDeDup shape shared by q74 and the curation pipeline. */
+  private[graft] def dominatedIn(assigned: DataFrame, tau: Double): DataFrame =
+    assigned.toDF("id_a", "va", "na", "cell")
+      .join(assigned.toDF("id_b", "vb", "nb", "cell"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine("va", "vb", "na", "nb"))
+      .filter(col("cos_sim") >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+
   /** The q104 dataflow, parameterized so the fidelity spec can drive the
     * approximation knobs: RRF (k=60) fusion of a PostingsIndex.probe
     * top-`topN` lexical list with a VectorIndex.probe (IVF, `nProbe`
@@ -541,16 +565,11 @@ object SimilarityQueries {
     // q71 bit-comparable composition, the oracle below unrolls the SAME
     // training in SQL and the whole trained pipeline stays hash-gated.
     QueryDef("q74_semantic_dedup", (s, d) => {
-      val all = vecs(s, d)
-      val cents = centroidFrame(s, trainedCentroids(all, k = 20, iters = 1))
-      val assigned = ivfAssign(all, cents)
-      val dominated = assigned.toDF("id_a", "va", "na", "cell")
-        .join(assigned.toDF("id_b", "vb", "nb", "cell"), Seq("cell"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cos_sim", cosine("va", "vb", "na", "nb"))
-        .filter(col("cos_sim") >= 0.35)
-        .select(col("id_b").as("vec_id")).distinct()
-      assigned.join(dominated, Seq("vec_id"), "left_anti")
+      // shared definition with the curation pipeline's semantic stage:
+      // [[semanticAssign]] (trained cells) + [[dominatedIn]] (keep-earliest)
+      val assigned = semanticAssign(
+        t(s, d, "embeddings").select("vec_id", "embedding"))
+      assigned.join(dominatedIn(assigned, 0.35), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cell"))
     }, Some("""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

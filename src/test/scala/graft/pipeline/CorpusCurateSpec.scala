@@ -42,6 +42,63 @@ class CorpusCurateSpec extends SparkSpec {
     assert(m2.keptDocs == m1.keptDocs && m2.keptTokens == m1.keptTokens)
   }
 
+  test("containment stage drops quotes the Jaccard stages cannot see; partition + idempotence hold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // plant a quote: doc 90000 is the first 40 tokens of the LONGEST doc
+    // that survives baseline curation — Jaccard vs the full host is tiny
+    // (slips the near-dup stage) but containment of the quote in its
+    // host is ~1.0
+    val (baseCurated, _) = CorpusCurate.run(docs)
+    val hostRow = baseCurated
+      .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("n"))
+      .filter(col("n") >= 90) // sf0.001 docs top out at 99 tokens
+      .orderBy(col("n").desc, col("doc_id").asc)
+      .limit(1).collect()(0)
+    val hostId = hostRow.getLong(0)
+    // 30-token quote of a ~99-token host: containment ~1.0 but jaccard
+    // ~0.3 — invisible to the near-dup stage by construction
+    val quote = hostRow.getString(1).split(" ").take(30).mkString(" ")
+    val planted = docs.select("doc_id", "source", "text").unionByName(
+      Seq((90000L, "planted", quote)).toDF("doc_id", "source", "text"))
+    val (_, off) = CorpusCurate.run(planted)
+    val (curated, on) = CorpusCurate.run(planted, containmentTau = Some(0.8))
+    assert(off.containmentDropped == 0)
+    assert(on.containmentDropped > 0, s"containment stage never fired: $on")
+    // the planted quote is gone, its host survives
+    val kept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(90000L) && kept.contains(hostId),
+      "expected the quote dropped and the host kept")
+    assert(on.inputDocs == on.qualityDropped + on.exactDupDropped +
+      on.nearDupDropped + on.containmentDropped + on.semanticDropped + on.keptDocs)
+    // idempotence with the stage ON
+    val again = curated.select("doc_id", "source", "text").localCheckpoint()
+    val (_, m2) = CorpusCurate.run(again, containmentTau = Some(0.8))
+    assert(m2.containmentDropped == 0 && m2.keptDocs == on.keptDocs,
+      s"containment re-dropped on its own output: $m2")
+  }
+
+  test("semantic stage composes over aligned embeddings; partition + idempotence hold") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (_, off) = CorpusCurate.run(docs)
+    val (curated, on) = CorpusCurate.run(docs, semantic = Some((emb, 0.35)))
+    assert(off.semanticDropped == 0)
+    assert(on.semanticDropped > 0, s"semantic stage never fired: $on")
+    assert(on.keptDocs == off.keptDocs - on.semanticDropped,
+      "semantic stage must subtract exactly its drops from the kept set")
+    assert(on.inputDocs == on.qualityDropped + on.exactDupDropped +
+      on.nearDupDropped + on.containmentDropped + on.semanticDropped + on.keptDocs)
+    assert(curated.count() == on.keptDocs)
+    // idempotence with the stage ON: the survivor set is pairwise
+    // non-dominating within its re-trained cells
+    val again = curated.select("doc_id", "source", "text").localCheckpoint()
+    val (_, m2) = CorpusCurate.run(again, semantic = Some((emb, 0.35)))
+    assert(m2.semanticDropped == 0 && m2.keptDocs == on.keptDocs,
+      s"semantic re-dropped on its own output: $m2")
+  }
+
   test("shard budgets: every shard closes within one doc of the token budget") {
     import org.apache.spark.sql.functions._
     val budget = 2048L
