@@ -1314,6 +1314,36 @@ object Relational {
           doc_id || '|' || source || '|' || lang || '|' ||
           n_chars), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
       FROM documents"""),
-      notes = "order/partitioning-invariant md5-fold checksums per table (exact decimal sum); cross-copy equality audit shipping rows, not tables")
+      notes = "order/partitioning-invariant md5-fold checksums per table (exact decimal sum); cross-copy equality audit shipping rows, not tables"),
+
+    // ── Partitioned checksums (incremental re-verify) ──────────────────
+    // q100 answers "are two copies equal" with one number per TABLE —
+    // which means any incremental write forces a full-table re-hash. The
+    // production replication-audit workflow wants PARTITION subtotals:
+    // after a day's append, re-verify THAT day's subtotal and trust the
+    // untouched partitions' stored subtotals (the q70 incremental
+    // posture applied to auditing). Same per-row md5 fold and exact
+    // DECIMAL(38,0) sum as q100, grouped by the natural partition key
+    // (order date) — so subtotals are row-order invariant within a
+    // partition AND fold across partitions to exactly the q100 total
+    // (ChecksumFoldSpec pins the algebra). One hash shuffle keyed by
+    // partition, no joins; output is one row per partition-day.
+    QueryDef("q106_partition_checksum", (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val rowStr = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+      val h = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("decimal(38,0)")
+      t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("pdate"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(h).cast("string").as("checksum"))
+    }, Some("""
+      SELECT CAST(o_orderdate AS DATE) AS pdate,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(CAST('0x' || substr(md5(
+          o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+          o_orderpriority), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+      FROM orders
+      GROUP BY 1"""),
+      notes = "per-partition-day checksum subtotals (same md5 fold + exact decimal sum as q100): incremental re-verify after a day's append without re-hashing the table")
   )
 }
