@@ -273,6 +273,24 @@ object DedupQueries {
         .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
 
+  /** Per-cluster canonical election shared by q81 (exact edges) and q107
+    * (LSH edges): keep the longest member (n_chars desc, doc_id asc
+    * tiebreak) — (cluster_id, canonical_doc, members). Shapes: one
+    * doc-keyed join against a narrow documents projection + one
+    * cluster-keyed window, both proportional to CLUSTERED docs only. */
+  private[dedup] def canonicalElection(clusters: DataFrame,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    clusters.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .withColumn("members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+        col("members"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs ONLY: joins the pairs
     * back to the hashed gram sets and keeps pairs with jaccard >= `minJ`.
     * O(candidates), never O(n²) — the verify half of the LSH scale path. */
@@ -611,19 +629,11 @@ object DedupQueries {
     // can follow); at 100 TB the same two stages run unchanged on q62's
     // LSH-fed clusters.
     QueryDef("q81_cluster_canonical", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val pairs = defs.find(_.name == "q38_ngram_jaccard").get.fn(s, d)
         .filter(col("jaccard") >= 0.6)
         .select("doc_a", "doc_b")
-      DedupClusters.connectedComponents(pairs)
-        .join(t(s, d, "documents").select("doc_id", "n_chars"), Seq("doc_id"))
-        .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
-          .orderBy(col("n_chars").desc, col("doc_id").asc)))
-        .withColumn("members",
-          count(lit(1)).over(Window.partitionBy("cluster_id")))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
-          col("members"))
+      canonicalElection(DedupClusters.connectedComponents(pairs),
+        t(s, d, "documents"))
     }, Some("""
       WITH RECURSIVE g AS (
         SELECT doc_id, source,
@@ -744,6 +754,26 @@ object DedupQueries {
       FROM v
       WHERE greatest(CAST(n_inter AS DOUBLE) / na,
                      CAST(n_inter AS DOUBLE) / nb) >= 0.8"""),
-      notes = "asymmetric shingle containment >= 0.8 (quote/near-superset pairs Jaccard misses): DF-capped inverted-index candidates + exact two-pointer verify")
+      notes = "asymmetric shingle containment >= 0.8 (quote/near-superset pairs Jaccard misses): DF-capped inverted-index candidates + exact two-pointer verify"),
+
+    // ── LSH clusters → canonical election (the full scale pipeline) ────
+    // q81 proves the election on q38's EXACT edges (oracle-able); its
+    // scaladoc promises the same stages run unchanged on q62's LSH-fed
+    // clusters — this entry IS that artifact: LSH candidates → exact
+    // verify (candidates only) → iterative CC → [[canonicalElection]],
+    // the complete 100 TB dedup pipeline as one driver-gated query.
+    // Parity is structural, not re-derived: verify keeps only TRUE >= 0.6
+    // pairs, so the LSH edge set is a SUBSET of q38's and CC(LSH) REFINES
+    // CC(exact) — LshCanonicalSpec pins the refinement, the same-member
+    // clusters electing identical canonicals (shared definition), and
+    // full equality with q81 whenever LSH recall hits 1.0 on the corpus.
+    // Rows-only for the q62 reason: band hashes are engine-specific.
+    QueryDef("q107_lsh_canonical", (s, d) => {
+      val edges = verifyJaccard(
+        lshCandidatePairs(signatures(s, d)), hashedGrams(s, d), 0.6)
+      canonicalElection(DedupClusters.connectedComponents(edges),
+        t(s, d, "documents"))
+    }, None,
+      notes = "LSH candidates -> exact verify -> CC -> canonical election: the q62+q81 composition as one query (rows-only; parity spec vs q81 modulo LSH recall)")
   )
 }

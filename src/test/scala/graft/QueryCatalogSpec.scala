@@ -24,7 +24,8 @@ class QueryCatalogSpec extends SparkSpec {
       "q37_simhash", "q41_ann_lsh", "q42b_ann_ivf", "q62_dup_clusters_lsh",
       "q68_cosine_pairs_lsh", "q75_bpe_train", "q78_bpe_batch",
       "q82_hll_sketch_rollup", "q92_heavy_hitters",
-      "q105_ann_indexed"), // == q42b probe (VectorIndexSpec parity + AnnRecallSpec floor)
+      "q105_ann_indexed", // == q42b probe (VectorIndexSpec parity + AnnRecallSpec floor)
+      "q107_lsh_canonical"), // q62 composition (LshCanonicalSpec refinement/recall/parity)
       "only engine-specific-hash / approximate / sequential-merge ops may omit the oracle")
   }
 
