@@ -41,6 +41,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ZOrder2(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_kll_agg(x, k) takes a value and a literal k")
+        KllSketchAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_union"),
+      new ExpressionInfo(classOf[KllUnionAgg].getName, "graft_kll_union"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_kll_union(blob, k) takes a blob and a literal k")
+        KllUnionAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantiles].getName, "graft_kll_quantiles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_kll_quantiles(blob, ranks) takes a blob and an ARRAY<DOUBLE> of ranks")
+        KllQuantiles(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_n"),
+      new ExpressionInfo(classOf[KllN].getName, "graft_kll_n"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_kll_n(blob) takes one blob")
+        KllN(exprs(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
       (exprs: Seq[Expression]) => {

@@ -162,7 +162,35 @@ object GraftFunctions {
           "serialized BloomFilter in as lit(bytes))")
       BloomMightContain(exprs(0),
         exprs(1).eval().asInstanceOf[Array[Byte]])
+    },
+    "graft_kll_agg" -> { exprs =>
+      require(exprs.length == 2, "graft_kll_agg(x, k) takes a value and a literal k")
+      KllSketchAgg(exprs(0), foldableInt(exprs(1), "graft_kll_agg"))
+    },
+    "graft_kll_union" -> { exprs =>
+      require(exprs.length == 2, "graft_kll_union(blob, k) takes a blob and a literal k")
+      KllUnionAgg(exprs(0), foldableInt(exprs(1), "graft_kll_union"))
+    },
+    "graft_kll_quantiles" -> { exprs =>
+      require(exprs.length == 2,
+        "graft_kll_quantiles(blob, ranks) takes a blob and an ARRAY<DOUBLE> of ranks")
+      KllQuantiles(exprs(0), exprs(1))
+    },
+    "graft_kll_n" -> { exprs =>
+      require(exprs.length == 1, "graft_kll_n(blob) takes one blob")
+      KllN(exprs(0))
     })
+
+  /** Extract a foldable INT parameter (e.g. a sketch's k) at plan time. */
+  private def foldableInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: the k argument must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an integer literal, got $other")
+    }
+  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

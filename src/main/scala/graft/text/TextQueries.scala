@@ -1145,6 +1145,45 @@ object TextQueries {
         CAST(SUM(n_tokens) AS BIGINT) AS admitted_tokens,
         ANY_VALUE(rate) AS rate, ANY_VALUE(src_tokens) AS src_tokens
       FROM adm WHERE u < rate GROUP BY 1"""),
-      notes = "alpha=0.5 temperature source rebalancing via per-doc hash-threshold admission (q79's promised narrow scale path); IEEE-exact cross-engine by construction")
+      notes = "alpha=0.5 temperature source rebalancing via per-doc hash-threshold admission (q79's promised narrow scale path); IEEE-exact cross-engine by construction"),
+
+    // ── Mergeable quantile-sketch rollup (doc-length distribution) ─────
+    // The third leg of the sketch-rollup triad: q82 answers "how many
+    // distinct", q92 "which items dominate", q108 "how are values
+    // DISTRIBUTED" — per-source length quantiles are the curation
+    // dashboard number (is a source's p99 doc length exploding?). Exact
+    // percentiles (q48/q73/q101) rescan raw rows for every new rollup
+    // grain; at 100 TB the right artifact is a bounded KLL(2048) blob
+    // per fine partition (source × lang here; day × source in
+    // production), unioned to any coarser grain with sketch rows — not
+    // data rows — crossing the final exchange. graft_kll_* are custom
+    // TypedImperativeAggregates over DataSketches KLL (Spark has no
+    // mergeable-quantile surface; see functions/QuantileSketch.scala).
+    // Shapes: one (source, lang)-keyed hash-agg with partial
+    // accumulation (map-side combine shrinks each partition to ≤
+    // |groups| blobs before the only data-sized exchange), one tiny
+    // union agg over ≤ |source×lang| blob rows, quantile extraction on
+    // ≤ |source| rows. Rows-only at the driver gate like q82/q92 (KLL
+    // compaction is randomized → blobs engine-specific); KllSketchSpec
+    // pins exact-regime equality with order statistics, merge==direct,
+    // the estimation-mode rank-error band, and n bookkeeping.
+    QueryDef("q108_quantile_rollup", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .groupBy("source", "lang")
+        .agg(expr("graft_kll_agg(CAST(n_chars AS DOUBLE), 2048)").as("sk"))
+        .groupBy("source")
+        .agg(expr("graft_kll_union(sk, 2048)").as("usk"),
+          count(lit(1)).as("n_parts"))
+        .select(col("source"), col("n_parts"),
+          expr("graft_kll_n(usk)").as("n_docs"),
+          expr("graft_kll_quantiles(usk, array(0.5D, 0.9D, 0.99D))").as("q"))
+        .select(col("source"), col("n_parts"), col("n_docs"),
+          col("q").getItem(0).as("p50_chars"),
+          col("q").getItem(1).as("p90_chars"),
+          col("q").getItem(2).as("p99_chars"))
+        .orderBy("source")
+    }, None,
+      notes = "mergeable KLL quantile rollup: per-(source,lang) accumulate -> per-source union -> p50/p90/p99; rows-only (KLL compaction randomized), exactness/error pinned by KllSketchSpec")
   )
 }
