@@ -46,10 +46,12 @@ import org.apache.spark.sql.types._
   */
 object QuantileSketch {
   /** Shared k bound check: DataSketches requires 8 <= k <= 65535. */
-  private[functions] def requireK(k: Int): Unit =
+  private[graft] def requireK(k: Int): Unit =
     require(k >= 8 && k <= 65535, s"graft_kll: k must be in [8, 65535], got $k")
 
-  private[functions] def heapify(bytes: Array[Byte]): KllDoublesSketch =
+  // private[graft]: the streaming quantile monitor round-trips the same
+  // blob format through mapGroupsWithState state (StreamingQuantiles).
+  private[graft] def heapify(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
 }
 

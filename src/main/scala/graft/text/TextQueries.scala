@@ -1184,6 +1184,59 @@ object TextQueries {
           col("q").getItem(2).as("p99_chars"))
         .orderBy("source")
     }, None,
-      notes = "mergeable KLL quantile rollup: per-(source,lang) accumulate -> per-source union -> p50/p90/p99; rows-only (KLL compaction randomized), exactness/error pinned by KllSketchSpec")
+      notes = "mergeable KLL quantile rollup: per-(source,lang) accumulate -> per-source union -> p50/p90/p99; rows-only (KLL compaction randomized), exactness/error pinned by KllSketchSpec"),
+
+    // ── Deterministic train/val/test split manifest ────────────────────
+    // The split step every training pipeline runs before anything else.
+    // Assignment is a pure function of doc_id (the q102 technique: first
+    // 60 md5 bits as a uniform in [0,1), thresholds 0.90/0.95) — so the
+    // split is (a) reproducible run-to-run and cluster-to-cluster with
+    // no stored assignment table, (b) disjoint and exhaustive by
+    // construction (one CASE over one u), (c) stable under corpus
+    // growth: a doc's split never changes when other docs arrive, the
+    // property that keeps yesterday's test set out of tomorrow's
+    // training data. Contrast randomSplit(): sampling is seeded per
+    // PARTITION, so a repartition or file-split change reassigns docs.
+    // Shapes: narrow per-row hash + one 3-group hash-agg; the total-count
+    // scalar joins back via broadcast (no window, no second scan of raw
+    // text). IEEE-exact cross-engine (same md5 bits, same double
+    // division), so fully oracle-gated, hash-checked.
+    QueryDef("q109_split_manifest", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))
+          + lit(1)).cast("long").as("n_tokens"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976L) // 2^60
+      val tagged = docs.withColumn("split",
+        when(u < 0.90, lit("train")).when(u < 0.95, lit("val"))
+          .otherwise(lit("test")))
+      val totalRow = tagged.agg(count(lit(1)).as("n_total"))
+      tagged.crossJoin(broadcast(totalRow))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("split_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          (count(lit(1)).cast("double") / first(col("n_total"))).as("doc_share"))
+    }, Some("""
+      WITH dt AS (
+        SELECT doc_id, source,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS n_tokens,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        FROM documents),
+      tagged AS (
+        SELECT *, CASE WHEN u < 0.90 THEN 'train'
+                       WHEN u < 0.95 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM dt),
+      tot AS (SELECT COUNT(*) AS n_total FROM tagged)
+      SELECT split,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS split_tokens,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_total) AS doc_share
+      FROM tagged, tot GROUP BY split"""),
+      notes = "deterministic hash-threshold train/val/test split manifest (90/5/5): assignment is a pure function of doc_id — reproducible, disjoint/exhaustive by construction, stable under corpus growth; IEEE-exact cross-engine")
   )
 }
