@@ -774,6 +774,67 @@ object DedupQueries {
       canonicalElection(DedupClusters.connectedComponents(edges),
         t(s, d, "documents"))
     }, None,
-      notes = "LSH candidates -> exact verify -> CC -> canonical election: the q62+q81 composition as one query (rows-only; parity spec vs q81 modulo LSH recall)")
+      notes = "LSH candidates -> exact verify -> CC -> canonical election: the q62+q81 composition as one query (rows-only; parity spec vs q81 modulo LSH recall)"),
+
+    // ── Inter-document duplicated-gram coverage (per-doc dup signal) ───
+    // The per-document CROSS-doc duplication score: what fraction of a
+    // doc's distinct 3-gram shingles also appear in at least one OTHER
+    // document. This is the filter-signal complement of the pair/cluster
+    // family — q38/q95 emit PAIRS, q57/q62 emit CLUSTERS, q65 measures
+    // INTRA-doc repetition; curation gates (the MassiveText/RefinedWeb
+    // recipe) additionally want a scalar per doc ("mostly boilerplate
+    // shared with the rest of the corpus?") that ranks docs for removal
+    // WITHOUT materializing pairs. Crucially there is NO pairwise join
+    // here at all: one gram-keyed hash-agg computes each gram's distinct
+    // document frequency, one join hands it back to the doc's gram rows,
+    // one doc-keyed agg folds to (n_grams, n_shared) — three shuffles,
+    // every one linear in the gram stream, no DF cap needed because
+    // nothing fans out. At 100 TB this is the dedup-family query you can
+    // always afford. Spark keys the gram agg on xxhash64 (primitive longs
+    // through both shuffles); the oracle uses gram strings — identical
+    // modulo 2^-64 collisions, the q38/q64 argument. Short docs (≤ 2
+    // tokens, zero grams) keep a row via the left join: per-doc contract,
+    // total division.
+    QueryDef("q110_interdup_coverage", (s, d) => {
+      val docs = t(s, d, "documents")
+      val grams = tokenized(docs)
+        .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      val gramDf = grams.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val perdoc = grams.join(gramDf, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      docs.select(col("doc_id"), col("source"))
+        .join(perdoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          coalesce(col("n_shared").cast("double") / col("n_grams"), lit(0.0))
+            .as("dup_frac"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      gdf AS (SELECT gram, count(DISTINCT doc_id) AS df FROM ex GROUP BY gram),
+      perdoc AS (
+        SELECT ex.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_shared
+        FROM ex JOIN gdf USING (gram) GROUP BY 1)
+      SELECT d.doc_id, d.source,
+        COALESCE(p.n_grams, 0) AS n_grams,
+        COALESCE(p.n_shared, 0) AS n_shared,
+        COALESCE(CAST(p.n_shared AS DOUBLE) / p.n_grams, 0.0) AS dup_frac
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
+      notes = "per-doc cross-document duplicated-gram coverage: gram-DF agg + join-back + doc fold — the pairless dup filter signal (3 linear shuffles, no candidate join)")
   )
 }

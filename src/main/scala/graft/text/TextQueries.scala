@@ -1237,6 +1237,80 @@ object TextQueries {
         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
         CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_total) AS doc_share
       FROM tagged, tot GROUP BY split"""),
-      notes = "deterministic hash-threshold train/val/test split manifest (90/5/5): assignment is a pure function of doc_id — reproducible, disjoint/exhaustive by construction, stable under corpus growth; IEEE-exact cross-engine")
+      notes = "deterministic hash-threshold train/val/test split manifest (90/5/5): assignment is a pure function of doc_id — reproducible, disjoint/exhaustive by construction, stable under corpus growth; IEEE-exact cross-engine"),
+
+    // ── Bigram LM quality score (conditional-probability upgrade of q77) ─
+    // Per-doc mean conditional log-probability ln p(w_i | w_{i-1}) under
+    // the corpus's own MLE bigram model — the CCNet/KenLM-style perplexity
+    // gate one order up from q77's unigram: it penalizes IMPROBABLE
+    // TRANSITIONS (word salad scores low even when every individual token
+    // is common), which is exactly what the unigram proxy cannot see.
+    // MLE needs no smoothing here BY CONSTRUCTION: the model is trained on
+    // the corpus being scored, so every bigram occurrence has count >= 1
+    // (a top-V + backoff vocabulary is the production variant; the
+    // smoothing choice changes constants, not shapes). Shapes: bigram
+    // extraction is one narrow scan emitting (w1, w2) pairs via a
+    // higher-order transform over the pre-split token array; the model is
+    // two hash-aggs (pair counts keyed on (w1, w2); left-context counts
+    // keyed on w1 = denominator c(w1,·) over non-final positions); each
+    // occurrence joins both counts back and folds per doc. The w1-keyed
+    // join is Zipf-skewed at scale — same posture as q77: broadcast the
+    // top-V model or let AQE skew-join split the hot keys. Exactness:
+    // cb/cw division of exact ints is IEEE-correctly-rounded, ln on
+    // identical doubles is cross-engine (q50/q77-proven), and per-doc
+    // sums use the round(ln·1e6)-to-BIGINT micro-unit trick (q56/q77) so
+    // summation order cannot drift. Docs with < 2 tokens keep a row with
+    // n_bigrams 0 / score 0.0 via the left join.
+    QueryDef("q111_bigram_lm", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toksCol = filter(split(col("text"), " "),
+        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      val bi = docs.select(col("doc_id"), toksCol.as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """transform(
+            |  filter(sequence(1, greatest(size(tk) - 1, 1)),
+            |    i -> i < size(tk)),
+            |  i -> struct(element_at(tk, i) AS w1,
+            |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val pairCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val ctxCnt = bi.groupBy("w1").agg(count(lit(1)).as("cw"))
+      val perdoc = bi.join(pairCnt, Seq("w1", "w2")).join(ctxCnt, Seq("w1"))
+        .withColumn("lp",
+          round(log(col("cb").cast("double") / col("cw")) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+      docs.select(col("doc_id"))
+        .join(perdoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(round((col("s").cast("double") / 1e6) / col("n_bigrams"), 6),
+            lit(0.0)).as("bigram_lm_score"))
+    }, Some("""
+      WITH tkt AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0)
+          AS tk
+        FROM documents),
+      bx AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, greatest(len(tk), 1)),
+              i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+          FROM tkt)),
+      cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bx GROUP BY 1, 2),
+      cw AS (SELECT w1, COUNT(*) AS cw FROM bx GROUP BY 1),
+      perdoc AS (
+        SELECT bx.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          SUM(CAST(ROUND(LN(CAST(cb.cb AS DOUBLE) / cw.cw) * 1000000)
+            AS BIGINT)) AS s
+        FROM bx JOIN cb USING (w1, w2) JOIN cw USING (w1)
+        GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        COALESCE(round((CAST(p.s AS DOUBLE) / 1000000.0) / p.n_bigrams, 6), 0.0)
+          AS bigram_lm_score
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
+      notes = "per-doc mean conditional bigram log-prob (KenLM-style perplexity gate, one order up from q77): pair + left-context aggs, micro-unit exact per-doc sums")
   )
 }

@@ -162,6 +162,28 @@ class PlanContractSpec extends SparkSpec {
       s"final top-15 must be a distributed TakeOrdered, not a global sort:\n$p")
   }
 
+  test("q109: split manifest is narrow hash + one 3-group agg — no window, no per-doc keyed shuffle") {
+    val p = plan("q109_split_manifest")
+    assert(!p.contains("Window"), s"q109 gained a window:\n$p")
+    // two keyed shuffles, both ≤ |split × source| rows after the map-side
+    // partial: the (split, source) distinct-expansion agg and the final
+    // 3-group agg; the total-count scalar arrives via the whitelisted
+    // 1-row broadcast cross join
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"q109 should shuffle twice (distinct expansion + split agg):\n$p")
+  }
+
+  test("q110/q111: per-doc LM/dup scores are linear keyed shuffles — no window, no single-partition stage") {
+    Seq("q110_interdup_coverage", "q111_bigram_lm").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q gained a window:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q gained a single-partition stage:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join only:\n$p")
+    }
+  }
+
   test("q100: checksums are pure scan-aggregates — no joins, no windows, no keyed shuffles") {
     val p = plan("q100_table_checksum")
     assert(!p.contains("Join"), s"q100 gained a join:\n$p")
@@ -185,6 +207,7 @@ class PlanContractSpec extends SparkSpec {
       "q83_negative_pairs", "q86_bm25", "q88_hybrid_rrf",
       "q99_ref_integrity", // 1-row aggregate cross joins by design
       "q102_temperature_mix", // broadcast 1-row median cross join
+      "q109_split_manifest", // broadcast 1-row total-count cross join
       // GlobalOrder's ≤32-row pinned offset self-join (pid' < pid):
       "q89_global_ids", "q94_sequence_pack",
       // index probes: broadcast centroid argmax + bounded offset join
