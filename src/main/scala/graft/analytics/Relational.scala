@@ -1344,6 +1344,48 @@ object Relational {
           o_orderpriority), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
       FROM orders
       GROUP BY 1"""),
-      notes = "per-partition-day checksum subtotals (same md5 fold + exact decimal sum as q100): incremental re-verify after a day's append without re-hashing the table")
+      notes = "per-partition-day checksum subtotals (same md5 fold + exact decimal sum as q100): incremental re-verify after a day's append without re-hashing the table"),
+
+    // ── Column-level table profile (crawler statistics pass) ───────────
+    // The post-load sanity/statistics sweep the reference delegates to
+    // its catalog crawler: one row per column with row/null/distinct
+    // counts and min/max, all surfaced as STRING so one schema fits every
+    // column type. Each column profiles in ONE global aggregate over a
+    // scan pruned to that column (k columns ⇒ k single-column parquet
+    // page streams, never k full-table scans — ReadSchema-visible). This
+    // is the exact form (COUNT DISTINCT, oracle-able); TableProfile
+    // .profileApprox is the documented 100 TB path (HLL++ sketches fold
+    // map-side, the q82/q108 blobs-not-rows posture) with the same
+    // output schema. Min/max on strings compare binary/codepoint order
+    // identically in both engines; BIGINT→STRING renders identically.
+    QueryDef("q112_profile", (s, d) =>
+      graft.operators.TableProfile.profile(
+        t(s, d, "documents"), Seq("doc_id", "lang", "source", "n_chars")),
+      Some("""
+      SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        CAST(MIN(doc_id) AS VARCHAR) AS min_repr,
+        CAST(MAX(doc_id) AS VARCHAR) AS max_repr
+      FROM documents
+      UNION ALL
+      SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(DISTINCT lang) AS BIGINT),
+        CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'source', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(DISTINCT source) AS BIGINT),
+        CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+        CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+      FROM documents"""),
+      notes = "column-level profile (rows/nulls/distinct/min/max as strings): one pruned single-column scan per column; profileApprox is the HLL++ scale twin")
   )
 }
