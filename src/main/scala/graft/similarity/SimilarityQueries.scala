@@ -925,6 +925,75 @@ object SimilarityQueries {
         .select("vec_id", "embedding")
       VectorIndex.probe(s, vName, queries, nProbe = 6, topK = 5)
     }, None,
-      notes = "IVF probe against the persisted index (build amortized via IndexCache): the production ANN serving path; recall + parity spec-gated")
+      notes = "IVF probe against the persisted index (build amortized via IndexCache): the production ANN serving path; recall + parity spec-gated"),
+
+    // ── kNN label vote (label-noise / label-quality audit) ─────────────
+    // The weak-supervision audit every labeled corpus runs: hold out a
+    // deterministic slice (vec_id % 50 == 0), predict each held-out
+    // vector's label by majority vote of its k=5 nearest TRAIN vectors
+    // (cosine), and surface pred-vs-true per query — disagreements rank
+    // mislabeled/ambiguous examples for review, and the agg of
+    // `is_correct` is the standard leave-slice-out kNN accuracy. Votes
+    // tie-break by (count desc, label asc); neighbor ranks tie-break by
+    // (cos desc, cand_id asc) — both mirrored in the oracle, so the gate
+    // is exact. This is the guarded brute-force EXACTNESS ANCHOR (the
+    // q40 contract): the 100 TB path swaps the scored cross join for
+    // VectorIndex.probe candidates (q105's shape) and reuses the same
+    // vote/tiebreak stages unchanged. Query side broadcasts (|queries| =
+    // n/50); votes/argmax windows partition by query_id — bounded by k
+    // candidate rows per query, never corpus-wide.
+    QueryDef("q113_knn_label_vote", (s, d) => {
+      guardBruteForce(s, d, "q113_knn_label_vote")
+      val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val q = vecs(s, d).filter(col("vec_id") % 50 === 0)
+        .toDF("query_id", "qv", "qn")
+      val c = vecs(s, d).filter(col("vec_id") % 50 =!= 0)
+        .toDF("cand_id", "cv", "cn")
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("cand_id").asc)
+      val top = broadcast(q).join(c, lit(true))
+        .withColumn("cos_sim", cosine("qv", "cv", "qn", "cn"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select("query_id", "cand_id")
+      val votes = top
+        .join(lab.toDF("cand_id", "cand_label"), Seq("cand_id"))
+        .groupBy("query_id", "cand_label")
+        .agg(count(lit(1)).as("n_votes"))
+      val wv = Window.partitionBy("query_id")
+        .orderBy(col("n_votes").desc, col("cand_label").asc)
+      votes.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_label").as("pred_label"),
+          col("n_votes"))
+        .join(lab.toDF("query_id", "true_label"), Seq("query_id"))
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          col("n_votes"),
+          (col("pred_label") === col("true_label")).cast("long").as("is_correct"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
+          round(list_dot_product(q.e, c.e) /
+                (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+            AS cos_sim
+        FROM v q JOIN v c ON c.vec_id % 50 <> 0
+        WHERE q.vec_id % 50 = 0),
+      top AS (
+        SELECT query_id, cand_id, cand_label FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id ASC) <= 5),
+      votes AS (
+        SELECT query_id, cand_label, CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM top GROUP BY 1, 2),
+      pred AS (
+        SELECT query_id, cand_label AS pred_label, n_votes FROM votes
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY n_votes DESC, cand_label ASC) = 1)
+      SELECT p.query_id, v.label AS true_label, p.pred_label, p.n_votes,
+        CAST(CASE WHEN p.pred_label = v.label THEN 1 ELSE 0 END AS BIGINT)
+          AS is_correct
+      FROM pred p JOIN v ON v.vec_id = p.query_id"""),
+      notes = "k=5 cosine kNN majority-vote label audit on a deterministic held-out slice: guarded brute-force anchor (VectorIndex.probe is the scale path); exact tie-broken votes, fully oracle-gated")
   )
 }

@@ -208,6 +208,7 @@ class PlanContractSpec extends SparkSpec {
       "q99_ref_integrity", // 1-row aggregate cross joins by design
       "q102_temperature_mix", // broadcast 1-row median cross join
       "q109_split_manifest", // broadcast 1-row total-count cross join
+      "q113_knn_label_vote", // q40-style guarded broadcast-query scored cross join
       // GlobalOrder's ≤32-row pinned offset self-join (pid' < pid):
       "q89_global_ids", "q94_sequence_pack",
       // index probes: broadcast centroid argmax + bounded offset join
