@@ -928,6 +928,9 @@ object SimilarityQueries {
       notes = "IVF probe against the persisted index (build amortized via IndexCache): the production ANN serving path; recall + parity spec-gated"),
 
     // ── kNN label vote (label-noise / label-quality audit) ─────────────
+    // (labelVote — the shared vote/verdict stage — sits below the defs;
+    // q113 exact and q114 indexed run the IDENTICAL stage over different
+    // neighbor sources, so their parity is structural.)
     // The weak-supervision audit every labeled corpus runs: hold out a
     // deterministic slice (vec_id % 50 == 0), predict each held-out
     // vector's label by majority vote of its k=5 nearest TRAIN vectors
@@ -942,34 +945,8 @@ object SimilarityQueries {
     // vote/tiebreak stages unchanged. Query side broadcasts (|queries| =
     // n/50); votes/argmax windows partition by query_id — bounded by k
     // candidate rows per query, never corpus-wide.
-    QueryDef("q113_knn_label_vote", (s, d) => {
-      guardBruteForce(s, d, "q113_knn_label_vote")
-      val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
-      val q = vecs(s, d).filter(col("vec_id") % 50 === 0)
-        .toDF("query_id", "qv", "qn")
-      val c = vecs(s, d).filter(col("vec_id") % 50 =!= 0)
-        .toDF("cand_id", "cv", "cn")
-      val wr = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("cand_id").asc)
-      val top = broadcast(q).join(c, lit(true))
-        .withColumn("cos_sim", cosine("qv", "cv", "qn", "cn"))
-        .withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= 5)
-        .select("query_id", "cand_id")
-      val votes = top
-        .join(lab.toDF("cand_id", "cand_label"), Seq("cand_id"))
-        .groupBy("query_id", "cand_label")
-        .agg(count(lit(1)).as("n_votes"))
-      val wv = Window.partitionBy("query_id")
-        .orderBy(col("n_votes").desc, col("cand_label").asc)
-      votes.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
-        .select(col("query_id"), col("cand_label").as("pred_label"),
-          col("n_votes"))
-        .join(lab.toDF("query_id", "true_label"), Seq("query_id"))
-        .select(col("query_id"), col("true_label"), col("pred_label"),
-          col("n_votes"),
-          (col("pred_label") === col("true_label")).cast("long").as("is_correct"))
-    }, Some("""
+    QueryDef("q113_knn_label_vote", (s, d) =>
+      labelVote(knnExactTop(s, d), labelsOf(s, d)), Some("""
       WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                  FROM embeddings),
       scored AS (
@@ -994,6 +971,82 @@ object SimilarityQueries {
         CAST(CASE WHEN p.pred_label = v.label THEN 1 ELSE 0 END AS BIGINT)
           AS is_correct
       FROM pred p JOIN v ON v.vec_id = p.query_id"""),
-      notes = "k=5 cosine kNN majority-vote label audit on a deterministic held-out slice: guarded brute-force anchor (VectorIndex.probe is the scale path); exact tie-broken votes, fully oracle-gated")
+      notes = "k=5 cosine kNN majority-vote label audit on a deterministic held-out slice: guarded brute-force anchor (VectorIndex.probe is the scale path); exact tie-broken votes, fully oracle-gated"),
+
+    // ── kNN label vote, SCALE PATH (served from the persisted IVF index) ─
+    // q113's scored cross join replaced by VectorIndex.probe — the same
+    // anchor→scale-twin pairing as q38→q62 and q40→q105, completing the
+    // rule that every guarded brute-force baseline has a driver-gated
+    // indexed twin. Probe returns the top-10 so that held-out vectors
+    // (which live in the index but are not voters) can be dropped and a
+    // full 5 TRAIN votes usually remain; the re-rank keeps the probe's
+    // cosine order. The vote/verdict stage is [[labelVote]] — shared with
+    // q113, so any divergence is exactly IVF recall, never vote logic
+    // (KnnVoteIndexedSpec pins agreement and the perfect-recall subset).
+    // Rows-only for q42b's reason: probed cells depend on the trained
+    // quantizer. All windows query-partitioned over ≤10 candidate rows.
+    QueryDef("q114_knn_vote_indexed", (s, d) =>
+      labelVote(knnIndexedTop(s, d), labelsOf(s, d)), None,
+      notes = "q113 served from the persisted IVF index (probe top-10 -> train-only top-5 -> shared vote stage): the label-audit scale path; rows-only (quantizer-dependent), neighbor recall + conditional verdict parity spec-pinned")
   )
+
+  private[similarity] def labelsOf(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"), col("label"))
+
+  /** q113's neighbor stage: EXACT top-5 train neighbors (cos desc,
+    * cand_id asc) of each held-out query via the guarded scored cross
+    * join. Returns (query_id, cand_id). */
+  private[similarity] def knnExactTop(s: SparkSession, d: String): DataFrame = {
+    guardBruteForce(s, d, "q113_knn_label_vote")
+    val q = vecs(s, d).filter(col("vec_id") % 50 === 0)
+      .toDF("query_id", "qv", "qn")
+    val c = vecs(s, d).filter(col("vec_id") % 50 =!= 0)
+      .toDF("cand_id", "cv", "cn")
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    broadcast(q).join(c, lit(true))
+      .withColumn("cos_sim", cosine("qv", "cv", "qn", "cn"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select("query_id", "cand_id")
+  }
+
+  /** q114's neighbor stage: the persisted-IVF probe's top-10, dropped to
+    * train-only, re-ranked to top-5 — the same (query_id, cand_id)
+    * contract as [[knnExactTop]], so the vote stage composes over either. */
+  private[similarity] def knnIndexedTop(s: SparkSession, d: String): DataFrame = {
+    val (_, vName) = graft.IndexCache.ensure(s, d)
+    val queries = t(s, d, "embeddings").filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    // nProbe=10 (of k=20 cells): the vote consumes the top-5 of the TRAIN
+    // slice, a strictly harder target than q105's top-5-overall — the
+    // extra probed cells buy the recall the verdict quality rides on
+    // while still reading half the corpus cells of a full scan (and the
+    // production ratio is k >> nProbe; this corpus is just small)
+    val probed = VectorIndex.probe(s, vName, queries, nProbe = 10, topK = 10)
+      .filter(col("cand_id") % 50 =!= 0)
+    val wr = Window.partitionBy("query_id").orderBy(col("rank").asc)
+    probed.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 5)
+      .select("query_id", "cand_id")
+  }
+
+  /** Shared kNN vote/verdict stage (q113 exact / q114 indexed): majority
+    * vote over each query's neighbor ids with deterministic tie-breaks
+    * (count desc, label asc), then pred-vs-true verdict per query. */
+  private def labelVote(top: DataFrame, lab: DataFrame): DataFrame = {
+    val votes = top
+      .join(lab.toDF("cand_id", "cand_label"), Seq("cand_id"))
+      .groupBy("query_id", "cand_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("cand_label").asc)
+    votes.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_label").as("pred_label"),
+        col("n_votes"))
+      .join(lab.toDF("query_id", "true_label"), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"),
+        (col("pred_label") === col("true_label")).cast("long").as("is_correct"))
+  }
 }

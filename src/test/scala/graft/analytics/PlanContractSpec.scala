@@ -212,7 +212,7 @@ class PlanContractSpec extends SparkSpec {
       // GlobalOrder's ≤32-row pinned offset self-join (pid' < pid):
       "q89_global_ids", "q94_sequence_pack",
       // index probes: broadcast centroid argmax + bounded offset join
-      "q104_hybrid_indexed", "q105_ann_indexed")
+      "q104_hybrid_indexed", "q105_ann_indexed", "q114_knn_vote_indexed")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
