@@ -61,6 +61,37 @@ object IndexCache {
     (pRoot, vName)
   }
 
+  def zlayoutRoot(sfDir: String): String =
+    new java.io.File(s"target/graft_idx/${key(sfDir)}/zlayout").getAbsolutePath
+
+  /** Ensure the z-ordered lineitem layout + its min/max skipping manifest
+    * exist and are current for `sfDir`; returns the layout root. Same
+    * build-once posture as [[ensure]]: the one-time clustered rewrite is
+    * the amortized cost (a nightly OPTIMIZE at scale), the per-query cost
+    * is a driver-sized manifest read. Freshness rides a row-count marker
+    * like the postings index — the driver testdata is immutable, so the
+    * marker only exists to survive JVM churn without rebuilding. */
+  def ensureZLayout(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = zlayoutRoot(sfDir)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val nRows = li.count()
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_N_ROWS")
+    val fresh = java.nio.file.Files.isRegularFile(marker) &&
+      scala.util.Try(
+        java.nio.file.Files.readString(marker).trim.toLong == nRows)
+        .getOrElse(false)
+    if (!fresh) {
+      graft.operators.ZOrderLayout.write(li,
+        org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.col("l_suppkey"),
+        root, numFiles = 16)
+      graft.operators.SkippingIndex.buildManifest(spark, root,
+        Seq("l_partkey", "l_suppkey"))
+      java.nio.file.Files.writeString(marker, nRows.toString)
+    }
+    root
+  }
+
   /** Delete a managed-table directory orphaned by a dead session (the
     * catalog entry lives in memory; the files live in the shared
     * `spark.sql.warehouse.dir`). No-op when the location is absent. */

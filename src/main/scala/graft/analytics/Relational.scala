@@ -1386,6 +1386,37 @@ object Relational {
         CAST(COUNT(DISTINCT n_chars) AS BIGINT),
         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
       FROM documents"""),
-      notes = "column-level profile (rows/nulls/distinct/min/max as strings): one pruned single-column scan per column; profileApprox is the HLL++ scale twin")
+      notes = "column-level profile (rows/nulls/distinct/min/max as strings): one pruned single-column scan per column; profileApprox is the HLL++ scale twin"),
+
+    // ── Manifest-pruned scan (file-level data skipping) ────────────────
+    // The scan-planning layer q91's z-order layout exists to feed: a
+    // per-file min/max manifest (built once per layout rewrite, cached
+    // like the q104/q105 indexes) decides which files a 2-D range
+    // predicate can touch BEFORE any data file is opened — the
+    // Delta/Iceberg file-statistics idea from Spark primitives. Pruning
+    // is speculative (survivors are a superset), so the ranges re-apply
+    // as a residual filter and the result is structurally equal to a
+    // plain WHERE over the unclustered table — which is exactly what the
+    // oracle runs, so the hash gate re-proves skipping soundness every
+    // round. SkippingIndexSpec pins the yield (survivors ≪ files on the
+    // z-layout) and soundness across a predicate grid; the manifest read
+    // is driver-sized metadata (one row per file), never data.
+    QueryDef("q115_skipping_scan", (s, d) => {
+      val root = graft.IndexCache.ensureZLayout(s, d)
+      import graft.operators.SkippingIndex.ColRange
+      graft.operators.SkippingIndex.prunedRead(s, root, Seq(
+          ColRange("l_partkey", 40, 120), ColRange("l_suppkey", 2, 30)))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+    }, Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      WHERE l_partkey BETWEEN 40 AND 120 AND l_suppkey BETWEEN 2 AND 30
+      GROUP BY 1"""),
+      notes = "file-level min/max skipping over the z-ordered layout: manifest-pruned read + residual filter, hash-gated against a plain WHERE on the unclustered table (soundness re-proven every round)")
   )
 }
