@@ -11,7 +11,8 @@ object CatalogDoc {
     "text/TextQueries.scala" -> graft.text.TextQueries.defs,
     "dedup/DedupQueries.scala" -> graft.dedup.DedupQueries.defs,
     "similarity/SimilarityQueries.scala" -> graft.similarity.SimilarityQueries.defs,
-    "analytics/GoldQueries.scala" -> graft.analytics.GoldQueries.defs)
+    "analytics/GoldQueries.scala" -> graft.analytics.GoldQueries.defs,
+    "ml/MlQueries.scala" -> graft.ml.MlQueries.defs)
 
   def render(): String = {
     val sb = new StringBuilder

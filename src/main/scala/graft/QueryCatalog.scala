@@ -2,6 +2,7 @@ package graft
 
 import graft.analytics.{GoldQueries, QueryDef, Relational}
 import graft.dedup.DedupQueries
+import graft.ml.MlQueries
 import graft.similarity.SimilarityQueries
 import graft.text.TextQueries
 
@@ -11,7 +12,7 @@ import graft.text.TextQueries
 object QueryCatalog {
   val all: Seq[QueryDef] =
     Relational.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ GoldQueries.defs
+      SimilarityQueries.defs ++ GoldQueries.defs ++ MlQueries.defs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

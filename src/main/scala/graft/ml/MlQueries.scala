@@ -1,0 +1,196 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.QueryDef
+import graft.analytics.Ops.t
+
+/** Distributed training of a tiny quality/routing classifier — gradient
+  * descent expressed as aggregation, the dataflow every data-parallel
+  * trainer (MLlib's LBFGS/GD included) runs under the hood: per-row
+  * gradient terms are a narrow projection, the full-batch gradient is one
+  * hash-free global aggregate, and the d+1 weights live on the driver
+  * between steps (the q71 k-means posture: driver state is O(model),
+  * never O(data); each step is one scan, no joins, no windows, no
+  * shuffles beyond the single-stage agg).
+  *
+  * Cross-engine exactness (the reason a TRAINING loop can be hash-gated
+  * at all): per-row gradient terms round to integer micro-units before
+  * summation (the q77 log-prob pattern) — sums are BIGINT, so partition
+  * count, merge order, and row order can never drift a ulp; every other
+  * step op (divide by 1e6, by n, scale by lr, subtract) is identical
+  * IEEE arithmetic on identical inputs, so the DuckDB oracle unrolling
+  * the same three steps lands on bit-identical weights. The only shared
+  * float risk is EXP differing at a rounding knife-edge, the same
+  * accepted residual as q77's LN.
+  *
+  * At 100 TB: one scan per step over a narrow projection — the map-side
+  * combiner reduces each partition to d+1 longs, so the agg moves
+  * O(partitions × d) values, not data. Minibatch/sampled variants (q51's
+  * hash-sample as the batch selector) change the filter, not the shape.
+  */
+object MlQueries {
+
+  /** Full-batch GD for binary logistic regression: returns the weight
+    * vector (bias :: xs) after `steps` steps from zero init. `feats`
+    * must expose the feature columns `xs` and the 0/1 DOUBLE label `y`.
+    * Each step: z = w·x (fixed fold order), p = sigmoid(z), gradient
+    * terms (p − y)·x_j in exact micro-units, w_j ← w_j − lr·(ĝ_j)/n. */
+  def trainLogReg(feats: DataFrame, xs: Seq[Column], y: Column,
+      lr: Double, steps: Int): Array[Double] = {
+    val n = feats.count().toDouble
+    require(n > 0, "cannot train on an empty dataset")
+    var w = Array.fill(xs.size + 1)(0.0)
+    for (_ <- 1 to steps) {
+      val z = xs.zipWithIndex.foldLeft(lit(w(0)): Column) {
+        case (acc, (x, j)) => acc + lit(w(j + 1)) * x
+      }
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val terms = (lit(1.0) +: xs).zipWithIndex.map { case (x, j) =>
+        sum(round((p - y) * x * lit(1e6)).cast("long")).as(s"g$j")
+      }
+      val g = feats.agg(terms.head, terms.tail: _*).first()
+      w = Array.tabulate(w.length)(j => w(j) - lr * (g.getLong(j) / 1e6) / n)
+    }
+    w
+  }
+
+  /** The q116/q117 feature projection — engine-portable length arithmetic
+    * only (the q30 pattern), shared by train and score so the serving
+    * path can never skew from the training path. */
+  private[ml] def langFeatures(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    docs.select(
+      col("doc_id"),
+      (col("n_chars").cast("double") / lit(1000.0)).as("x1"),
+      ((length(text) - length(replace(text, lit(" "), lit(""))) + lit(1))
+        .cast("double") / lit(100.0)).as("x2"),
+      (graft.text.TextSignals.stopwordHits(text) / lit(10.0)).as("x3"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+  }
+
+  private val Lr = 0.5
+  private val Steps = 3
+
+  private def trainOn(docs: DataFrame): Array[Double] =
+    trainLogReg(langFeatures(docs),
+      Seq(col("x1"), col("x2"), col("x3")), col("y"), Lr, Steps)
+
+  /** Shared oracle CTE prefix: features + three unrolled GD steps. */
+  private val OracleSteps = """
+      WITH f AS (
+        SELECT doc_id,
+          CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+            / 100.0 AS x2,
+          (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\ba\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\band\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\bof\b')) AS DOUBLE))
+            / 10.0 AS x3,
+          CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END AS y
+        FROM documents),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+      g1 AS (SELECT
+          SUM(CAST(ROUND((0.5 - y) * 1.0 * 1000000.0) AS BIGINT)) AS g0,
+          SUM(CAST(ROUND((0.5 - y) * x1 * 1000000.0) AS BIGINT)) AS g1,
+          SUM(CAST(ROUND((0.5 - y) * x2 * 1000000.0) AS BIGINT)) AS g2,
+          SUM(CAST(ROUND((0.5 - y) * x3 * 1000000.0) AS BIGINT)) AS g3
+        FROM f),
+      w1 AS (SELECT
+          0.0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000.0) / nn.n AS w0,
+          0.0 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000.0) / nn.n AS w1,
+          0.0 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000.0) / nn.n AS w2,
+          0.0 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000.0) / nn.n AS w3
+        FROM g1, nn),
+      p2 AS (SELECT f.*,
+          1.0 / (1.0 + EXP(-(w1.w0 + w1.w1 * x1 + w1.w2 * x2 + w1.w3 * x3)))
+            AS p
+        FROM f, w1),
+      g2 AS (SELECT
+          SUM(CAST(ROUND((p - y) * 1.0 * 1000000.0) AS BIGINT)) AS g0,
+          SUM(CAST(ROUND((p - y) * x1 * 1000000.0) AS BIGINT)) AS g1,
+          SUM(CAST(ROUND((p - y) * x2 * 1000000.0) AS BIGINT)) AS g2,
+          SUM(CAST(ROUND((p - y) * x3 * 1000000.0) AS BIGINT)) AS g3
+        FROM p2),
+      w2 AS (SELECT
+          w1.w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000.0) / nn.n AS w0,
+          w1.w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000.0) / nn.n AS w1,
+          w1.w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000.0) / nn.n AS w2,
+          w1.w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000.0) / nn.n AS w3
+        FROM g2, w1, nn),
+      p3 AS (SELECT f.*,
+          1.0 / (1.0 + EXP(-(w2.w0 + w2.w1 * x1 + w2.w2 * x2 + w2.w3 * x3)))
+            AS p
+        FROM f, w2),
+      g3 AS (SELECT
+          SUM(CAST(ROUND((p - y) * 1.0 * 1000000.0) AS BIGINT)) AS g0,
+          SUM(CAST(ROUND((p - y) * x1 * 1000000.0) AS BIGINT)) AS g1,
+          SUM(CAST(ROUND((p - y) * x2 * 1000000.0) AS BIGINT)) AS g2,
+          SUM(CAST(ROUND((p - y) * x3 * 1000000.0) AS BIGINT)) AS g3
+        FROM p3),
+      w3 AS (SELECT
+          w2.w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000.0) / nn.n AS w0,
+          w2.w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000.0) / nn.n AS w1,
+          w2.w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000.0) / nn.n AS w2,
+          w2.w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000.0) / nn.n AS w3
+        FROM g3, w2, nn)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Distributed classifier training (GD as aggregation) ───────────
+    // Trains a lang-id router head (predict lang='en' from three
+    // portable text statistics) with three full-batch GD steps. On this
+    // corpus the target is deliberately unlearnable (the generator draws
+    // lang i.i.d. of text, MlQueriesSpec documents majority as the Bayes
+    // optimum) — the catalog artifact is the training DATAFLOW. The
+    // catalog-visible artifact is the MODEL (one row per weight): the
+    // thing a training pipeline persists and ships. Oracle unrolls the
+    // identical three steps in SQL — micro-unit gradients make the
+    // weights bit-comparable, so the hash gate covers the whole training
+    // dataflow, not a summary of it.
+    QueryDef("q116_logreg_train", (s, d) => {
+      val w = trainOn(t(s, d, "documents"))
+      import s.implicits._
+      Seq(("bias", w(0)), ("x1_kchars", w(1)), ("x2_tokens", w(2)),
+        ("x3_stop", w(3))).toDF("feature", "weight")
+    }, Some(OracleSteps + """
+      SELECT 'bias' AS feature, w0 AS weight FROM w3
+      UNION ALL SELECT 'x1_kchars', w1 FROM w3
+      UNION ALL SELECT 'x2_tokens', w2 FROM w3
+      UNION ALL SELECT 'x3_stop', w3 FROM w3"""),
+      notes = "full-batch logistic-regression training as one aggregate per step (micro-unit exact gradients, driver holds d+1 doubles): oracle unrolls the same 3 steps in SQL; weights bit-comparable"),
+
+    // ── Model inference (the serving twin of q116) ─────────────────────
+    // Scores every document with the just-trained weights — train and
+    // score share langFeatures, so this is the full train→serve loop
+    // under one hash gate. Inference is a pure narrow projection (no
+    // joins, no shuffle: the model broadcasts as literals), which is
+    // exactly how a scoring pass over 100 TB should look. Score rounds
+    // to micro-units on BOTH sides so the per-row EXP sits behind the
+    // same knife-edge guard as training.
+    QueryDef("q117_logreg_score", (s, d) => {
+      val docs = t(s, d, "documents")
+      val w = trainOn(docs)
+      val f = langFeatures(docs)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      f.select(col("doc_id"),
+        (round(p * lit(1e6)) / lit(1e6)).as("p_en"),
+        (p >= 0.5).cast("long").as("pred_en"),
+        col("y").cast("long").as("is_en"))
+    }, Some(OracleSteps + """,
+      scored AS (SELECT f.doc_id,
+          1.0 / (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3)))
+            AS p,
+          CAST(y AS BIGINT) AS is_en
+        FROM f, w3)
+      SELECT doc_id, ROUND(p * 1000000.0) / 1000000.0 AS p_en,
+        CAST(p >= 0.5 AS BIGINT) AS pred_en, is_en
+      FROM scored"""),
+      notes = "per-doc inference with the q116 weights (shared feature projection): narrow model-as-literals projection, the 100 TB scoring shape; micro-unit-rounded scores hash-gated")
+  )
+}

@@ -1,0 +1,82 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Training-loop invariants the hash gate can't express: the weights are
+  * bit-compared by the driver (q116 oracle unrolls the same steps), but
+  * only a spec can pin that GD actually LEARNS (loss decreases step over
+  * step), that training is deterministic across runs and partitionings,
+  * and that q117's serving scores are consistent with its own verdict
+  * columns. */
+class MlQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def weightsAfter(steps: Int): Array[Double] =
+    MlQueries.trainLogReg(MlQueries.langFeatures(docs),
+      Seq(col("x1"), col("x2"), col("x3")), col("y"), lr = 0.5, steps)
+
+  private def logLoss(w: Array[Double]): Double = {
+    val f = MlQueries.langFeatures(docs)
+    val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    // clamped log-loss; evaluation metric only, not part of training
+    val eps = 1e-12
+    f.agg(avg(-(col("y") * log(greatest(p, lit(eps))) +
+        (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(eps))))))
+      .first().getDouble(0)
+  }
+
+  test("loss decreases at every GD step") {
+    val losses = (0 to 3).map(k => logLoss(weightsAfter(k)))
+    info(s"log-loss by step: ${losses.map(l => f"$l%.6f").mkString(" -> ")}")
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss did not decrease: $a -> $b")
+    }
+    assert(losses.last.isFinite)
+  }
+
+  test("training is deterministic across runs and partitionings") {
+    val w1 = weightsAfter(3)
+    val w2 = weightsAfter(3)
+    assert(w1.sameElements(w2), "re-run produced different weights")
+    val repart = MlQueries.trainLogReg(
+      MlQueries.langFeatures(docs).repartition(13),
+      Seq(col("x1"), col("x2"), col("x3")), col("y"), lr = 0.5, steps = 3)
+    assert(w1.sameElements(repart),
+      "partitioning changed the trained weights — gradient sums not exact")
+  }
+
+  test("q117 scores are self-consistent and match q116's weights") {
+    val w = graft.SparkEntry.queries("q116_logreg_train")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w.keySet == Set("bias", "x1_kchars", "x2_tokens", "x3_stop"))
+    assert(w.values.forall(v => v.isFinite))
+    val scored = graft.SparkEntry.queries("q117_logreg_score")(spark, sf)
+      .collect()
+    assert(scored.length == docs.count())
+    scored.foreach { r =>
+      val p = r.getDouble(1)
+      assert(p >= 0.0 && p <= 1.0, s"score out of range: $p")
+      val pred = r.getLong(2)
+      assert(pred == (if (p >= 0.5) 1L else 0L) ||
+        math.abs(p - 0.5) < 1e-6, // micro-rounded display score at the cut
+        s"pred_en inconsistent with p_en: $r")
+    }
+    // the synthetic corpus draws lang labels i.i.d. of the text (every
+    // lang shares one vocabulary), so the majority class IS the Bayes
+    // optimum here — the floor guards against doing WORSE than majority
+    // (a sign-flipped gradient would); the loss-decrease test above is
+    // what pins that GD actually optimizes
+    val n = scored.length.toDouble
+    val acc = scored.count(r => r.getLong(2) == r.getLong(3)) / n
+    val majority = math.max(scored.count(_.getLong(3) == 1L),
+      scored.count(_.getLong(3) == 0L)) / n
+    info(f"train accuracy $acc%.3f vs majority baseline $majority%.3f")
+    assert(acc >= majority - 1e-9,
+      "trained classifier does worse than predicting the majority class")
+  }
+}
