@@ -64,6 +64,11 @@ object IndexCache {
   def zlayoutRoot(sfDir: String): String =
     new java.io.File(s"target/graft_idx/${key(sfDir)}/zlayout").getAbsolutePath
 
+  /** Root for the persisted q116 classifier weights ([[graft.ml.ModelStore]])
+    * — same per-corpus cache namespace as the indexes and the z-layout. */
+  def modelRoot(sfDir: String): String =
+    new java.io.File(s"target/graft_idx/${key(sfDir)}/model_logreg").getAbsolutePath
+
   /** Ensure the z-ordered lineitem layout + its min/max skipping manifest
     * exist and are current for `sfDir`; returns the layout root. Same
     * build-once posture as [[ensure]]: the one-time clustered rewrite is

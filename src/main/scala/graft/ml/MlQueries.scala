@@ -73,9 +73,28 @@ object MlQueries {
   private val Lr = 0.5
   private val Steps = 3
 
-  private def trainOn(docs: DataFrame): Array[Double] =
+  /** Catalog-stable feature names for the q116 model — the schema of the
+    * persisted weight vector ([[ModelStore]]) and of q116's result. */
+  private[ml] val FeatureNames =
+    Seq("bias", "x1_kchars", "x2_tokens", "x3_stop")
+
+  private[ml] def trainOn(docs: DataFrame): Array[Double] =
     trainLogReg(langFeatures(docs),
       Seq(col("x1"), col("x2"), col("x3")), col("y"), Lr, Steps)
+
+  /** The q117 serving stage, shared verbatim by the inline (q117) and
+    * persisted-model (q120) paths: model-as-literals narrow projection,
+    * micro-unit-rounded display score. */
+  private[ml] def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val f = langFeatures(docs)
+    val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    f.select(col("doc_id"),
+      (round(p * lit(1e6)) / lit(1e6)).as("p_en"),
+      (p >= 0.5).cast("long").as("pred_en"),
+      col("y").cast("long").as("is_en"))
+  }
 
   /** Shared oracle CTE prefix: features + three unrolled GD steps. */
   private val OracleSteps = """
@@ -154,8 +173,7 @@ object MlQueries {
     QueryDef("q116_logreg_train", (s, d) => {
       val w = trainOn(t(s, d, "documents"))
       import s.implicits._
-      Seq(("bias", w(0)), ("x1_kchars", w(1)), ("x2_tokens", w(2)),
-        ("x3_stop", w(3))).toDF("feature", "weight")
+      FeatureNames.zip(w).toDF("feature", "weight")
     }, Some(OracleSteps + """
       SELECT 'bias' AS feature, w0 AS weight FROM w3
       UNION ALL SELECT 'x1_kchars', w1 FROM w3
@@ -173,15 +191,7 @@ object MlQueries {
     // same knife-edge guard as training.
     QueryDef("q117_logreg_score", (s, d) => {
       val docs = t(s, d, "documents")
-      val w = trainOn(docs)
-      val f = langFeatures(docs)
-      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
-        lit(w(3)) * col("x3")
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
-      f.select(col("doc_id"),
-        (round(p * lit(1e6)) / lit(1e6)).as("p_en"),
-        (p >= 0.5).cast("long").as("pred_en"),
-        col("y").cast("long").as("is_en"))
+      scoreWith(docs, trainOn(docs))
     }, Some(OracleSteps + """,
       scored AS (SELECT f.doc_id,
           1.0 / (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3)))
@@ -191,6 +201,31 @@ object MlQueries {
       SELECT doc_id, ROUND(p * 1000000.0) / 1000000.0 AS p_en,
         CAST(p >= 0.5 AS BIGINT) AS pred_en, is_en
       FROM scored"""),
-      notes = "per-doc inference with the q116 weights (shared feature projection): narrow model-as-literals projection, the 100 TB scoring shape; micro-unit-rounded scores hash-gated")
+      notes = "per-doc inference with the q116 weights (shared feature projection): narrow model-as-literals projection, the 100 TB scoring shape; micro-unit-rounded scores hash-gated"),
+
+    // ── Serving from the persisted model (the production path) ─────────
+    // q117 retrains inside every invocation — correct for the hash gate
+    // but it mismeasures serving, the exact q42b-vs-q105 distinction: at
+    // scale training is paid once and scoring reads d+1 stored doubles.
+    // This query loads the ModelStore weights (built once per corpus via
+    // the ensure/marker pattern) and runs the SAME scoreWith stage.
+    // DOUBLE round-trips parquet bit-exactly and training is
+    // partitioning-invariant (micro-unit sums), so stored == inline to
+    // the bit and q117's oracle gates this query unchanged — a persisted
+    // serving path under a full hash gate.
+    QueryDef("q120_logreg_stored", (s, d) => {
+      val root = ModelStore.ensureLogReg(s, d)
+      val (_, w) = ModelStore.load(s, root)
+      scoreWith(t(s, d, "documents"), w)
+    }, Some(OracleSteps + """,
+      scored AS (SELECT f.doc_id,
+          1.0 / (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3)))
+            AS p,
+          CAST(y AS BIGINT) AS is_en
+        FROM f, w3)
+      SELECT doc_id, ROUND(p * 1000000.0) / 1000000.0 AS p_en,
+        CAST(p >= 0.5 AS BIGINT) AS pred_en, is_en
+      FROM scored"""),
+      notes = "q117's scoring served from the persisted ModelStore weights (train amortized via the ensure/marker pattern): stored DOUBLEs round-trip bit-exactly, so the same oracle hash-gates the persisted serving path")
   )
 }

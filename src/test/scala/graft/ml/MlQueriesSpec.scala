@@ -79,4 +79,28 @@ class MlQueriesSpec extends SparkSpec {
     assert(acc >= majority - 1e-9,
       "trained classifier does worse than predicting the majority class")
   }
+
+  test("persisted model round-trips bit-exactly; q120 == q117 row-for-row") {
+    val root = ModelStore.ensureLogReg(spark, sf)
+    val (names, stored) = ModelStore.load(spark, root)
+    assert(names == MlQueries.FeatureNames, "feature order not preserved")
+    val inline = weightsAfter(3)
+    assert(stored.sameElements(inline),
+      "parquet round-trip drifted the weights — store must be bit-exact")
+    val q117 = graft.SparkEntry.queries("q117_logreg_score")(spark, sf)
+      .orderBy("doc_id").collect()
+    val q120 = graft.SparkEntry.queries("q120_logreg_stored")(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(q117.sameElements(q120),
+      "stored-model serving diverged from inline-trained serving")
+  }
+
+  test("ensure is build-once: a second call does not retrain") {
+    val root = ModelStore.ensureLogReg(spark, sf)
+    val f = new java.io.File(s"$root/weights")
+    val mtimes = f.listFiles().map(x => x.getName -> x.lastModified()).toMap
+    ModelStore.ensureLogReg(spark, sf)
+    val after = f.listFiles().map(x => x.getName -> x.lastModified()).toMap
+    assert(after == mtimes, "second ensure rewrote the persisted model")
+  }
 }
