@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{GoldQueries, QueryDef, Relational}
+import graft.analytics.{GoldQueries, LakeQueries, QueryDef, Relational}
 import graft.dedup.DedupQueries
 import graft.ml.MlQueries
 import graft.similarity.SimilarityQueries
@@ -12,7 +12,8 @@ import graft.text.TextQueries
 object QueryCatalog {
   val all: Seq[QueryDef] =
     Relational.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ GoldQueries.defs ++ MlQueries.defs
+      SimilarityQueries.defs ++ GoldQueries.defs ++ MlQueries.defs ++
+      LakeQueries.defs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

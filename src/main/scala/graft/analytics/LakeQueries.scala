@@ -1,0 +1,352 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{Expectations, Scd2, SkewOps, Snapshots}
+import Ops._
+
+/** Lake-operations query catalog: the operator families a production lake
+  * runs AROUND the analytics — declarative data-quality suites, skew-safe
+  * exact aggregation, interchange-format round-trips, dimension history
+  * (SCD2) with point-in-time serving, snapshot time travel with diffs,
+  * transition-graph analytics, and incremental materialized-view
+  * maintenance. Every query is DuckDB-oracle-gated; operators with
+  * engine-specific internals keep their exactness proofs in specs.
+  */
+object LakeQueries {
+
+  /** Per-SF scratch dir for queries that exercise WRITE paths (JSON
+    * interchange, snapshots). Deterministic per source dir so re-runs
+    * overwrite their own output; sibling of IndexCache's layout. */
+  private def scratch(sfDir: String, kind: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    new java.io.File(s"target/graft_scratch/$kind/$key").getAbsolutePath
+  }
+
+  // ── q122/q126 shared SCD2 timeline SQL (oracle side) ─────────────────
+  // One change row per (custkey, orderdate): the min-orderkey order's
+  // status/priority — pre-resolving same-instant conflicts HERE keeps the
+  // Spark side off Scd2's hash tiebreak, so the whole rebuild is plain
+  // SQL on both engines.
+  private val timelineSql = """
+      ch AS (
+        SELECT o_custkey AS custkey, o_orderdate AS eff_from,
+               o_orderstatus AS status, o_orderpriority AS priority
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY o_custkey, o_orderdate
+                ORDER BY o_orderkey ASC) AS rn
+              FROM orders)
+        WHERE rn = 1),
+      collapsed AS (
+        SELECT custkey, eff_from, status, priority FROM (
+          SELECT custkey, eff_from, status, priority,
+            lag(status) OVER w AS pst, lag(priority) OVER w AS ppr
+          FROM ch
+          WINDOW w AS (PARTITION BY custkey ORDER BY eff_from ASC))
+        WHERE pst IS NULL OR status <> pst OR priority <> ppr),
+      tl AS (
+        SELECT custkey, eff_from, status, priority,
+          lead(eff_from) OVER w2 AS eff_to,
+          CAST(lead(eff_from) OVER w2 IS NULL AS BIGINT) AS is_current
+        FROM collapsed
+        WINDOW w2 AS (PARTITION BY custkey ORDER BY eff_from ASC))"""
+
+  /** The Spark twin of [[timelineSql]]: change batch + Scd2.rebuild. */
+  private def timeline(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").asc)
+    val changes = t(s, d, "orders")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderdate").as("eff_from"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+    Scd2.rebuild(changes.limit(0), changes, Seq("custkey"), "eff_from")
+  }
+
+  /** PageRank iteration count for q123 — fixed so the oracle can unroll. */
+  private val PrIters = 5
+
+  // one unrolled iteration: rank flows src→dst along weighted edges in
+  // integer micro-units; floor division keeps both engines bit-identical
+  private def prIterSql(i: Int): String = s"""
+      r$i AS (
+        SELECT n0.v,
+          CAST(150000 + (COALESCE(SUM((rr.r * e.n) // o.tot), 0) * 85) // 100
+            AS BIGINT) AS r
+        FROM nodes n0
+        LEFT JOIN e ON e.dst = n0.v
+        LEFT JOIN r${i - 1} rr ON rr.v = e.src
+        LEFT JOIN outd o ON o.src = e.src
+        GROUP BY n0.v)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Declarative DQ expectations (one-pass rule suite) ──────────────
+    // The generalization of the reference's silver validation trio into a
+    // rule catalog: 5 rules over orders become ONE pruned scan (row rules
+    // as conditional aggregates, uniqueness via the same agg's distinct
+    // count). The `between` rule is deliberately tight enough to FAIL on
+    // this data, so the report proves it catches violations, not just
+    // rubber-stamps. At 100 TB: adding a rule adds a projection column,
+    // never a second pass.
+    QueryDef("q118_expectations", (s, d) => {
+      import Expectations.Rule._
+      Expectations.check(t(s, d, "orders"), Seq(
+        NotNull("o_custkey"),
+        InSet("o_orderstatus", Seq("O", "F", "P")),
+        Between("o_totalprice", 1.0, 300000.0),
+        Matches("o_orderpriority", "^[1-5]-"),
+        Unique(Seq("o_orderkey"))))
+    }, Some("""
+      WITH a AS (
+        SELECT COUNT(*) AS n,
+          SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
+          SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                     OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS v1,
+          SUM(CASE WHEN NOT (o_totalprice >= 1.0 AND o_totalprice <= 300000.0)
+                     OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS v2,
+          SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                     OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS v3,
+          COUNT(*) - COUNT(DISTINCT o_orderkey) AS v4
+        FROM orders)
+      SELECT 'not_null' AS rule, 'o_custkey' AS target,
+        CAST(v0 AS BIGINT) AS n_violations, CAST(n AS BIGINT) AS n_rows,
+        CAST(v0 = 0 AS BIGINT) AS passed FROM a
+      UNION ALL SELECT 'in_set', 'o_orderstatus', CAST(v1 AS BIGINT),
+        CAST(n AS BIGINT), CAST(v1 = 0 AS BIGINT) FROM a
+      UNION ALL SELECT 'between', 'o_totalprice', CAST(v2 AS BIGINT),
+        CAST(n AS BIGINT), CAST(v2 = 0 AS BIGINT) FROM a
+      UNION ALL SELECT 'matches', 'o_orderpriority', CAST(v3 AS BIGINT),
+        CAST(n AS BIGINT), CAST(v3 = 0 AS BIGINT) FROM a
+      UNION ALL SELECT 'unique', 'o_orderkey', CAST(v4 AS BIGINT),
+        CAST(n AS BIGINT), CAST(v4 = 0 AS BIGINT) FROM a"""),
+      notes = "declarative DQ expectations (Deequ-lite): 5-rule suite evaluated in ONE pruned scan (conditional aggs + distinct count); null-total violation predicates; the between rule fails on this data by design"),
+
+    // ── Skew-safe exact distinct count (SkewOps' driver-gated artifact) ─
+    // COUNT(DISTINCT user) per event type via value-hash salting: salt
+    // buckets are disjoint by construction so per-bucket distinct counts
+    // ADD — exact, not approximate, which is why it can sit under the
+    // hash gate. The unsalted plan funnels each hot key's full distinct
+    // (key,value) stream through one reducer; this bounds that reducer's
+    // shuffle read by 1/numSalts (the cluster-scale wall SkewOps.scala
+    // documents — locally the unsalted form wins, which BASELINE.md §skew
+    // records honestly).
+    QueryDef("q119_skew_distinct", (s, d) =>
+      SkewOps.saltedDistinctCount(
+        t(s, d, "events"), Seq("event_type"), "user_id"),
+      Some("""
+      SELECT event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_user_id
+      FROM events GROUP BY event_type"""),
+      notes = "skew-safe exact distinct count via value-hash salting (disjoint buckets => additive partials); SkewOps' catalog artifact, oracle = plain COUNT(DISTINCT)"),
+
+    // ── JSON interchange round-trip (sink + source fidelity) ───────────
+    // Writes a 6-column orders projection as PARTITIONED JSON lines,
+    // reads it back under the explicit schema contract (JSON carries no
+    // types), and aggregates the READ-BACK frame; the oracle aggregates
+    // the original parquet. The hash gate therefore proves the round
+    // trip loses nothing: longs, shortest-repr doubles, ISO-8601
+    // timestamps, and the dir-encoded partition column all survive.
+    // At 100 TB the same two operators are the landing/egress path for
+    // line-delimited feeds; partition dirs keep pruning available to
+    // downstream JSON readers.
+    QueryDef("q121_json_interchange", (s, d) => {
+      val root = scratch(d, "json")
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+          "o_orderpriority", "o_orderstatus")
+        .write.mode("overwrite").partitionBy("o_orderstatus").json(root)
+      s.read.schema(StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+          "o_orderdate TIMESTAMP, o_orderpriority STRING, o_orderstatus STRING"))
+        .json(root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          sum(col("o_orderkey")).as("sum_key"))
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM orders GROUP BY o_orderstatus"""),
+      notes = "partitioned JSON sink + explicit-schema source round-trip: oracle aggregates the ORIGINAL parquet, so the hash gate proves lossless interchange (longs/doubles/timestamps/partition dirs)"),
+
+    // ── SCD2 dimension versioning (timeline rebuild, driver-gated) ─────
+    // Scd2.rebuild as a catalog query: orders become a change stream for
+    // a per-customer status dimension (one change per (custkey, day),
+    // min-orderkey winner), and the rebuild collapses consecutive
+    // identical states and derives eff_to/is_current. Same-instant
+    // conflicts are pre-resolved deterministically, which keeps the whole
+    // operator SQL-expressible — the oracle rebuilds the identical
+    // timeline with windows. Scale posture unchanged from Scd2.scala:
+    // everything partitions by the dimension key.
+    QueryDef("q122_scd2_timeline", (s, d) =>
+      timeline(s, d).select(col("custkey"), col("eff_from"), col("status"),
+        col("priority"), col("eff_to"),
+        col(Scd2.IsCurrent).cast("long").as("is_current")),
+      Some(s"""
+      WITH $timelineSql
+      SELECT custkey, eff_from, status, priority, eff_to, is_current
+      FROM tl"""),
+      notes = "SCD Type-2 timeline rebuild (Scd2.rebuild) from an orders-derived change stream: collapse consecutive states, derive eff_to/is_current; fully oracle-gated (same-instant conflicts pre-resolved)"),
+
+    // ── Point-in-time dimension join (SCD2's serving path) ─────────────
+    // The question SCD2 exists to answer: revenue in the year AFTER a
+    // pin date, grouped by what each customer's status WAS at the pin —
+    // Scd2.asOf selects the version effective at T, the facts join on
+    // the key. At 100 TB the dimension side is versions (small), the
+    // fact side shuffles once on the join key.
+    QueryDef("q126_scd2_asof", (s, d) => {
+      val at = java.sql.Timestamp.valueOf("1995-07-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1996-07-01 00:00:00")
+      val dim = Scd2.asOf(timeline(s, d), "eff_from", at)
+        .select(col("custkey"), col("status").as("asof_status"))
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit(at) && col("o_orderdate") < lit(hi))
+        .join(dim, col("o_custkey") === col("custkey"))
+        .groupBy("asof_status")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+    }, Some(s"""
+      WITH $timelineSql,
+      dim AS (
+        SELECT custkey, status AS asof_status FROM tl
+        WHERE eff_from <= TIMESTAMP '1995-07-01 00:00:00'
+          AND (eff_to IS NULL OR eff_to > TIMESTAMP '1995-07-01 00:00:00'))
+      SELECT d.asof_status, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders o JOIN dim d ON o.o_custkey = d.custkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY d.asof_status"""),
+      notes = "point-in-time dimension join: facts grouped by the SCD2 version effective at the pin date (Scd2.asOf serving path); dimension = versions (small side), facts shuffle once"),
+
+    // ── Event-transition PageRank (micro-unit exact) ───────────────────
+    // Which event types are central in user journeys: the transition
+    // graph (lag window per user — the q26 ordering contract) is the
+    // DISTRIBUTED part; the rank iteration runs on the collected graph,
+    // which is |event types|² AT MOST — the q71 bounded-driver-state
+    // posture (graph size is metadata, never data). Integer micro-units
+    // with floor division make all 5 iterations bit-identical across
+    // engines, so a PAGERANK lands under the hash gate; the oracle
+    // unrolls the same 5 steps as chained CTEs. Per-node damping base
+    // (150000 = 0.15e6), no dangling redistribution — documented
+    // convention, applied identically on both sides.
+    QueryDef("q123_event_pagerank", (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val seqd = t(s, d, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+      val edges = seqd.filter(col("prev").isNotNull)
+        .select(col("prev").as("src"), col("event_type").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nodes = t(s, d, "events").select(col("event_type"))
+        .distinct().collect().map(_.getString(0)).sorted
+      require(nodes.length <= 64 && edges.length <= 4096,
+        s"transition graph unexpectedly large (${nodes.length} nodes, " +
+          s"${edges.length} edges) — driver iteration is bounded by design")
+      val out = edges.groupBy(_._1).map { case (src, es) => src -> es.map(_._3).sum }
+      var rank = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to PrIters) {
+        val in = new scala.collection.mutable.HashMap[String, Long]()
+        edges.foreach { case (src, dst, n) =>
+          in(dst) = in.getOrElse(dst, 0L) + rank(src) * n / out(src)
+        }
+        rank = nodes.map(v => v -> (150000L + in.getOrElse(v, 0L) * 85 / 100)).toMap
+      }
+      import s.implicits._
+      nodes.map(v => (v, rank(v))).toSeq.toDF("event_type", "rank_micro")
+    }, Some(s"""
+      WITH seqd AS (
+        SELECT event_type, lag(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+        FROM events),
+      e AS (SELECT prev AS src, event_type AS dst, COUNT(*) AS n
+            FROM seqd WHERE prev IS NOT NULL GROUP BY prev, event_type),
+      outd AS (SELECT src, SUM(n) AS tot FROM e GROUP BY src),
+      nodes AS (SELECT DISTINCT event_type AS v FROM events),
+      r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      ${(1 to PrIters).map(prIterSql).mkString(",")}
+      SELECT v AS event_type, r AS rank_micro FROM r$PrIters"""),
+      notes = s"event-type PageRank over the user-journey transition graph: distributed graph build (lag window), bounded driver iteration in integer micro-units ($PrIters steps, floor div) — bit-identical to the oracle's unrolled CTEs"),
+
+    // ── Snapshot time travel + diff (Snapshots' driver-gated artifact) ─
+    // Commits two deterministic versions of an orders slice (v2 removes
+    // keys %1000<50, keeps 50-399 unchanged, updates 400-499, adds
+    // 500-599), then diffs v1→v2 BY READING THE SNAPSHOTS BACK — so the
+    // gate covers commit, pointer resolution, versioned read, and the
+    // full-outer keyed diff. The oracle derives both versions straight
+    // from orders. Parquet round-trips longs/doubles/strings exactly,
+    // which is what makes the diff oracle-able.
+    QueryDef("q125_snapshot_diff", (s, d) => {
+      val root = scratch(d, "snap")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val m = col("o_orderkey") % 1000
+      Snapshots.commit(o.filter(m < 500), root)
+      Snapshots.commit(
+        o.filter(m >= 50 && m < 400).unionByName(
+          o.filter(m >= 400 && m < 600)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))),
+        root)
+      Snapshots.diff(Snapshots.read(s, root, 1), Snapshots.read(s, root, 2),
+          Seq("o_orderkey"))
+        .groupBy("change_type").agg(count(lit(1)).as("n"))
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 1000 < 500),
+      v2 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 1000 >= 50 AND o_orderkey % 1000 < 400
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0 FROM orders
+        WHERE o_orderkey % 1000 >= 400 AND o_orderkey % 1000 < 600),
+      dd AS (
+        SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                    WHEN v.o_orderkey IS NULL THEN 'removed'
+                    WHEN b.o_orderstatus = v.o_orderstatus
+                     AND b.o_totalprice = v.o_totalprice THEN 'unchanged'
+                    ELSE 'changed' END AS change_type
+        FROM base b FULL OUTER JOIN v2 v ON b.o_orderkey = v.o_orderkey)
+      SELECT change_type, COUNT(*) AS n FROM dd GROUP BY change_type"""),
+      notes = "snapshot versioning end-to-end: two commits, pointer-resolved versioned reads, full-outer keyed diff (added/removed/changed/unchanged) — oracle derives both versions from the source table"),
+
+    // ── Incremental gold maintenance (partial-agg merge algebra) ───────
+    // The materialized-view maintenance pattern: daily revenue partials
+    // computed separately for the base (< 1997) and the delta (>= 1997)
+    // merge by SUMMING — exact because partials stay DECIMAL until the
+    // final cast, counts are longs. The hash gate proves merged ==
+    // full-recompute, which is the invariant an incremental gold refresh
+    // at 100 TB lives on: a day's append touches the delta's groups
+    // only; history is never re-scanned.
+    QueryDef("q127_incremental_gold", (s, d) => {
+      val cut = lit("1997-01-01").cast("timestamp")
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(to_date(col("l_shipdate")).as("ship_date"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_extendedprice").cast(
+            org.apache.spark.sql.types.DecimalType(18, 4))).as("prev"))
+      val li = t(s, d, "lineitem")
+      partials(li.filter(col("l_shipdate") < cut))
+        .unionByName(partials(li.filter(col("l_shipdate") >= cut)))
+        .groupBy("ship_date")
+        .agg(sum(col("pn")).as("n_items"),
+          sum(col("prev")).cast("double").as("revenue"))
+    }, Some("""
+      SELECT CAST(l_shipdate AS DATE) AS ship_date, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY CAST(l_shipdate AS DATE)"""),
+      notes = "incremental materialized-view maintenance: base + delta partial aggregates merged by sum (DECIMAL partials => exact algebra); hash gate proves merged == full recompute"))
+}

@@ -987,7 +987,129 @@ object SimilarityQueries {
     // quantizer. All windows query-partitioned over ≤10 candidate rows.
     QueryDef("q114_knn_vote_indexed", (s, d) =>
       labelVote(knnIndexedTop(s, d), labelsOf(s, d)), None,
-      notes = "q113 served from the persisted IVF index (probe top-10 -> train-only top-5 -> shared vote stage): the label-audit scale path; rows-only (quantizer-dependent), neighbor recall + conditional verdict parity spec-pinned")
+      notes = "q113 served from the persisted IVF index (probe top-10 -> train-only top-5 -> shared vote stage): the label-audit scale path; rows-only (quantizer-dependent), neighbor recall + conditional verdict parity spec-pinned"),
+
+    // ── MMR diversified re-rank (retrieval post-processing) ────────────
+    // Maximal marginal relevance over each query's top-8 cosine
+    // candidates: greedily pick 3, each step maximizing
+    // 0.7·rel − 0.3·max-sim-to-already-picked — the standard diversity
+    // re-rank between retrieval and consumption. Distribution of work
+    // follows the operator's real shape at 100 TB: candidate GENERATION
+    // is the distributed part (here the guarded q40 baseline; in
+    // production VectorIndex.probe, identical interface), while the
+    // greedy runs on the collected per-query candidate lists — bounded
+    // at queries × topN rows by construction, the q71 driver-state
+    // posture, NEVER corpus-sized. Exactness: rel and pairwise sims are
+    // the 6dp-rounded cosines q40 already hash-matches; each greedy
+    // score combines them with identical IEEE ops on both engines, ties
+    // break on cand_id, so the oracle's 3 unrolled greedy steps land on
+    // the same picks and the whole re-rank is hash-gated.
+    QueryDef("q124_mmr_rerank", (s, d) => {
+      guardBruteForce(s, d, "q124_mmr_rerank")
+      val q = vecs(s, d).filter(col("vec_id") < 5).toDF("query_id", "qv", "qn")
+      val c = vecs(s, d).toDF("cand_id", "cv", "cn")
+      val wq = Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("cand_id").asc)
+      val cands = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+        .withColumn("rel", cosine("qv", "cv", "qn", "cn"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 8)
+        .select("query_id", "cand_id", "rel", "cv", "cn")
+      val a = cands.select(col("query_id"), col("cand_id").as("ca"),
+        col("cv").as("av"), col("cn").as("an"))
+      val b = cands.select(col("query_id").as("qb"), col("cand_id").as("cb"),
+        col("cv").as("bv"), col("cn").as("bn"))
+      val simOf = a.join(b, col("query_id") === col("qb") && col("ca") < col("cb"))
+        .withColumn("sim", cosine("av", "bv", "an", "bn"))
+        .select("query_id", "ca", "cb", "sim")
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+        .toMap
+      // exact integer scoring: 6dp cosines become micro-unit longs, the
+      // greedy score 0.7·rel − 0.3·sim becomes 7·relµ − 3·simµ in 1e-7
+      // units — pure BIGINT on both engines, so no rounding knife-edge
+      // can ever flip a pick or drift the output hash (a double-rounding
+      // .5 boundary DID bite at sf0.01 before this)
+      val relRows = cands.select("query_id", "cand_id", "rel").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      val picks = relRows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (qid, rows) =>
+          val rel = rows.map(r => r._2 -> r._3).toMap
+          def sim(x: Long, y: Long): Long =
+            math.round(simOf((qid, math.min(x, y), math.max(x, y))) * 1e6)
+          var remaining = rel.keySet.toList.sorted
+          var selected = List.empty[Long]
+          (1 to 3).map { step =>
+            val best = remaining.map { cid =>
+              val score =
+                if (selected.isEmpty) 7L * rel(cid)
+                else 7L * rel(cid) - 3L * selected.map(sim(cid, _)).max
+              (cid, score)
+            }.minBy { case (cid, sc) => (-sc, cid) }
+            selected = selected :+ best._1
+            remaining = remaining.filterNot(_ == best._1)
+            (qid, step.toLong, best._1, best._2)
+          }
+      }
+      import s.implicits._
+      picks.toDF("query_id", "pick_rank", "cand_id", "raw")
+        .select(col("query_id"), col("pick_rank"), col("cand_id"),
+          (col("raw").cast("double") / lit(1e7)).as("mmr_score"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          round(list_dot_product(q.e, c.e) /
+                (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+            AS rel
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5),
+      cands AS (
+        SELECT query_id, cand_id,
+          CAST(round(rel * 1000000) AS BIGINT) AS relm, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS rk
+        FROM scored QUALIFY rk <= 8),
+      sims AS (
+        SELECT x.query_id, x.cand_id AS ca, y.cand_id AS cb,
+          CAST(round(round(list_dot_product(vx.e, vy.e) /
+                (sqrt(list_dot_product(vx.e, vx.e)) * sqrt(list_dot_product(vy.e, vy.e))), 6)
+            * 1000000) AS BIGINT) AS simm
+        FROM cands x
+        JOIN cands y ON x.query_id = y.query_id AND x.cand_id < y.cand_id
+        JOIN v vx ON vx.vec_id = x.cand_id
+        JOIN v vy ON vy.vec_id = y.cand_id),
+      p1 AS (SELECT query_id, cand_id, 7 * relm AS score FROM cands WHERE rk = 1),
+      s2 AS (
+        SELECT c.query_id, c.cand_id, 7 * c.relm - 3 * s.simm AS score
+        FROM cands c
+        JOIN p1 p ON p.query_id = c.query_id AND c.cand_id <> p.cand_id
+        JOIN sims s ON s.query_id = c.query_id
+          AND s.ca = LEAST(c.cand_id, p.cand_id)
+          AND s.cb = GREATEST(c.cand_id, p.cand_id)),
+      p2 AS (SELECT query_id, cand_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, cand_id ASC) AS rk2 FROM s2) WHERE rk2 = 1),
+      s3 AS (
+        SELECT c.query_id, c.cand_id, 7 * c.relm - 3 * MAX(s.simm) AS score
+        FROM cands c
+        JOIN p1 ON p1.query_id = c.query_id AND c.cand_id <> p1.cand_id
+        JOIN p2 ON p2.query_id = c.query_id AND c.cand_id <> p2.cand_id
+        JOIN sims s ON s.query_id = c.query_id AND (
+          (s.ca = LEAST(c.cand_id, p1.cand_id) AND
+           s.cb = GREATEST(c.cand_id, p1.cand_id)) OR
+          (s.ca = LEAST(c.cand_id, p2.cand_id) AND
+           s.cb = GREATEST(c.cand_id, p2.cand_id)))
+        GROUP BY c.query_id, c.cand_id, c.relm),
+      p3 AS (SELECT query_id, cand_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, cand_id ASC) AS rk3 FROM s3) WHERE rk3 = 1)
+      SELECT query_id, CAST(1 AS BIGINT) AS pick_rank, cand_id,
+        CAST(score AS DOUBLE) / 10000000.0 AS mmr_score FROM p1
+      UNION ALL SELECT query_id, CAST(2 AS BIGINT), cand_id,
+        CAST(score AS DOUBLE) / 10000000.0 FROM p2
+      UNION ALL SELECT query_id, CAST(3 AS BIGINT), cand_id,
+        CAST(score AS DOUBLE) / 10000000.0 FROM p3"""),
+      notes = "MMR diversity re-rank (lambda=0.7, top-8 candidates, 3 picks): distributed candidate generation + bounded per-query greedy in exact micro-unit integers (7*relu - 3*simu, 1e-7 units) — no float knife-edges, fully hash-gated")
   )
 
   private[similarity] def labelsOf(s: SparkSession, d: String): DataFrame =
