@@ -44,21 +44,40 @@ object Snapshots {
 
   private def versionDir(root: String, v: Long) = s"$root/v=$v"
 
-  /** Committed version pointer, if any commit has completed. */
-  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+  /** (pointer, high-water committed version) — both live in ONE pointer
+    * file ("cur max", single atomic rename) so no crash can separate
+    * them. The high-water mark is what distinguishes a rolled-back-but-
+    * committed version (safe to roll forward to) from an ORPHANED dir a
+    * crashed commit left behind (never referenced, never readable). */
+  private def state(spark: SparkSession, root: String): Option[(Long, Long)] = {
     val p = new Path(root, Pointer)
     val f = fs(spark, root)
     if (!f.exists(p)) None
     else {
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(f.open(p), "UTF-8"))
-      try Some(in.readLine().trim.toLong) finally in.close()
+      try {
+        val parts = in.readLine().trim.split("\\s+")
+        val cur = parts(0).toLong
+        Some((cur, if (parts.length > 1) parts(1).toLong else cur))
+      } finally in.close()
     }
   }
 
+  /** Committed version pointer, if any commit has completed. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    state(spark, root).map(_._1)
+
+  /** Highest version ever committed (≥ the pointer after a rollback). */
+  def maxCommitted(spark: SparkSession, root: String): Option[Long] =
+    state(spark, root).map(_._2)
+
   /** Commit `df` as the next version; returns the new version number (1
     * for the first commit). Pointer is moved only after the data write
-    * commits. Single writer per root (see [[Upsert]]'s concurrency note). */
+    * commits. A commit after a rollback claims the slot AFTER the
+    * pointer, abandoning the rolled-back future (which [[vacuum]] can
+    * then reclaim — until it runs, those dirs are inert). Single writer
+    * per root (see [[Upsert]]'s concurrency note). */
   def commit(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val next = latestVersion(spark, root).getOrElse(0L) + 1
@@ -66,27 +85,28 @@ object Snapshots {
     // (pointer never moved), so clobbering it is the recovery path
     df.write.mode("overwrite").option("compression", "snappy")
       .parquet(versionDir(root, next))
-    writePointer(spark, root, next)
+    writePointer(spark, root, next, next)
     next
   }
 
-  /** Move the committed pointer back to `v` (which must exist). Newer
-    * snapshot dirs are left intact — roll FORWARD again by re-pointing,
-    * or reclaim them with [[vacuum]]. */
+  /** Re-point the table at committed version `v` — backward OR forward
+    * within the committed range (a mistaken rollback is undone by
+    * rolling forward again; nothing is deleted until [[vacuum]]). */
   def rollback(spark: SparkSession, root: String, v: Long): Unit = {
-    val cur = latestVersion(spark, root).getOrElse(
+    val (_, max) = state(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
-    require(v >= 1 && v <= cur, s"version $v outside committed range [1,$cur]")
+    require(v >= 1 && v <= max, s"version $v outside committed range [1,$max]")
     require(fs(spark, root).exists(new Path(versionDir(root, v))),
       s"snapshot dir for v=$v missing (vacuumed?)")
-    writePointer(spark, root, v)
+    writePointer(spark, root, v, max)
   }
 
-  /** Delete snapshot dirs NEWER than the committed pointer (the ones a
-    * rollback abandoned). Versions at or below the pointer are never
-    * touched — history needed for time travel stays. */
+  /** Delete snapshot dirs NEWER than the committed pointer (the future a
+    * rollback abandoned) and lower the high-water mark to the pointer.
+    * Versions at or below the pointer are never touched — history needed
+    * for time travel stays. */
   def vacuum(spark: SparkSession, root: String): Unit = {
-    val cur = latestVersion(spark, root).getOrElse(return)
+    val (cur, _) = state(spark, root).getOrElse(return)
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return
@@ -96,14 +116,17 @@ object Snapshots {
           scala.util.Try(name.stripPrefix("v=").toLong).toOption.exists(_ > cur))
         f.delete(st.getPath, true)
     }
+    writePointer(spark, root, cur, cur)
   }
 
   /** Read snapshot `v` (time travel). Fails loudly on an uncommitted or
     * vacuumed version rather than listing unreferenced dirs. */
   def read(spark: SparkSession, root: String, v: Long): DataFrame = {
-    val cur = latestVersion(spark, root).getOrElse(
+    val (_, max) = state(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
-    require(v >= 1 && v <= cur, s"version $v outside committed range [1,$cur]")
+    require(v >= 1 && v <= max, s"version $v outside committed range [1,$max]")
+    require(fs(spark, root).exists(new Path(versionDir(root, v))),
+      s"snapshot dir for v=$v missing (vacuumed?)")
     spark.read.parquet(versionDir(root, v))
   }
 
@@ -143,11 +166,12 @@ object Snapshots {
           .otherwise("changed").as("change_type"): _*)
   }
 
-  private def writePointer(spark: SparkSession, root: String, v: Long): Unit = {
+  private def writePointer(spark: SparkSession, root: String, v: Long,
+      max: Long): Unit = {
     val f = fs(spark, root)
     val tmp = new Path(root, s".$Pointer.tmp")
     val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$v $max".getBytes("UTF-8")) finally out.close()
     val dst = new Path(root, Pointer)
     if (f.exists(dst)) f.delete(dst, false)
     if (!f.rename(tmp, dst))
