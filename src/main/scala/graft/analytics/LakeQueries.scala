@@ -348,5 +348,67 @@ object LakeQueries {
       SELECT CAST(l_shipdate AS DATE) AS ship_date, COUNT(*) AS n_items,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM lineitem GROUP BY CAST(l_shipdate AS DATE)"""),
-      notes = "incremental materialized-view maintenance: base + delta partial aggregates merged by sum (DECIMAL partials => exact algebra); hash gate proves merged == full recompute"))
+      notes = "incremental materialized-view maintenance: base + delta partial aggregates merged by sum (DECIMAL partials => exact algebra); hash gate proves merged == full recompute"),
+
+    // ── ORC interchange round-trip (q121's columnar sibling) ───────────
+    // Same contract as q121 over the OTHER columnar interchange format a
+    // lake meets in practice: partitioned ORC write, schema-carrying read
+    // (ORC files embed their schema — no explicit-schema contract
+    // needed), aggregate the read-back, oracle the original parquet. ORC
+    // keeps column pruning and predicate pushdown available downstream,
+    // so at 100 TB this is a peer landing format, not a degraded one.
+    QueryDef("q128_orc_interchange", (s, d) => {
+      val root = scratch(d, "orc")
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+          "o_orderstatus", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority").orc(root)
+      s.read.orc(root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          count_distinct(col("o_custkey")).as("n_custs"),
+          max(col("o_orderdate")).as("max_date"))
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        MAX(o_orderdate) AS max_date
+      FROM orders GROUP BY o_orderpriority"""),
+      notes = "partitioned ORC sink/source round-trip (schema carried by the files): oracle aggregates the original parquet — lossless columnar interchange, q121's sibling"),
+
+    // ── Compliance key purge (right-to-be-forgotten, driver-gated) ─────
+    // Builds a partitioned lake from orders, purges a deterministic key
+    // set (o_orderkey % 97 = 0) with Deletes.purgeKeys — touched-
+    // partition-only rewrite through the shared staging path — then
+    // aggregates the SURVIVING LAKE read back from disk; the oracle
+    // filters the same keys from the source table. The gate therefore
+    // proves physical deletion: any purged row still on disk, any
+    // survivor lost, or any stale emptied partition would break the hash.
+    QueryDef("q129_compliance_purge", (s, d) => {
+      val root = scratch(d, "purge")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      o.write.option("compression", "snappy")
+        .partitionBy("o_orderpriority").parquet(root)
+      val doomed = o.filter(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey")
+      graft.operators.Deletes.purgeKeys(s.read.parquet(root), doomed,
+        Seq("o_orderkey"), "o_orderpriority", root)
+      s.read.parquet(root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_orderkey")).as("sum_key"))
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM orders
+      WHERE NOT (o_orderkey % 97 = 0)
+      GROUP BY o_orderpriority"""),
+      notes = "compliance purge end-to-end: Deletes.purgeKeys rewrites only key-holding partitions (shared staging path), result read back FROM DISK; oracle filters the source — the gate proves physical deletion"))
 }

@@ -87,60 +87,13 @@ object Upsert {
        else lit(false)) ||
       (if (hasNull) col(partCol).isNull else lit(false))
     // resolve over only the affected slice of base — statically
-    // partition-pruned scan, shuffle bounded by the batch footprint
+    // partition-pruned scan, shuffle bounded by the batch footprint.
+    // Staging/overwrite/emptied-partition semantics (why staging beats
+    // persist(), unique staging names, failure-path preservation, the
+    // moved-key emptied-partition cleanup) live in [[PartitionRewrite]].
     val resolved = merged(base.filter(inTouched), updates, keyCols, orderCol)
-    // Materialize the resolve to a SIBLING staging dir before the
-    // destructive overwrite. persist() is not enough when base was read
-    // from dest: losing any cached block mid-write (executor failure)
-    // recomputes from files the overwrite is concurrently replacing,
-    // silently corrupting the merge. Staged files also survive a driver
-    // crash mid-commit — the resolved data exists on disk for replay.
-    // Unpartitioned staging keeps null partCol values as ordinary column
-    // data (no default-partition encoding round-trip).
-    // unique per call: a concurrent or crashed run's staging dir must
-    // never be clobbered (single-writer is still required for dest itself
-    // — see the class doc — but staging collisions would corrupt silently)
-    val staging = dest.stripSuffix("/") + ".__graft_merge_staging_" +
-      java.util.UUID.randomUUID().toString.take(8)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    resolved.write.mode("overwrite").option("compression", "snappy").parquet(staging)
-    val staged = spark.read.parquet(staging)
-    val outParts = staged.select(col(partCol).cast("string")).distinct()
-      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
-    // the catch covers ONLY the destructive overwrite: a cleanup failure
-    // after a committed write must not masquerade as a failed upsert
-    // (an operator would replay a batch that already landed)
-    try {
-      staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("compression", "snappy")
-        .partitionBy(partCol)
-        .parquet(dest)
-    } catch {
-      // overwrite failed: KEEP staging (it holds the only complete copy of
-      // the resolve if dest is now partially rewritten) and say where it is
-      case e: Throwable =>
-        throw new RuntimeException(
-          s"upsert overwrite of $dest failed; resolved batch preserved at $staging", e)
-    }
-    // post-commit cleanup: failures here propagate as themselves — dest is
-    // already correct, so no "upsert failed" framing and no replay prompt.
-    // a moved key can leave its old partition EMPTY — dynamic overwrite
-    // only rewrites partitions present in the output, so drop the rest.
-    // Use Spark's own partition-path escaping (colons, spaces, unicode in
-    // values become %xx in dir names; null → default partition) over the
-    // writer-identical string form collected above.
-    // Staging is deleted in the finally: the overwrite has committed, so
-    // staging is dead weight even if an emptied-partition delete fails —
-    // without the finally, that failure would leak the staging dir forever.
-    try {
-      touched.map(_._2).filterNot(outParts.contains).foreach { s =>
-        val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partCol, s)
-        val p = new org.apache.hadoop.fs.Path(s"$dest/$dir")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      }
-    } finally fs.delete(stagingPath, true)
+    PartitionRewrite.overwriteTouched(
+      spark, resolved, touched.map(_._2), partCol, dest)
+    ()
   }
 }
