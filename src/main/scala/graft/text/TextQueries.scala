@@ -1311,6 +1311,63 @@ object TextQueries {
         COALESCE(round((CAST(p.s AS DOUBLE) / 1000000.0) / p.n_bigrams, 6), 0.0)
           AS bigram_lm_score
       FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
-      notes = "per-doc mean conditional bigram log-prob (KenLM-style perplexity gate, one order up from q77): pair + left-context aggs, micro-unit exact per-doc sums")
+      notes = "per-doc mean conditional bigram log-prob (KenLM-style perplexity gate, one order up from q77): pair + left-context aggs, micro-unit exact per-doc sums"),
+
+    // ── Segment-level cross-doc dedup (CCNet/C4 boilerplate removal) ───
+    // The sub-document dedup pass every web-corpus pipeline runs BEFORE
+    // doc-level near-dedup: split each doc into fixed 8-token segments
+    // (the pseudo-paragraph unit for this corpus's unbroken token
+    // streams), drop every segment whose exact token sequence appears in
+    // >= 2 distinct docs (boilerplate by definition — headers, footers,
+    // licence blocks), and reassemble the surviving text in order. This
+    // REMOVES the shared runs that make docs near-dups rather than
+    // flagging whole docs (q38/q95's job) — complementary signals.
+    //
+    // Plan shape at 100 TB: segment explode is narrow (bounded 1:~L/8
+    // fan-out); boilerplate detection is ONE segment-keyed hash-agg
+    // (count distinct docs — map-side partials); the mark-back is a
+    // segment-keyed equi join (broadcastable when the boilerplate set is
+    // small, as it is by definition); reassembly is one doc-keyed agg.
+    // No windows, no candidate pairs, no quadratic anything — segments
+    // join on their CONTENT (portable across engines; at scale you'd key
+    // on a 128-bit hash, same shape). Order inside the reassembled doc
+    // comes from array_sort over (seg_idx, seg) structs, not a window.
+    QueryDef("q130_segment_dedup", (s, d) => {
+      val segs = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(split(text, ' '))/8.0) as int) - 1, 1), " +
+            "s -> array_join(slice(split(text, ' '), s*8 + 1, 8), ' '))")))
+        .toDF("doc_id", "seg_idx", "seg")
+      val boiler = segs.groupBy("seg")
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("seg"), lit(1L).as("bp"))
+      segs.join(boiler, Seq("seg"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN bp IS NULL THEN " +
+              "struct(seg_idx, seg) END)), x -> x.seg)"), " ").as("clean_text"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      segs AS (
+        SELECT doc_id, s AS seg_idx,
+          array_to_string(tk[s*8 + 1 : s*8 + 8], ' ') AS seg
+        FROM (SELECT doc_id, tk,
+                unnest(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT))) AS s
+              FROM toks)),
+      bp AS (SELECT seg FROM segs GROUP BY seg
+             HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT s.doc_id, COUNT(*) AS n_segs,
+        CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped,
+        COALESCE(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+          ' ' ORDER BY s.seg_idx), '') AS clean_text
+      FROM segs s LEFT JOIN bp b ON s.seg = b.seg
+      GROUP BY s.doc_id"""),
+      notes = "CCNet-style sub-document boilerplate removal: fixed 8-token segments, drop segments appearing in >= 2 distinct docs, reassemble survivors in order — one segment-keyed agg + equi join + doc-keyed agg, no pairs, no windows")
   )
 }

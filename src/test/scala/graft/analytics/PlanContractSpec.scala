@@ -209,6 +209,7 @@ class PlanContractSpec extends SparkSpec {
       "q102_temperature_mix", // broadcast 1-row median cross join
       "q109_split_manifest", // broadcast 1-row total-count cross join
       "q113_knn_label_vote", // q40-style guarded broadcast-query scored cross join
+      "q124_mmr_rerank", // q40-style guarded broadcast candidate generation
       // GlobalOrder's ≤32-row pinned offset self-join (pid' < pid):
       "q89_global_ids", "q94_sequence_pack",
       // index probes: broadcast centroid argmax + bounded offset join
@@ -220,6 +221,24 @@ class PlanContractSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name gained an unplanned nested-loop join")
     }
+  }
+
+  test("q118: the expectation suite is one scan — a single parquet read in the plan") {
+    val p = plan("q118_expectations")
+    assert(countOf(p, "Scan parquet") == 1,
+      s"q118 must evaluate all rules over ONE scan:\n$p")
+    assert(!p.contains("Join"), s"q118 gained a join:\n$p")
+  }
+
+  test("q122/q123/q126/q127: new lake queries keep keyed windows and no single-partition stages") {
+    Seq("q122_scd2_timeline", "q126_scd2_asof", "q127_incremental_gold")
+      .foreach { q =>
+        val p = plan(q)
+        // an unpartitioned window would surface as Exchange SinglePartition
+        // — its absence proves every window/agg stays keyed
+        assert(!p.contains("Exchange SinglePartition"),
+          s"$q gained a single-partition stage:\n$p")
+      }
   }
 
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
