@@ -12,7 +12,14 @@ object CatalogDoc {
     "dedup/DedupQueries.scala" -> graft.dedup.DedupQueries.defs,
     "similarity/SimilarityQueries.scala" -> graft.similarity.SimilarityQueries.defs,
     "analytics/GoldQueries.scala" -> graft.analytics.GoldQueries.defs,
-    "ml/MlQueries.scala" -> graft.ml.MlQueries.defs)
+    "ml/MlQueries.scala" -> graft.ml.MlQueries.defs,
+    "analytics/LakeQueries.scala" -> graft.analytics.LakeQueries.defs)
+
+  // every catalog entry must appear in exactly one family section, so the
+  // rendered index can never silently drop a query family
+  require(families.flatMap(_._2).map(_.name).sorted ==
+    QueryCatalog.all.map(_.name).sorted,
+    "CatalogDoc.families is out of sync with QueryCatalog.all")
 
   def render(): String = {
     val sb = new StringBuilder

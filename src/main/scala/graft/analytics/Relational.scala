@@ -1417,6 +1417,93 @@ object Relational {
       FROM lineitem
       WHERE l_partkey BETWEEN 40 AND 120 AND l_suppkey BETWEEN 2 AND 30
       GROUP BY 1"""),
-      notes = "file-level min/max skipping over the z-ordered layout: manifest-pruned read + residual filter, hash-gated against a plain WHERE on the unclustered table (soundness re-proven every round)")
+      notes = "file-level min/max skipping over the z-ordered layout: manifest-pruned read + residual filter, hash-gated against a plain WHERE on the unclustered table (soundness re-proven every round)"),
+
+    // ── Distribution drift: PSI between time halves ────────────────────
+    // The monitoring primitive that tells a pipeline its data CHANGED:
+    // Population Stability Index of the per-type `value` distribution,
+    // early half vs late half of the event-time range (the production
+    // form compares yesterday vs a reference window; the data-derived
+    // midpoint keeps this self-contained and deterministic). PSI =
+    // Σ_buckets (p−q)·ln(p/q) over 10 fixed-width bins with add-1
+    // smoothing (so empty bins contribute finitely); >0.2 is the
+    // conventional "investigate" threshold. Exactness: timestamps go
+    // through the q25/q26 floor-div micros idiom; bins are exact integer
+    // buckets of identical doubles; each bucket term rounds to 1e-6
+    // micro-units BEFORE the per-type sum (the q77 order-independent
+    // integer-sum trick); the surfaced psi is the exact micro-unit sum
+    // divided in DOUBLE. Shape: one (type, period, bucket) hash-agg with
+    // map-side partials over the events scan, then everything downstream
+    // is |types|×10 rows — broadcast joins, no second data shuffle. At
+    // 100 TB the data pass is one agg; the PSI algebra is metadata-sized.
+    QueryDef("q133_psi_drift", (s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
+          .as("us"),
+        col("value"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val counts = ev.crossJoin(broadcast(mid))
+        .withColumn("period", when(col("us") < col("mid"), "early")
+          .otherwise("late"))
+        .withColumn("bucket", least(floor(col("value") / lit(50.0)), lit(9L))
+          .cast("long"))
+        .groupBy("event_type", "period", "bucket").agg(count(lit(1)).as("c"))
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(s.range(0, 10).toDF("bucket"))
+      val j = spine
+        .join(counts.filter(col("period") === "early")
+          .select(col("event_type"), col("bucket"), col("c").as("ca")),
+          Seq("event_type", "bucket"), "left_outer")
+        .join(counts.filter(col("period") === "late")
+          .select(col("event_type"), col("bucket"), col("c").as("cb")),
+          Seq("event_type", "bucket"), "left_outer")
+        .na.fill(0L, Seq("ca", "cb"))
+      val tot = j.groupBy("event_type")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"))
+      j.join(broadcast(tot), "event_type")
+        .withColumn("p",
+          (col("ca") + lit(1)).cast("double") / (col("na") + lit(10)))
+        .withColumn("q",
+          (col("cb") + lit(1)).cast("double") / (col("nb") + lit(10)))
+        .withColumn("m", round((col("p") - col("q")) * log(col("p") / col("q"))
+          * lit(1e6)).cast("long"))
+        .groupBy("event_type")
+        .agg(max("na").as("n_early"), max("nb").as("n_late"),
+          (sum(col("m")).cast("double") / lit(1e6)).as("psi"))
+    }, Some("""
+      WITH ev AS (
+        SELECT event_type, epoch_ns(ts) // 1000 AS us, value FROM events),
+      mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+      counts AS (
+        SELECT event_type,
+          CASE WHEN us < mid THEN 'early' ELSE 'late' END AS period,
+          CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bucket,
+          COUNT(*) AS c
+        FROM ev CROSS JOIN mid GROUP BY 1, 2, 3),
+      spine AS (
+        SELECT t.event_type, b.bucket
+        FROM (SELECT DISTINCT event_type FROM ev) t
+        CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) b),
+      j AS (
+        SELECT s.event_type, s.bucket,
+          COALESCE(e.c, 0) AS ca, COALESCE(l.c, 0) AS cb
+        FROM spine s
+        LEFT JOIN counts e ON e.event_type = s.event_type
+          AND e.bucket = s.bucket AND e.period = 'early'
+        LEFT JOIN counts l ON l.event_type = s.event_type
+          AND l.bucket = s.bucket AND l.period = 'late'),
+      tot AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM j GROUP BY 1),
+      terms AS (
+        SELECT j.event_type, tot.na, tot.nb,
+          CAST(ca + 1 AS DOUBLE) / (na + 10) AS p,
+          CAST(cb + 1 AS DOUBLE) / (nb + 10) AS q
+        FROM j JOIN tot USING (event_type))
+      SELECT event_type,
+        CAST(MAX(na) AS BIGINT) AS n_early,
+        CAST(MAX(nb) AS BIGINT) AS n_late,
+        CAST(SUM(CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1000000.0 AS psi
+      FROM terms GROUP BY event_type"""),
+      notes = "PSI drift monitor: per-type value-distribution shift between event-time halves (10 fixed bins, add-1 smoothing, micro-unit exact terms); one data-pass hash-agg, then metadata-sized PSI algebra on broadcast joins")
   )
 }

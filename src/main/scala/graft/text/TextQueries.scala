@@ -69,6 +69,62 @@ object TextQueries {
   private def wordCount(text: org.apache.spark.sql.Column, word: String) =
     TextSignals.wordCount(text, word)
 
+  // ── Shared BPE machinery (q75 train / q132 encode) ───────────────────
+
+  private def sqlStrLit(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Greedy left-to-right merge of adjacent (a, b) → ab over the `tk`
+    * array column, as a SQL expression string. For a ≠ b (b non-empty)
+    * occurrences cannot overlap, so the merge is an O(L) positional
+    * filter+transform; the a == b (or empty-b) case falls back to the
+    * sequential `aggregate` fold. See q75's scaladoc for the proof and
+    * the materialize-per-round CSE rationale. */
+  private def bpeMergeExpr(a: String, b: String): String =
+    if (a != b && b.nonEmpty)
+      s"""transform(
+         |  filter(sequence(1, size(tk)),
+         |    i -> NOT (i > 1 AND element_at(tk, i - 1) = ${sqlStrLit(a)}
+         |              AND element_at(tk, i) = ${sqlStrLit(b)})),
+         |  i -> IF(element_at(tk, i) = ${sqlStrLit(a)} AND i < size(tk)
+         |          AND element_at(tk, i + 1) = ${sqlStrLit(b)},
+         |        ${sqlStrLit(a + b)}, element_at(tk, i)))""".stripMargin
+    else
+      s"""aggregate(tk, cast(array() as array<string>),
+         |  (acc, x) -> CASE WHEN size(acc) > 0
+         |      AND element_at(acc, -1) = ${sqlStrLit(a)} AND x = ${sqlStrLit(b)}
+         |    THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStrLit(a + b)}))
+         |    ELSE concat(acc, array(x)) END)""".stripMargin
+
+  /** The q75 training loop: `rounds` greedy merges, each chosen by
+    * (count desc, pair asc) over the CURRENT corpus and applied
+    * corpus-wide before the next recount. Returns (step, "a b", count)
+    * in merge order — driver-held bounded state (one row per round). */
+  private def trainBpeMerges(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): Seq[(Long, String, Long)] = {
+    var cur = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var exhausted = false
+    for (step <- 1 to rounds if !exhausted) {
+      val top = cur
+        .select(explode(expr(bpePairsOfTk)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // no adjacent pairs left (degenerate corpus)
+      else {
+        val pair = top(0).getString(0)
+        merges += ((step.toLong, pair, top(0).getLong(1)))
+        // symbols never contain spaces (split on ' ', merges concatenate),
+        // so the first space is the pair separator
+        val i = pair.indexOf(' ')
+        cur = cur.withColumn("tk",
+          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+      }
+    }
+    merges.toSeq
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Token counting + basic stats ───────────────────────────────────
@@ -482,50 +538,7 @@ object TextQueries {
     // rounds (chosen pair AND count) against a brute-force Scala recount.
     QueryDef("q75_bpe_train", (s, d) => {
       import s.implicits._
-      def sqlStr(v: String): String =
-        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-      val pairsOfTk = bpePairsOfTk
-      // O(L) non-overlapping case: drop positions consumed as the second
-      // half of a merge, rewrite positions that start one. Lazy AND guards
-      // every boundary element_at (split output is never empty: size >= 1).
-      def mergeScan(a: String, b: String): String =
-        s"""transform(
-           |  filter(sequence(1, size(tk)),
-           |    i -> NOT (i > 1 AND element_at(tk, i - 1) = ${sqlStr(a)}
-           |              AND element_at(tk, i) = ${sqlStr(b)})),
-           |  i -> IF(element_at(tk, i) = ${sqlStr(a)} AND i < size(tk)
-           |          AND element_at(tk, i + 1) = ${sqlStr(b)},
-           |        ${sqlStr(a + b)}, element_at(tk, i)))""".stripMargin
-      // sequential fold for the overlapping a == b (or empty-b) case; the
-      // size(acc) > 0 conjunct guards the ANSI element_at(-1)
-      def mergeFold(a: String, b: String): String =
-        s"""aggregate(tk, cast(array() as array<string>),
-           |  (acc, x) -> CASE WHEN size(acc) > 0
-           |      AND element_at(acc, -1) = ${sqlStr(a)} AND x = ${sqlStr(b)}
-           |    THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(a + b)}))
-           |    ELSE concat(acc, array(x)) END)""".stripMargin
-      var cur = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-      var exhausted = false
-      for (step <- 1 to 3 if !exhausted) {
-        val top = cur
-          .select(explode(expr(pairsOfTk)).as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("pair").asc).limit(1)
-          .collect()
-        if (top.isEmpty) exhausted = true // no adjacent pairs left (degenerate corpus)
-        else {
-          val pair = top(0).getString(0)
-          merges += ((step.toLong, pair, top(0).getLong(1)))
-          // symbols never contain spaces (split on ' ', merges concatenate),
-          // so the first space is the pair separator
-          val i = pair.indexOf(' ')
-          val (a, b) = (pair.substring(0, i), pair.substring(i + 1))
-          cur = cur.withColumn("tk",
-            expr(if (a != b && b.nonEmpty) mergeScan(a, b) else mergeFold(a, b)))
-        }
-      }
-      merges.toSeq.toDF("step", "pair", "n")
+      trainBpeMerges(s, d, 3).toDF("step", "pair", "n")
     }, None,
       notes = "BPE training loop: 3 rounds of count -> greedy merge -> recount, driver-held merge table; rows-only (sequential merge not SQL-expressible)"),
 
@@ -1368,6 +1381,111 @@ object TextQueries {
           ' ' ORDER BY s.seg_idx), '') AS clean_text
       FROM segs s LEFT JOIN bp b ON s.seg = b.seg
       GROUP BY s.doc_id"""),
-      notes = "CCNet-style sub-document boilerplate removal: fixed 8-token segments, drop segments appearing in >= 2 distinct docs, reassemble survivors in order — one segment-keyed agg + equi join + doc-keyed agg, no pairs, no windows")
+      notes = "CCNet-style sub-document boilerplate removal: fixed 8-token segments, drop segments appearing in >= 2 distinct docs, reassemble survivors in order — one segment-keyed agg + equi join + doc-keyed agg, no pairs, no windows"),
+
+    // ── Gopher-style quality rule battery ──────────────────────────────
+    // The multi-rule document gate of Rae et al. 2021 (Gopher, §A1.1) /
+    // C4: per-doc pass/fail on independent heuristics, surfaced as 0/1
+    // flags so downstream mixes can filter on ANY rule subset and audits
+    // can attribute every drop to the rule that caused it (q80's
+    // first-failing-gate label is the composed-pipeline twin; this is the
+    // full per-rule matrix). Four rules, each cross-engine exact:
+    //   r_wc   token count in [20, 80]       (length bounds)
+    //   r_mwl  mean token length in [4.2, 4.6] (gibberish/code detector)
+    //   r_stop >= 2 stopword hits            (natural-language marker)
+    //   r_uniq unique-token ratio >= 0.4     (repetition proxy; q65's
+    //          dup-3-gram fraction is the n-gram-order sibling)
+    // Thresholds are corpus-calibrated so both outcomes of every rule are
+    // exercised on the driver testdata (a production run makes them
+    // config). All measures reuse the shared TextSignals definitions
+    // (q30/q31 alignment); ratios divide exact integers in DOUBLE and the
+    // comparisons hit identical IEEE values on both engines. Narrow
+    // scan-project, no shuffle — the 100 TB shape of every rule gate.
+    QueryDef("q131_gopher_gates", (s, d) => {
+      val text = col("text")
+      val nTok = TextSignals.nTokens(text)
+      val stop = TextSignals.stopwordHits(text)
+      val tkf = filter(split(text, " "),
+        (x: org.apache.spark.sql.Column) => length(x) > lit(0))
+      val mwl = length(replace(text, lit(" "), lit(""))).cast("double") / nTok
+      val uniq = size(array_distinct(tkf)).cast("double") /
+        greatest(size(tkf), lit(1))
+      val rWc = when(nTok >= 20 && nTok <= 80, 1L).otherwise(0L)
+      val rMwl = when(mwl >= 4.2 && mwl <= 4.6, 1L).otherwise(0L)
+      val rStop = when(stop >= 2.0, 1L).otherwise(0L)
+      val rUniq = when(uniq >= 0.4, 1L).otherwise(0L)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        mwl.as("mean_tok_len"),
+        stop.as("stop_hits"),
+        uniq.as("uniq_ratio"),
+        rWc.as("r_wc"), rMwl.as("r_mwl"),
+        rStop.as("r_stop"), rUniq.as("r_uniq"),
+        (lit(4L) - rWc - rMwl - rStop - rUniq).as("n_failed"),
+        when(rWc + rMwl + rStop + rUniq === 4L, 1L).otherwise(0L).as("keep"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id,
+          length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / (length(text) - length(replace(text, ' ', '')) + 1) AS mean_tok_len,
+          CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+          + CAST(len(regexp_extract_all(text, '\ba\b')) AS DOUBLE)
+          + CAST(len(regexp_extract_all(text, '\band\b')) AS DOUBLE)
+          + CAST(len(regexp_extract_all(text, '\bof\b')) AS DOUBLE) AS stop_hits,
+          CAST(len(list_distinct(list_filter(string_split(text, ' '),
+              x -> len(x) > 0))) AS DOUBLE)
+            / greatest(len(list_filter(string_split(text, ' '),
+                x -> len(x) > 0)), 1) AS uniq_ratio
+        FROM documents),
+      f AS (
+        SELECT doc_id, n_tokens, mean_tok_len, stop_hits, uniq_ratio,
+          CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS r_wc,
+          CASE WHEN mean_tok_len >= 4.2 AND mean_tok_len <= 4.6 THEN 1 ELSE 0 END AS r_mwl,
+          CASE WHEN stop_hits >= 2.0 THEN 1 ELSE 0 END AS r_stop,
+          CASE WHEN uniq_ratio >= 0.4 THEN 1 ELSE 0 END AS r_uniq
+        FROM q)
+      SELECT doc_id,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        mean_tok_len, stop_hits, uniq_ratio,
+        CAST(r_wc AS BIGINT) AS r_wc, CAST(r_mwl AS BIGINT) AS r_mwl,
+        CAST(r_stop AS BIGINT) AS r_stop, CAST(r_uniq AS BIGINT) AS r_uniq,
+        CAST(4 - r_wc - r_mwl - r_stop - r_uniq AS BIGINT) AS n_failed,
+        CAST(CASE WHEN r_wc + r_mwl + r_stop + r_uniq = 4 THEN 1 ELSE 0 END
+          AS BIGINT) AS keep
+      FROM f"""),
+      notes = "Gopher-style per-rule quality gate matrix (length / mean-token-length / stopword / unique-ratio), 0/1 flags + n_failed + keep; narrow scan-project, thresholds corpus-calibrated so every rule exercises both outcomes"),
+
+    // ── BPE encode (the apply half of the q75/q78 train story) ─────────
+    // Tokenizer APPLICATION at corpus scale: take the greedy merge table
+    // q75 trains (re-derived here so the query is self-contained; a
+    // production run loads it from ModelStore, the q120 pattern) and
+    // apply the merges IN TRAINING ORDER to every document — the Sennrich
+    // BPE encode rule. Each merge is one O(L) narrow filter+transform
+    // scan (bpeMergeExpr, the non-overlap proof in q75's scaladoc), so M
+    // merges cost M chained narrow projections with ZERO shuffles after
+    // the training collects: the per-doc work a 100 TB tokenization pass
+    // pays, with q78's disjoint-batch map-literal as the fewer-scans
+    // production variant. Output: per-doc raw vs encoded token counts +
+    // merges applied (raw - encoded), the tokenizer-compression audit.
+    // Rows-only: the sequential greedy merge has no SQL twin;
+    // TrainingDataOpsSpec pins per-doc counts against a brute-force
+    // Scala encoder driven by the SAME (spec-replicated) merge table.
+    QueryDef("q132_bpe_encode", (s, d) => {
+      val merges = trainBpeMerges(s, d, 3)
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n_tokens_raw", size(col("tk")).cast("long"))
+      val encoded = merges.foldLeft(base) { case (df, (_, pair, _)) =>
+        val i = pair.indexOf(' ')
+        df.withColumn("tk",
+          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+      }
+      encoded.select(col("doc_id"), col("n_tokens_raw"),
+        size(col("tk")).cast("long").as("n_tokens_bpe"),
+        (col("n_tokens_raw") - size(col("tk"))).as("n_merges_applied"))
+    }, None,
+      notes = "BPE encode: q75's trained merges applied in order to every doc (M chained O(L) narrow scans, zero shuffles post-train); per-doc raw/encoded token counts; rows-only (sequential merge), spec-pinned vs a brute-force Scala encoder")
   )
 }

@@ -27,7 +27,8 @@ class QueryCatalogSpec extends SparkSpec {
       "q105_ann_indexed", // == q42b probe (VectorIndexSpec parity + AnnRecallSpec floor)
       "q107_lsh_canonical", // q62 composition (LshCanonicalSpec refinement/recall/parity)
       "q108_quantile_rollup", // KLL blobs engine-specific (KllSketchSpec exact/merge/error pins)
-      "q114_knn_vote_indexed"), // quantizer-dependent probe (KnnVoteIndexedSpec agreement pins)
+      "q114_knn_vote_indexed", // quantizer-dependent probe (KnnVoteIndexedSpec agreement pins)
+      "q132_bpe_encode"), // sequential greedy merge (TrainingDataOpsSpec brute-force encoder parity)
       "only engine-specific-hash / approximate / sequential-merge ops may omit the oracle")
   }
 

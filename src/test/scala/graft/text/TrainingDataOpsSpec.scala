@@ -95,6 +95,48 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q132 per-doc encoded counts match a brute-force BPE encoder") {
+    // replicate q75's training (already pinned above), then apply the
+    // merges in order with the greedy left-to-right encoder and compare
+    // per-doc raw/encoded token counts
+    def applyMerge(v: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    val docs = graft.analytics.Ops.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toVector))
+    var seqs = docs.map(_._2).toVector
+    val merges = (1 to 3).map { _ =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      for (sq <- seqs; i <- 0 until sq.length - 1) {
+        val p = sq(i) + " " + sq(i + 1)
+        counts.update(p, counts.getOrElse(p, 0L) + 1L)
+      }
+      val (pair, _) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val sp = pair.indexOf(' ')
+      val ab = (pair.substring(0, sp), pair.substring(sp + 1))
+      seqs = seqs.map(applyMerge(_, ab._1, ab._2))
+      ab
+    }
+    val expected = docs.map { case (id, tk) =>
+      val enc = merges.foldLeft(tk) { case (v, (a, b)) => applyMerge(v, a, b) }
+      id -> ((tk.length.toLong, enc.length.toLong))
+    }.toMap
+
+    val got = graft.SparkEntry.queries("q132_bpe_encode")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // the audit column is consistent by construction
+    graft.SparkEntry.queries("q132_bpe_encode")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+  }
+
   test("q73 keeps exactly the ntile-3/4 half per source, in tuple order") {
     val docs = graft.analytics.Ops.t(spark, sf, "documents")
       .select("doc_id", "source", "n_chars").collect()
