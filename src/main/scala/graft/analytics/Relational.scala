@@ -1442,25 +1442,26 @@ object Relational {
           .as("us"),
         col("value"))
       val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      // ONE data pass: per-(type, bucket) early/late counts via conditional
+      // aggregation (no period self-join — Spark would re-scan per branch)
       val counts = ev.crossJoin(broadcast(mid))
-        .withColumn("period", when(col("us") < col("mid"), "early")
-          .otherwise("late"))
         .withColumn("bucket", least(floor(col("value") / lit(50.0)), lit(9L))
           .cast("long"))
-        .groupBy("event_type", "period", "bucket").agg(count(lit(1)).as("c"))
-      val spine = ev.select("event_type").distinct()
-        .crossJoin(s.range(0, 10).toDF("bucket"))
-      val j = spine
-        .join(counts.filter(col("period") === "early")
-          .select(col("event_type"), col("bucket"), col("c").as("ca")),
-          Seq("event_type", "bucket"), "left_outer")
-        .join(counts.filter(col("period") === "late")
-          .select(col("event_type"), col("bucket"), col("c").as("cb")),
-          Seq("event_type", "bucket"), "left_outer")
-        .na.fill(0L, Seq("ca", "cb"))
-      val tot = j.groupBy("event_type")
-        .agg(sum("ca").as("na"), sum("cb").as("nb"))
-      j.join(broadcast(tot), "event_type")
+        .groupBy("event_type", "bucket")
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("cb"))
+      // metadata from here: |types| rows carrying per-bucket count maps, so
+      // the 10-bin spine explodes WITHOUT re-reading (or re-joining) data;
+      // try_element_at gives the ANSI-safe miss → 0 for empty bins
+      val perType = counts.groupBy("event_type").agg(
+        map_from_arrays(collect_list("bucket"), collect_list("ca")).as("ma"),
+        map_from_arrays(collect_list("bucket"), collect_list("cb")).as("mb"),
+        sum("ca").as("na"), sum("cb").as("nb"))
+      perType
+        .select(col("event_type"), col("na"), col("nb"), col("ma"), col("mb"),
+          explode(sequence(lit(0L), lit(9L))).as("bucket"))
+        .withColumn("ca", coalesce(expr("try_element_at(ma, bucket)"), lit(0L)))
+        .withColumn("cb", coalesce(expr("try_element_at(mb, bucket)"), lit(0L)))
         .withColumn("p",
           (col("ca") + lit(1)).cast("double") / (col("na") + lit(10)))
         .withColumn("q",

@@ -51,10 +51,32 @@ class PlanContractSpec extends SparkSpec {
 
   test("narrow text/vector maps stay shuffle-free") {
     Seq("q30_text_stats", "q33_fingerprint", "q60_redact",
-      "q65_repetition", "q67_quantize_embeddings", "q84_doc_chunks").foreach { q =>
+      "q65_repetition", "q67_quantize_embeddings", "q84_doc_chunks",
+      "q131_gopher_gates").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
     }
+  }
+
+  test("q132: BPE encode is narrow after training — no shuffle in the apply plan") {
+    // the fn trains first (3 bounded collect rounds); the RETURNED apply
+    // dataflow must stay a chain of narrow projections
+    val p = plan("q132_bpe_encode")
+    assert(!p.contains("Exchange"), s"q132 apply plan gained a shuffle:\n$p")
+  }
+
+  test("q133: PSI is two data scans (midpoint + counts), no window, keyed aggs only") {
+    val p = plan("q133_psi_drift")
+    assert(!p.contains("Window"), s"q133 gained a window:\n$p")
+    // events is read exactly twice: the 1-row min/max midpoint and the ONE
+    // (type, bucket) conditional-count pass — the period branches must not
+    // re-scan
+    assert(countOf(p, "Scan parquet") == 2,
+      s"q133 must read events exactly twice:\n$p")
+    // the only single-partition collapse allowed is the 1-row min/max
+    // midpoint partial; data rows never funnel through one partition
+    assert(countOf(p, "Exchange SinglePartition") <= 1,
+      s"q133 funnels data through a single partition:\n$p")
   }
 
   test("q66: exactly one shuffle (the per-source window partition)") {
@@ -208,6 +230,7 @@ class PlanContractSpec extends SparkSpec {
       "q99_ref_integrity", // 1-row aggregate cross joins by design
       "q102_temperature_mix", // broadcast 1-row median cross join
       "q109_split_manifest", // broadcast 1-row total-count cross join
+      "q133_psi_drift", // broadcast 1-row time-midpoint cross join
       "q113_knn_label_vote", // q40-style guarded broadcast-query scored cross join
       "q124_mmr_rerank", // q40-style guarded broadcast candidate generation
       // GlobalOrder's ≤32-row pinned offset self-join (pid' < pid):
