@@ -1109,7 +1109,87 @@ object SimilarityQueries {
         CAST(score AS DOUBLE) / 10000000.0 FROM p2
       UNION ALL SELECT query_id, CAST(3 AS BIGINT), cand_id,
         CAST(score AS DOUBLE) / 10000000.0 FROM p3"""),
-      notes = "MMR diversity re-rank (lambda=0.7, top-8 candidates, 3 picks): distributed candidate generation + bounded per-query greedy in exact micro-unit integers (7*relu - 3*simu, 1e-7 units) — no float knife-edges, fully hash-gated")
+      notes = "MMR diversity re-rank (lambda=0.7, top-8 candidates, 3 picks): distributed candidate generation + bounded per-query greedy in exact micro-unit integers (7*relu - 3*simu, 1e-7 units) — no float knife-edges, fully hash-gated"),
+
+    // ── k-center greedy coreset (Gonzalez farthest-first selection) ────
+    // Diverse representative-subset selection — the labeling-budget /
+    // eval-set primitive (pick k points so every vector is near some
+    // pick): greedy farthest-first, the classic 2-approximation to the
+    // k-center objective. Seed = lowest vec_id (deterministic), then 3
+    // rounds of "farthest from everything chosen so far". Distances are
+    // squared-euclidean over 1e-6-quantized INTEGER vectors (the q56
+    // micro-unit idiom) so every compare and min is exact BIGINT — the
+    // ITERATED selection chain is hash-gated with zero float knife-edges
+    // (the oracle unrolls the same 4 steps over list_zip integer folds).
+    // Scale shape per round: ONE narrow projection against the
+    // driver-held center literal (no join — the q71 literal-centroid
+    // posture, state = k×64 longs) + a 1-row TakeOrdered collect; the
+    // running min-distance column accumulates via least(), so round r
+    // costs one scan regardless of how many centers are already chosen.
+    // At a billion vectors: k scans, each embarrassingly parallel.
+    QueryDef("q136_kcenter_coreset", (s, d) => {
+      import s.implicits._
+      val em = t(s, d, "embeddings").select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))")
+        .as("e"))
+      def vecOf(id: Long): Array[Long] =
+        em.filter(col("vec_id") === id).select("e")
+          .collect()(0).getSeq[Long](0).toArray
+      def distExpr(center: Array[Long]): String = {
+        val arr = center.mkString("array(", "L, ", "L)")
+        s"aggregate(zip_with(e, $arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+      }
+      val seedId = em.agg(min("vec_id")).collect()(0).getLong(0)
+      var picked = Vector((1L, seedId, 0L))
+      var cur = em.withColumn("md", expr(distExpr(vecOf(seedId))))
+      for (step <- 2 to 4) {
+        val top = cur.orderBy(col("md").desc, col("vec_id").asc)
+          .limit(1).collect()(0)
+        val cid = top.getAs[Long]("vec_id")
+        picked = picked :+ ((step.toLong, cid, top.getAs[Long]("md")))
+        if (step < 4)
+          cur = cur.withColumn("md",
+            least(col("md"), expr(distExpr(vecOf(cid)))))
+      }
+      picked.toDF("step", "center_id", "sel_dist")
+    }, Some("""
+      WITH em AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+        FROM embeddings),
+      c1 AS (SELECT MIN(vec_id) AS id FROM em),
+      e1 AS (SELECT em.e FROM em, c1 WHERE em.vec_id = c1.id),
+      d1 AS (
+        SELECT em.vec_id, CAST(list_sum(list_transform(list_zip(em.e, e1.e),
+          z -> (struct_extract(z, 1) - struct_extract(z, 2))
+             * (struct_extract(z, 1) - struct_extract(z, 2)))) AS BIGINT) AS md
+        FROM em, e1),
+      c2 AS (SELECT vec_id AS id, md FROM d1
+             ORDER BY md DESC, vec_id ASC LIMIT 1),
+      e2 AS (SELECT em.e FROM em, c2 WHERE em.vec_id = c2.id),
+      d2 AS (
+        SELECT d1.vec_id, least(d1.md,
+          CAST(list_sum(list_transform(list_zip(em.e, e2.e),
+            z -> (struct_extract(z, 1) - struct_extract(z, 2))
+               * (struct_extract(z, 1) - struct_extract(z, 2)))) AS BIGINT)) AS md
+        FROM d1 JOIN em USING (vec_id), e2),
+      c3 AS (SELECT vec_id AS id, md FROM d2
+             ORDER BY md DESC, vec_id ASC LIMIT 1),
+      e3 AS (SELECT em.e FROM em, c3 WHERE em.vec_id = c3.id),
+      d3 AS (
+        SELECT d2.vec_id, least(d2.md,
+          CAST(list_sum(list_transform(list_zip(em.e, e3.e),
+            z -> (struct_extract(z, 1) - struct_extract(z, 2))
+               * (struct_extract(z, 1) - struct_extract(z, 2)))) AS BIGINT)) AS md
+        FROM d2 JOIN em USING (vec_id), e3),
+      c4 AS (SELECT vec_id AS id, md FROM d3
+             ORDER BY md DESC, vec_id ASC LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS step, c1.id AS center_id,
+        CAST(0 AS BIGINT) AS sel_dist FROM c1
+      UNION ALL SELECT CAST(2 AS BIGINT), id, CAST(md AS BIGINT) FROM c2
+      UNION ALL SELECT CAST(3 AS BIGINT), id, CAST(md AS BIGINT) FROM c3
+      UNION ALL SELECT CAST(4 AS BIGINT), id, CAST(md AS BIGINT) FROM c4"""),
+      notes = "k-center greedy coreset (Gonzalez farthest-first, k=4): diverse representative selection in exact micro-unit integer distances — iterated selection fully hash-gated; one narrow literal-center scan + 1-row collect per round, running least() min")
   )
 
   private[similarity] def labelsOf(s: SparkSession, d: String): DataFrame =

@@ -451,6 +451,68 @@ object TextQueries {
       FROM d"""),
       notes = "real PNG/WAV/motion-PNG payload decode (JDK-only codecs) gated on decoded pixel/sample statistics vs the generating formula"),
 
+    // ── Multimodal resize (REAL pixel resample, formula-oracled) ───────
+    // q103 proves decode; this proves the TRANSFORM: every image/video
+    // payload is decoded, nearest-neighbor resampled to 16×16, RE-ENCODED
+    // as PNG, decoded AGAIN by decodedStats, and the statistics of the
+    // twice-round-tripped pixels are hash-compared against DuckDB
+    // evaluating the resample arithmetic on the generating formula —
+    // src(y·h/16⌋, ⌊x·w/16⌋) per target pixel, frame-by-frame for
+    // motion-PNG. A resize that padded, cropped, or interpolated
+    // differently (or an encode/decode pair that lost a byte) breaks the
+    // hash. Audio passes through untouched (resize is a no-op off the
+    // image path) and re-asserts the q103 WAV statistics. Same scale
+    // shape as q103: narrow mapPartitions chain, bytes never shuffle.
+    QueryDef("q134_media_resize", (s, d) => {
+      graft.multimodal.Multimodal.decodedStats(
+        graft.multimodal.Multimodal.resized(
+          graft.multimodal.Multimodal.fromDocuments(s, d), 16, 16)).toDF()
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, doc_id % 3 AS m,
+          8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+          256 + doc_id % 128 AS ns
+        FROM documents)
+      SELECT doc_id AS media_id,
+        CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'png-seq' END AS format,
+        CAST(CASE m WHEN 0 THEN 256 WHEN 1 THEN ns ELSE 768 END AS BIGINT)
+          AS n_units,
+        CAST(CASE m
+          WHEN 0 THEN list_sum(list_transform(range(256),
+            i -> (doc_id*31
+              + (((i // 16) * h // 16) * w + ((i % 16) * w // 16)) * 7) % 256))
+          WHEN 1 THEN list_sum(list_transform(range(ns),
+            i -> (doc_id*13 + i*5) % 2001 - 1000))
+          ELSE list_sum(list_transform(range(768),
+            g -> (doc_id*31 + (g // 256)*97
+              + ((((g % 256) // 16) * h // 16) * w
+                 + (((g % 256) % 16) * w // 16)) * 7) % 256))
+        END AS BIGINT) AS unit_sum,
+        CAST(CASE m
+          WHEN 0 THEN list_sum(list_transform(range(256),
+            i -> ((doc_id*31
+              + (((i // 16) * h // 16) * w + ((i % 16) * w // 16)) * 7) % 256)
+              * ((doc_id*31
+              + (((i // 16) * h // 16) * w + ((i % 16) * w // 16)) * 7) % 256)))
+          WHEN 1 THEN list_sum(list_transform(range(ns),
+            i -> ((doc_id*13 + i*5) % 2001 - 1000)
+               * ((doc_id*13 + i*5) % 2001 - 1000)))
+          ELSE list_sum(list_transform(range(768),
+            g -> ((doc_id*31 + (g // 256)*97
+              + ((((g % 256) // 16) * h // 16) * w
+                 + (((g % 256) % 16) * w // 16)) * 7) % 256)
+              * ((doc_id*31 + (g // 256)*97
+              + ((((g % 256) // 16) * h // 16) * w
+                 + (((g % 256) % 16) * w // 16)) * 7) % 256)))
+        END AS BIGINT) AS unit_sumsq,
+        CAST(CASE m WHEN 1 THEN 0 ELSE 16 END AS BIGINT) AS width,
+        CAST(CASE m WHEN 1 THEN 0 ELSE 16 END AS BIGINT) AS height,
+        CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN ns * 2 * 1000 // 16000
+          ELSE 120 END AS BIGINT) AS duration_ms
+      FROM d"""),
+      notes = "real nearest-neighbor resize gate: decode -> resample to 16x16 -> re-encode -> decode again, statistics vs DuckDB evaluating the resample arithmetic on the generating formula; narrow mapPartitions, bytes never shuffle"),
+
     // ── BPE pair counting (the tokenizer-training primitive) ───────────
     // Corpus-wide adjacent-token-pair frequencies — the inner loop of BPE
     // training (count pairs → merge the most frequent → repeat). One
@@ -1486,6 +1548,55 @@ object TextQueries {
         size(col("tk")).cast("long").as("n_tokens_bpe"),
         (col("n_tokens_raw") - size(col("tk"))).as("n_merges_applied"))
     }, None,
-      notes = "BPE encode: q75's trained merges applied in order to every doc (M chained O(L) narrow scans, zero shuffles post-train); per-doc raw/encoded token counts; rows-only (sequential merge), spec-pinned vs a brute-force Scala encoder")
+      notes = "BPE encode: q75's trained merges applied in order to every doc (M chained O(L) narrow scans, zero shuffles post-train); per-doc raw/encoded token counts; rows-only (sequential merge), spec-pinned vs a brute-force Scala encoder"),
+
+    // ── Weighted sampling without replacement (Efraimidis–Spirakis) ────
+    // Reproducible SIZE-BIASED sampling: per source, the top-5 documents
+    // by key ln(u)/w with u the q51/q109 content-hash uniform and
+    // w = n_chars — the A-ES exponential-keys scheme, where selecting the
+    // k largest keys IS a weighted draw without replacement (big docs
+    // proportionally likelier, every doc possible). This is how corpus
+    // subsampling weights by length/quality while staying reproducible
+    // cluster-to-cluster: the key is a pure function of (doc_id, w), so
+    // the sample is stable under repartitioning and re-runs, and a
+    // changed corpus only perturbs the affected sources. Exactness: u is
+    // the md5/2^60 idiom; ln can differ by 1 ULP between engines
+    // (measured 2e-19 at sf0.01), so the key is quantized to integer
+    // NANO-units before ranking (the q77 micro-unit family) — both the
+    // emitted column and the sort key are exact BIGINTs, with the total
+    // (key desc, doc_id) tiebreak. Shape: one narrow key projection +
+    // one source-keyed window whose rank<=5 filter gets WindowGroupLimit
+    // pushdown (map-side top-5 per source BEFORE the shuffle — the
+    // q07/q08 contract), so at 100 TB the exchange carries ~5 rows per
+    // source per map partition, not docs.
+    QueryDef("q135_weighted_sample", (s, d) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976L) // 2^60
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("key_nano").desc, col("doc_id").asc)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(log(u) / col("n_chars").cast("double") * lit(1e9))
+            .cast("long").as("key_nano"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("key_nano"),
+          col("rank").cast("long").as("rank"))
+    }, Some("""
+      WITH dt AS (
+        SELECT doc_id, source, n_chars,
+          CAST(round(ln(CAST(CAST('0x'
+                || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS DOUBLE) / 1152921504606846976.0)
+            / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT) AS key_nano
+        FROM documents),
+      r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY key_nano DESC, doc_id ASC) AS rank
+        FROM dt)
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, key_nano,
+        CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5"""),
+      notes = "Efraimidis-Spirakis weighted sampling without replacement: per-source top-5 by ln(u)/n_chars exponential keys (reproducible size-biased draw); narrow key projection + WindowGroupLimit-pushed rank filter")
   )
 }

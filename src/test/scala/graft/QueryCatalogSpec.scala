@@ -57,6 +57,26 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("q135 draws exactly 5 docs per source with ranks 1..5") {
+    val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L))
+    }
+  }
+
+  test("q136 picks 4 distinct centers with non-increasing selection distances") {
+    val rows = SparkEntry.queries("q136_kcenter_coreset")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("center_id")).distinct.length == 4)
+    // farthest-first: each later pick is at most as far from the chosen
+    // set as the previous pick was (steps 2..4; step 1 is the seed)
+    val ds = rows.drop(1).map(_.getAs[Long]("sel_dist"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b },
+      s"selection distances increased: ${ds.toSeq}")
+  }
+
   test("oracleSql column names appear in the Spark result (alias contract)") {
     // The driver compare sorts columns by name — a misaligned alias breaks
     // the hash even when values match. Guard: every Spark output column

@@ -52,10 +52,18 @@ class PlanContractSpec extends SparkSpec {
   test("narrow text/vector maps stay shuffle-free") {
     Seq("q30_text_stats", "q33_fingerprint", "q60_redact",
       "q65_repetition", "q67_quantize_embeddings", "q84_doc_chunks",
-      "q131_gopher_gates").foreach { q =>
+      "q131_gopher_gates", "q134_media_resize").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
     }
+  }
+
+  test("q135: weighted-sample rank filter gets WindowGroupLimit map-side") {
+    // same contract as q07: the rank<=5 filter must push a per-source
+    // top-5 below the exchange, or the shuffle carries every doc
+    val p = plan("q135_weighted_sample")
+    assert(countOf(p, "WindowGroupLimit") >= 2,
+      s"q135 lost rank-limit pushdown:\n$p")
   }
 
   test("q132: BPE encode is narrow after training — no shuffle in the apply plan") {
