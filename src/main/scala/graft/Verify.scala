@@ -12,8 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
-      // default; read as nanos-since-epoch LONG (queries convert exactly).
+      // events.ts encoding has varied across driver testdata rounds:
+      // TIMESTAMP(NANOS) (refused by Spark 4 unless read as LONG via this
+      // flag) or TIMESTAMP(MICROS) (read as a timestamp type and converted
+      // to the same nanos LONG at the scan — Ops.normalizeEventTs). Keep
+      // the flag so BOTH encodings land on the catalog's LONG contract.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -44,8 +44,25 @@ object Ops {
       if (scanCache.size > MaxScanEntries) scanCache.clear()
     }
     scanCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+      { case (s, p) => normalizeEventTs(s.read.parquet(p)) })
   }
+
+  /** The catalog's `ts` contract: nanos-since-epoch LONG. Driver testdata
+    * has carried `events.ts` as parquet TIMESTAMP(NANOS) (read as LONG via
+    * nanosAsLong) and as TIMESTAMP(MICROS) (read as a timestamp type) in
+    * different rounds; every query/oracle downstream assumes the LONG nanos
+    * form, so a timestamp-typed `ts` is converted AT THE SCAN (one narrow
+    * codegen'd projection, micros*1000 — exact, no sub-micro truncation
+    * because the source has micro precision). LONG `ts` (adversarial spec
+    * fixtures with explicit pre-1970 nanos) passes through untouched.
+    * Sessions run UTC everywhere, so the NTZ→TZ cast is wall-clock exact. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => df
+    }
 
   /** Exact decimal sum surfaced as DOUBLE — order-insensitive, engine-exact.
     * Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE). */

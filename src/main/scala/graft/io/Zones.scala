@@ -87,7 +87,11 @@ object TestTables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    // ts normalization: same nanos-LONG contract as the catalog scans
+    // (see Ops.normalizeEventTs — driver testdata rounds differ in the
+    // parquet timestamp encoding of events.ts)
+    graft.analytics.Ops.normalizeEventTs(
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => read(spark, sfDir, n).createOrReplaceTempView(n))

@@ -39,7 +39,8 @@ class GraftExtensionsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
     // session_window needs a timestamp; events.ts arrives as nanos LONG
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.analytics.Ops.normalizeEventTs(
+      spark.read.parquet(s"$sf/events.parquet"))
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
     val viaSessionWindow = ev
       .groupBy(session_window(col("ts_us"), "30 minutes"), col("user_id"))

@@ -16,7 +16,8 @@ class StreamingSlidingSpec extends SparkSpec {
 
   test("streaming sliding totals == q85 batch on a replayed corpus") {
     val root = Files.createTempDirectory("graft-sliding").toString
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.analytics.Ops.normalizeEventTs(
+      spark.read.parquet(s"$sf/events.parquet"))
     events.coalesce(1).write.parquet(s"$root/in")
 
     val stream = spark.readStream.schema(events.schema).parquet(s"$root/in")
