@@ -410,5 +410,54 @@ object LakeQueries {
       FROM orders
       WHERE NOT (o_orderkey % 97 = 0)
       GROUP BY o_orderpriority"""),
-      notes = "compliance purge end-to-end: Deletes.purgeKeys rewrites only key-holding partitions (shared staging path), result read back FROM DISK; oracle filters the source — the gate proves physical deletion"))
+      notes = "compliance purge end-to-end: Deletes.purgeKeys rewrites only key-holding partitions (shared staging path), result read back FROM DISK; oracle filters the source — the gate proves physical deletion"),
+
+    // ── Triangle counting on the supplier co-occurrence graph ──────────
+    // Graph analytics beyond q123's PageRank: build the co-purchase graph
+    // (suppliers appearing in the same order, support >= 25 co-orders so
+    // hub noise is pruned BEFORE any graph op), then count triangles per
+    // node — the clustering/community signal. Shapes: edge build is one
+    // orderkey-keyed self-join (suppliers-per-order is small and bounded
+    // by order size, so the per-key fan-out is tiny) + one (u,v)-keyed
+    // agg; the triangle join is the standard two-hop join e1(u,v)⋈e2(v,w)
+    // matched against e3(u,w), all key-ordered (u < v < w) so each
+    // triangle is found exactly once. Support-thresholded edges keep the
+    // two-hop fan-out proportional to real co-purchase density; at scale
+    // the remaining skew (hub nodes) is AQE skew-join territory, and the
+    // classic degree-ordered orientation is the drop-in refinement (same
+    // count, fan-out bounded by sqrt(m)) — key order stands in for it
+    // here to keep the oracle twin byte-equal. Per-node counts come from
+    // exploding each triangle to its 3 corners + one node-keyed agg.
+    QueryDef("q140_triangles", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 25).select("u", "v")
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("s_suppkey"))
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_triangles"))
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+      tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+      corners AS (SELECT unnest([x, y, z]) AS s_suppkey FROM tri)
+      SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM corners GROUP BY s_suppkey"""),
+      notes = "per-supplier triangle counts on the support-thresholded co-purchase graph: orderkey self-join -> (u,v) agg -> key-ordered two-hop triangle join -> corner explode + node agg"))
 }

@@ -835,6 +835,168 @@ object DedupQueries {
         COALESCE(p.n_shared, 0) AS n_shared,
         COALESCE(CAST(p.n_shared AS DOUBLE) / p.n_grams, 0.0) AS dup_frac
       FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
-      notes = "per-doc cross-document duplicated-gram coverage: gram-DF agg + join-back + doc fold — the pairless dup filter signal (3 linear shuffles, no candidate join)")
+      notes = "per-doc cross-document duplicated-gram coverage: gram-DF agg + join-back + doc fold — the pairless dup filter signal (3 linear shuffles, no candidate join)"),
+
+    // ── SimHash near-dup pairs, EXACT via block pigeonhole (Manku) ─────
+    // q37's SimHash is rows-only (xxhash64 is engine-specific); this is
+    // the ORACLE-GATED twin and the production shape: a 60-bit md5-based
+    // SimHash (the portable q51 hash idiom, bit votes weighted by token
+    // multiplicity) plus the Manku/Charikar block trick — split the
+    // signature into 4 15-bit blocks; any pair within Hamming distance 3
+    // differs in at most 3 blocks, so it MATCHES on at least one block
+    // (pigeonhole) and the block-equality join finds EVERY such pair.
+    // The DuckDB oracle brute-forces all n^2/2 pairs; Spark never does —
+    // candidates are a hash join on (block-index, block-value), then a
+    // codegen bit_count(xor) verify. Same crossover as q95/q139: the
+    // oracle's O(n^2) vs a blocked O(sum of block-group sizes^2), with
+    // q36's hot-bucket guard as the production cap for degenerate
+    // corpora (a block value shared by millions of near-identical docs).
+    // At 100 TB: one token-keyed signature agg + one block-keyed join;
+    // nothing all-pairs, nothing single-partition.
+    QueryDef("q138_simhash_blocks", (s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      val bitCols = (0 until 60).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)).as(s"b$i")
+      }
+      val sig = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 60).map(i =>
+            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+            .reduce(_.bitwiseOR(_)).as("sh"))
+      val blocks = sig.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+            shiftright(col("sh"), 15 * j).bitwiseAND(0x7FFF).as("blk"))): _*))
+            .as("p"))
+        .select(col("doc_id"), col("sh"), col("p.j"), col("p.blk"))
+      blocks.as("a").join(blocks.as("b"),
+          col("a.j") === col("b.j") && col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sh").as("sha"), col("b.sh").as("shb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sha ^ shb)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(u.tok), 1, 15) AS BIGINT) AS h
+        FROM documents, unnest(string_split(text, ' ')) AS u(tok)),
+      bits AS (
+        SELECT doc_id, i,
+          SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM tok, range(60) r(i) GROUP BY doc_id, i),
+      sig AS (
+        SELECT doc_id,
+          SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sh
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3"""),
+      notes = "exact Hamming<=3 SimHash pairs via 4x15-bit block pigeonhole: block-equality hash join + bit_count(xor) verify vs the oracle's brute n^2 — the Manku block-permutation dedup, oracle-gated"),
+
+    // ── Single-typo entity-resolution candidates (masked blocking) ─────
+    // Record linkage's candidate-generation step, exact for Hamming
+    // distance 1: for each name, emit L masked variants (position i
+    // replaced by a sentinel); two equal-length names differ in exactly
+    // one position iff they share a masked variant (the deletion-
+    // neighborhood / q138-pigeonhole idea applied to characters). The
+    // Spark plan is a hash join on the masked key — O(n*L) keys, group
+    // sizes bounded by real near-duplicate density — while the DuckDB
+    // oracle pays the brute n^2 levenshtein cross join (on equal-length
+    // strings levenshtein 1 <=> exactly one substitution, so the two
+    // predicates are equivalent). DISTINCT guards duplicate name rows.
+    // At 100 TB: narrow Generate fan-out (L ~ name length) + one
+    // key-hash join; no all-pairs stage anywhere.
+    QueryDef("q139_typo_pairs", (s, d) => {
+      val masked = t(s, d, "customer").select(col("c_name"),
+        // chr(1) sentinel (never appears in names) KEEPS the masked
+        // position in the key: an empty sentinel would collapse to the
+        // deletion neighborhood, where variants from DIFFERENT positions
+        // collide ("abc" del 3 and "xab" del 1 both give "ab") and the
+        // join would emit Hamming-3 false positives.
+        explode(expr("transform(sequence(1, length(c_name)), i -> " +
+          "concat(substring(c_name, 1, i-1), chr(1), " +
+          "substring(c_name, i+1)))")).as("mk"))
+      masked.as("a").join(masked.as("b"),
+          col("a.mk") === col("b.mk") && col("a.c_name") < col("b.c_name"))
+        .select(col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
+        .distinct()
+    }, Some("""
+      SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+      FROM customer a JOIN customer b
+        ON length(a.c_name) = length(b.c_name)
+       AND a.c_name < b.c_name
+       AND levenshtein(a.c_name, b.c_name) = 1"""),
+      notes = "Hamming-1 name pairs via position-masked blocking join (O(n*L) keys) vs the oracle's brute n^2 levenshtein — exact candidate generation for entity resolution"),
+
+    // ── EXACT set-similarity join via prefix filtering (PPJoin-style) ──
+    // The third member of the similarity-join family: q38 is the exact
+    // brute-force BASELINE (guarded, within-source), q36/q62 the
+    // APPROXIMATE scale path (LSH, recall < 1) — this is exact AND
+    // scalable: corpus-wide Jaccard >= 0.5 pairs with NO all-pairs
+    // stage. Prefix-filter theorem (Chaudhuri/Xiao et al.): order each
+    // doc's gram set by a fixed global total order (df ASC, hash ASC —
+    // rarest first, the candidate-minimizing choice) and keep only the
+    // first s - ceil(tau*s) + 1 grams; any pair with J >= tau MUST share
+    // a gram in both prefixes, so the prefix-equality join is a
+    // lossless candidate generator for any ordering — the ordering only
+    // tunes candidate COUNT, never the verified answer. Shapes: one
+    // gram-df agg, one df-attach join + per-doc LOCAL sort (sort_array,
+    // no global sort), prefix explode + gram-keyed equi self-join,
+    // then the q62 verify (codegen two-pointer intersect on sorted
+    // hashed grams). Jaccard on xxhash64'd distinct grams == string-set
+    // Jaccard modulo 2^-64 collisions (the q38 precedent); the oracle
+    // brute-forces n^2/2 string-set intersections.
+    QueryDef("q141_setsim_join", (s, d) => {
+      val tau = 0.5
+      val docs = hashedGrams(s, d).select("doc_id", "grams_h", "n_grams")
+      val ex = docs.select(col("doc_id"), explode(col("grams_h")).as("g"))
+      val gdf = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      val ranked = ex.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
+      val pre = ranked.select(col("doc_id"),
+          explode(expr("transform(slice(ord, 1, greatest(" +
+            s"cast(size(ord) - ceil($tau * size(ord)) + 1 as int), 0)), " +
+            "x -> x.g)")).as("pg"))
+      val cand = pre.as("a").join(pre.as("b"),
+          col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("grams_h").as("ga"),
+          col("n_grams").as("na")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("grams_h").as("gb"),
+          col("n_grams").as("nb")), Seq("doc_b"))
+        .withColumn("n_inter", expr("graft_intersect_card(ga, gb)").cast("long"))
+        .withColumn("j0", col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")))
+        .filter(col("j0") >= tau)
+        .select(col("doc_a"), col("doc_b"), round(col("j0"), 6).as("jaccard"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_intersect(a.grams, b.grams)) AS inter,
+          len(a.grams) AS sa, len(b.grams) AS sb
+        FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+        round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+      FROM p
+      WHERE CAST(inter AS DOUBLE) / nullif(sa + sb - inter, 0) >= 0.5"""),
+      notes = "exact corpus-wide Jaccard>=0.5 join via rarest-first prefix filtering (lossless candidate generation, per-doc local sorts only) + codegen intersect verify vs the oracle's brute n^2")
   )
 }

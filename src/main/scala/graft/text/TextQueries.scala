@@ -1597,6 +1597,154 @@ object TextQueries {
       SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, key_nano,
         CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5"""),
-      notes = "Efraimidis-Spirakis weighted sampling without replacement: per-source top-5 by ln(u)/n_chars exponential keys (reproducible size-biased draw); narrow key projection + WindowGroupLimit-pushed rank filter")
+      notes = "Efraimidis-Spirakis weighted sampling without replacement: per-source top-5 by ln(u)/n_chars exponential keys (reproducible size-biased draw); narrow key projection + WindowGroupLimit-pushed rank filter"),
+
+    // ── Vocabulary coverage / OOV-rate audit (tokenizer-fit signal) ────
+    // Before committing to a tokenizer vocab, a corpus owner measures how
+    // much of each source the candidate vocab actually covers: build the
+    // corpus top-K vocabulary, then report per-source token totals and
+    // out-of-vocabulary rate. Two shuffles total: (1) a token-keyed agg
+    // over the exploded tokens (map-side partial counts, the q44 shape)
+    // whose top-K is TakeOrderedAndProject — K rows cross the wire, never
+    // the term dictionary; (2) a source-keyed agg after a BROADCAST left
+    // join of the K-row vocab onto the token stream — at 100 TB the
+    // token fan-out is a narrow Generate and the vocab side is K rows,
+    // so nothing data-sized shuffles twice. Determinism: top-K tie-broken
+    // (count DESC, token ASC); rate is BIGINT/BIGINT divided in DOUBLE
+    // then rounded to 6 dp on both engines.
+    QueryDef("q137_vocab_oov", (s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(10)
+        .select(col("tok").as("v_tok"))
+      tok.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("v_tok").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("oov_rate"))
+    }, Some("""
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+          ORDER BY cnt DESC, tok ASC LIMIT 10))
+      SELECT t.source,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+      FROM tok t LEFT JOIN vocab v USING (tok)
+      GROUP BY t.source"""),
+      notes = "per-source OOV rate vs the corpus top-10 vocab: token-keyed agg -> TakeOrdered top-K -> broadcast left join -> source agg; K rows broadcast, tokens shuffle once"),
+
+    // ── PMI token-association table (corpus statistics) ────────────────
+    // Pointwise mutual information over document-level co-occurrence —
+    // the classic collocation/association signal (phrase mining, vocab
+    // diagnostics): pmi(a,b) = ln(P(a,b) / (P(a)P(b))) with document
+    // frequencies as probabilities. Shapes: per-doc DISTINCT tokens
+    // (narrow), one token-keyed df agg, one doc-keyed self-join whose
+    // fan-out is (distinct tokens per doc)^2 — bounded by doc length,
+    // NOT corpus size — then a pair-keyed agg with min-support 5 (the
+    // q64-style declared cap that also prunes noise pairs). At 100 TB
+    // the production variant composes q137's broadcast top-K vocab as a
+    // pre-filter so the pair space is V^2-bounded; the corpus vocab here
+    // IS small, so the unfiltered form is already bounded. Cross-engine:
+    // ln() receives the identical double (BIGINT ratio division) on both
+    // engines — the q50 precedent — and surfaces rounded to 6 dp.
+    QueryDef("q142_pmi", (s, d) => {
+      val docs = t(s, d, "documents")
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val ta = dt.groupBy("tok").agg(count(lit(1)).as("n_a"))
+      dt.as("a").join(dt.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+        .join(ta.select(col("tok").as("tok_a"), col("n_a")), Seq("tok_a"))
+        .join(ta.select(col("tok").as("tok_b"), col("n_a").as("n_b")),
+          Seq("tok_b"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"),
+          round(log((col("n_ab") * col("nd")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")), 6).as("pmi"))
+    }, Some("""
+      WITH dt AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+      ta AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_a FROM dt GROUP BY tok),
+      pr AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT pr.tok_a, pr.tok_b, pr.n_ab,
+        round(ln(CAST(pr.n_ab * n.nd AS DOUBLE) /
+                 CAST(x.n_a * y.n_a AS DOUBLE)), 6) AS pmi
+      FROM pr
+      JOIN ta x ON x.tok = pr.tok_a
+      JOIN ta y ON y.tok = pr.tok_b
+      CROSS JOIN n"""),
+      notes = "document-level PMI association table: distinct-token explode, df agg, doc-keyed pair self-join (fan-out bounded by doc length) + min-support 5; ln over identical BIGINT-ratio doubles, 6 dp"),
+
+    // ── Per-source dataset card (corpus composition summary) ───────────
+    // The one-stop per-source release summary a corpus owner publishes
+    // with a training set: volume (docs/tokens/chars), language spread
+    // (count + entropy), and exact-duplication rate. Three keyed aggs —
+    // (source) volume+distinct-fingerprint, (source, lang) counts, and
+    // the (source) entropy fold — all map-side-combined; the joins
+    // between them carry one row per source/lang, metadata-sized at any
+    // corpus scale. Entropy terms are quantized to integer NANO-units
+    // BEFORE summation (the q77/q133 trick): up to |langs| doubles
+    // summed in engine-dependent order would risk a last-ulp hash
+    // mismatch, so the sum is exact BIGINT on both engines.
+    // dup_docs = n_docs - distinct md5(text): docs in excess of one per
+    // unique text — the q35 exact-dup signal folded into ONE aggregate.
+    QueryDef("q143_dataset_card", (s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
+      val ent = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .join(base.select(col("source"), col("n_docs")), Seq("source"))
+        .groupBy("source")
+        .agg(sum(round(-(col("c").cast("double") / col("n_docs")) *
+            log(col("c").cast("double") / col("n_docs")) * lit(1e9))
+          .cast("long")).as("lang_entropy_nano"))
+      base.join(ent, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars_total"), col("n_langs"), col("dup_docs"),
+          col("lang_entropy_nano"))
+    }, Some("""
+      WITH base AS (
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_docs
+        FROM documents GROUP BY source),
+      lc AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      ent AS (
+        SELECT lc.source,
+          SUM(CAST(round(-(CAST(lc.c AS DOUBLE) / base.n_docs) *
+            ln(CAST(lc.c AS DOUBLE) / base.n_docs) * 1e9) AS BIGINT))
+            AS lang_entropy_nano
+        FROM lc JOIN base ON lc.source = base.source
+        GROUP BY lc.source)
+      SELECT base.source, base.n_docs, base.n_tokens, base.n_chars_total,
+        base.n_langs, base.dup_docs, ent.lang_entropy_nano
+      FROM base JOIN ent ON base.source = ent.source"""),
+      notes = "per-source dataset card: volume, language count + nano-unit-exact entropy, exact-dup excess in three map-combined keyed aggs; inter-agg joins carry one row per source/lang")
   )
 }

@@ -244,7 +244,8 @@ class PlanContractSpec extends SparkSpec {
       // GlobalOrder's ≤32-row pinned offset self-join (pid' < pid):
       "q89_global_ids", "q94_sequence_pack",
       // index probes: broadcast centroid argmax + bounded offset join
-      "q104_hybrid_indexed", "q105_ann_indexed", "q114_knn_vote_indexed")
+      "q104_hybrid_indexed", "q105_ann_indexed", "q114_knn_vote_indexed",
+      "q142_pmi") // broadcast 1-row corpus-count cross join (q50 pattern)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -270,6 +271,34 @@ class PlanContractSpec extends SparkSpec {
         assert(!p.contains("Exchange SinglePartition"),
           s"$q gained a single-partition stage:\n$p")
       }
+  }
+
+  test("q137: vocab side broadcasts and the top-K never global-sorts") {
+    val p = plan("q137_vocab_oov")
+    // the 10-row vocab must reach the token stream as a broadcast, and its
+    // top-K must be TakeOrderedAndProject — K rows cross the wire, never
+    // the term dictionary or a global sort of it
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab top-K global-sorted:\n$p")
+  }
+
+  test("q138/q139/q140: blocking and graph joins are key-equi, never all-pairs") {
+    // the whole point of the pigeonhole/blocking designs: the oracle pays
+    // the brute n^2, the Spark plan must never — a lost join key would
+    // surface as a cartesian or nested-loop join
+    Seq("q138_simhash_blocks", "q139_typo_pairs", "q140_triangles",
+      "q141_setsim_join", "q142_pmi").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // q142's 1-row corpus-count broadcast (the q50 pattern) is the one
+      // intended nested-loop join in this family; the data-sized joins in
+      // every query must stay key-equi
+      val bnljCap = if (q == "q142_pmi") 1 else 0
+      assert(countOf(p, "BroadcastNestedLoopJoin") <= bnljCap,
+        s"$q lost its equi-join key:\n$p")
+      assert(countOf(p, "Exchange SinglePartition") <= bnljCap,
+        s"$q gained a single-partition stage:\n$p")
+    }
   }
 
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
