@@ -459,5 +459,35 @@ object LakeQueries {
       corners AS (SELECT unnest([x, y, z]) AS s_suppkey FROM tri)
       SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
       FROM corners GROUP BY s_suppkey"""),
-      notes = "per-supplier triangle counts on the support-thresholded co-purchase graph: orderkey self-join -> (u,v) agg -> key-ordered two-hop triangle join -> corner explode + node agg"))
+      notes = "per-supplier triangle counts on the support-thresholded co-purchase graph: orderkey self-join -> (u,v) agg -> key-ordered two-hop triangle join -> corner explode + node agg"),
+
+    // ── Salted skew-join equivalence (SkewOps.saltedInnerJoin gated) ───
+    // The manual skew escape hatch, driver-gated: revenue by order
+    // priority through SkewOps.saltedInnerJoin (lineitem salted into 16
+    // subkeys, orders replicated ×16, join on (key, salt)) must equal
+    // the plain join the oracle runs — salting redistributes rows across
+    // reducers, it must NEVER change the relation. The salt is
+    // seeded-random, so the hash gate also pins that result-invariance
+    // holds under whatever salt assignment a run produces. DECIMAL
+    // accumulation keeps the revenue sum order-insensitive — the exact
+    // property that makes a salted (differently-ordered) aggregation
+    // hashable against the unsalted oracle. When to reach for this over
+    // AQE skew-split: SCALE.md §skew — replicate-×-salts pays only when
+    // the probe side is too big to broadcast AND one key floods a task.
+    QueryDef("q146_salted_join", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewOps.saltedInnerJoin(li, o, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""),
+      notes = "SkewOps.saltedInnerJoin result-equivalence under the hash gate: salted (key,salt) join + decimal agg == the oracle's plain join — salting redistributes, never changes the relation"))
 }

@@ -1505,6 +1505,105 @@ object Relational {
         CAST(SUM(CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT)) AS DOUBLE)
           / 1000000.0 AS psi
       FROM terms GROUP BY event_type"""),
-      notes = "PSI drift monitor: per-type value-distribution shift between event-time halves (10 fixed bins, add-1 smoothing, micro-unit exact terms); one data-pass hash-agg, then metadata-sized PSI algebra on broadcast joins")
+      notes = "PSI drift monitor: per-type value-distribution shift between event-time halves (10 fixed bins, add-1 smoothing, micro-unit exact terms); one data-pass hash-agg, then metadata-sized PSI algebra on broadcast joins"),
+
+    // ── Equi-depth binning WITHOUT a global window (quantile bucketizer) ─
+    // Feature-engineering's quantile bucketizer as an exact distributed
+    // op: assign every order its k=16 equi-depth bin over totalprice and
+    // report per-bin count + value range (the bin edges a model or a
+    // monitoring layer consumes). NTILE's semantics need each row's
+    // GLOBAL rank — the naive form is `ntile(16) OVER (ORDER BY ...)`,
+    // an Exchange SinglePartition that funnels the table through one
+    // task. Here rank comes from GlobalOrder.withRowNumbers (range
+    // partition + local numbering + broadcast offsets — the q89 shape),
+    // the row count from a 1-row broadcast, and the bin is pure integer
+    // arithmetic ((gid-1)*k) div n + 1 — identical on both engines, and
+    // the same formula the oracle's row_number() form evaluates, so NTILE
+    // tie-handling ambiguity never enters. Total tiebreak (price, key)
+    // makes ranks — and therefore bins — unique and deterministic.
+    QueryDef("q144_equidepth_bins", (s, d) => {
+      val k = 16
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val ranked = graft.operators.GlobalOrder.withRowNumbers(
+        o, Seq(col("o_totalprice"), col("o_orderkey")), out = "gid")
+      ranked.crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+        .withColumn("bin", expr(s"(gid - 1) * $k div n + 1"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+    }, Some("""
+      WITH r AS (
+        SELECT o_totalprice,
+          row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+          (SELECT COUNT(*) FROM orders) AS n
+        FROM orders)
+      SELECT (rn - 1) * 16 // n + 1 AS bin,
+        COUNT(*) AS n_rows,
+        MIN(o_totalprice) AS min_price,
+        MAX(o_totalprice) AS max_price
+      FROM r GROUP BY 1"""),
+      notes = "exact k=16 equi-depth bins via GlobalOrder ranks (no single-partition NTILE window): range partition + local numbering + broadcast offsets, then integer bin arithmetic shared with the oracle"),
+
+    // ── Rolling control-chart anomaly gate (rate monitoring) ───────────
+    // The operations-side drift twin of q133: per event_type daily
+    // volumes checked against a trailing 7-day control band — a day is
+    // anomalous when its count exceeds mean + 3σ of the PRIOR 7 days
+    // (current day excluded, so a spike cannot mask itself). All
+    // arithmetic derives from exact BIGINT window sums (Σx, Σx², n over
+    // a ROWS frame): mean, population variance ((Σx² − (Σx)²/n)/n) and
+    // the 3σ limit are then identical IEEE doubles on both engines — no
+    // summation-order drift, no libm calls beyond sqrt on identical
+    // inputs. Shapes: one (type, day)-keyed count agg over the events
+    // scan, then a type-keyed bounded window (≤ days-per-month rows per
+    // partition — metadata-sized forever); emits only flagged days.
+    QueryDef("q145_rate_anomaly", (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily
+        .withColumn("w_n", count(lit(1)).over(w))
+        .withColumn("w_sum", sum(col("n")).over(w))
+        .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
+        .filter(col("w_n") === 7)
+        .withColumn("mean", col("w_sum").cast("double") / col("w_n"))
+        .withColumn("variance",
+          (col("w_sumsq").cast("double") -
+            col("w_sum").cast("double") * col("w_sum") / col("w_n")) /
+            col("w_n"))
+        .withColumn("limit3", col("mean") + lit(3.0) * sqrt(col("variance")))
+        .filter(col("n").cast("double") > col("limit3"))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("mean"), 6).as("mean7"),
+          round(col("limit3"), 6).as("limit3"))
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day,
+          COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, day, n,
+          COUNT(*) OVER w AS w_n,
+          SUM(n) OVER w AS w_sum,
+          SUM(n * n) OVER w AS w_sumsq
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      stats AS (
+        SELECT event_type, day, n,
+          CAST(w_sum AS DOUBLE) / w_n AS mean,
+          (CAST(w_sumsq AS DOUBLE) - CAST(w_sum AS DOUBLE) * w_sum / w_n)
+            / w_n AS variance
+        FROM win WHERE w_n = 7)
+      SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        round(mean, 6) AS mean7,
+        round(mean + 3.0 * sqrt(variance), 6) AS limit3
+      FROM stats
+      WHERE CAST(n AS DOUBLE) > mean + 3.0 * sqrt(variance)"""),
+      notes = "trailing-7-day mean+3sigma control chart per event_type (spike cannot mask itself — current day excluded); exact BIGINT window sums make the band identical cross-engine; type-keyed bounded window")
   )
 }

@@ -961,12 +961,29 @@ object DedupQueries {
       val ranked = ex.join(gdf, "g")
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
-      val pre = ranked.select(col("doc_id"),
-          explode(expr("transform(slice(ord, 1, greatest(" +
+      // posexplode keeps each prefix gram's 0-based position for the
+      // PPJoin positional filter below
+      val pre = ranked.select(col("doc_id"), size(col("ord")).as("n"),
+          posexplode(expr("transform(slice(ord, 1, greatest(" +
             s"cast(size(ord) - ceil($tau * size(ord)) + 1 as int), 0)), " +
-            "x -> x.g)")).as("pg"))
+            "x -> x.g)")).as(Seq("pos", "pg")))
+      // Two SOUND candidate prunes on top of the prefix match (neither can
+      // drop a true pair, both proven in the PPJoin literature):
+      //  - length filter: J >= tau forces tau*max(sa,sb) <= min(sa,sb);
+      //  - positional filter: for the FIRST gram a true pair shares, no
+      //    common gram precedes it in either prefix, so overlap <=
+      //    1 + min(remaining-after-pos); true pairs need overlap >=
+      //    tau/(1+tau)*(sa+sb) (ceil dropped — weaker bound, still sound),
+      //    so the earliest shared-gram row always survives and the pair is
+      //    kept by the distinct over surviving rows.
+      val minOv = lit(tau / (1 + tau)) *
+        (col("a.n") + col("b.n")).cast("double")
       val cand = pre.as("a").join(pre.as("b"),
-          col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id"))
+          col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.n").cast("double") >= lit(tau) * col("a.n") &&
+            col("a.n").cast("double") >= lit(tau) * col("b.n") &&
+            (lit(1) + least(col("a.n") - col("a.pos") - 1,
+              col("b.n") - col("b.pos") - 1)).cast("double") >= minOv)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       cand

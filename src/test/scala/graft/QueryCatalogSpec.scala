@@ -77,6 +77,43 @@ class QueryCatalogSpec extends SparkSpec {
       s"selection distances increased: ${ds.toSeq}")
   }
 
+  test("q144 equi-depth bins partition all orders into 16 near-equal bins") {
+    val rows = SparkEntry.queries("q144_equidepth_bins")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == (1L to 16L).toSet)
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.values.sum == n, "bins must partition the table")
+    // equi-depth: bin sizes differ by at most 1
+    assert(rows.values.max - rows.values.min <= 1,
+      s"bin sizes not equi-depth: $rows")
+  }
+
+  test("q145 flags only days strictly above their own trailing control band") {
+    val rows = SparkEntry.queries("q145_rate_anomaly")(spark, sf).collect()
+    assert(rows.length == 3) // sf0.001 golden — guards a silently-empty pass
+    rows.foreach { r =>
+      assert(r.getLong(2).toDouble > r.getDouble(4),
+        s"flagged day not above its limit: $r")
+    }
+  }
+
+  test("q146 salted join result == the plain unsalted join, computed in Spark") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q146_salted_join")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)))
+          .cast("double").as("rev"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == plain, "salting changed the relation")
+  }
+
   test("oracleSql column names appear in the Spark result (alias contract)") {
     // The driver compare sorts columns by name — a misaligned alias breaks
     // the hash even when values match. Guard: every Spark output column

@@ -243,6 +243,7 @@ class PlanContractSpec extends SparkSpec {
       "q124_mmr_rerank", // q40-style guarded broadcast candidate generation
       // GlobalOrder's ≤32-row pinned offset self-join (pid' < pid):
       "q89_global_ids", "q94_sequence_pack",
+      "q144_equidepth_bins", // GlobalOrder offsets + 1-row count cross join
       // index probes: broadcast centroid argmax + bounded offset join
       "q104_hybrid_indexed", "q105_ann_indexed", "q114_knn_vote_indexed",
       "q142_pmi") // broadcast 1-row corpus-count cross join (q50 pattern)
@@ -299,6 +300,16 @@ class PlanContractSpec extends SparkSpec {
       assert(countOf(p, "Exchange SinglePartition") <= bnljCap,
         s"$q gained a single-partition stage:\n$p")
     }
+  }
+
+  test("q144/q145: global binning and control chart never single-partition the data") {
+    // q144's only allowed collapse is the 1-row corpus count (GlobalOrder
+    // keeps the rank path range-partitioned); q145's window is keyed by
+    // event_type — an unpartitioned NTILE/window would surface here
+    assert(countOf(plan("q144_equidepth_bins"), "Exchange SinglePartition") <= 1,
+      "q144 funnelled data through one partition")
+    assert(!plan("q145_rate_anomaly").contains("Exchange SinglePartition"),
+      "q145 lost its keyed window")
   }
 
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
