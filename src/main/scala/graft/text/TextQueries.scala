@@ -1575,6 +1575,10 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
         .orderBy(col("key_nano").desc, col("doc_id").asc)
       t(s, d, "documents")
+        // zero-weight docs can NEVER be drawn by A-ES (key ln(u)/w → -inf
+        // as w → 0+), and under ANSI the division would throw — exclude
+        // them explicitly, mirrored in the oracle's WHERE
+        .filter(col("n_chars") > 0)
         .select(col("doc_id"), col("source"), col("n_chars"),
           round(log(u) / col("n_chars").cast("double") * lit(1e9))
             .cast("long").as("key_nano"))
@@ -1589,7 +1593,7 @@ object TextQueries {
                 || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                AS BIGINT) AS DOUBLE) / 1152921504606846976.0)
             / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT) AS key_nano
-        FROM documents),
+        FROM documents WHERE n_chars > 0),
       r AS (
         SELECT *, row_number() OVER (
           PARTITION BY source ORDER BY key_nano DESC, doc_id ASC) AS rank

@@ -34,14 +34,20 @@ class AdversarialCorpusSpec extends SparkSpec {
     "q30_text_stats", "q31_quality_score", "q32_lang_id", "q33_fingerprint",
     "q34_binary_meta", "q36_minhash_lsh", "q37_simhash",
     "q45_regex_tokens", "q51_hash_sample", "q60_redact", "q65_repetition",
-    "q66_shard_pack", "q77_unigram_lm", "q89_global_ids")
+    "q66_shard_pack", "q77_unigram_lm", "q89_global_ids",
+    "q131_gopher_gates", "q132_bpe_encode")
 
   private val otherDocQueries = Seq(
     "q38_ngram_jaccard", "q44_token_topk", "q50_tfidf", "q57_dup_clusters",
     "q62_dup_clusters_lsh", "q64_contamination", "q69_stratified_sample",
     "q70_incremental_dedup", "q75_bpe_train", "q78_bpe_batch",
     "q92_heavy_hitters", "q93_source_overlap", "q94_sequence_pack",
-    "q95_containment")
+    "q95_containment",
+    // round-7 documents-scan additions: ANSI-safe on degenerate docs
+    "q109_split_manifest", "q110_interdup_coverage", "q111_bigram_lm",
+    "q130_segment_dedup", "q135_weighted_sample", "q137_vocab_oov",
+    "q138_simhash_blocks", "q141_setsim_join", "q142_pmi",
+    "q143_dataset_card")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
