@@ -226,6 +226,127 @@ object MlQueries {
       SELECT doc_id, ROUND(p * 1000000.0) / 1000000.0 AS p_en,
         CAST(p >= 0.5 AS BIGINT) AS pred_en, is_en
       FROM scored"""),
-      notes = "q117's scoring served from the persisted ModelStore weights (train amortized via the ensure/marker pattern): stored DOUBLEs round-trip bit-exactly, so the same oracle hash-gates the persisted serving path")
+      notes = "q117's scoring served from the persisted ModelStore weights (train amortized via the ensure/marker pattern): stored DOUBLEs round-trip bit-exactly, so the same oracle hash-gates the persisted serving path"),
+
+    // ── Model evaluation: confusion matrix + exact AUC, window-free ────
+    // The missing third of the train→serve→EVALUATE loop: one row of
+    // release-gate metrics for the q116 model. AUC comes from the
+    // Mann-Whitney rank form — AUC = (Σ ranks of positives − P(P+1)/2)
+    // / (P·N) — which needs each row's GLOBAL rank by score: the naive
+    // row_number() OVER (ORDER BY score) is an Exchange SinglePartition,
+    // so ranks come from GlobalOrder.withRowNumbers instead (the
+    // q88/q144 shape). Ranking key is the MICRO-UNIT score as BIGINT
+    // with doc_id tiebreak: deterministic, identical cross-engine (the
+    // per-row EXP knife edge sits behind the same micro rounding as
+    // q117), and the declared semantics are tie-broken ranks — the
+    // oracle evaluates the identical ordering, so midrank-vs-tiebreak
+    // ambiguity never enters the gate. Everything else is one exact
+    // integer aggregate; the two divisions happen in DOUBLE at the end.
+    QueryDef("q147_model_eval", (s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = scoreWith(docs, trainOn(docs))
+        .select(col("doc_id"),
+          round(col("p_en") * 1e6).cast("long").as("sm"),
+          col("pred_en"), col("is_en"))
+      val ranked = graft.operators.GlobalOrder.withRowNumbers(
+        scored, Seq(col("sm").asc, col("doc_id").asc), out = "r")
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("is_en")).as("n_pos"),
+          sum(when(col("pred_en") === 1 && col("is_en") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("pred_en") === 1 && col("is_en") === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("pred_en") === 0 && col("is_en") === 0, 1L)
+            .otherwise(0L)).as("tn"),
+          sum(when(col("pred_en") === 0 && col("is_en") === 1, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("is_en") === 1, col("r")).otherwise(0L))
+            .as("rank_pos_sum"))
+        .select(col("n"), col("n_pos"), col("tp"), col("fp"), col("tn"),
+          col("fn"),
+          round((col("tp") + col("tn")).cast("double") / col("n"), 6)
+            .as("accuracy"),
+          round((col("rank_pos_sum").cast("double") -
+            col("n_pos").cast("double") * (col("n_pos") + 1) / 2) /
+            (col("n_pos").cast("double") * (col("n") - col("n_pos"))), 6)
+            .as("auc"))
+    }, Some(OracleSteps + """,
+      scored AS (SELECT f.doc_id,
+          CAST(ROUND(1000000.0 /
+            (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3))))
+            AS BIGINT) AS sm,
+          CAST(1.0 / (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2
+            + w3.w3 * x3))) >= 0.5 AS BIGINT) AS pred_en,
+          CAST(y AS BIGINT) AS is_en
+        FROM f, w3),
+      ranked AS (SELECT *,
+          row_number() OVER (ORDER BY sm ASC, doc_id ASC) AS r
+        FROM scored)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(is_en) AS BIGINT) AS n_pos,
+        CAST(SUM(CASE WHEN pred_en = 1 AND is_en = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pred_en = 1 AND is_en = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN pred_en = 0 AND is_en = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS tn,
+        CAST(SUM(CASE WHEN pred_en = 0 AND is_en = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS fn,
+        round(CAST(SUM(CASE WHEN pred_en = is_en THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*), 6) AS accuracy,
+        round((CAST(SUM(CASE WHEN is_en = 1 THEN r ELSE 0 END) AS DOUBLE)
+          - CAST(SUM(is_en) AS DOUBLE) * (SUM(is_en) + 1) / 2)
+          / (CAST(SUM(is_en) AS DOUBLE) * (COUNT(*) - SUM(is_en))), 6)
+          AS auc
+      FROM ranked"""),
+      notes = "confusion matrix + Mann-Whitney AUC in one aggregate over GlobalOrder ranks (no single-partition score sort); micro-unit BIGINT rank key with doc_id tiebreak — declared tie-broken semantics shared with the oracle"),
+
+    // ── Calibration / reliability table (the q147 companion) ───────────
+    // Per RANK-decile mean predicted probability vs observed positive
+    // rate — decile calibration, the reliability readout a release gate
+    // reads next to AUC. Rank deciles (not fixed-width probability bins)
+    // because a near-constant scorer — like this deliberately
+    // unlearnable target — would collapse fixed bins to one row and
+    // report nothing; equi-depth deciles always yield 10 rows and are
+    // the standard lift/gains-table form. Ranks are GlobalOrder's (the
+    // q147 shape, no single-partition sort); the decile is pure integer
+    // arithmetic on (rank, n) shared with the oracle; mean prediction
+    // aggregates exact BIGINT micro scores, so only the final divisions
+    // are floating point.
+    QueryDef("q148_calibration", (s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = scoreWith(docs, trainOn(docs))
+        .select(col("doc_id"),
+          round(col("p_en") * 1e6).cast("long").as("sm"), col("is_en"))
+      val ranked = graft.operators.GlobalOrder.withRowNumbers(
+        scored, Seq(col("sm").asc, col("doc_id").asc), out = "r")
+      ranked.crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+        .withColumn("decile", expr("(r - 1) * 10 div nd + 1"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          sum(col("sm")).as("sm_sum"),
+          sum(col("is_en")).as("n_pos"))
+        .select(col("decile"), col("n"),
+          round(col("sm_sum").cast("double") / 1e6 / col("n"), 6)
+            .as("mean_pred"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+    }, Some(OracleSteps + """,
+      scored AS (SELECT f.doc_id,
+          CAST(ROUND(1000000.0 /
+            (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3))))
+            AS BIGINT) AS sm,
+          CAST(y AS BIGINT) AS is_en
+        FROM f, w3),
+      ranked AS (SELECT *,
+          row_number() OVER (ORDER BY sm ASC, doc_id ASC) AS r,
+          (SELECT COUNT(*) FROM scored) AS nd
+        FROM scored)
+      SELECT (r - 1) * 10 // nd + 1 AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        round(CAST(SUM(sm) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_pred,
+        round(CAST(SUM(is_en) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+      FROM ranked GROUP BY 1"""),
+      notes = "decile calibration (lift-table form): rank-decile mean predicted vs observed positive rate over GlobalOrder ranks — always 10 rows even for a near-constant scorer; integer decile arithmetic shared with the oracle")
   )
 }

@@ -114,6 +114,26 @@ class QueryCatalogSpec extends SparkSpec {
     assert(got == plain, "salting changed the relation")
   }
 
+  test("q147 eval metrics are internally consistent (confusion partitions n, AUC in [0,1])") {
+    val r = SparkEntry.queries("q147_model_eval")(spark, sf).collect().head
+    val Seq(n, nPos, tp, fp, tn, fn) = (0 to 5).map(r.getLong)
+    assert(tp + fp + tn + fn == n)
+    assert(tp + fn == nPos)
+    val auc = r.getDouble(7)
+    assert(auc >= 0.0 && auc <= 1.0, s"auc=$auc")
+  }
+
+  test("q148 deciles partition the corpus with monotone mean predictions") {
+    val rows = SparkEntry.queries("q148_calibration")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(rows.map(_.getLong(1)).sum ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    val means = rows.map(_.getDouble(2))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      s"rank-decile mean predictions must be non-decreasing: ${means.toSeq}")
+  }
+
   test("oracleSql column names appear in the Spark result (alias contract)") {
     // The driver compare sorts columns by name — a misaligned alias breaks
     // the hash even when values match. Guard: every Spark output column
