@@ -174,6 +174,13 @@ object DedupQueries {
       .distinct()
   }
 
+  /** q141 candidate-volume observability threshold: the exact prefix-filter
+    * join must NOT silently cap (exactness is its contract), so a
+    * degenerate near-dup-dense corpus surfaces as a WARN on the observed
+    * candidate count instead — the operator's cue to route through the
+    * approximate LSH path. */
+  private[dedup] val SetSimCandidateWarn = 10000000L
+
   /** One WARN line per execution whose LSH guard actually capped a bucket —
     * the observable trail for the recall-affecting cap. Registered at most
     * once per session. */
@@ -187,12 +194,22 @@ object DedupQueries {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             durationNs: Long): Unit =
-          qe.observedMetrics.get("q36_lsh_guard").foreach { row =>
-            val capped = if (row.isNullAt(0)) 0L else row.getLong(0)
-            if (capped > 0L)
-              log.warn(s"q36 LSH hot-bucket guard capped $capped bucket(s), " +
-                s"skipped ${row.getLong(1)} non-rep candidate pair slots " +
-                s"(MaxBucketReps=$MaxBucketReps) — recall differs from unguarded LSH")
+          {
+            qe.observedMetrics.get("q36_lsh_guard").foreach { row =>
+              val capped = if (row.isNullAt(0)) 0L else row.getLong(0)
+              if (capped > 0L)
+                log.warn(s"q36 LSH hot-bucket guard capped $capped bucket(s), " +
+                  s"skipped ${row.getLong(1)} non-rep candidate pair slots " +
+                  s"(MaxBucketReps=$MaxBucketReps) — recall differs from unguarded LSH")
+            }
+            qe.observedMetrics.get("q141_setsim").foreach { row =>
+              val cands = if (row.isNullAt(0)) 0L else row.getLong(0)
+              if (cands > SetSimCandidateWarn)
+                log.warn(s"q141 prefix-filter join produced $cands candidate " +
+                  s"rows (> $SetSimCandidateWarn): the corpus is near-dup " +
+                  "dense enough that the EXACT join approaches quadratic — " +
+                  "switch to the LSH path (q36/q62) or dedup upstream first")
+            }
           }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
@@ -954,6 +971,7 @@ object DedupQueries {
     // Jaccard modulo 2^-64 collisions (the q38 precedent); the oracle
     // brute-forces n^2/2 string-set intersections.
     QueryDef("q141_setsim_join", (s, d) => {
+      ensureGuardListener(s)
       val tau = 0.5
       val docs = hashedGrams(s, d).select("doc_id", "grams_h", "n_grams")
       val ex = docs.select(col("doc_id"), explode(col("grams_h")).as("g"))
@@ -985,6 +1003,11 @@ object DedupQueries {
             (lit(1) + least(col("a.n") - col("a.pos") - 1,
               col("b.n") - col("b.pos") - 1)).cast("double") >= minOv)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // NO SILENT CAP (exactness is the contract) — candidate volume is
+        // observed in-flow instead; the session listener WARNs past
+        // SetSimCandidateWarn, the cue to route degenerate corpora through
+        // the approximate LSH path
+        .observe("q141_setsim", count(lit(1)).as("n_candidate_rows"))
         .distinct()
       cand
         .join(docs.select(col("doc_id").as("doc_a"), col("grams_h").as("ga"),
@@ -1014,6 +1037,81 @@ object DedupQueries {
         round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
       FROM p
       WHERE CAST(inter AS DOUBLE) / nullif(sa + sb - inter, 0) >= 0.5"""),
-      notes = "exact corpus-wide Jaccard>=0.5 join via rarest-first prefix filtering (lossless candidate generation, per-doc local sorts only) + codegen intersect verify vs the oracle's brute n^2")
+      notes = "exact corpus-wide Jaccard>=0.5 join via rarest-first prefix filtering (lossless candidate generation, per-doc local sorts only) + codegen intersect verify vs the oracle's brute n^2"),
+
+    // ── Incremental exact near-dup: delta vs base (the serving shape) ──
+    // The production use of q141: an incoming crawl BATCH (delta, the
+    // ~14% md5-split of doc ids — the q70/q109 hash-split idiom) checked
+    // for Jaccard >= 0.5 duplicates AGAINST the existing corpus (base)
+    // without ever pairing base with base or delta with delta. Gram
+    // order comes from BASE document frequencies (what a persisted
+    // prefix index would store), with unseen-in-base grams at df 0 —
+    // rarest-first; prefix filtering stays lossless for ANY shared total
+    // order, and the PPJoin length/positional prunes apply unchanged to
+    // the cross join of the two prefix sets. Cost model: O(|delta|)
+    // gram work + a (gram)-keyed join against base prefixes — the base
+    // side never self-joins, which is the whole point of incremental
+    // dedup at 100 TB (q70 is the EXACT-hash twin; the streaming
+    // near-dup ingest is the LSH twin of this same delta-vs-base shape).
+    QueryDef("q149_setsim_incremental", (s, d) => {
+      ensureGuardListener(s)
+      val tau = 0.5
+      val docs = hashedGrams(s, d).select("doc_id", "grams_h", "n_grams")
+        .withColumn("is_delta",
+          substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
+      val ex = docs.select(col("doc_id"), col("is_delta"),
+        explode(col("grams_h")).as("g"))
+      val gdf = ex.filter(!col("is_delta"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+      val ranked = ex.join(gdf, Seq("g"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .groupBy("doc_id", "is_delta")
+        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
+      val pre = ranked.select(col("doc_id"), col("is_delta"),
+          size(col("ord")).as("n"),
+          posexplode(expr("transform(slice(ord, 1, greatest(" +
+            s"cast(size(ord) - ceil($tau * size(ord)) + 1 as int), 0)), " +
+            "x -> x.g)")).as(Seq("pos", "pg")))
+      val minOv = lit(tau / (1 + tau)) *
+        (col("a.n") + col("b.n")).cast("double")
+      val cand = pre.filter(!col("is_delta")).as("a")
+        .join(pre.filter(col("is_delta")).as("b"),
+          col("a.pg") === col("b.pg") &&
+            col("b.n").cast("double") >= lit(tau) * col("a.n") &&
+            col("a.n").cast("double") >= lit(tau) * col("b.n") &&
+            (lit(1) + least(col("a.n") - col("a.pos") - 1,
+              col("b.n") - col("b.pos") - 1)).cast("double") >= minOv)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("grams_h").as("ga"),
+          col("n_grams").as("na")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("grams_h").as("gb"),
+          col("n_grams").as("nb")), Seq("doc_b"))
+        .withColumn("n_inter", expr("graft_intersect_card(ga, gb)").cast("long"))
+        .withColumn("j0", col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")))
+        .filter(col("j0") >= tau)
+        .select(col("doc_a"), col("doc_b"), round(col("j0"), 6).as("jaccard"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19' AS is_delta,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_intersect(a.grams, b.grams)) AS inter,
+          len(a.grams) AS sa, len(b.grams) AS sb
+        FROM g a JOIN g b ON (NOT a.is_delta) AND b.is_delta)
+      SELECT doc_a, doc_b,
+        round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+      FROM p
+      WHERE CAST(inter AS DOUBLE) / nullif(sa + sb - inter, 0) >= 0.5"""),
+      notes = "incremental exact near-dup: md5-split delta joined against base-only prefix postings (base df order — what a persisted prefix index stores); base never self-joins; q70's exact-hash and the streaming LSH ingest's third sibling")
   )
 }

@@ -124,6 +124,30 @@ class BlockingGraphParitySpec extends SparkSpec {
     assert(brute.size == 28) // sf0.001 golden — guards a silently-empty pass
   }
 
+  test("q149: incremental delta-vs-base pairs == brute-force cross-set Jaccard >= 0.5") {
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    def isDelta(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString <= "19"
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val brute = (for {
+      (a, sa) <- docs if !isDelta(a); (b, sb) <- docs if isDelta(b)
+      inter = (sa & sb).size; union = sa.size + sb.size - inter
+      if union > 0 && inter.toDouble / union >= 0.5
+    } yield (a, b, round6(inter.toDouble / union))).toSet
+    val got = SparkEntry.queries("q149_setsim_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"blocked=${got.size} brute=${brute.size}")
+    assert(brute.size == 5) // sf0.001 golden — guards a silently-empty pass
+  }
+
   test("q142: PMI table == brute-force document co-occurrence recomputation") {
     val rows = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
