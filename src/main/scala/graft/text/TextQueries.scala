@@ -33,14 +33,26 @@ object TextQueries {
     * term in the q86/q88 oracles (explicit DOUBLE casts, integer-
     * preserving idf form); see q86's scaladoc for the rationale. */
   private[graft] def bm25MicroScores(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    bm25MicroScoresWhere(s, d,
+      _.filter(col("tok").isin("query", "dup", "scan")))
+
+  /** [[bm25MicroScores]] with the query-term selection parameterized:
+    * q86/q88 keep the literal isin filter (plan unchanged), q150 passes a
+    * broadcast-join selector for its DYNAMIC (feedback-expanded) term
+    * set. Same scoring expression either way — the q86 oracle mirror
+    * holds for any selector that only restricts the token stream. */
+  private[graft] def bm25MicroScoresWhere(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      selectTerms: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val toks = t(s, d, "documents")
       .select(col("doc_id"), explode(filter(split(col("text"), " "),
         (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
     val tot = toks.agg(count(lit(1)).as("t_toks"))
-    val qt = toks.filter(col("tok").isin("query", "dup", "scan"))
+    val qt = selectTerms(toks)
     val dfT = qt.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val tf = qt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     tf.join(dl, "doc_id")
@@ -1749,6 +1761,96 @@ object TextQueries {
       SELECT base.source, base.n_docs, base.n_tokens, base.n_chars_total,
         base.n_langs, base.dup_docs, ent.lang_entropy_nano
       FROM base JOIN ent ON base.source = ent.source"""),
-      notes = "per-source dataset card: volume, language count + nano-unit-exact entropy, exact-dup excess in three map-combined keyed aggs; inter-agg joins carry one row per source/lang")
+      notes = "per-source dataset card: volume, language count + nano-unit-exact entropy, exact-dup excess in three map-combined keyed aggs; inter-agg joins carry one row per source/lang"),
+
+    // ── Pseudo-relevance feedback retrieval (RM3-lite) ─────────────────
+    // The query-expansion loop on top of q86: (1) first-pass BM25 over
+    // the fixed query terms, top-10 feedback docs by the exact integer
+    // score; (2) expansion = the 3 most frequent NON-query tokens inside
+    // the feedback docs (integer tf, token-asc tiebreak — the RM1 term
+    // model reduced to its deterministic core); (3) second-pass BM25
+    // over query ∪ expansion. Every stage is exact-integer-ranked, so a
+    // THREE-stage retrieval pipeline sits under one hash gate. Shapes:
+    // pass 1 is q86's plan; the feedback-doc token pass joins a 10-row
+    // broadcast; expansion is a token agg + TakeOrdered(3); pass 2 is
+    // the same scoring with the term filter as a ≤6-row broadcast join
+    // instead of a literal isin — at 100 TB both passes move only
+    // postings for ≤6 terms, and the feedback loop adds one bounded
+    // round trip, exactly the production PRF cost model.
+    QueryDef("q150_prf_bm25", (s, d) => {
+      import s.implicits._
+      val fb = bm25MicroScores(s, d)
+        .orderBy(col("s").desc, col("doc_id").asc).limit(10)
+        .select("doc_id")
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
+      val expansion = toks.join(broadcast(fb), "doc_id")
+        .filter(!col("tok").isin("query", "dup", "scan"))
+        .groupBy("tok").agg(count(lit(1)).as("fb_tf"))
+        .orderBy(col("fb_tf").desc, col("tok").asc).limit(3)
+        .select("tok")
+      val allTerms = expansion
+        .union(Seq("query", "dup", "scan").toDF("tok")).distinct()
+      bm25MicroScoresWhere(s, d, tk => tk.join(broadcast(allTerms), "tok"))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(15)
+        .select(col("doc_id"),
+          round(col("s").cast("double") / 1e6, 6).as("bm25_prf"),
+          col("n_terms"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS t_toks FROM toks),
+      q1 AS (SELECT unnest(['query', 'dup', 'scan']) AS tok),
+      df1 AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks JOIN q1 USING (tok) GROUP BY tok),
+      tf1 AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM toks JOIN q1 USING (tok) GROUP BY doc_id, tok),
+      t1 AS (
+        SELECT tf1.doc_id,
+          CAST(ROUND(
+            LN(1.0 + CAST(2 * (stats.n_docs - df1.df) + 1 AS DOUBLE)
+                / (2 * df1.df + 1))
+            * CAST(tf1.tf AS DOUBLE) * 2.2
+            / (CAST(tf1.tf AS DOUBLE) + 1.2 * (0.25
+                + 0.75 * CAST(dl.dl AS DOUBLE)
+                  / (CAST(tot.t_toks AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+            * 1000000) AS BIGINT) AS micro
+        FROM tf1 JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN tot
+        JOIN df1 ON df1.tok = tf1.tok),
+      s1 AS (SELECT doc_id, SUM(micro) AS s FROM t1 GROUP BY doc_id),
+      fb AS (SELECT doc_id FROM s1 ORDER BY s DESC, doc_id ASC LIMIT 10),
+      expn AS (
+        SELECT tok FROM toks JOIN fb USING (doc_id)
+        WHERE tok NOT IN ('query', 'dup', 'scan')
+        GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 3),
+      q2 AS (SELECT tok FROM expn UNION SELECT tok FROM q1),
+      df2 AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks JOIN q2 USING (tok) GROUP BY tok),
+      tf2 AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM toks JOIN q2 USING (tok) GROUP BY doc_id, tok),
+      t2 AS (
+        SELECT tf2.doc_id,
+          CAST(ROUND(
+            LN(1.0 + CAST(2 * (stats.n_docs - df2.df) + 1 AS DOUBLE)
+                / (2 * df2.df + 1))
+            * CAST(tf2.tf AS DOUBLE) * 2.2
+            / (CAST(tf2.tf AS DOUBLE) + 1.2 * (0.25
+                + 0.75 * CAST(dl.dl AS DOUBLE)
+                  / (CAST(tot.t_toks AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+            * 1000000) AS BIGINT) AS micro
+        FROM tf2 JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN tot
+        JOIN df2 ON df2.tok = tf2.tok),
+      s2 AS (SELECT doc_id, SUM(micro) AS s, CAST(count(*) AS BIGINT) AS n_terms
+             FROM t2 GROUP BY doc_id)
+      SELECT doc_id, round(CAST(s AS DOUBLE) / 1000000.0, 6) AS bm25_prf,
+        n_terms
+      FROM s2 ORDER BY s DESC, doc_id ASC LIMIT 15"""),
+      notes = "RM3-lite pseudo-relevance feedback: BM25 top-10 feedback docs -> top-3 expansion tokens (integer tf, tok tiebreak) -> expanded-query BM25 top-15; three exact-integer-ranked stages under one hash gate")
   )
 }

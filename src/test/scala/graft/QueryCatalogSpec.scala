@@ -134,6 +134,16 @@ class QueryCatalogSpec extends SparkSpec {
       s"rank-decile mean predictions must be non-decreasing: ${means.toSeq}")
   }
 
+  test("q150 PRF second pass scores over the expanded term set (up to 6 terms)") {
+    val rows = SparkEntry.queries("q150_prf_bm25")(spark, sf).collect()
+    assert(rows.length == 15)
+    val nTerms = rows.map(_.getLong(2))
+    assert(nTerms.forall(n => n >= 1 && n <= 6))
+    // expansion must actually widen the match: some doc matches more
+    // terms than the 3-term base query can supply
+    assert(nTerms.max > 3, s"no doc matched an expansion term: ${nTerms.toSeq}")
+  }
+
   test("oracleSql column names appear in the Spark result (alias contract)") {
     // The driver compare sorts columns by name — a misaligned alias breaks
     // the hash even when values match. Guard: every Spark output column

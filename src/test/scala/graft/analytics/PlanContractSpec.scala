@@ -245,6 +245,7 @@ class PlanContractSpec extends SparkSpec {
       "q89_global_ids", "q94_sequence_pack",
       "q144_equidepth_bins", // GlobalOrder offsets + 1-row count cross join
       "q147_model_eval", "q148_calibration", // GlobalOrder ranks (q144 shape)
+      "q150_prf_bm25", // q86's 1-row corpus-stat broadcasts, both passes
       // index probes: broadcast centroid argmax + bounded offset join
       "q104_hybrid_indexed", "q105_ann_indexed", "q114_knn_vote_indexed",
       "q142_pmi") // broadcast 1-row corpus-count cross join (q50 pattern)
