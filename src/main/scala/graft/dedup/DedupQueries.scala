@@ -1112,6 +1112,71 @@ object DedupQueries {
         round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
       FROM p
       WHERE CAST(inter AS DOUBLE) / nullif(sa + sb - inter, 0) >= 0.5"""),
-      notes = "incremental exact near-dup: md5-split delta joined against base-only prefix postings (base df order — what a persisted prefix index stores); base never self-joins; q70's exact-hash and the streaming LSH ingest's third sibling")
+      notes = "incremental exact near-dup: md5-split delta joined against base-only prefix postings (base df order — what a persisted prefix index stores); base never self-joins; q70's exact-hash and the streaming LSH ingest's third sibling"),
+
+    // ── Winnowing fingerprints (MOSS-style overlap detection) ──────────
+    // The POSITION-ROBUST member of the overlap family: q33's rolling
+    // hash fingerprints whole docs (any edit changes it), q130 keys on
+    // fixed 8-token segment boundaries (inserting one token upstream
+    // shifts every later segment) — winnowing (Schleimer et al., the
+    // MOSS algorithm) selects the MIN 4-gram hash per sliding window of
+    // 4 positions, which provably keeps a shared fingerprint for any
+    // shared run of ≥ 7 tokens REGARDLESS of its offset in either doc.
+    // Shapes: per-doc gram hashing is narrow; the window min is keyed by
+    // doc_id and ordered by position (partition bounded by doc length,
+    // never corpus size); distinct (doc, fp) then a fingerprint-equality
+    // pair join with the q64-style DF cap (fingerprints in > 64 docs are
+    // boilerplate noise AND the join fan-out bound — declared, mirrored
+    // in the oracle, inert on this corpus where max df is 4). Shared
+    // fingerprint count >= 2 filters singleton coincidences. Portable
+    // md5 hashing keeps the whole thing oracle-gated.
+    QueryDef("q151_winnowing", (s, d) => {
+      val tk = t(s, d, "documents").select(col("doc_id"),
+        split(col("text"), " ").as("t"))
+      val g = tk.select(col("doc_id"),
+          posexplode(expr(
+            "transform(filter(sequence(0, greatest(size(t) - 4, 0)), " +
+              "i -> i <= size(t) - 4), " +
+              "i -> conv(substring(md5(concat_ws(' ', slice(t, i + 1, 4))), " +
+              "1, 15), 16, 10))")).as(Seq("pos", "hs")))
+        .select(col("doc_id"), col("pos"), col("hs").cast("long").as("h"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+      val fp = g
+        .withColumn("wmin", min(col("h")).over(win))
+        .withColumn("wn", count(lit(1)).over(win))
+        .filter(col("wn") === 4)
+        .select(col("doc_id"), col("wmin").as("fp")).distinct()
+      val kept = fp.join(
+        fp.groupBy("fp").agg(count(lit(1)).as("c")).filter(col("c") <= 64)
+          .select("fp"),
+        "fp")
+      kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .filter(col("shared_fp") >= 2)
+    }, Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      g AS (
+        SELECT doc_id, i AS pos,
+          CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+            t[i+2] || ' ' || t[i+3]), 1, 15) AS BIGINT) AS h
+        FROM tk, unnest(range(1, greatest(len(t) - 2, 1))) u(i)),
+      w AS (
+        SELECT doc_id, pos, h,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+          COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wn
+        FROM g),
+      fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE wn = 4),
+      fpdf AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp),
+      kept AS (SELECT fp.* FROM fp JOIN fpdf USING (fp) WHERE c <= 64)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(count(*) AS BIGINT) AS shared_fp
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2"""),
+      notes = "MOSS winnowing: min 4-gram hash per 4-position window (shared runs >= 7 tokens always share a fingerprint at any offset); doc-keyed windows, DF-capped fingerprint pair join, portable md5 hashing — fully oracle-gated")
   )
 }

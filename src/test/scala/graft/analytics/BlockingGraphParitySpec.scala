@@ -167,6 +167,28 @@ class BlockingGraphParitySpec extends SparkSpec {
     assert(got == expect, s"got=${got.size} brute=${expect.size}")
   }
 
+  test("q151: a shared token run is caught at ANY offset (winnowing guarantee)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    // the same 20-token run embedded at offset 3 in doc 0 and offset 9 in
+    // doc 1 — fixed-boundary segmenting (q130's 8-token grid) would see
+    // disjoint segments; winnowing guarantees shared fingerprints for any
+    // shared run of >= 7 tokens regardless of offset
+    val run = (1 to 20).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta gamma $run tail0a tail0b", "en", "s", 0L),
+      (1L, s"p1 p2 p3 p4 p5 p6 p7 p8 p9 $run other trailing words", "en", "s", 0L),
+      (2L, (1 to 40).map(i => s"z$i").mkString(" "), "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pairs = SparkEntry.queries("q151_winnowing")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)),
+      s"offset-shifted shared run not detected: $pairs")
+    assert(pairs((0L, 1L)) >= 2)
+    assert(pairs.size == 1, s"unrelated docs must not pair: $pairs")
+  }
+
   test("q143: dataset card == brute-force per-source recomputation") {
     val rows = spark.read.parquet(s"$sf/documents.parquet")
       .select("source", "text", "lang", "n_chars").collect()

@@ -290,7 +290,8 @@ class PlanContractSpec extends SparkSpec {
     // the brute n^2, the Spark plan must never — a lost join key would
     // surface as a cartesian or nested-loop join
     Seq("q138_simhash_blocks", "q139_typo_pairs", "q140_triangles",
-      "q141_setsim_join", "q142_pmi", "q149_setsim_incremental").foreach { q =>
+      "q141_setsim_join", "q142_pmi", "q149_setsim_incremental",
+      "q151_winnowing").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       // q142's 1-row corpus-count broadcast (the q50 pattern) is the one

@@ -47,7 +47,7 @@ class AdversarialCorpusSpec extends SparkSpec {
     "q109_split_manifest", "q110_interdup_coverage", "q111_bigram_lm",
     "q130_segment_dedup", "q135_weighted_sample", "q137_vocab_oov",
     "q138_simhash_blocks", "q141_setsim_join", "q142_pmi",
-    "q143_dataset_card", "q149_setsim_incremental")
+    "q143_dataset_card", "q149_setsim_incremental", "q151_winnowing")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
