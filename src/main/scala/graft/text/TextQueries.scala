@@ -1851,6 +1851,181 @@ object TextQueries {
       SELECT doc_id, round(CAST(s AS DOUBLE) / 1000000.0, 6) AS bm25_prf,
         n_terms
       FROM s2 ORDER BY s DESC, doc_id ASC LIMIT 15"""),
-      notes = "RM3-lite pseudo-relevance feedback: BM25 top-10 feedback docs -> top-3 expansion tokens (integer tf, tok tiebreak) -> expanded-query BM25 top-15; three exact-integer-ranked stages under one hash gate")
+      notes = "RM3-lite pseudo-relevance feedback: BM25 top-10 feedback docs -> top-3 expansion tokens (integer tf, tok tiebreak) -> expanded-query BM25 top-15; three exact-integer-ranked stages under one hash gate"),
+
+    // ── DSIR-style importance weights (hashed n-gram log-ratio) ────────
+    // Data Selection via Importance Resampling reduced to its
+    // deterministic core: score every raw doc by how target-like its
+    // hashed-unigram distribution is, then keep the top half. The
+    // target distribution here is the corpus's English slice (lang =
+    // 'en'); raw is the whole pool. Features are 256 md5-hash buckets
+    // (b = first md5 byte of the token — portable across engines, the
+    // standard hashed-feature trick at vocabulary scale). Per doc:
+    //   w(doc) = mean over token occurrences of
+    //            ln( p_target(b) / p_raw(b) ),   add-1 smoothed
+    // and keep = w >= corpus median (a deterministic stand-in for
+    // sampling proportional to exp(w)). Exactness: each bucket's
+    // log-ratio is ONE ln over a ratio of exact BIGINT products
+    // ((ct+1)(Nr+256)) / ((cr+1)(Nt+256)) — correctly-rounded double
+    // division then a cross-engine-identical ln — quantized to
+    // micro-units BEFORE the per-doc sum, so summation order cannot
+    // drift; the keep gate compares the same unrounded double mean to
+    // the same interpolated median on both engines (q48 contract).
+    // Products of exact counts stay inside BIGINT up to ~3e18 (fine
+    // beyond trillion-token corpora; widen to DECIMAL(38,0) past that).
+    // Shapes at 100 TB: one narrow token explode; TWO <=256-row bucket
+    // aggs (map-side combined) broadcast back; one doc-keyed fold; one
+    // 1-row median agg broadcast into the final projection. No windows,
+    // no pairs, no quadratic anything — the scoring pass is exactly the
+    // q77/q111 LM-gate shape with a 256-row model instead of a corpus
+    // vocabulary, which is the POINT of hashed features: the model
+    // broadcasts at any corpus size.
+    QueryDef("q152_dsir_weights", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
+      val ct = toks.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val cr = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+      val ntRow = ct.agg(sum("ct").as("n_t"))
+      val nrRow = cr.agg(sum("cr").as("n_r"))
+      val lr = cr.join(ct, Seq("b"), "left_outer")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(ntRow)).crossJoin(broadcast(nrRow))
+        .withColumn("lr_micro", round(log(
+          ((col("ct") + lit(1L)) * (col("n_r") + lit(256L))).cast("double") /
+            ((col("cr") + lit(1L)) * (col("n_t") + lit(256L))).cast("double"))
+          * 1e6).cast("long"))
+        .select("b", "lr_micro")
+      val perdoc = toks.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("lr_micro").as("sm"))
+      val medRow = perdoc.agg(
+        expr("percentile(CAST(sm AS DOUBLE) / n_tokens, 0.5)").as("med"))
+      docs.select(col("doc_id"), col("source"))
+        .join(perdoc, Seq("doc_id"), "left_outer")
+        .crossJoin(broadcast(medRow))
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(round((col("sm").cast("double") / 1e6) / col("n_tokens"), 6),
+            lit(0.0)).as("dsir_score"),
+          when(coalesce(
+            col("sm").cast("double") / col("n_tokens") >= col("med"),
+            lit(false)), 1L).otherwise(0L).as("keep"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS b
+        FROM (SELECT doc_id, lang,
+                unnest(list_filter(string_split(text, ' '),
+                  t -> len(t) > 0)) AS tok
+              FROM documents)),
+      ct AS (SELECT b, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY 1),
+      cr AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY 1),
+      nt AS (SELECT SUM(ct) AS n_t FROM ct),
+      nr AS (SELECT SUM(cr) AS n_r FROM cr),
+      lr AS (
+        SELECT cr.b,
+          CAST(ROUND(LN(
+            CAST((COALESCE(ct.ct, 0) + 1) * (nr.n_r + 256) AS DOUBLE) /
+            CAST((cr.cr + 1) * (nt.n_t + 256) AS DOUBLE)) * 1000000)
+            AS BIGINT) AS lr_micro
+        FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr),
+      perdoc AS (
+        SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          SUM(lr_micro) AS sm
+        FROM toks JOIN lr USING (b) GROUP BY 1),
+      med AS (SELECT quantile_cont(CAST(sm AS DOUBLE) / n_tokens, 0.5) AS med
+              FROM perdoc)
+      SELECT d.doc_id, d.source,
+        COALESCE(p.n_tokens, 0) AS n_tokens,
+        COALESCE(round((CAST(p.sm AS DOUBLE) / 1000000.0) / p.n_tokens, 6),
+          0.0) AS dsir_score,
+        CAST(CASE WHEN COALESCE(CAST(p.sm AS DOUBLE) / p.n_tokens >= m.med,
+          FALSE) THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM documents d LEFT JOIN perdoc p USING (doc_id) CROSS JOIN med m"""),
+      notes = "DSIR importance weights: 256 hashed-unigram buckets, add-1-smoothed target('en')/raw log-ratio per token, micro-unit exact per-doc mean, keep = above corpus median; two broadcast bucket models + one doc fold — no windows, model size independent of corpus size"),
+
+    // ── Per-source distribution drift: KL over hashed buckets ──────────
+    // The source-level twin of q152's doc-level scoring, and the
+    // data-mixing diagnostic q143's dataset card lacks: how far each
+    // source's hashed-unigram distribution sits from the corpus mix,
+    //   KL(source || corpus) = sum_b p_s(b) ln( p_s(b) / p_c(b) )
+    // over the FULL 256-bucket spine (an explicit range(0,256) spine,
+    // so buckets a source never emits still contribute their smoothed
+    // mass — excluding them would silently change the quantity), add-1
+    // smoothed on both sides. A source whose KL jumps between snapshots
+    // changed its content mix — the per-source PSI idea (q133) applied
+    // to text. Exactness: p_s is one correctly-rounded division of
+    // exact integers; the ln argument is a ratio of exact BIGINT
+    // products (same bound note as q152); each term is quantized to
+    // NANO-units before the per-source sum (q143's entropy trick), so
+    // the only cross-engine risk — summation order — is removed.
+    // Shapes at 100 TB: token explode -> (source,b) and (b) hash-aggs
+    // (map-side combined, <=256·|sources| and <=256 rows), a 256-row
+    // spine cross join on the AGGREGATED model (metadata-sized), one
+    // final per-source fold. The data is touched once.
+    QueryDef("q153_source_kl", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("source"),
+        explode(filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
+      val cs = toks.groupBy("source", "b").agg(count(lit(1)).as("cs"))
+      val cc = toks.groupBy("b").agg(count(lit(1)).as("cc"))
+      val ns = cs.groupBy("source").agg(sum("cs").as("n_s"))
+      val ncRow = cc.agg(sum("cc").as("n_c"))
+      val spine = s.range(0, 256).select(col("id").as("b"))
+      val grid = ns.crossJoin(spine)
+        .join(cs, Seq("source", "b"), "left_outer")
+        .join(cc, Seq("b"), "left_outer")
+        .na.fill(0L, Seq("cs", "cc"))
+        .crossJoin(broadcast(ncRow))
+      val terms = grid
+        .withColumn("ps",
+          (col("cs") + lit(1L)).cast("double") / (col("n_s") + lit(256L)))
+        .withColumn("term_nano", round(col("ps") * log(
+          ((col("cs") + lit(1L)) * (col("n_c") + lit(256L))).cast("double") /
+            ((col("cc") + lit(1L)) * (col("n_s") + lit(256L))).cast("double"))
+          * 1e9).cast("long"))
+      terms.groupBy("source")
+        .agg(first(col("n_s")).as("n_tokens"),
+          round(sum(col("term_nano")).cast("double") / 1e9, 6)
+            .as("kl_divergence"))
+    }, Some("""
+      WITH toks AS (
+        SELECT source, CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS b
+        FROM (SELECT source,
+                unnest(list_filter(string_split(text, ' '),
+                  t -> len(t) > 0)) AS tok
+              FROM documents)),
+      cs AS (SELECT source, b, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+      cc AS (SELECT b, COUNT(*) AS cc FROM toks GROUP BY 1),
+      ns AS (SELECT source, SUM(cs) AS n_s FROM cs GROUP BY 1),
+      nc AS (SELECT SUM(cc) AS n_c FROM cc),
+      spine AS (SELECT unnest(range(0, 256)) AS b),
+      grid AS (
+        SELECT ns.source, spine.b, ns.n_s, nc.n_c,
+          COALESCE(cs.cs, 0) AS cs, COALESCE(cc.cc, 0) AS cc
+        FROM ns CROSS JOIN spine CROSS JOIN nc
+        LEFT JOIN cs ON cs.source = ns.source AND cs.b = spine.b
+        LEFT JOIN cc ON cc.b = spine.b),
+      terms AS (
+        SELECT source, n_s,
+          CAST(ROUND(
+            (CAST(cs + 1 AS DOUBLE) / (n_s + 256)) *
+            LN(CAST((cs + 1) * (n_c + 256) AS DOUBLE)
+               / CAST((cc + 1) * (n_s + 256) AS DOUBLE)) * 1000000000)
+            AS BIGINT) AS term_nano
+        FROM grid)
+      SELECT source, CAST(ANY_VALUE(n_s) AS BIGINT) AS n_tokens,
+        round(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6)
+          AS kl_divergence
+      FROM terms GROUP BY 1"""),
+      notes = "per-source KL(source || corpus) over the full 256-bucket hashed-unigram spine, add-1 smoothed, nano-unit exact terms: the source-mix drift diagnostic; one token pass + metadata-sized model algebra")
   )
 }
