@@ -1177,6 +1177,75 @@ object DedupQueries {
         CAST(count(*) AS BIGINT) AS shared_fp
       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 2"""),
-      notes = "MOSS winnowing: min 4-gram hash per 4-position window (shared runs >= 7 tokens always share a fingerprint at any offset); doc-keyed windows, DF-capped fingerprint pair join, portable md5 hashing — fully oracle-gated")
+      notes = "MOSS winnowing: min 4-gram hash per 4-position window (shared runs >= 7 tokens always share a fingerprint at any offset); doc-keyed windows, DF-capped fingerprint pair join, portable md5 hashing — fully oracle-gated"),
+
+    // ── Theta-sketch source-overlap matrix (q93's sketch scale twin) ───
+    // q93 answers "how much do sources share?" by shuffling every
+    // fingerprint row into a fp-keyed self-join — exact, but the data
+    // crosses the wire again for EVERY new overlap question. The theta
+    // path touches the corpus ONCE: one bounded-size sketch blob per
+    // source (graft_theta_agg over the same 15-token prefix fps as q93),
+    // then the full pairwise matrix — per-source distinct, shared,
+    // A-not-B — is set algebra over |sources| sketch ROWS. At 100 TB the
+    // blobs persist beside the data (the q82/q92/q108 rollup pattern)
+    // and day-over-day novelty, snapshot containment, or any new pair
+    // query is answered from blobs without rescanning anything.
+    //
+    // Why this can be ORACLE-gated when q82/q92/q108 are rows-only: a
+    // theta sketch is EXACT below its nominal-entries bound (it keeps
+    // the k smallest hashes; below k nothing is discarded, and set ops
+    // over exact sketches are exact), and theta has no randomized
+    // compaction, so at every driver SF (<=250 distinct fps/source vs
+    // k=4096) the estimates ARE the exact distinct counts the oracle
+    // computes — the hash gate proves the sketch algebra against exact
+    // relational set ops. Past k the same query degrades gracefully to
+    // ~1.6% estimates (ThetaSketchSpec pins that regime + determinism).
+    // Residual caveat: estimates count distinct 64-bit HASHES, so a fp
+    // hash collision (P ~ n²/2^65) could shift a count by 1 — ignorable
+    // at any gated SF.
+    // Shapes: one fp projection + ONE source-keyed sketch agg (map-side
+    // combined, blob-sized partials); the pair join is a broadcast
+    // nested loop over 20 one-blob rows — metadata, not data.
+    QueryDef("q154_theta_overlap", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = filter(split(col("text"), " "),
+        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      val sk = t(s, d, "documents")
+        .select(col("source"), md5(array_join(slice(toks, 1, 15), " ")).as("fp"))
+        .groupBy("source")
+        .agg(expr("graft_theta_agg(fp, 4096)").as("sk"))
+      val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          expr("CAST(round(graft_theta_estimate(sk_a)) AS BIGINT)").as("n_a"),
+          expr("CAST(round(graft_theta_estimate(sk_b)) AS BIGINT)").as("n_b"),
+          expr("""CAST(round(graft_theta_estimate(
+                    graft_theta_intersect2(sk_a, sk_b))) AS BIGINT)""")
+            .as("n_shared"),
+          expr("""CAST(round(graft_theta_estimate(
+                    graft_theta_anotb(sk_a, sk_b))) AS BIGINT)""")
+            .as("n_only_a"))
+    }, Some("""
+      WITH f AS (
+        SELECT source,
+          md5(array_to_string(
+            list_filter(string_split(text, ' '), t -> len(t) > 0)[1:15], ' '))
+            AS fp
+        FROM documents),
+      g AS (SELECT DISTINCT source, fp FROM f),
+      n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+      ov AS (
+        SELECT ga.source AS source_a, gb.source AS source_b,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM g ga JOIN g gb ON ga.fp = gb.fp AND ga.source < gb.source
+        GROUP BY 1, 2)
+      SELECT na.source AS source_a, nb.source AS source_b,
+        na.n AS n_a, nb.n AS n_b,
+        COALESCE(ov.n_shared, 0) AS n_shared,
+        na.n - COALESCE(ov.n_shared, 0) AS n_only_a
+      FROM n na JOIN n nb ON na.source < nb.source
+      LEFT JOIN ov ON ov.source_a = na.source AND ov.source_b = nb.source"""),
+      notes = "theta-sketch source-overlap matrix (q93's touch-once scale twin): per-source sketch blobs + pairwise intersect/a-not-b algebra over sketch rows; oracle-gated because theta is exact (and deterministic) below nominal entries at every driver SF")
   )
 }

@@ -81,5 +81,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_bloom_contains: the sketch argument must be a literal")
         BloomMightContain(exprs(0), exprs(1).eval().asInstanceOf[Array[Byte]])
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_theta_agg(x, nomEntries) takes a value and a literal nomEntries")
+        ThetaSketchAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_union"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "graft_theta_union"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_theta_union(blob, nomEntries) takes a blob and a literal nomEntries")
+        ThetaUnionAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_intersect"),
+      new ExpressionInfo(classOf[ThetaIntersectAgg].getName, "graft_theta_intersect"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_theta_intersect(blob, nomEntries) takes a blob and a literal nomEntries")
+        ThetaIntersectAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_intersect2"),
+      new ExpressionInfo(classOf[ThetaIntersect2].getName, "graft_theta_intersect2"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_theta_intersect2(a, b) takes two blobs")
+        ThetaIntersect2(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_anotb"),
+      new ExpressionInfo(classOf[ThetaANotB].getName, "graft_theta_anotb"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_theta_anotb(a, b) takes two blobs")
+        ThetaANotB(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "graft_theta_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_theta_estimate(blob) takes one blob")
+        ThetaEstimate(exprs(0))
+      }))
   }
 }

@@ -179,6 +179,33 @@ object GraftFunctions {
     "graft_kll_n" -> { exprs =>
       require(exprs.length == 1, "graft_kll_n(blob) takes one blob")
       KllN(exprs(0))
+    },
+    "graft_theta_agg" -> { exprs =>
+      require(exprs.length == 2,
+        "graft_theta_agg(x, nomEntries) takes a value and a literal nomEntries")
+      ThetaSketchAgg(exprs(0), foldableInt(exprs(1), "graft_theta_agg"))
+    },
+    "graft_theta_union" -> { exprs =>
+      require(exprs.length == 2,
+        "graft_theta_union(blob, nomEntries) takes a blob and a literal nomEntries")
+      ThetaUnionAgg(exprs(0), foldableInt(exprs(1), "graft_theta_union"))
+    },
+    "graft_theta_intersect" -> { exprs =>
+      require(exprs.length == 2,
+        "graft_theta_intersect(blob, nomEntries) takes a blob and a literal nomEntries")
+      ThetaIntersectAgg(exprs(0), foldableInt(exprs(1), "graft_theta_intersect"))
+    },
+    "graft_theta_intersect2" -> { exprs =>
+      require(exprs.length == 2, "graft_theta_intersect2(a, b) takes two blobs")
+      ThetaIntersect2(exprs(0), exprs(1))
+    },
+    "graft_theta_anotb" -> { exprs =>
+      require(exprs.length == 2, "graft_theta_anotb(a, b) takes two blobs")
+      ThetaANotB(exprs(0), exprs(1))
+    },
+    "graft_theta_estimate" -> { exprs =>
+      require(exprs.length == 1, "graft_theta_estimate(blob) takes one blob")
+      ThetaEstimate(exprs(0))
     })
 
   /** Extract a foldable INT parameter (e.g. a sketch's k) at plan time. */

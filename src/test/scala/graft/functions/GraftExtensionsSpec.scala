@@ -27,6 +27,12 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect().head
       assert(got.getDouble(0) == 11.0)
       assert(got.getInt(1) == 2)
+      // an injected AGGREGATE resolves too (theta family)
+      val theta = s2.sql(
+        "SELECT CAST(round(graft_theta_estimate(graft_theta_agg(v, 1024)))" +
+          " AS BIGINT) AS n FROM VALUES ('x'), ('y'), ('x') t(v)")
+        .collect().head
+      assert(theta.getLong(0) == 2)
     } finally {
       // keep the shared test session (same JVM) as the active one
       SparkSession.setActiveSession(spark)
