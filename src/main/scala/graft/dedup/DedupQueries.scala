@@ -1210,10 +1210,15 @@ object DedupQueries {
       graft.functions.GraftFunctions.register(s)
       val toks = filter(split(col("text"), " "),
         (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      // localCheckpoint: both pair-matrix sides read this |sources|-row
+      // blob table — un-checkpointed, each side would re-sketch the
+      // corpus (Spark shares no subtrees), and "touched once" is the
+      // whole point of the sketch path
       val sk = t(s, d, "documents")
         .select(col("source"), md5(array_join(slice(toks, 1, 15), " ")).as("fp"))
         .groupBy("source")
         .agg(expr("graft_theta_agg(fp, 4096)").as("sk"))
+        .localCheckpoint(true)
       val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
       val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
       a.join(b, col("source_a") < col("source_b"))

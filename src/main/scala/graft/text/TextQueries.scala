@@ -1873,13 +1873,22 @@ object TextQueries {
     // the same interpolated median on both engines (q48 contract).
     // Products of exact counts stay inside BIGINT up to ~3e18 (fine
     // beyond trillion-token corpora; widen to DECIMAL(38,0) past that).
-    // Shapes at 100 TB: one narrow token explode; TWO <=256-row bucket
-    // aggs (map-side combined) broadcast back; one doc-keyed fold; one
-    // 1-row median agg broadcast into the final projection. No windows,
-    // no pairs, no quadratic anything — the scoring pass is exactly the
-    // q77/q111 LM-gate shape with a 256-row model instead of a corpus
-    // vocabulary, which is the POINT of hashed features: the model
-    // broadcasts at any corpus size.
+    // Shapes at 100 TB — DSIR is inherently TWO data passes (the model
+    // pass must finish before any doc can be scored), and this plan
+    // pays exactly two: (1) token explode -> ONE combined <=256-row
+    // bucket agg (raw + target counts together — map-side combined),
+    // localCheckpoint'd so the totals/log-ratio algebra runs on the
+    // 256-row table without re-deriving it (Spark shares no subtrees:
+    // un-checkpointed, EACH of n_t/n_r/lr would replay the corpus
+    // explode); (2) token explode -> broadcast lr join -> doc-keyed
+    // fold, localCheckpoint'd for the same reason (the median agg and
+    // the final projection both consume it; un-checkpointed, the
+    // median branch would replay pass 2). No windows, no pairs,
+    // nothing quadratic — the scoring pass is the q77/q111 LM-gate
+    // shape with a 256-row model instead of a corpus vocabulary,
+    // which is the POINT of hashed features: the model broadcasts at
+    // any corpus size. (perdoc's checkpoint is one 3-long row per doc
+    // — far smaller than the shuffle it replaces.)
     QueryDef("q152_dsir_weights", (s, d) => {
       val docs = t(s, d, "documents")
       val toks = docs.select(col("doc_id"), col("lang"),
@@ -1887,22 +1896,23 @@ object TextQueries {
           (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
         .withColumn("b",
           conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
-      val ct = toks.filter(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("ct"))
-      val cr = toks.groupBy("b").agg(count(lit(1)).as("cr"))
-      val ntRow = ct.agg(sum("ct").as("n_t"))
-      val nrRow = cr.agg(sum("cr").as("n_r"))
-      val lr = cr.join(ct, Seq("b"), "left_outer")
-        .na.fill(0L, Seq("ct"))
-        .crossJoin(broadcast(ntRow)).crossJoin(broadcast(nrRow))
+      // pass 1: raw + target bucket counts in ONE agg over one explode
+      val buckets = toks.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+        .localCheckpoint(true)
+      val totals = buckets.agg(sum("cr").as("n_r"), sum("ct").as("n_t"))
+      val lr = buckets.crossJoin(broadcast(totals))
         .withColumn("lr_micro", round(log(
           ((col("ct") + lit(1L)) * (col("n_r") + lit(256L))).cast("double") /
             ((col("cr") + lit(1L)) * (col("n_t") + lit(256L))).cast("double"))
           * 1e6).cast("long"))
         .select("b", "lr_micro")
+      // pass 2: score every token occurrence against the broadcast model
       val perdoc = toks.join(broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("lr_micro").as("sm"))
+        .localCheckpoint(true)
       val medRow = perdoc.agg(
         expr("percentile(CAST(sm AS DOUBLE) / n_tokens, 0.5)").as("med"))
       docs.select(col("doc_id"), col("source"))
@@ -1964,10 +1974,14 @@ object TextQueries {
     // products (same bound note as q152); each term is quantized to
     // NANO-units before the per-source sum (q143's entropy trick), so
     // the only cross-engine risk — summation order — is removed.
-    // Shapes at 100 TB: token explode -> (source,b) and (b) hash-aggs
-    // (map-side combined, <=256·|sources| and <=256 rows), a 256-row
-    // spine cross join on the AGGREGATED model (metadata-sized), one
-    // final per-source fold. The data is touched once.
+    // Shapes at 100 TB: the data is touched ONCE — token explode ->
+    // one (source, b) hash-agg (map-side combined, <=256·|sources|
+    // rows), localCheckpoint'd because every downstream quantity
+    // (corpus marginals cc, per-source totals n_s, grand total n_c,
+    // the spine grid) derives from that metadata table and Spark
+    // shares no subtrees — un-checkpointed, each derivation would
+    // replay the corpus explode. All KL algebra then runs on
+    // metadata-sized frames.
     QueryDef("q153_source_kl", (s, d) => {
       val docs = t(s, d, "documents")
       val toks = docs.select(col("source"),
@@ -1976,9 +1990,10 @@ object TextQueries {
         .withColumn("b",
           conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
       val cs = toks.groupBy("source", "b").agg(count(lit(1)).as("cs"))
-      val cc = toks.groupBy("b").agg(count(lit(1)).as("cc"))
+        .localCheckpoint(true)
+      val cc = cs.groupBy("b").agg(sum("cs").as("cc"))
       val ns = cs.groupBy("source").agg(sum("cs").as("n_s"))
-      val ncRow = cc.agg(sum("cc").as("n_c"))
+      val ncRow = cs.agg(sum("cs").as("n_c"))
       val spine = s.range(0, 256).select(col("id").as("b"))
       val grid = ns.crossJoin(spine)
         .join(cs, Seq("source", "b"), "left_outer")

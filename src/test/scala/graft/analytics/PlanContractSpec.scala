@@ -248,7 +248,10 @@ class PlanContractSpec extends SparkSpec {
       "q150_prf_bm25", // q86's 1-row corpus-stat broadcasts, both passes
       // index probes: broadcast centroid argmax + bounded offset join
       "q104_hybrid_indexed", "q105_ann_indexed", "q114_knn_vote_indexed",
-      "q142_pmi") // broadcast 1-row corpus-count cross join (q50 pattern)
+      "q142_pmi", // broadcast 1-row corpus-count cross join (q50 pattern)
+      "q152_dsir_weights", // broadcast 1-row totals + median cross joins
+      "q153_source_kl", // 256-row spine + 1-row total: metadata-sized by design
+      "q154_theta_overlap") // |sources|-row one-blob pair matrix (<' join)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -313,6 +316,26 @@ class PlanContractSpec extends SparkSpec {
       "q144 funnelled data through one partition")
     assert(!plan("q145_rate_anomaly").contains("Exchange SinglePartition"),
       "q145 lost its keyed window")
+  }
+
+  test("q152/q153/q154: distribution models collapse only metadata, never the data") {
+    // the hashed-bucket design promise: the DATA path is one explode +
+    // keyed aggs; the only single-partition collapses are the 1-row
+    // total/median aggregates over <=256-row bucket models (3 in q152:
+    // n_t, n_r, median; 1 in q153: n_c). No Window anywhere — a rank/
+    // NTILE reformulation of the keep gate would surface here.
+    val p152 = plan("q152_dsir_weights")
+    assert(countOf(p152, "Exchange SinglePartition") <= 3,
+      s"q152 funnelled data through one partition:\n$p152")
+    assert(!p152.contains("WindowExec") && !p152.contains("RunningWindow"),
+      s"q152 gained a window:\n$p152")
+    val p153 = plan("q153_source_kl")
+    assert(countOf(p153, "Exchange SinglePartition") <= 1,
+      s"q153 funnelled data through one partition:\n$p153")
+    // q154: source-keyed sketch agg, then a pair matrix over one-blob
+    // rows; the data never collapses to one partition at all
+    assert(!plan("q154_theta_overlap").contains("Exchange SinglePartition"),
+      "q154 single-partitioned the sketch agg")
   }
 
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
