@@ -1251,6 +1251,75 @@ object DedupQueries {
         na.n - COALESCE(ov.n_shared, 0) AS n_only_a
       FROM n na JOIN n nb ON na.source < nb.source
       LEFT JOIN ov ON ov.source_a = na.source AND ov.source_b = nb.source"""),
-      notes = "theta-sketch source-overlap matrix (q93's touch-once scale twin): per-source sketch blobs + pairwise intersect/a-not-b algebra over sketch rows; oracle-gated because theta is exact (and deterministic) below nominal entries at every driver SF")
+      notes = "theta-sketch source-overlap matrix (q93's touch-once scale twin): per-source sketch blobs + pairwise intersect/a-not-b algebra over sketch rows; oracle-gated because theta is exact (and deterministic) below nominal entries at every driver SF"),
+
+    // ── Leakage-free split manifest (cluster-aware q109) ───────────────
+    // q109 assigns splits per DOCUMENT, so two near-duplicates can land
+    // in train and test — the eval then scores memorization, the exact
+    // leak q64's contamination check hunts after the fact. The fix
+    // every serious pipeline ships: split by near-dup CLUSTER, not by
+    // doc — every member of a cluster follows its cluster id through
+    // the same 90/5/5 hash rule as q109, so a duplicate family can
+    // never straddle a split boundary BY CONSTRUCTION (singletons key
+    // on their own doc_id and reproduce q109's assignment exactly).
+    // Composition: clusters come from q57's exact CC here (what the
+    // recursive-CTE oracle can twin); at 100 TB the same split stage
+    // runs unchanged on q62/q107's LSH-fed clusters — group_id is just
+    // a column. Shapes: q57's edge+CC cost (label-only shuffles), one
+    // left join, then the narrow q109 hash projection; the split
+    // decision itself adds NO new corpus-sized shuffle.
+    QueryDef("q155_leakage_split", (s, d) => {
+      val clusters = defs.find(_.name == "q57_dup_clusters").get.fn(s, d)
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val grouped = docs.join(clusters, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("group_id"),
+          when(col("cluster_id").isNotNull, 1L).otherwise(0L).as("clustered"))
+      val u = conv(substring(md5(col("group_id").cast("string")), 1, 15),
+        16, 10).cast("double") / lit(1152921504606846976L) // 2^60
+      grouped.withColumn("split",
+        when(u < 0.90, lit("train")).when(u < 0.95, lit("val"))
+          .otherwise(lit("test")))
+    }, Some("""
+      WITH RECURSIVE g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+                          AND len(a.grams) + len(b.grams) > 0
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= 0.6),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cl AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      grouped AS (
+        SELECT d.doc_id,
+          COALESCE(cl.cluster_id, d.doc_id) AS group_id,
+          CAST(CASE WHEN cl.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS clustered
+        FROM documents d LEFT JOIN cl USING (doc_id))
+      SELECT doc_id, group_id, clustered,
+        CASE WHEN u < 0.90 THEN 'train'
+             WHEN u < 0.95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (SELECT *,
+              CAST(CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+            FROM grouped)"""),
+      notes = "cluster-aware leakage-free train/val/test split: every near-dup cluster follows its cluster id through q109's 90/5/5 hash rule, so duplicate families never straddle splits by construction; singletons reproduce q109's per-doc assignment; runs unchanged on the LSH cluster path at scale")
   )
 }

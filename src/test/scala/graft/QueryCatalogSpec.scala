@@ -57,6 +57,19 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("q155 splits partition the corpus and never split a near-dup cluster") {
+    val rows = SparkEntry.queries("q155_leakage_split")(spark, sf).collect()
+    assert(rows.length == 500, "split manifest must cover every document")
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+    val clustered = rows.filter(_.getAs[Long]("clustered") == 1L)
+    assert(clustered.nonEmpty, "fixture should contain near-dup clusters")
+    clustered.groupBy(_.getAs[Long]("group_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[String]("split")).distinct.length == 1,
+        s"cluster ${rs.head.getAs[Long]("group_id")} straddles splits")
+    }
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
