@@ -47,6 +47,12 @@ object Multimodal {
       n_units: Long, unit_sum: Long, unit_sumsq: Long,
       width: Long, height: Long, duration_ms: Long)
 
+  /** One fixed-length energy window over a decoded PCM clip — the q156
+    * gate row. Exact integer squared-energy sums; `active` is an exact
+    * integer threshold compare (no float knife edge). */
+  final case class AudioWindow(media_id: Long, window_id: Long, len: Long,
+      sq_sum: Long, active: Long)
+
   /** Nominal frame period for the motion-PNG "video" container: the
     * stream carries no timing metadata, so duration is frames x 40 ms
     * (25 fps), documented rather than fabricated per-payload. */
@@ -270,5 +276,38 @@ object Multimodal {
           }
       }
     })
+  }
+
+  /** VAD-style energy segmentation over REAL decoded PCM — the audio
+    * workhorse transform (silence trimming, speech-segment extraction,
+    * per-segment gating all start here): each clip splits into fixed
+    * `winLen`-sample windows (80 samples = 10 ms at the corpus's 8 kHz),
+    * each window carries its exact squared-energy sum, and `active`
+    * compares mean square against the threshold IN INTEGERS
+    * (sq_sum >= len * threshold — no division, no float knife edge).
+    * Narrow mapPartitions: bytes decode where they sit, only the
+    * metadata-sized window table ever shuffles (it is ~n/80 rows per
+    * clip). Non-audio rows and undecodable payloads yield no windows. */
+  def audioEnergyWindows(media: Dataset[MediaRow], winLen: Int = 80,
+      meanSqThreshold: Long = 333000L): Dataset[AudioWindow] = {
+    require(winLen > 0, "audioEnergyWindows: winLen must be positive")
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").flatMap { r =>
+      WavCodec.decode(r.content) match {
+        case Some((_, samples)) =>
+          val nWin = (samples.length + winLen - 1) / winLen
+          (0 until nWin).map { w =>
+            val start = w * winLen
+            val end = math.min(start + winLen, samples.length)
+            var sq = 0L
+            var i = start
+            while (i < end) { val v = samples(i).toLong; sq += v * v; i += 1 }
+            val len = (end - start).toLong
+            AudioWindow(r.media_id, w.toLong, len, sq,
+              if (sq >= len * meanSqThreshold) 1L else 0L)
+          }
+        case None => Seq.empty[AudioWindow]
+      }
+    }
   }
 }

@@ -525,6 +525,47 @@ object TextQueries {
       FROM d"""),
       notes = "real nearest-neighbor resize gate: decode -> resample to 16x16 -> re-encode -> decode again, statistics vs DuckDB evaluating the resample arithmetic on the generating formula; narrow mapPartitions, bytes never shuffle"),
 
+    // ── Audio energy segmentation (VAD-style, REAL PCM, formula-oracled) ─
+    // q103 proves WAV decode, this proves the audio TRANSFORM layer: the
+    // windowed-energy pass that silence trimming, speech-segment
+    // extraction and per-segment quality gates all build on. Every audio
+    // clip decodes to its PCM samples, splits into 80-sample (10 ms at
+    // the corpus's 8 kHz) windows, and each window emits its exact
+    // squared-energy sum plus an activity flag decided IN INTEGERS
+    // (sq_sum >= len * threshold — the mean-square compare with the
+    // division multiplied away, so there is no float knife edge to
+    // drift cross-engine). The oracle re-derives every window from the
+    // generating formula s(i) = (id*13 + i*5) % 2001 - 1000 — the gate
+    // proves the decoded samples, the window arithmetic and the flag
+    // agree with ground truth end-to-end. Threshold 333000 sits just
+    // below the corpus's asymptotic mean square (~333667), so windows
+    // land on BOTH sides by phase. Shapes at 100 TB: bytes decode where
+    // they sit (narrow mapPartitions, the q103 posture); only the
+    // ~n/80-row window table ever shuffles — and here, nothing does.
+    QueryDef("q156_audio_energy", (s, d) => {
+      graft.multimodal.Multimodal.audioEnergyWindows(
+        graft.multimodal.Multimodal.fromDocuments(s, d)).toDF()
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS id, 256 + doc_id % 128 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      w AS (
+        SELECT id, n, unnest(range(0, (n + 79) // 80)) AS w
+        FROM a),
+      s AS (
+        SELECT id, w,
+          least(w*80 + 80, n) - w*80 AS len,
+          list_sum(list_transform(range(w*80, least(w*80 + 80, n)),
+            i -> ((id*13 + i*5) % 2001 - 1000)
+               * ((id*13 + i*5) % 2001 - 1000))) AS sq
+        FROM w)
+      SELECT id AS media_id, CAST(w AS BIGINT) AS window_id,
+        CAST(len AS BIGINT) AS len, CAST(sq AS BIGINT) AS sq_sum,
+        CAST(CASE WHEN sq >= len * 333000 THEN 1 ELSE 0 END AS BIGINT)
+          AS active
+      FROM s"""),
+      notes = "VAD-style audio energy segmentation over real decoded PCM: 80-sample (10 ms) windows, exact integer squared-energy sums, integer-compare activity flag; oracle re-derives every window from the generating formula — decode + window arithmetic + flag gated end-to-end; narrow mapPartitions, bytes never shuffle"),
+
     // ── BPE pair counting (the tokenizer-training primitive) ───────────
     // Corpus-wide adjacent-token-pair frequencies — the inner loop of BPE
     // training (count pairs → merge the most frequent → repeat). One

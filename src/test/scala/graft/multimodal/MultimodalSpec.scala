@@ -274,4 +274,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).meta.format == "bin" && out(3L).meta.nBytes == 15L)
     assert(out(3L).meta.width == 0 && out(3L).features.forall(_ == 0f))
   }
+
+  test("audio energy windows tile each clip exactly and reassemble its totals") {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    val windows = Multimodal.audioEnergyWindows(media).collect()
+      .groupBy(_.media_id)
+    val stats = Multimodal.decodedStats(media)
+      .filter(_.kind == "audio").collect().map(s => s.media_id -> s).toMap
+    assert(windows.keySet == stats.keySet, "every decodable clip must window")
+    windows.foreach { case (id, ws) =>
+      // windows tile the clip: ids 0..k-1, full 80s then one remainder
+      val sorted = ws.sortBy(_.window_id)
+      assert(sorted.map(_.window_id).toSeq == (0L until ws.length).toSeq)
+      assert(sorted.init.forall(_.len == 80L))
+      assert(sorted.map(_.len).sum == stats(id).n_units,
+        s"clip $id windows do not tile its samples")
+      // exact energy conservation vs the independently-gated q103 totals
+      assert(sorted.map(_.sq_sum).sum == stats(id).unit_sumsq,
+        s"clip $id window energies do not reassemble unit_sumsq")
+    }
+    // threshold exercises both outcomes on the fixture corpus
+    val flags = windows.values.flatten.map(_.active).toSet
+    assert(flags == Set(0L, 1L))
+  }
 }
