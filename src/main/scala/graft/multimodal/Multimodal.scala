@@ -53,6 +53,12 @@ object Multimodal {
   final case class AudioWindow(media_id: Long, window_id: Long, len: Long,
       sq_sum: Long, active: Long)
 
+  /** One patch of a decoded image — the q157 gate row. pw/ph are the
+    * actual patch dims (edge patches are clipped, never padded); sums
+    * run over every channel byte in the patch, exact BIGINTs. */
+  final case class ImagePatch(media_id: Long, patch_row: Long,
+      patch_col: Long, pw: Long, ph: Long, px_sum: Long, px_sumsq: Long)
+
   /** Nominal frame period for the motion-PNG "video" container: the
     * stream carries no timing metadata, so duration is frames x 40 ms
     * (25 fps), documented rather than fabricated per-payload. */
@@ -307,6 +313,50 @@ object Multimodal {
               if (sq >= len * meanSqThreshold) 1L else 0L)
           }
         case None => Seq.empty[AudioWindow]
+      }
+    }
+  }
+
+  /** ViT-style patch extraction over REAL decoded pixels — the vision
+    * twin of [[audioEnergyWindows]] and the first step of every
+    * patch-embedding pipeline: each image splits into a `patch`×`patch`
+    * grid (edge patches clipped to the image bounds, never padded —
+    * pw/ph carry the true size so a normalizer can divide correctly),
+    * and each patch emits exact integer sum/sum-of-squares over all its
+    * channel bytes (mean/variance per patch derive exactly downstream).
+    * Narrow mapPartitions: pixels decode where the bytes sit; only the
+    * metadata-sized patch table (⌈w/p⌉·⌈h/p⌉ rows per image) shuffles.
+    * Non-image rows and undecodable payloads yield no patches. */
+  def imagePatches(media: Dataset[MediaRow], patch: Int = 4): Dataset[ImagePatch] = {
+    require(patch > 0, "imagePatches: patch must be positive")
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").flatMap { r =>
+      PngCodec.decode(r.content) match {
+        case Some(img) =>
+          val pr = (img.height + patch - 1) / patch
+          val pc = (img.width + patch - 1) / patch
+          for { rr <- 0 until pr; cc <- 0 until pc } yield {
+            val y0 = rr * patch; val y1 = math.min(y0 + patch, img.height)
+            val x0 = cc * patch; val x1 = math.min(x0 + patch, img.width)
+            var sum = 0L; var sq = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                var k = 0
+                while (k < img.channels) {
+                  val v = (img.pixels((y * img.width + x) * img.channels + k)
+                    & 0xff).toLong
+                  sum += v; sq += v * v; k += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            ImagePatch(r.media_id, rr.toLong, cc.toLong,
+              (x1 - x0).toLong, (y1 - y0).toLong, sum, sq)
+          }
+        case None => Seq.empty[ImagePatch]
       }
     }
   }

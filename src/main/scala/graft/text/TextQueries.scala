@@ -566,6 +566,53 @@ object TextQueries {
       FROM s"""),
       notes = "VAD-style audio energy segmentation over real decoded PCM: 80-sample (10 ms) windows, exact integer squared-energy sums, integer-compare activity flag; oracle re-derives every window from the generating formula — decode + window arithmetic + flag gated end-to-end; narrow mapPartitions, bytes never shuffle"),
 
+    // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
+    // q156's vision twin: the patch grid every patch-embedding pipeline
+    // starts from. Each gray PNG decodes and splits into a 4×4 grid —
+    // edge patches CLIPPED to the true image bounds (pw/ph carry the
+    // actual size so downstream normalization divides by the right
+    // count; padding would poison the mean) — and each patch emits
+    // exact integer sum/sum-of-squares, from which per-patch mean and
+    // variance (the patch-norm statistics) derive exactly. The oracle
+    // walks the same grid over the generating formula
+    // pix(y·w + x) = (id·31 + (y·w+x)·7) % 256, so decode, grid
+    // arithmetic and edge clipping are gated end-to-end. Same 100 TB
+    // posture as q103/q156: bytes decode where they sit; only the
+    // ⌈w/4⌉·⌈h/4⌉-row patch table per image ever exists.
+    QueryDef("q157_image_patches", (s, d) => {
+      graft.multimodal.Multimodal.imagePatches(
+        graft.multimodal.Multimodal.fromDocuments(s, d)).toDF()
+    }, Some("""
+      WITH im AS (
+        SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      grid AS (
+        SELECT id, w, h,
+          unnest(range(0, (h + 3) // 4)) AS pr
+        FROM im),
+      cells AS (
+        SELECT id, w, h, pr,
+          unnest(range(0, (w + 3) // 4)) AS pc
+        FROM grid),
+      p AS (
+        SELECT id, pr, pc,
+          least(pc*4 + 4, w) - pc*4 AS pw,
+          least(pr*4 + 4, h) - pr*4 AS ph,
+          list_sum(list_transform(range(pr*4, least(pr*4 + 4, h)),
+            y -> list_sum(list_transform(range(pc*4, least(pc*4 + 4, w)),
+              x -> (id*31 + (y*w + x)*7) % 256)))) AS s,
+          list_sum(list_transform(range(pr*4, least(pr*4 + 4, h)),
+            y -> list_sum(list_transform(range(pc*4, least(pc*4 + 4, w)),
+              x -> ((id*31 + (y*w + x)*7) % 256)
+                 * ((id*31 + (y*w + x)*7) % 256))))) AS sq
+        FROM cells)
+      SELECT id AS media_id, CAST(pr AS BIGINT) AS patch_row,
+        CAST(pc AS BIGINT) AS patch_col,
+        CAST(pw AS BIGINT) AS pw, CAST(ph AS BIGINT) AS ph,
+        CAST(s AS BIGINT) AS px_sum, CAST(sq AS BIGINT) AS px_sumsq
+      FROM p"""),
+      notes = "ViT-style 4x4 patch extraction over real decoded pixels: edge-clipped grid, exact integer per-patch sum/sumsq (patch-norm statistics derive exactly); oracle walks the same grid over the generating pixel formula — decode, grid arithmetic and clipping gated end-to-end"),
+
     // ── BPE pair counting (the tokenizer-training primitive) ───────────
     // Corpus-wide adjacent-token-pair frequencies — the inner loop of BPE
     // training (count pairs → merge the most frequent → repeat). One

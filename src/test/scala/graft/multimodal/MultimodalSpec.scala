@@ -298,4 +298,29 @@ class MultimodalSpec extends SparkSpec {
     val flags = windows.values.flatten.map(_.active).toSet
     assert(flags == Set(0L, 1L))
   }
+
+  test("image patches tile each image exactly and reassemble its totals") {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    val patches = Multimodal.imagePatches(media).collect().groupBy(_.media_id)
+    val stats = Multimodal.decodedStats(media)
+      .filter(_.kind == "image").collect().map(s => s.media_id -> s).toMap
+    assert(patches.keySet == stats.keySet, "every decodable image must patch")
+    patches.foreach { case (id, ps) =>
+      val st = stats(id)
+      // grid covers the image exactly: Σ pw·ph == w·h, no overlaps by
+      // construction of the disjoint (row, col) grid
+      assert(ps.map(p => p.pw * p.ph).sum == st.width * st.height,
+        s"image $id patches do not tile w*h")
+      val rows = ps.map(_.patch_row).max + 1
+      val cols = ps.map(_.patch_col).max + 1
+      assert(ps.length == rows * cols, s"image $id grid has holes")
+      // edge clipping: full interior patches are 4x4; clipped edges < 4
+      assert(ps.forall(p => p.pw >= 1 && p.pw <= 4 && p.ph >= 1 && p.ph <= 4))
+      // exact conservation vs the independently-gated q103 totals
+      assert(ps.map(_.px_sum).sum == st.unit_sum &&
+        ps.map(_.px_sumsq).sum == st.unit_sumsq,
+        s"image $id patch stats do not reassemble the decoded totals")
+    }
+  }
 }
