@@ -489,5 +489,63 @@ object LakeQueries {
           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority"""),
-      notes = "SkewOps.saltedInnerJoin result-equivalence under the hash gate: salted (key,salt) join + decimal agg == the oracle's plain join — salting redistributes, never changes the relation"))
+      notes = "SkewOps.saltedInnerJoin result-equivalence under the hash gate: salted (key,salt) join + decimal agg == the oracle's plain join — salting redistributes, never changes the relation"),
+
+    // ── Snapshot novelty from sketches (time travel × theta algebra) ───
+    // q125 diffs two table versions with a full-outer join over every
+    // key — exact and row-attributed, but both versions cross the wire
+    // for every question asked. This is the sketch answer for the
+    // MONITORING tier of the same question: persist ONE theta blob per
+    // committed version (a per-commit footer artifact in production),
+    // and added/removed/persisted KEY counts for ANY version pair are
+    // set algebra over two blobs — no join, no rescan, any pair, any
+    // time later. The same q154 gate argument makes it oracle-able:
+    // nomEntries 2^17 keeps every driver-SF version (<=83k distinct
+    // keys at sf0.1) in the exact regime, where estimates ARE the
+    // exact counts the oracle computes with joins/NOT EXISTS; past
+    // 2^17 keys the same blobs degrade to ~0.3% estimates
+    // (ThetaSketchSpec's regime). Versions are REAL Snapshots commits
+    // read back via pointer resolution — the composition with the
+    // time-travel layer, not a filter simulation.
+    QueryDef("q158_snapshot_novelty", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val root = scratch(d, "snapnov")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+      val m = col("o_orderkey") % 1000
+      Snapshots.commit(o.filter(m < 500), root)
+      Snapshots.commit(o.filter(m >= 50 && m < 600), root)
+      val a = Snapshots.read(s, root, 1)
+        .agg(expr("graft_theta_agg(o_orderkey, 131072)").as("sk_a"))
+      val b = Snapshots.read(s, root, 2)
+        .agg(expr("graft_theta_agg(o_orderkey, 131072)").as("sk_b"))
+      a.crossJoin(b).select(
+        expr("CAST(round(graft_theta_estimate(sk_a)) AS BIGINT)").as("n_v1"),
+        expr("CAST(round(graft_theta_estimate(sk_b)) AS BIGINT)").as("n_v2"),
+        expr("""CAST(round(graft_theta_estimate(
+                  graft_theta_intersect2(sk_a, sk_b))) AS BIGINT)""")
+          .as("n_persisted"),
+        expr("""CAST(round(graft_theta_estimate(
+                  graft_theta_anotb(sk_b, sk_a))) AS BIGINT)""").as("n_added"),
+        expr("""CAST(round(graft_theta_estimate(
+                  graft_theta_anotb(sk_a, sk_b))) AS BIGINT)""")
+          .as("n_removed"))
+    }, Some("""
+      WITH v1 AS (
+        SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 1000 < 500),
+      v2 AS (
+        SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderkey % 1000 >= 50 AND o_orderkey % 1000 < 600)
+      SELECT
+        (SELECT COUNT(*) FROM v1) AS n_v1,
+        (SELECT COUNT(*) FROM v2) AS n_v2,
+        (SELECT COUNT(*) FROM v1 JOIN v2 USING (o_orderkey)) AS n_persisted,
+        (SELECT COUNT(*) FROM v2 WHERE NOT EXISTS
+          (SELECT 1 FROM v1 WHERE v1.o_orderkey = v2.o_orderkey)) AS n_added,
+        (SELECT COUNT(*) FROM v1 WHERE NOT EXISTS
+          (SELECT 1 FROM v2 WHERE v2.o_orderkey = v1.o_orderkey))
+          AS n_removed"""),
+      notes = "snapshot novelty from per-version theta blobs (time travel x sketch algebra): added/removed/persisted key counts for any version pair without a join or rescan; exact below 2^17 keys (every driver SF) via the q154 gate argument, ~0.3% estimates past it; versions are real pointer-resolved Snapshots commits"))
 }

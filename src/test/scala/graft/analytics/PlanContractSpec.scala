@@ -251,7 +251,8 @@ class PlanContractSpec extends SparkSpec {
       "q142_pmi", // broadcast 1-row corpus-count cross join (q50 pattern)
       "q152_dsir_weights", // broadcast 1-row totals + median cross joins
       "q153_source_kl", // 256-row spine + 1-row total: metadata-sized by design
-      "q154_theta_overlap") // |sources|-row one-blob pair matrix (<' join)
+      "q154_theta_overlap", // |sources|-row one-blob pair matrix (<' join)
+      "q158_snapshot_novelty") // 1-row x 1-row blob cross join
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
