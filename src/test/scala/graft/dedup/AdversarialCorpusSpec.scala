@@ -35,7 +35,8 @@ class AdversarialCorpusSpec extends SparkSpec {
     "q34_binary_meta", "q36_minhash_lsh", "q37_simhash",
     "q45_regex_tokens", "q51_hash_sample", "q60_redact", "q65_repetition",
     "q66_shard_pack", "q77_unigram_lm", "q89_global_ids",
-    "q131_gopher_gates", "q132_bpe_encode")
+    "q131_gopher_gates", "q132_bpe_encode",
+    "q152_dsir_weights", "q155_leakage_split")
 
   private val otherDocQueries = Seq(
     "q38_ngram_jaccard", "q44_token_topk", "q50_tfidf", "q57_dup_clusters",
@@ -47,7 +48,8 @@ class AdversarialCorpusSpec extends SparkSpec {
     "q109_split_manifest", "q110_interdup_coverage", "q111_bigram_lm",
     "q130_segment_dedup", "q135_weighted_sample", "q137_vocab_oov",
     "q138_simhash_blocks", "q141_setsim_join", "q142_pmi",
-    "q143_dataset_card", "q149_setsim_incremental", "q151_winnowing")
+    "q143_dataset_card", "q149_setsim_incremental", "q151_winnowing",
+    "q153_source_kl", "q154_theta_overlap")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
