@@ -790,8 +790,13 @@ object TextQueries {
         .join(perdoc, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(round((col("s").cast("double") / 1e6) / col("n_tokens"), 6),
-            lit(0.0)).as("lm_score"))
+          // round in integer micro-space FIRST (scale-0 rounding of the
+          // same double agrees bit-for-bit across engines), THEN divide:
+          // round(x, 6) on the quotient double can tie at the 6th decimal
+          // (s/n = k+0.5 micro) where Spark's BigDecimal-on-toString and
+          // DuckDB's libm round disagree — a real sf0.1 hash miss (q152)
+          coalesce(round(col("s").cast("double") / col("n_tokens"))
+            .cast("long") / lit(1e6), lit(0.0)).as("lm_score"))
     }, Some("""
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -806,8 +811,8 @@ object TextQueries {
         GROUP BY tw.doc_id)
       SELECT d.doc_id,
         COALESCE(p.n_tokens, 0) AS n_tokens,
-        COALESCE(round((CAST(p.s AS DOUBLE) / 1000000.0) / p.n_tokens, 6), 0.0)
-          AS lm_score
+        COALESCE(CAST(ROUND(CAST(p.s AS DOUBLE) / p.n_tokens) AS BIGINT)
+          / 1000000.0, 0.0) AS lm_score
       FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
       notes = "per-doc mean unigram log-prob (LM quality proxy): corpus freq agg + broadcast total + micro-unit exact per-doc sums"),
 
@@ -1459,8 +1464,9 @@ object TextQueries {
         .join(perdoc, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(round((col("s").cast("double") / 1e6) / col("n_bigrams"), 6),
-            lit(0.0)).as("bigram_lm_score"))
+          // integer-micro-first rounding — see q77's tie-break note
+          coalesce(round(col("s").cast("double") / col("n_bigrams"))
+            .cast("long") / lit(1e6), lit(0.0)).as("bigram_lm_score"))
     }, Some("""
       WITH tkt AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0)
@@ -1483,8 +1489,8 @@ object TextQueries {
         GROUP BY 1)
       SELECT d.doc_id,
         COALESCE(p.n_bigrams, 0) AS n_bigrams,
-        COALESCE(round((CAST(p.s AS DOUBLE) / 1000000.0) / p.n_bigrams, 6), 0.0)
-          AS bigram_lm_score
+        COALESCE(CAST(ROUND(CAST(p.s AS DOUBLE) / p.n_bigrams) AS BIGINT)
+          / 1000000.0, 0.0) AS bigram_lm_score
       FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
       notes = "per-doc mean conditional bigram log-prob (KenLM-style perplexity gate, one order up from q77): pair + left-context aggs, micro-unit exact per-doc sums"),
 
@@ -2008,8 +2014,10 @@ object TextQueries {
         .crossJoin(broadcast(medRow))
         .select(col("doc_id"), col("source"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(round((col("sm").cast("double") / 1e6) / col("n_tokens"), 6),
-            lit(0.0)).as("dsir_score"),
+          // integer-micro-first rounding — see q77's tie-break note (this
+          // query found the tie: two sf0.1 docs land on k+0.5 micro)
+          coalesce(round(col("sm").cast("double") / col("n_tokens"))
+            .cast("long") / lit(1e6), lit(0.0)).as("dsir_score"),
           when(coalesce(
             col("sm").cast("double") / col("n_tokens") >= col("med"),
             lit(false)), 1L).otherwise(0L).as("keep"))
@@ -2040,8 +2048,8 @@ object TextQueries {
               FROM perdoc)
       SELECT d.doc_id, d.source,
         COALESCE(p.n_tokens, 0) AS n_tokens,
-        COALESCE(round((CAST(p.sm AS DOUBLE) / 1000000.0) / p.n_tokens, 6),
-          0.0) AS dsir_score,
+        COALESCE(CAST(ROUND(CAST(p.sm AS DOUBLE) / p.n_tokens) AS BIGINT)
+          / 1000000.0, 0.0) AS dsir_score,
         CAST(CASE WHEN COALESCE(CAST(p.sm AS DOUBLE) / p.n_tokens >= m.med,
           FALSE) THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM documents d LEFT JOIN perdoc p USING (doc_id) CROSS JOIN med m"""),
