@@ -59,6 +59,13 @@ object Multimodal {
   final case class ImagePatch(media_id: Long, patch_row: Long,
       patch_col: Long, pw: Long, ph: Long, px_sum: Long, px_sumsq: Long)
 
+  /** Motion between one consecutive frame pair of a decoded video — the
+    * q159 gate row. abs_diff_sum is the exact integer sum of per-pixel
+    * absolute differences (the L1 motion energy); n_px the compared
+    * pixel count. */
+  final case class FrameMotion(media_id: Long, frame_from: Long,
+      frame_to: Long, n_px: Long, abs_diff_sum: Long)
+
   /** Nominal frame period for the motion-PNG "video" container: the
     * stream carries no timing metadata, so duration is frames x 40 ms
     * (25 fps), documented rather than fabricated per-payload. */
@@ -358,6 +365,37 @@ object Multimodal {
           }
         case None => Seq.empty[ImagePatch]
       }
+    }
+  }
+
+  /** Per-frame-pair motion energy over REAL decoded video frames — the
+    * temporal primitive scene-cut detection and motion-aware frame
+    * sampling build on: for each consecutive frame pair, the exact
+    * integer sum of per-pixel absolute differences (L1 motion; channel
+    * bytes compared positionally). A cut shows as a spike; a static
+    * segment as near-zero — and a frame sampler keyed on this signal
+    * picks informative frames instead of a blind stride
+    * ([[sampledFrames]]' upgrade path). Narrow mapPartitions: frames
+    * decode where the bytes sit; output is frames−1 metadata rows per
+    * video. Pairs with mismatched dims (mid-stream format change) and
+    * undecodable frames are skipped rather than fabricated. */
+  def frameMotion(media: Dataset[MediaRow]): Dataset[FrameMotion] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val frames = splitFrames(r.content).flatMap(PngCodec.decode)
+      frames.iterator.sliding(2).withPartial(false).zipWithIndex.collect {
+        case (Seq(a, b), f)
+            if a.width == b.width && a.height == b.height &&
+              a.channels == b.channels =>
+          var sum = 0L
+          var i = 0
+          while (i < a.pixels.length) {
+            sum += math.abs((a.pixels(i) & 0xff) - (b.pixels(i) & 0xff)).toLong
+            i += 1
+          }
+          FrameMotion(r.media_id, f.toLong, (f + 1).toLong,
+            a.pixels.length.toLong, sum)
+      }.toSeq
     }
   }
 }

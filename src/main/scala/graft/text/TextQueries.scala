@@ -613,6 +613,34 @@ object TextQueries {
       FROM p"""),
       notes = "ViT-style 4x4 patch extraction over real decoded pixels: edge-clipped grid, exact integer per-patch sum/sumsq (patch-norm statistics derive exactly); oracle walks the same grid over the generating pixel formula — decode, grid arithmetic and clipping gated end-to-end"),
 
+    // ── Video motion energy (REAL frame decode, formula-oracled) ───────
+    // The temporal primitive over q103's motion-PNG decode: per
+    // consecutive frame pair, the exact integer sum of per-pixel
+    // absolute differences (L1 motion energy). Scene-cut detection
+    // thresholds this signal; motion-aware frame sampling keys on it
+    // (the upgrade path over sampledFrames' blind stride). The oracle
+    // evaluates |pix(f+1,i) − pix(f,i)| from the generating formula for
+    // every pixel of every pair, so frame splitting, decode and the
+    // difference arithmetic are gated end-to-end. Same posture as
+    // q156/q157: frames decode where the bytes sit; output is
+    // (frames−1) metadata rows per video, nothing byte-sized moves.
+    QueryDef("q159_video_motion", (s, d) => {
+      graft.multimodal.Multimodal.frameMotion(
+        graft.multimodal.Multimodal.fromDocuments(s, d)).toDF()
+    }, Some("""
+      WITH v AS (
+        SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 3 = 2),
+      pairs AS (SELECT id, w, h, unnest(range(0, 2)) AS f FROM v)
+      SELECT id AS media_id, CAST(f AS BIGINT) AS frame_from,
+        CAST(f + 1 AS BIGINT) AS frame_to,
+        CAST(w * h AS BIGINT) AS n_px,
+        CAST(list_sum(list_transform(range(0, w*h),
+          i -> abs((id*31 + (f+1)*97 + i*7) % 256
+                 - (id*31 + f*97 + i*7) % 256))) AS BIGINT) AS abs_diff_sum
+      FROM pairs"""),
+      notes = "per-frame-pair L1 motion energy over real decoded video frames (scene-cut / motion-aware-sampling signal): exact integer abs-diff sums, oracle evaluates the same differences on the generating pixel formula — frame split + decode + temporal arithmetic gated end-to-end"),
+
     // ── BPE pair counting (the tokenizer-training primitive) ───────────
     // Corpus-wide adjacent-token-pair frequencies — the inner loop of BPE
     // training (count pairs → merge the most frequent → repeat). One

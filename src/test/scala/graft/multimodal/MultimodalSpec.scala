@@ -323,4 +323,28 @@ class MultimodalSpec extends SparkSpec {
         s"image $id patch stats do not reassemble the decoded totals")
     }
   }
+
+  test("frame motion: one row per consecutive pair, mismatched dims skipped") {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    val motion = Multimodal.frameMotion(media).collect().groupBy(_.media_id)
+    val videos = Multimodal.decodedStats(media)
+      .filter(_.kind == "video").collect().map(s => s.media_id -> s).toMap
+    assert(motion.keySet == videos.keySet)
+    motion.foreach { case (id, ms) =>
+      // 3-frame fixture videos -> exactly pairs (0,1) and (1,2)
+      assert(ms.map(m => (m.frame_from, m.frame_to)).toSet ==
+        Set((0L, 1L), (1L, 2L)), s"video $id pairs: ${ms.toSeq}")
+      // every pair compares the full frame
+      val st = videos(id)
+      assert(ms.forall(_.n_px == st.width * st.height))
+    }
+    // a video whose frames change dims mid-stream yields no fabricated row
+    val w1 = PngCodec.encode(PngCodec.PngImage(4, 4, 1,
+      Array.fill(16)(7.toByte)), 0)
+    val w2 = PngCodec.encode(PngCodec.PngImage(5, 4, 1,
+      Array.fill(20)(9.toByte)), 0)
+    val odd = Seq(Multimodal.MediaRow(99L, "video", w1 ++ w2)).toDS()
+    assert(Multimodal.frameMotion(odd).collect().isEmpty)
+  }
 }
