@@ -641,6 +641,43 @@ object TextQueries {
       FROM pairs"""),
       notes = "per-frame-pair L1 motion energy over real decoded video frames (scene-cut / motion-aware-sampling signal): exact integer abs-diff sums, oracle evaluates the same differences on the generating pixel formula — frame split + decode + temporal arithmetic gated end-to-end"),
 
+    // ── Motion-aware keyframe selection (q159 → sampling decision) ─────
+    // sampledFrames picks frames by blind stride; this is the upgrade
+    // its scaladoc promises: per video, keep the frame that ENDS the
+    // highest-motion pair (the frame most different from its
+    // predecessor — where the new content is). Deterministic argmax via
+    // the q59 struct-max shape (max motion, ties to the EARLIEST frame)
+    // — one keyed agg over q159's metadata rows, no window, so the
+    // selection stage adds nothing corpus-sized at any scale. The
+    // oracle ranks the same formula-derived pairs with an explicit
+    // ORDER BY motion DESC, frame ASC — gate covers signal + decision.
+    QueryDef("q160_keyframe_select", (s, d) => {
+      val motion = graft.multimodal.Multimodal.frameMotion(
+        graft.multimodal.Multimodal.fromDocuments(s, d)).toDF()
+      motion.groupBy("media_id")
+        .agg(max(struct(col("abs_diff_sum"),
+          (-col("frame_to")).as("nf"))).as("m"),
+          count(lit(1)).as("n_pairs"))
+        .select(col("media_id"), (-col("m.nf")).as("keyframe"),
+          col("m.abs_diff_sum").as("motion"), col("n_pairs"))
+    }, Some("""
+      WITH v AS (
+        SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 3 = 2),
+      pairs AS (SELECT id, w, h, unnest(range(0, 2)) AS f FROM v),
+      m AS (
+        SELECT id, f + 1 AS frame_to,
+          CAST(list_sum(list_transform(range(0, w*h),
+            i -> abs((id*31 + (f+1)*97 + i*7) % 256
+                   - (id*31 + f*97 + i*7) % 256))) AS BIGINT) AS motion
+        FROM pairs)
+      SELECT id AS media_id, CAST(frame_to AS BIGINT) AS keyframe,
+        motion, CAST(2 AS BIGINT) AS n_pairs
+      FROM m
+      QUALIFY row_number() OVER (PARTITION BY id
+        ORDER BY motion DESC, frame_to ASC) = 1"""),
+      notes = "motion-aware keyframe selection (sampledFrames' promised upgrade): per video keep the frame ending the highest-motion pair, deterministic q59-style struct-max argmax (ties to earliest frame); one keyed agg over q159's metadata rows — the sampling decision adds nothing corpus-sized"),
+
     // ── BPE pair counting (the tokenizer-training primitive) ───────────
     // Corpus-wide adjacent-token-pair frequencies — the inner loop of BPE
     // training (count pairs → merge the most frequent → repeat). One
