@@ -339,6 +339,22 @@ class PlanContractSpec extends SparkSpec {
       "q154 single-partitioned the sketch agg")
   }
 
+  test("q156/q157/q159: media transforms decode in place — zero shuffles") {
+    // the multimodal posture's strongest form: bytes decode where they
+    // sit and the per-window/patch/pair output needs no regrouping, so
+    // the whole plan is scan -> mapPartitions -> project with NO
+    // Exchange of any kind
+    Seq("q156_audio_energy", "q157_image_patches", "q159_video_motion")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+      }
+    // q160 adds exactly the one keyed argmax agg over metadata rows
+    val p160 = plan("q160_keyframe_select")
+    assert(!p160.contains("Exchange SinglePartition"),
+      s"q160 single-partitioned the selection:\n$p160")
+  }
+
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
     import spark.implicits._
     val bronzeish = Seq(("t1", "m1", "u1", BigDecimal("10.00"), "GBP", "SUCCESS"))
