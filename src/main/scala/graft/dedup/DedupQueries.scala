@@ -1320,6 +1320,91 @@ object DedupQueries {
               CAST(CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15)
                 AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
             FROM grouped)"""),
-      notes = "cluster-aware leakage-free train/val/test split: every near-dup cluster follows its cluster id through q109's 90/5/5 hash rule, so duplicate families never straddle splits by construction; singletons reproduce q109's per-doc assignment; runs unchanged on the LSH cluster path at scale")
+      notes = "cluster-aware leakage-free train/val/test split: every near-dup cluster follows its cluster id through q109's 90/5/5 hash rule, so duplicate families never straddle splits by construction; singletons reproduce q109's per-doc assignment; runs unchanged on the LSH cluster path at scale"),
+
+    // ── ExactSubstr-style duplicated-run removal (Lee et al. 2022) ─────
+    // The REMOVAL member of the position-robust overlap family: q130
+    // drops fixed 8-token grid segments (one inserted token upstream
+    // shifts every later boundary and the grid misses the run), q151
+    // winnowing DETECTS shared runs at any offset but removes nothing.
+    // This is the sub-document dedup of "Deduplicating Training Data
+    // Makes Language Models Better": every SLIDING 8-token window whose
+    // exact token sequence appears in >= 2 distinct docs marks all 8 of
+    // its positions, marked tokens are removed, survivors reassemble in
+    // order — so a duplicated run of length R >= 8 is removed in full
+    // from every doc carrying it REGARDLESS of its offset (the paper
+    // uses a suffix array for R >= 50 bytes; the windowed-gram form is
+    // the standard distributed equivalent, trading <= 7 tokens of
+    // boundary slack at each run edge).
+    //
+    // Plan shape at 100 TB: window explode is narrow (1:~L fan-out of
+    // 8-token strings; at scale you'd hash each window to 128 bits at
+    // the explode — same shape, q151 shows the hashing form); dup
+    // detection is ONE window-keyed hash-agg (count distinct docs,
+    // map-side combined); mark-back is a window-keyed equi join
+    // (broadcastable when the duplicated set is small); position
+    // coverage is a bounded x8 explode + distinct; removal is one
+    // (doc,pos)-keyed left anti pattern folded into a doc-keyed agg.
+    // No windows-over-rows, no candidate pairs, nothing quadratic —
+    // strictly q130's shapes with a sliding grid.
+    QueryDef("q161_substr_dedup", (s, d) => {
+      val tk = t(s, d, "documents").select(col("doc_id"),
+        filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0)).as("t"))
+      // sliding 8-token windows, 1-based start positions (q151's
+      // filter-sequence guard handles docs shorter than the window)
+      val wins = tk.select(col("doc_id"),
+          posexplode(expr(
+            "transform(filter(sequence(1, greatest(size(t) - 7, 1)), " +
+              "i -> i <= size(t) - 7), " +
+              "i -> array_join(slice(t, i, 8), ' '))")).as(Seq("i0", "win")))
+        .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"),
+          col("win"))
+      val dup = wins.groupBy("win")
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select("win")
+      val cov = wins.join(dup, Seq("win"))
+        .select(col("doc_id"),
+          explode(expr("sequence(pos, pos + 7)")).as("pos"))
+        .distinct()
+        .withColumn("c", lit(1L))
+      val toks = tk.select(col("doc_id"),
+          posexplode(col("t")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("tok"))
+      toks.join(cov, Seq("doc_id", "pos"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN c IS NULL THEN " +
+              "struct(pos, tok) END)), x -> x.tok)"), " ").as("clean_text"))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      w AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i : i + 7], ' ') AS win
+        FROM (SELECT doc_id, t,
+                unnest(range(1, greatest(len(t) - 6, 1))) AS i
+              FROM tk)),
+      dup AS (SELECT win FROM w GROUP BY win
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT w.doc_id, w.pos + off AS pos
+              FROM w JOIN dup USING (win), unnest(range(0, 8)) u(off)),
+      toks AS (
+        SELECT doc_id, i AS pos, t[i] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk))
+      SELECT tt.doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN tt.tok END,
+          ' ' ORDER BY tt.pos), '') AS clean_text
+      FROM toks tt LEFT JOIN cov c ON tt.doc_id = c.doc_id AND tt.pos = c.pos
+      GROUP BY tt.doc_id"""),
+      notes = "ExactSubstr-style duplicated-run removal (Lee et al. 2022, windowed-gram form): sliding 8-token windows shared by >= 2 docs mark their positions, marked tokens removed, survivors reassembled in order — offset-robust where q130's fixed grid is not; window-keyed agg + equi join + bounded x8 coverage explode + doc-keyed agg, no pairs, no row windows")
   )
 }

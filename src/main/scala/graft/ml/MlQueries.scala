@@ -347,6 +347,127 @@ object MlQueries {
         round(CAST(SUM(sm) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_pred,
         round(CAST(SUM(is_en) AS DOUBLE) / COUNT(*), 6) AS pos_rate
       FROM ranked GROUP BY 1"""),
-      notes = "decile calibration (lift-table form): rank-decile mean predicted vs observed positive rate over GlobalOrder ranks — always 10 rows even for a near-constant scorer; integer decile arithmetic shared with the oracle")
+      notes = "decile calibration (lift-table form): rank-decile mean predicted vs observed positive rate over GlobalOrder ranks — always 10 rows even for a near-constant scorer; integer decile arithmetic shared with the oracle"),
+
+    // ── Naive Bayes text classifier (train + held-out score, one pass) ─
+    // The COUNTING classifier beside q116's gradient one — multinomial
+    // naive Bayes over q152's 256 hashed-unigram buckets, and the
+    // reason it earns a separate catalog entry: training is ONE keyed
+    // aggregation (bucket counts per class), not an iterated loop — at
+    // 100 TB the whole train phase is a single map-side-combined pass
+    // producing a 256-row model, the cheapest classifier a pipeline can
+    // field (the fastText-style quality-gate niche). Discipline q116
+    // lacks: docs hash-split 90/10 (q109's rule) and the model trains
+    // ONLY on the train slice, scoring ONLY the held-out slice — so the
+    // reported `correct` is generalization, not memorization, and the
+    // split is reproducible by construction.
+    //   Binary form: w(b) = ln[(c_en,b+1)(n_ot+256) / (c_ot,b+1)(n_en+256)]
+    // over the explicit 256-bucket spine (q153's trick: buckets absent
+    // from train still carry smoothed mass, so no test token can drop
+    // out of the join), plus the ln-prior over train doc counts; each
+    // term is ONE ln over a ratio of exact BIGINT products, micro-unit
+    // rounded before the per-doc sum (q152's exactness argument), and
+    // the decision compares the exact integer score to 0 — no float
+    // knife edge anywhere. Shapes: one token explode + ONE combined
+    // bucket agg (localCheckpoint'd — totals and weights both read the
+    // 256-row table) + tiny prior agg, then the scoring pass is a
+    // broadcast model join + doc fold over the held-out slice. No
+    // windows, no pairs. (Degenerate corpora with a single class make
+    // the prior ln undefined — a production caller gates on class
+    // presence; every driver SF has both classes.)
+    QueryDef("q163_naive_bayes", (s, d) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("double") / lit(1152921504606846976L) // 2^60
+      val docsSplit = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          (u < 0.90).as("is_train"))
+      val toks = docsSplit.select(col("doc_id"), col("lang"), col("is_train"),
+          explode(filter(split(col("text"), " "),
+            (x: Column) => length(x) > lit(0))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
+      val cb = toks.filter(col("is_train"))
+        .groupBy("b").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_ot"))
+      val spine = s.range(0, 256).select(col("id").as("b"))
+      val model0 = spine.join(cb, Seq("b"), "left_outer")
+        .select(col("b"), coalesce(col("c_en"), lit(0L)).as("c_en"),
+          coalesce(col("c_ot"), lit(0L)).as("c_ot"))
+        .localCheckpoint(true)
+      val tot = model0.agg(sum("c_en").as("n_en"), sum("c_ot").as("n_ot"))
+      val model = model0.crossJoin(broadcast(tot))
+        .withColumn("w", round(log(
+          ((col("c_en") + lit(1L)) * (col("n_ot") + lit(256L))).cast("double") /
+            ((col("c_ot") + lit(1L)) * (col("n_en") + lit(256L))).cast("double"))
+          * 1e6).cast("long"))
+        .select("b", "w")
+      val pri = docsSplit.filter(col("is_train")).agg(
+        round(log(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double") /
+            sum(when(col("lang") =!= "en", 1L).otherwise(0L)).cast("double"))
+          * 1e6).cast("long").as("pm"))
+      val perdoc = toks.filter(!col("is_train"))
+        .join(broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("sm"))
+      docsSplit.filter(!col("is_train")).select(col("doc_id"), col("lang"))
+        .join(perdoc, Seq("doc_id"), "left_outer")
+        .crossJoin(broadcast(pri))
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          ((coalesce(col("sm"), lit(0L)) + col("pm")).cast("double") /
+            lit(1e6)).as("nb_score"),
+          (coalesce(col("sm"), lit(0L)) + col("pm") > 0).cast("long")
+            .as("pred_en"),
+          (col("lang") === "en").cast("long").as("is_en"),
+          ((coalesce(col("sm"), lit(0L)) + col("pm") > 0) ===
+            (col("lang") === "en")).cast("long").as("correct"))
+    }, Some("""
+      WITH split AS (
+        SELECT doc_id, lang, text,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < 0.90 AS is_train
+        FROM documents),
+      toks AS (
+        SELECT doc_id, lang, is_train,
+          CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS b
+        FROM (SELECT doc_id, lang, is_train,
+                unnest(list_filter(string_split(text, ' '),
+                  t -> len(t) > 0)) AS tok
+              FROM split)),
+      cb AS (SELECT b,
+          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+          SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_ot
+        FROM toks WHERE is_train GROUP BY b),
+      model0 AS (SELECT sp.b, COALESCE(c_en, 0) AS c_en,
+          COALESCE(c_ot, 0) AS c_ot
+        FROM (SELECT unnest(range(0, 256)) AS b) sp
+        LEFT JOIN cb ON cb.b = sp.b),
+      tot AS (SELECT SUM(c_en) AS n_en, SUM(c_ot) AS n_ot FROM model0),
+      model AS (SELECT b,
+          CAST(ROUND(LN(
+            CAST((c_en + 1) * (n_ot + 256) AS DOUBLE) /
+            CAST((c_ot + 1) * (n_en + 256) AS DOUBLE)) * 1000000) AS BIGINT)
+            AS w
+        FROM model0, tot),
+      pri AS (SELECT CAST(ROUND(LN(
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS DOUBLE))
+          * 1000000) AS BIGINT) AS pm
+        FROM split WHERE is_train),
+      perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          SUM(w) AS sm
+        FROM toks JOIN model USING (b) WHERE NOT is_train GROUP BY 1)
+      SELECT sp.doc_id,
+        COALESCE(p.n_tokens, 0) AS n_tokens,
+        CAST(COALESCE(p.sm, 0) + pm AS DOUBLE) / 1000000.0 AS nb_score,
+        CAST(COALESCE(p.sm, 0) + pm > 0 AS BIGINT) AS pred_en,
+        CAST(CASE WHEN sp.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS is_en,
+        CAST((COALESCE(p.sm, 0) + pm > 0) = (sp.lang = 'en') AS BIGINT)
+          AS correct
+      FROM split sp CROSS JOIN pri LEFT JOIN perdoc p USING (doc_id)
+      WHERE NOT sp.is_train"""),
+      notes = "multinomial naive Bayes over 256 hashed-unigram buckets with a leakage-free 90/10 hash split: train = ONE map-side-combined bucket agg (256-row model), score = broadcast join + doc fold over the held-out slice; micro-unit exact ln terms, integer decision at 0 — the one-pass counting classifier beside q116's iterated GD")
   )
 }

@@ -1189,7 +1189,59 @@ object SimilarityQueries {
       UNION ALL SELECT CAST(2 AS BIGINT), id, CAST(md AS BIGINT) FROM c2
       UNION ALL SELECT CAST(3 AS BIGINT), id, CAST(md AS BIGINT) FROM c3
       UNION ALL SELECT CAST(4 AS BIGINT), id, CAST(md AS BIGINT) FROM c4"""),
-      notes = "k-center greedy coreset (Gonzalez farthest-first, k=4): diverse representative selection in exact micro-unit integer distances — iterated selection fully hash-gated; one narrow literal-center scan + 1-row collect per round, running least() min")
+      notes = "k-center greedy coreset (Gonzalez farthest-first, k=4): diverse representative selection in exact micro-unit integer distances — iterated selection fully hash-gated; one narrow literal-center scan + 1-row collect per round, running least() min"),
+
+    // ── ANN hard-negative mining (contrastive training pairs) ──────────
+    // q83 draws RANDOM cross-source negatives — cheap, but embedding
+    // training plateaus on easy negatives; the standard fix mines HARD
+    // negatives: for each anchor, the most-similar vectors carrying a
+    // DIFFERENT label (similar enough to confuse the model, labeled
+    // differently so the loss pushes them apart). Anchors are the
+    // deterministic q113 held-out slice (vec_id % 50 = 0); per anchor,
+    // top-3 candidates by cosine desc among label <> anchor's, cand_id
+    // tiebreak. This is the guarded brute-force CORRECTNESS anchor —
+    // the scale path is [[VectorIndex.probe]] + the same label filter
+    // (q114's exact composition: probe wider, drop same-label, keep 3),
+    // so at 100 TB mining touches nProbe cells per anchor, never the
+    // corpus. The per-query rank window partitions by query_id over the
+    // candidate set — bounded by the guard here, by probe topK at scale.
+    QueryDef("q162_hard_negatives", (s, d) => {
+      guardBruteForce(s, d, "q162_hard_negatives")
+      val lab = labelsOf(s, d)
+      val q = vecs(s, d).join(lab, "vec_id")
+        .filter(col("vec_id") % 50 === 0)
+        .toDF("query_id", "qv", "qn", "q_label")
+      val c = vecs(s, d).join(lab, "vec_id")
+        .filter(col("vec_id") % 50 =!= 0)
+        .toDF("cand_id", "cv", "cn", "cand_label")
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("cand_id").asc)
+      broadcast(q).join(c, col("q_label") =!= col("cand_label"))
+        .withColumn("cos_sim", cosine("qv", "cv", "qn", "cn"))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "q_label", "rank", "cand_id", "cand_label",
+          "cos_sim")
+    }, Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+          c.vec_id AS cand_id, c.label AS cand_label,
+          round(list_dot_product(q.e, c.e) /
+                (sqrt(list_dot_product(q.e, q.e)) *
+                 sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+        FROM v q JOIN v c
+          ON c.vec_id % 50 <> 0 AND q.label <> c.label
+        WHERE q.vec_id % 50 = 0)
+      SELECT query_id, q_label,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank,
+        cand_id, cand_label, cos_sim
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, cand_id ASC) <= 3"""),
+      notes = "ANN hard-negative mining for contrastive training (q83's upgrade from random negatives): per held-out anchor, top-3 most-cosine-similar candidates with a DIFFERENT label, exact tie-broken ranks; guarded brute-force anchor — VectorIndex.probe + label filter is the scale path")
   )
 
   private[similarity] def labelsOf(s: SparkSession, d: String): DataFrame =

@@ -70,6 +70,55 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("q161 reassembly is exact and both removal outcomes occur") {
+    val rows = SparkEntry.queries("q161_substr_dedup")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens")
+      val nr = r.getAs[Long]("n_removed")
+      val ct = r.getAs[String]("clean_text")
+      assert(nr >= 0 && nr <= nt)
+      val kept = if (ct.isEmpty) 0L else ct.split(" ").length.toLong
+      assert(kept == nt - nr,
+        s"doc ${r.getAs[Long]("doc_id")}: clean_text has $kept tokens, " +
+          s"expected ${nt - nr}")
+    }
+    assert(rows.exists(_.getAs[Long]("n_removed") > 0),
+      "fixture should contain cross-doc duplicated runs")
+    assert(rows.exists(_.getAs[Long]("n_removed") == 0),
+      "not every doc should lose tokens")
+    // an exact duplicate's text is duplicated end-to-end => fully removed
+    assert(rows.exists(r => r.getAs[Long]("n_removed") > 0 &&
+      r.getAs[Long]("n_removed") == r.getAs[Long]("n_tokens")))
+  }
+
+  test("q162 mines exactly 3 ranked cross-label negatives per anchor") {
+    val rows = SparkEntry.queries("q162_hard_negatives")(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 3L))
+      rs.foreach { r =>
+        assert(r.getAs[Int]("q_label") != r.getAs[Int]("cand_label"),
+          "a hard negative must carry a different label")
+      }
+    }
+  }
+
+  test("q163 scores only the held-out slice with a coherent decision") {
+    val rows = SparkEntry.queries("q163_naive_bayes")(spark, sf).collect()
+    // 90/10 hash split over 500 docs: held-out slice is small but nonempty
+    assert(rows.length > 0 && rows.length < 150)
+    rows.foreach { r =>
+      val pred = r.getAs[Long]("pred_en")
+      assert((r.getAs[Double]("nb_score") > 0) == (pred == 1L))
+      assert(r.getAs[Long]("correct") ==
+        (if (pred == r.getAs[Long]("is_en")) 1L else 0L))
+    }
+    assert(rows.map(_.getAs[Long]("pred_en")).distinct.length == 2,
+      "both predicted classes should occur on the driver corpus")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

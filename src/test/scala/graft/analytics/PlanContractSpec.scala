@@ -252,7 +252,9 @@ class PlanContractSpec extends SparkSpec {
       "q152_dsir_weights", // broadcast 1-row totals + median cross joins
       "q153_source_kl", // 256-row spine + 1-row total: metadata-sized by design
       "q154_theta_overlap", // |sources|-row one-blob pair matrix (<' join)
-      "q158_snapshot_novelty") // 1-row x 1-row blob cross join
+      "q158_snapshot_novelty", // 1-row x 1-row blob cross join
+      "q162_hard_negatives", // q113-style guarded broadcast-anchor scored join
+      "q163_naive_bayes") // broadcast 256-row model + 1-row totals/prior
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -353,6 +355,27 @@ class PlanContractSpec extends SparkSpec {
     val p160 = plan("q160_keyframe_select")
     assert(!p160.contains("Exchange SinglePartition"),
       s"q160 single-partitioned the selection:\n$p160")
+  }
+
+  test("q161/q163: removal dedup and NB keep keyed shuffles, no row windows") {
+    // q161's promise: dup detection + mark-back are KEYED (window/doc)
+    // shuffles and bounded explodes — a rank/window reformulation or a
+    // lost join key would surface as WindowExec / SinglePartition here
+    val p161 = plan("q161_substr_dedup")
+    assert(!p161.contains("WindowExec") && !p161.contains("RunningWindow"),
+      s"q161 gained a row window:\n$p161")
+    assert(!p161.contains("Exchange SinglePartition"),
+      s"q161 funnelled data through one partition:\n$p161")
+    assert(!p161.contains("BroadcastNestedLoopJoin"),
+      s"q161 lost an equi-join key:\n$p161")
+    // q163's promise: the scoring join is a BROADCAST of the 256-row
+    // model — a shuffled scoring join would re-key every token
+    val p163 = plan("q163_naive_bayes")
+    assert(!p163.contains("WindowExec"), s"q163 gained a window:\n$p163")
+    // single-partition collapses are the <=256-row model aggs (totals,
+    // prior), never the token stream: allow the metadata ones only
+    assert(countOf(p163, "Exchange SinglePartition") <= 3,
+      s"q163 funnelled the token stream through one partition:\n$p163")
   }
 
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
