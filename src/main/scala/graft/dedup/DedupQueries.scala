@@ -1405,6 +1405,87 @@ object DedupQueries {
           ' ' ORDER BY tt.pos), '') AS clean_text
       FROM toks tt LEFT JOIN cov c ON tt.doc_id = c.doc_id AND tt.pos = c.pos
       GROUP BY tt.doc_id"""),
-      notes = "ExactSubstr-style duplicated-run removal (Lee et al. 2022, windowed-gram form): sliding 8-token windows shared by >= 2 docs mark their positions, marked tokens removed, survivors reassembled in order — offset-robust where q130's fixed grid is not; window-keyed agg + equi join + bounded x8 coverage explode + doc-keyed agg, no pairs, no row windows")
+      notes = "ExactSubstr-style duplicated-run removal (Lee et al. 2022, windowed-gram form): sliding 8-token windows shared by >= 2 docs mark their positions, marked tokens removed, survivors reassembled in order — offset-robust where q130's fixed grid is not; window-keyed agg + equi join + bounded x8 coverage explode + doc-keyed agg, no pairs, no row windows"),
+
+    // ── Incremental duplicated-run removal (delta vs base) ─────────────
+    // q161's production serving shape, completing the incremental-dedup
+    // quartet (q70 exact-hash, q149 set-sim, the streaming LSH ingest):
+    // the corpus splits on q149's md5 rule (~10% delta), and only DELTA
+    // docs are cleaned — a delta window is duplicated if its token
+    // sequence exists anywhere in the BASE (at scale: one equi probe
+    // into the persisted window-hash postings the base run already
+    // wrote; the base NEVER self-joins here) OR in ≥ 2 distinct delta
+    // docs (the within-batch q161 rule). Base docs were cleaned by
+    // their own run — re-emitting them is the anti-pattern q70 kills.
+    // Shapes: base contributes one distinct window projection (the
+    // index stand-in), delta the q161 shapes over ~10% of the corpus;
+    // mark-back joins are window-keyed equi joins throughout.
+    QueryDef("q166_substr_incremental", (s, d) => {
+      val tk = t(s, d, "documents").select(col("doc_id"),
+        filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0)).as("t"))
+        .withColumn("is_delta",
+          substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
+      val wins = tk.select(col("doc_id"), col("is_delta"),
+          posexplode(expr(
+            "transform(filter(sequence(1, greatest(size(t) - 7, 1)), " +
+              "i -> i <= size(t) - 7), " +
+              "i -> array_join(slice(t, i, 8), ' '))")).as(Seq("i0", "win")))
+        .select(col("doc_id"), col("is_delta"),
+          (col("i0") + 1).cast("long").as("pos"), col("win"))
+      val baseWins = wins.filter(!col("is_delta")).select("win").distinct()
+      val deltaDup = wins.filter(col("is_delta")).groupBy("win")
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("win")
+      val dup = baseWins.union(deltaDup).distinct()
+      val cov = wins.filter(col("is_delta")).join(dup, Seq("win"))
+        .select(col("doc_id"),
+          explode(expr("sequence(pos, pos + 7)")).as("pos"))
+        .distinct()
+        .withColumn("c", lit(1L))
+      val toks = tk.filter(col("is_delta")).select(col("doc_id"),
+          posexplode(col("t")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("tok"))
+      toks.join(cov, Seq("doc_id", "pos"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN c IS NULL THEN " +
+              "struct(pos, tok) END)), x -> x.tok)"), " ").as("clean_text"))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> len(x) > 0) AS t,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19' AS is_delta
+        FROM documents),
+      w AS (
+        SELECT doc_id, is_delta, i AS pos,
+          array_to_string(t[i : i + 7], ' ') AS win
+        FROM (SELECT doc_id, is_delta, t,
+                unnest(range(1, greatest(len(t) - 6, 1))) AS i
+              FROM tk)),
+      dup AS (
+        SELECT DISTINCT win FROM w WHERE NOT is_delta
+        UNION
+        SELECT win FROM w WHERE is_delta GROUP BY win
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT w.doc_id, w.pos + off AS pos
+              FROM w JOIN dup USING (win), unnest(range(0, 8)) u(off)
+              WHERE w.is_delta),
+      toks AS (
+        SELECT doc_id, i AS pos, t[i] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+              FROM tk WHERE is_delta))
+      SELECT tt.doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN tt.tok END,
+          ' ' ORDER BY tt.pos), '') AS clean_text
+      FROM toks tt LEFT JOIN cov c ON tt.doc_id = c.doc_id AND tt.pos = c.pos
+      GROUP BY tt.doc_id"""),
+      notes = "incremental duplicated-run removal: md5-split delta cleaned against BASE windows (one distinct projection — the persisted window-postings stand-in; base never self-joins, never re-emits) plus the within-batch >= 2-doc rule; q161's shapes over the delta only — q70/q149/streaming-LSH's fourth sibling")
   )
 }

@@ -2202,6 +2202,153 @@ object TextQueries {
         round(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6)
           AS kl_divergence
       FROM terms GROUP BY 1"""),
-      notes = "per-source KL(source || corpus) over the full 256-bucket hashed-unigram spine, add-1 smoothed, nano-unit exact terms: the source-mix drift diagnostic; one token pass + metadata-sized model algebra")
+      notes = "per-source KL(source || corpus) over the full 256-bucket hashed-unigram spine, add-1 smoothed, nano-unit exact terms: the source-mix drift diagnostic; one token pass + metadata-sized model algebra"),
+
+    // ── Epoch/repeat planning under a token budget (data-constrained) ──
+    // The PLANNING twin of the sampling operators: q102 ADMITS docs at
+    // temperature rates, q79 FILLS a budget in hash order — this query
+    // answers the question a data-constrained training run asks first
+    // (Muennighoff et al. 2023): given a token budget B and temperature
+    // weights, how many EPOCHS of each source does the mix imply, and
+    // where does the ~4-epoch repeated-data value cliff bind? B = 4×
+    // corpus tokens (a multi-epoch run over the weighted mix — chosen so
+    // the 4-epoch cap binds for the upsampled sources and not the rest,
+    // both outcomes at every driver SF); weights are α=0.5 temperature
+    // (sqrt src_tokens, q102's rule). alloc_s = B·w_s/Σw; epochs_s =
+    // alloc_s/src_tokens_s; the cap trims to 4 epochs and reports the
+    // surplus a second redistribution pass would re-spread (declared
+    // single-step, like q80's first-failing-gate).
+    // Exactness: weights quantize to micro-units BEFORE the Σw sum
+    // (20 doubles summed in engine order would drift; BIGINT sums
+    // cannot), and every downstream op is identical IEEE arithmetic on
+    // identical exact integers, 6-dp rounded at the surface. Shapes:
+    // one doc-length scan + source-keyed agg; everything after runs on
+    // |sources| metadata rows (broadcast 1-row totals).
+    QueryDef("q164_epoch_mix", (s, d) => {
+      val docs = t(s, d, "documents").select(col("source"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))
+          + lit(1)).cast("long").as("n_tokens"))
+      // localCheckpoint: totals and the final projection both read the
+      // |sources|-row table; un-checkpointed, each would rescan the docs
+      val bySrc = docs.groupBy("source")
+        .agg(sum("n_tokens").as("src_tokens"))
+        .withColumn("wm",
+          round(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
+        .localCheckpoint(true)
+      val totals = bySrc.agg((sum("src_tokens") * lit(4L)).as("budget"),
+        sum("wm").as("sw"))
+      bySrc.crossJoin(broadcast(totals))
+        .withColumn("alloc_tokens",
+          round(col("budget").cast("double") * col("wm") / col("sw"))
+            .cast("long"))
+        .withColumn("alloc_capped",
+          least(col("alloc_tokens"), col("src_tokens") * lit(4L)))
+        .select(col("source"), col("src_tokens"), col("alloc_tokens"),
+          round(col("alloc_tokens").cast("double") / col("src_tokens"), 6)
+            .as("epochs"),
+          col("alloc_capped"),
+          round(col("alloc_capped").cast("double") / col("src_tokens"), 6)
+            .as("epochs_capped"),
+          (col("alloc_tokens") - col("alloc_capped")).as("surplus_tokens"),
+          (col("alloc_tokens") > col("src_tokens") * lit(4L)).cast("long")
+            .as("capped"))
+    }, Some("""
+      WITH bysrc AS (
+        SELECT source,
+          CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+            AS BIGINT) AS src_tokens
+        FROM documents GROUP BY 1),
+      w AS (SELECT source, src_tokens,
+          CAST(ROUND(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+            AS wm
+        FROM bysrc),
+      tot AS (SELECT SUM(src_tokens) * 4 AS budget, SUM(wm) AS sw FROM w),
+      alloc AS (
+        SELECT source, src_tokens,
+          CAST(ROUND(CAST(budget AS DOUBLE) * wm / sw) AS BIGINT)
+            AS alloc_tokens
+        FROM w, tot)
+      SELECT source, src_tokens, alloc_tokens,
+        round(CAST(alloc_tokens AS DOUBLE) / src_tokens, 6) AS epochs,
+        LEAST(alloc_tokens, src_tokens * 4) AS alloc_capped,
+        round(CAST(LEAST(alloc_tokens, src_tokens * 4) AS DOUBLE)
+          / src_tokens, 6) AS epochs_capped,
+        alloc_tokens - LEAST(alloc_tokens, src_tokens * 4) AS surplus_tokens,
+        CAST(alloc_tokens > src_tokens * 4 AS BIGINT) AS capped
+      FROM alloc"""),
+      notes = "epoch/repeat planning for data-constrained training (Muennighoff-style): alpha=0.5 temperature allocation of a 4x-corpus token budget per source, epochs = alloc/src_tokens, 4-epoch value-cliff cap + surplus; micro-unit weight quantization before the only cross-source sum — one scan + source agg, then |sources|-row metadata algebra"),
+
+    // ── Zipf fit: vocabulary rank-frequency power law ──────────────────
+    // The corpus-statistics companion to q143's entropy: fit
+    // ln(freq) = slope·ln(rank) + intercept over the vocabulary (Zipf's
+    // law predicts slope ≈ −1 for natural language; a synthetic or
+    // templated corpus — like this one — shows a flatter, higher-R²-
+    // deviant profile, which is exactly the fingerprint the fit
+    // surfaces). Ranks are GlobalOrder's (freq desc, tok asc — no
+    // single-partition window, the q144/q147 shape); both coordinates
+    // quantize ln to micro-units per TYPE before the moment sums, so
+    // the five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are exact
+    // BIGINTs and the closed-form least squares runs identical IEEE
+    // double arithmetic on identical integers on both engines. Micro²
+    // products bound: |vocab|·(ln|vocab|·1e6)² — exact past 10M types;
+    // widen to DECIMAL(38,0) beyond. One explode + one vocab-keyed agg
+    // + rank pass over |vocab| rows + one 1-row moment agg.
+    QueryDef("q165_zipf_fit", (s, d) => {
+      val vocab = t(s, d, "documents")
+        .select(explode(filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val ranked = graft.operators.GlobalOrder.withRowNumbers(
+        vocab, Seq(col("freq").desc, col("tok").asc), out = "rank")
+      val pts = ranked.select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("xm"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("ym"))
+      val m = pts.agg(count(lit(1)).as("n"),
+        sum("xm").as("sx"), sum("ym").as("sy"),
+        sum(col("xm") * col("ym")).as("sxy"),
+        sum(col("xm") * col("xm")).as("sxx"),
+        sum(col("ym") * col("ym")).as("syy"))
+      val dn = col("n").cast("double")
+      val cov = dn * col("sxy") - col("sx").cast("double") * col("sy")
+      val varx = dn * col("sxx") - col("sx").cast("double") * col("sx")
+      val vary = dn * col("syy") - col("sy").cast("double") * col("sy")
+      m.select(col("n").as("n_types"),
+        round(cov / varx, 6).as("zipf_slope"),
+        round(((col("sy").cast("double") - (cov / varx) * col("sx")) / dn)
+          / lit(1e6), 6).as("intercept"),
+        round(cov * cov / (varx * vary), 6).as("r2"))
+    }, Some("""
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '),
+          t -> len(t) > 0)) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM toks GROUP BY 1),
+      ranked AS (SELECT freq,
+          row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+        FROM vocab),
+      pts AS (SELECT
+          CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS xm,
+          CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS ym
+        FROM ranked),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(xm) AS sx, SUM(ym) AS sy, SUM(xm * ym) AS sxy,
+          SUM(xm * xm) AS sxx, SUM(ym * ym) AS syy
+        FROM pts)
+      SELECT n AS n_types,
+        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+          AS zipf_slope,
+        round(((CAST(sy AS DOUBLE) -
+          ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+           (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+          / CAST(n AS DOUBLE)) / 1000000.0, 6) AS intercept,
+        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+               (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+          AS r2
+      FROM m"""),
+      notes = "Zipf rank-frequency power-law fit over the vocabulary: GlobalOrder ranks (no single-partition window), ln coordinates micro-quantized per type so the five moment sums are exact BIGINTs, closed-form least squares in identical IEEE doubles — slope/intercept/R² as the corpus-statistics fingerprint beside q143's entropy")
   )
 }

@@ -119,6 +119,51 @@ class QueryCatalogSpec extends SparkSpec {
       "both predicted classes should occur on the driver corpus")
   }
 
+  test("q164 allocation conserves the budget and the 4-epoch cap binds both ways") {
+    val rows = SparkEntry.queries("q164_epoch_mix")(spark, sf).collect()
+    val srcTok = rows.map(_.getAs[Long]("src_tokens")).sum
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    // each per-source allocation rounds to the nearest token
+    assert(math.abs(alloc - 4L * srcTok) <= rows.length / 2 + 1,
+      s"allocated $alloc vs budget ${4L * srcTok}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("surplus_tokens") ==
+        r.getAs[Long]("alloc_tokens") - r.getAs[Long]("alloc_capped"))
+      assert(r.getAs[Double]("epochs_capped") <= 4.000001)
+    }
+    val capped = rows.map(_.getAs[Long]("capped")).distinct
+    assert(capped.length == 2, "the 4-epoch cap should bind for some sources only")
+  }
+
+  test("q165 fits the flat templated-corpus profile with a well-formed R2") {
+    val r = SparkEntry.queries("q165_zipf_fit")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_types") > 0)
+    val slope = r.getAs[Double]("zipf_slope")
+    assert(slope < 0 && slope > -1.5, s"implausible slope $slope")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0 && r2 <= 1, s"R2 out of range: $r2")
+  }
+
+  test("q166 equals q161 restricted to the delta slice (shared dup rule)") {
+    // for a DELTA doc the two dup definitions coincide: a window shared
+    // with >= 1 base doc or >= 2 delta docs is exactly a window in >= 2
+    // distinct docs — so incremental must reproduce the full run's
+    // cleaning on the delta, row for row
+    val full = SparkEntry.queries("q161_substr_dedup")(spark, sf)
+    val inc = SparkEntry.queries("q166_substr_incremental")(spark, sf)
+    val deltaIds = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds.nonEmpty && deltaIds.size < 150, "~10% md5 split expected")
+    val fullDelta = full.collect()
+      .filter(r => deltaIds(r.getAs[Long]("doc_id")))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toSet
+    val incRows = inc.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toSet
+    assert(incRows == fullDelta,
+      "incremental cleaning diverged from the full run on the delta slice")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

@@ -254,7 +254,9 @@ class PlanContractSpec extends SparkSpec {
       "q154_theta_overlap", // |sources|-row one-blob pair matrix (<' join)
       "q158_snapshot_novelty", // 1-row x 1-row blob cross join
       "q162_hard_negatives", // q113-style guarded broadcast-anchor scored join
-      "q163_naive_bayes") // broadcast 256-row model + 1-row totals/prior
+      "q163_naive_bayes", // broadcast 256-row model + 1-row totals/prior
+      "q164_epoch_mix", // broadcast 1-row budget/weight-sum cross join
+      "q165_zipf_fit") // GlobalOrder's pinned <=32-row offset self-join
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -376,6 +378,26 @@ class PlanContractSpec extends SparkSpec {
     // prior), never the token stream: allow the metadata ones only
     assert(countOf(p163, "Exchange SinglePartition") <= 3,
       s"q163 funnelled the token stream through one partition:\n$p163")
+  }
+
+  test("q164/q165/q166: planning, fit, and incremental removal keep their shapes") {
+    // q164: one source-keyed agg, then |sources|-row metadata algebra —
+    // single-partition stages are the 1-row totals only
+    val p164 = plan("q164_epoch_mix")
+    assert(countOf(p164, "Exchange SinglePartition") <= 1,
+      s"q164 funnelled data through one partition:\n$p164")
+    assert(!p164.contains("WindowExec"), s"q164 gained a window:\n$p164")
+    // q165: ranks come from GlobalOrder, never a global row_number window
+    val p165 = plan("q165_zipf_fit")
+    assert(!p165.contains("WindowExec") && !p165.contains("RunningWindow"),
+      s"q165 gained a window (GlobalOrder bypassed):\n$p165")
+    // q166: q161's contract on the incremental plan — keyed equi joins
+    // only, no row windows, no single-partition collapse of the data
+    val p166 = plan("q166_substr_incremental")
+    assert(!p166.contains("WindowExec") &&
+      !p166.contains("Exchange SinglePartition") &&
+      !p166.contains("BroadcastNestedLoopJoin"),
+      s"q166 lost its equi-join/no-window shape:\n$p166")
   }
 
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
