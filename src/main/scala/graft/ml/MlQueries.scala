@@ -402,11 +402,17 @@ object MlQueries {
             ((col("c_ot") + lit(1L)) * (col("n_en") + lit(256L))).cast("double"))
           * 1e6).cast("long"))
         .select("b", "w")
+      // single-class guard: a train slice with only one class would send
+      // the prior ratio to ±Inf and ANSI-error the long cast (the q135
+      // zero-weight lesson) — degrade to a flat prior (pm = 0, token
+      // evidence only) instead, mirrored in the oracle; every driver SF
+      // has both classes so the gated result is unchanged
       val pri = docsSplit.filter(col("is_train")).agg(
-        round(log(
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double") /
-            sum(when(col("lang") =!= "en", 1L).otherwise(0L)).cast("double"))
-          * 1e6).cast("long").as("pm"))
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("d_en"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("d_ot"))
+        .select(when(col("d_en") > 0 && col("d_ot") > 0,
+          round(log(col("d_en").cast("double") / col("d_ot").cast("double"))
+            * 1e6).cast("long")).otherwise(lit(0L)).as("pm"))
       val perdoc = toks.filter(!col("is_train"))
         .join(broadcast(model), "b")
         .groupBy("doc_id")
@@ -451,11 +457,14 @@ object MlQueries {
             CAST((c_ot + 1) * (n_en + 256) AS DOUBLE)) * 1000000) AS BIGINT)
             AS w
         FROM model0, tot),
-      pri AS (SELECT CAST(ROUND(LN(
-          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
-          CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS DOUBLE))
-          * 1000000) AS BIGINT) AS pm
+      pri0 AS (SELECT
+          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS d_en,
+          SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS d_ot
         FROM split WHERE is_train),
+      pri AS (SELECT CASE WHEN d_en > 0 AND d_ot > 0 THEN
+          CAST(ROUND(LN(CAST(d_en AS DOUBLE) / CAST(d_ot AS DOUBLE))
+            * 1000000) AS BIGINT) ELSE 0 END AS pm
+        FROM pri0),
       perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
           SUM(w) AS sm
         FROM toks JOIN model USING (b) WHERE NOT is_train GROUP BY 1)

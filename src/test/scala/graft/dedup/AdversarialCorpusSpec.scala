@@ -49,7 +49,12 @@ class AdversarialCorpusSpec extends SparkSpec {
     "q130_segment_dedup", "q135_weighted_sample", "q137_vocab_oov",
     "q138_simhash_blocks", "q141_setsim_join", "q142_pmi",
     "q143_dataset_card", "q149_setsim_incremental", "q151_winnowing",
-    "q153_source_kl", "q154_theta_overlap")
+    "q153_source_kl", "q154_theta_overlap",
+    // round-7 continuation batch: removal dedup (empty/whitespace docs
+    // drop from tokenization on both engines), NB (single-class prior
+    // guard), planning/fit (per-source / 1-row shapes)
+    "q161_substr_dedup", "q163_naive_bayes", "q164_epoch_mix",
+    "q165_zipf_fit", "q166_substr_incremental")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
