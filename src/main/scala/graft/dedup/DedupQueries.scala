@@ -1486,6 +1486,126 @@ object DedupQueries {
           ' ' ORDER BY tt.pos), '') AS clean_text
       FROM toks tt LEFT JOIN cov c ON tt.doc_id = c.doc_id AND tt.pos = c.pos
       GROUP BY tt.doc_id"""),
-      notes = "incremental duplicated-run removal: md5-split delta cleaned against BASE windows (one distinct projection — the persisted window-postings stand-in; base never self-joins, never re-emits) plus the within-batch >= 2-doc rule; q161's shapes over the delta only — q70/q149/streaming-LSH's fourth sibling")
+      notes = "incremental duplicated-run removal: md5-split delta cleaned against BASE windows (one distinct projection — the persisted window-postings stand-in; base never self-joins, never re-emits) plus the within-batch >= 2-doc rule; q161's shapes over the delta only — q70/q149/streaming-LSH's fourth sibling"),
+
+    // ── Dedup-method agreement matrix (the method-selection artifact) ──
+    // The catalog fields three EXACT near-dup detectors with different
+    // blind spots: q38's Jaccard ≥ 0.6 (symmetric overlap, source-
+    // blocked), q95's containment ≥ 0.8 (asymmetric quote/superset
+    // pairs Jaccard dilutes), q151's winnowing (shared-run fingerprints
+    // at any offset). Before choosing one for a corpus, a pipeline
+    // owner asks HOW MUCH THEY AGREE — this query answers it: each
+    // method's pair set (normalized to doc_a < doc_b), pairwise
+    // |A|, |B|, |A∩B| and the set-level Jaccard, 3 matrix rows.
+    // The Spark side COMPOSES the production operators (defs.find, the
+    // q155 pattern — any fix to a member propagates here); the oracle
+    // inlines the equivalent SQL (the q155 precedent for composed
+    // oracles). Shapes: the three member pipelines (each individually
+    // scale-audited), then one union + (doc_a, doc_b)-keyed self-join
+    // over PAIR rows — pairs are sparse (dup density bounds them, not
+    // corpus size), so the matrix stage is metadata-sized;
+    // localCheckpoint keeps the members from re-running per branch.
+    QueryDef("q167_dedup_agreement", (s, d) => {
+      def normPairs(df: DataFrame, m: String): DataFrame =
+        df.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+          .distinct().withColumn("m", lit(m))
+      def q(name: String): DataFrame = defs.find(_.name == name).get.fn(s, d)
+      val pairs = normPairs(q("q38_ngram_jaccard")
+          .filter(col("jaccard") >= 0.6), "jaccard")
+        .union(normPairs(q("q95_containment"), "containment"))
+        .union(normPairs(q("q151_winnowing"), "winnowing"))
+        .localCheckpoint(true)
+      val counts = pairs.groupBy("m").agg(count(lit(1)).as("n"))
+      val overlap = pairs.as("a").join(pairs.as("b"),
+          col("a.doc_a") === col("b.doc_a") &&
+            col("a.doc_b") === col("b.doc_b") && col("a.m") < col("b.m"))
+        .groupBy(col("a.m").as("method_a"), col("b.m").as("method_b"))
+        .agg(count(lit(1)).as("n_both"))
+      // full 3-row matrix even when an intersection is empty: spine from
+      // the method pairs of the counts table, overlap left-joined
+      counts.as("ca").join(broadcast(counts.as("cb")), col("ca.m") < col("cb.m"))
+        .select(col("ca.m").as("method_a"), col("cb.m").as("method_b"),
+          col("ca.n").as("n_a"), col("cb.n").as("n_b"))
+        .join(overlap, Seq("method_a", "method_b"), "left_outer")
+        .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          round(coalesce(col("n_both"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_both"), lit(0L))), 6)
+            .as("set_jaccard"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      m1 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE COALESCE(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / nullif(len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams)), 0), 0) >= 0.6),
+      ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      keep AS (SELECT gram FROM ex GROUP BY gram
+               HAVING count(DISTINCT doc_id) <= 64),
+      k AS (SELECT doc_id, gram FROM ex JOIN keep USING (gram)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM k a JOIN k b USING (gram) WHERE a.doc_id < b.doc_id),
+      m2 AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.doc_a
+        JOIN g gb ON gb.doc_id = c.doc_b
+        WHERE len(ga.grams) > 0 AND len(gb.grams) > 0
+          AND greatest(
+            CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(ga.grams),
+            CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(gb.grams)) >= 0.8),
+      tkw AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      gw AS (
+        SELECT doc_id, i AS pos,
+          CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+            t[i+2] || ' ' || t[i+3]), 1, 15) AS BIGINT) AS h
+        FROM tkw, unnest(range(1, greatest(len(t) - 2, 1))) u(i)),
+      ww AS (
+        SELECT doc_id, pos, h,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+          COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wn
+        FROM gw),
+      fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM ww WHERE wn = 4),
+      fpdf AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp),
+      keptw AS (SELECT fp.* FROM fp JOIN fpdf USING (fp) WHERE c <= 64),
+      m3 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keptw a JOIN keptw b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      pairs AS (
+        SELECT 'jaccard' AS m, doc_a, doc_b FROM (SELECT DISTINCT * FROM m1)
+        UNION ALL
+        SELECT 'containment', doc_a, doc_b FROM (SELECT DISTINCT * FROM m2)
+        UNION ALL
+        SELECT 'winnowing', doc_a, doc_b FROM (SELECT DISTINCT * FROM m3)),
+      counts AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM pairs GROUP BY 1),
+      ov AS (
+        SELECT a.m AS method_a, b.m AS method_b,
+          CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM pairs a JOIN pairs b
+          ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b AND a.m < b.m
+        GROUP BY 1, 2)
+      SELECT ca.m AS method_a, cb.m AS method_b,
+        ca.n AS n_a, cb.n AS n_b,
+        COALESCE(ov.n_both, 0) AS n_both,
+        round(CAST(COALESCE(ov.n_both, 0) AS DOUBLE) /
+          (ca.n + cb.n - COALESCE(ov.n_both, 0)), 6) AS set_jaccard
+      FROM counts ca JOIN counts cb ON ca.m < cb.m
+      LEFT JOIN ov ON ov.method_a = ca.m AND ov.method_b = cb.m"""),
+      notes = "dedup-method agreement matrix over the three exact detectors (q38 Jaccard>=0.6, q95 containment, q151 winnowing): normalized pair sets, pairwise |A|/|B|/intersection + set-level Jaccard — the method-selection artifact; Spark side composes the production operators, matrix stage runs on sparse pair rows")
   )
 }

@@ -164,6 +164,21 @@ class QueryCatalogSpec extends SparkSpec {
       "incremental cleaning diverged from the full run on the delta slice")
   }
 
+  test("q167 emits the full 3-row matrix with coherent set arithmetic") {
+    val rows = SparkEntry.queries("q167_dedup_agreement")(spark, sf).collect()
+    assert(rows.length == 3, "3 method pairs expected")
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"))
+      assert(na > 0 && nb > 0, "every method should find pairs on the fixture")
+      assert(both <= math.min(na, nb), "intersection exceeds a member set")
+      val sj = r.getAs[Double]("set_jaccard")
+      assert(sj >= 0 && sj <= 1)
+    }
+    assert(rows.exists(_.getAs[Long]("n_both") > 0),
+      "the exact-dup pairs should be caught by more than one method")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

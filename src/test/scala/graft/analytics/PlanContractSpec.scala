@@ -256,7 +256,8 @@ class PlanContractSpec extends SparkSpec {
       "q162_hard_negatives", // q113-style guarded broadcast-anchor scored join
       "q163_naive_bayes", // broadcast 256-row model + 1-row totals/prior
       "q164_epoch_mix", // broadcast 1-row budget/weight-sum cross join
-      "q165_zipf_fit") // GlobalOrder's pinned <=32-row offset self-join
+      "q165_zipf_fit", // GlobalOrder's pinned <=32-row offset self-join
+      "q167_dedup_agreement") // 3-row method-count spine (<' join)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
