@@ -82,10 +82,12 @@ object MlQueries {
     trainLogReg(langFeatures(docs),
       Seq(col("x1"), col("x2"), col("x3")), col("y"), Lr, Steps)
 
-  /** The q117 serving stage, shared verbatim by the inline (q117) and
-    * persisted-model (q120) paths: model-as-literals narrow projection,
-    * micro-unit-rounded display score. */
-  private[ml] def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame = {
+  /** The q117 serving stage, shared verbatim by the inline (q117),
+    * persisted-model (q120) and STREAMING (StreamingScore) paths:
+    * model-as-literals narrow projection, micro-unit-rounded display
+    * score. Stateless, so it applies to a streaming DataFrame unchanged
+    * — parity across all three paths is by shared definition. */
+  private[graft] def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame = {
     val f = langFeatures(docs)
     val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
       lit(w(3)) * col("x3")
