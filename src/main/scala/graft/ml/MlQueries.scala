@@ -159,6 +159,34 @@ object MlQueries {
           w2.w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000.0) / nn.n AS w3
         FROM g3, w2, nn)"""
 
+  /** q163's hashed-bucket token projection: one row per token occurrence
+    * with its 256-way md5 bucket, every non-text input column preserved
+    * (so split/class flags ride through the explode). */
+  private[graft] def nbTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("tok", explode(filter(split(col("text"), " "),
+        (x: Column) => length(x) > lit(0))))
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
+      .drop("text", "tok")
+
+  /** q163's 256-row class-count model over a token projection. NB models
+    * MERGE BY ADDITION — counts over disjoint slices sum to the counts
+    * over their union (MlQueriesSpec pins it), which is what makes NB
+    * retraining on a delta a delta-sized job at 100 TB (the mergeable-
+    * partial property the sketch families share). */
+  private[graft] def nbCounts(toks: DataFrame): DataFrame = {
+    val cb = toks.groupBy("b").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_ot"))
+    // explicit 256-bucket spine (q153's trick): buckets absent from this
+    // slice still appear with zero counts, so models ALIGN for merging
+    // and no scoring token can fall out of the join
+    toks.sparkSession.range(0, 256).select(col("id").as("b"))
+      .join(cb, Seq("b"), "left_outer")
+      .select(col("b"), coalesce(col("c_en"), lit(0L)).as("c_en"),
+        coalesce(col("c_ot"), lit(0L)).as("c_ot"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Distributed classifier training (GD as aggregation) ───────────
@@ -383,19 +411,8 @@ object MlQueries {
       val docsSplit = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
           (u < 0.90).as("is_train"))
-      val toks = docsSplit.select(col("doc_id"), col("lang"), col("is_train"),
-          explode(filter(split(col("text"), " "),
-            (x: Column) => length(x) > lit(0))).as("tok"))
-        .withColumn("b",
-          conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
-      val cb = toks.filter(col("is_train"))
-        .groupBy("b").agg(
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"),
-          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_ot"))
-      val spine = s.range(0, 256).select(col("id").as("b"))
-      val model0 = spine.join(cb, Seq("b"), "left_outer")
-        .select(col("b"), coalesce(col("c_en"), lit(0L)).as("c_en"),
-          coalesce(col("c_ot"), lit(0L)).as("c_ot"))
+      val toks = nbTokens(docsSplit)
+      val model0 = nbCounts(toks.filter(col("is_train")))
         .localCheckpoint(true)
       val tot = model0.agg(sum("c_en").as("n_en"), sum("c_ot").as("n_ot"))
       val model = model0.crossJoin(broadcast(tot))

@@ -1241,7 +1241,40 @@ object SimilarityQueries {
       FROM scored
       QUALIFY row_number() OVER (PARTITION BY query_id
         ORDER BY cos_sim DESC, cand_id ASC) <= 3"""),
-      notes = "ANN hard-negative mining for contrastive training (q83's upgrade from random negatives): per held-out anchor, top-3 most-cosine-similar candidates with a DIFFERENT label, exact tie-broken ranks; guarded brute-force anchor — VectorIndex.probe + label filter is the scale path")
+      notes = "ANN hard-negative mining for contrastive training (q83's upgrade from random negatives): per held-out anchor, top-3 most-cosine-similar candidates with a DIFFERENT label, exact tie-broken ranks; guarded brute-force anchor — VectorIndex.probe + label filter is the scale path"),
+
+    // ── Hard-negative mining, SCALE PATH (persisted IVF index) ─────────
+    // q162 served from the index — the same anchor→scale-twin pairing as
+    // q113→q114 and q40→q105, keeping the rule that every guarded
+    // brute-force baseline has a driver-gated indexed twin. Probe wide
+    // (nProbe=10, topK=10 — q114's argument: the cross-label top-3 is a
+    // strictly harder target than top-3-overall, so extra probed cells
+    // buy the recall the mined pairs ride on), drop held-out vectors,
+    // then the SAME label filter + top-3 re-rank as q162 — so any
+    // divergence from q162 is exactly IVF recall, never mining logic
+    // (HardNegativesIndexedSpec pins the overlap floor and the
+    // perfect-recall subset). Rows-only for q42b's reason: probed cells
+    // depend on the trained quantizer. Windows partition by query over
+    // ≤10 candidate rows.
+    QueryDef("q168_hard_negatives_indexed", (s, d) => {
+      val (_, vName) = graft.IndexCache.ensure(s, d)
+      val queries = t(s, d, "embeddings").filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding")
+      val lab = labelsOf(s, d)
+      val probed = VectorIndex.probe(s, vName, queries, nProbe = 10, topK = 10)
+        .filter(col("cand_id") % 50 =!= 0)
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("cand_id").asc)
+      probed
+        .join(lab.toDF("query_id", "q_label"), "query_id")
+        .join(lab.toDF("cand_id", "cand_label"), "cand_id")
+        .filter(col("q_label") =!= col("cand_label"))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "q_label", "rank", "cand_id", "cand_label",
+          "cos_sim")
+    }, None,
+      notes = "q162 served from the persisted IVF index (probe top-10 -> drop held-out -> label filter -> top-3 re-rank, stages shared with q162): the hard-negative mining scale path; rows-only (quantizer-dependent), overlap floor + perfect-recall-subset spec-pinned")
   )
 
   private[similarity] def labelsOf(s: SparkSession, d: String): DataFrame =

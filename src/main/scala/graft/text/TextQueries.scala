@@ -2349,6 +2349,64 @@ object TextQueries {
                (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
           AS r2
       FROM m"""),
-      notes = "Zipf rank-frequency power-law fit over the vocabulary: GlobalOrder ranks (no single-partition window), ln coordinates micro-quantized per type so the five moment sums are exact BIGINTs, closed-form least squares in identical IEEE doubles — slope/intercept/R² as the corpus-statistics fingerprint beside q143's entropy")
+      notes = "Zipf rank-frequency power-law fit over the vocabulary: GlobalOrder ranks (no single-partition window), ln coordinates micro-quantized per type so the five moment sums are exact BIGINTs, closed-form least squares in identical IEEE doubles — slope/intercept/R² as the corpus-statistics fingerprint beside q143's entropy"),
+
+    // ── Boundary-respecting packing + padding-cost accounting ──────────
+    // q94 packs 512-token training blocks ACROSS document boundaries —
+    // zero waste, but tokens from different docs share a block (fine
+    // with attention masking / document-causal masks). The alternative
+    // every pipeline weighs when cross-doc attention contamination is
+    // unacceptable: each doc occupies ceil(n/512) blocks of its own and
+    // the last block pads to 512. This query prices that choice per
+    // source: padded blocks, padding tokens, efficiency, and the
+    // overhead vs the q94-style packed floor ceil(src_tokens/512) —
+    // the number a pretraining lead actually compares. All integer
+    // arithmetic (ceil via (n + 511) DIV 512, identical both engines);
+    // the efficiency ratio divides exact BIGINTs in DOUBLE, 6 dp.
+    // Shapes: one narrow length projection + ONE source-keyed agg —
+    // nothing else, at any corpus size.
+    QueryDef("q169_pad_pack", (s, d) => {
+      val nTok = (length(col("text"))
+        - length(replace(col("text"), lit(" "), lit(""))) + lit(1))
+        .cast("long")
+      t(s, d, "documents")
+        .select(col("source"), nTok.as("n_tokens"),
+          ((nTok + lit(511L)) / lit(512L)).cast("long").as("doc_blocks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("src_tokens"),
+          sum("doc_blocks").as("padded_blocks"))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          col("padded_blocks"),
+          (col("padded_blocks") * lit(512L) - col("src_tokens"))
+            .as("padding_tokens"),
+          round(col("src_tokens").cast("double") /
+            (col("padded_blocks") * lit(512L)), 6).as("efficiency"),
+          ((col("src_tokens") + lit(511L)) / lit(512L)).cast("long")
+            .as("packed_blocks"),
+          (col("padded_blocks") -
+            ((col("src_tokens") + lit(511L)) / lit(512L)).cast("long"))
+            .as("overhead_blocks"))
+    }, Some("""
+      WITH d AS (
+        SELECT source,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      b AS (SELECT source, n_tokens,
+              (n_tokens + 511) // 512 AS doc_blocks FROM d),
+      agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+          CAST(SUM(doc_blocks) AS BIGINT) AS padded_blocks
+        FROM b GROUP BY 1)
+      SELECT source, n_docs, src_tokens, padded_blocks,
+        padded_blocks * 512 - src_tokens AS padding_tokens,
+        round(CAST(src_tokens AS DOUBLE) / (padded_blocks * 512), 6)
+          AS efficiency,
+        (src_tokens + 511) // 512 AS packed_blocks,
+        padded_blocks - ((src_tokens + 511) // 512) AS overhead_blocks
+      FROM agg"""),
+      notes = "boundary-respecting 512-token packing priced against q94's cross-doc packing: per-source padded blocks, padding tokens, efficiency, and overhead vs the packed floor — the attention-contamination trade quantified; one narrow projection + one source-keyed agg, pure integer arithmetic")
   )
 }

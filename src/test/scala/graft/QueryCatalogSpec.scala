@@ -28,7 +28,8 @@ class QueryCatalogSpec extends SparkSpec {
       "q107_lsh_canonical", // q62 composition (LshCanonicalSpec refinement/recall/parity)
       "q108_quantile_rollup", // KLL blobs engine-specific (KllSketchSpec exact/merge/error pins)
       "q114_knn_vote_indexed", // quantizer-dependent probe (KnnVoteIndexedSpec agreement pins)
-      "q132_bpe_encode"), // sequential greedy merge (TrainingDataOpsSpec brute-force encoder parity)
+      "q132_bpe_encode", // sequential greedy merge (TrainingDataOpsSpec brute-force encoder parity)
+      "q168_hard_negatives_indexed"), // quantizer-dependent probe (HardNegativesIndexedSpec overlap pins)
       "only engine-specific-hash / approximate / sequential-merge ops may omit the oracle")
   }
 
@@ -177,6 +178,24 @@ class QueryCatalogSpec extends SparkSpec {
     }
     assert(rows.exists(_.getAs[Long]("n_both") > 0),
       "the exact-dup pairs should be caught by more than one method")
+  }
+
+  test("q169 padding accounting is internally consistent per source") {
+    val rows = SparkEntry.queries("q169_pad_pack")(spark, sf).collect()
+    assert(rows.length == 20, "one row per source")
+    rows.foreach { r =>
+      val (tok, pb, pad) = (r.getAs[Long]("src_tokens"),
+        r.getAs[Long]("padded_blocks"), r.getAs[Long]("padding_tokens"))
+      assert(pad == pb * 512 - tok)
+      assert(pb >= r.getAs[Long]("packed_blocks"),
+        "padded packing can never beat the packed floor")
+      assert(r.getAs[Long]("overhead_blocks") ==
+        pb - r.getAs[Long]("packed_blocks"))
+      val eff = r.getAs[Double]("efficiency")
+      assert(eff > 0 && eff <= 1.0)
+    }
+    assert(rows.exists(_.getAs[Long]("overhead_blocks") > 0),
+      "short docs should make boundary-respecting packing pay overhead")
   }
 
   test("q135 draws exactly 5 docs per source with ranks 1..5") {

@@ -103,4 +103,23 @@ class MlQueriesSpec extends SparkSpec {
     val after = f.listFiles().map(x => x.getName -> x.lastModified()).toMap
     assert(after == mtimes, "second ensure rewrote the persisted model")
   }
+
+  test("NB bucket counts merge by addition — incremental training is exact") {
+    import org.apache.spark.sql.functions.col
+    def counts(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      MlQueries.nbCounts(MlQueries.nbTokens(df)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val full = counts(base)
+    val h1 = counts(base.filter(col("doc_id") % 2 === 0))
+    val h2 = counts(base.filter(col("doc_id") % 2 =!= 0))
+    assert(full.keySet == (0L until 256L).toSet, "spine must cover 256 buckets")
+    assert(h1.keySet == full.keySet && h2.keySet == full.keySet,
+      "slice models must align on the full spine")
+    val merged = full.keySet.map(b =>
+      b -> ((h1(b)._1 + h2(b)._1, h1(b)._2 + h2(b)._2))).toMap
+    assert(merged == full,
+      "summed half-corpus models diverge from the full-corpus model")
+    assert(full.values.map(v => v._1 + v._2).sum > 0, "empty model")
+  }
 }
