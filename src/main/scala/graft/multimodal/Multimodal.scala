@@ -63,6 +63,11 @@ object Multimodal {
     * q159 gate row. abs_diff_sum is the exact integer sum of per-pixel
     * absolute differences (the L1 motion energy); n_px the compared
     * pixel count. */
+  /** Perceptual average-hash of a decoded image — the q170 gate row. The
+    * 64-bit fingerprint is brightness-scale tolerant (bits encode
+    * relative position vs the image mean) and byte-exact reproducible. */
+  final case class ImageHash(media_id: Long, ahash: Long)
+
   final case class FrameMotion(media_id: Long, frame_from: Long,
       frame_to: Long, n_px: Long, abs_diff_sum: Long)
 
@@ -364,6 +369,41 @@ object Multimodal {
               (x1 - x0).toLong, (y1 - y0).toLong, sum, sq)
           }
         case None => Seq.empty[ImagePatch]
+      }
+    }
+  }
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels: resize to
+    * size×size through the same nearest-neighbor resample as [[resized]],
+    * then bit i is set iff resized pixel i sits at or above the resized
+    * mean — compared IN INTEGERS (v·size² >= Σv, the division multiplied
+    * away, q156's no-knife-edge rule). Channel 0 carries the luminance
+    * (the generator corpus is 8-bit gray; a production caller converts
+    * to gray first, the canonical aHash recipe). The hash tolerates
+    * brightness scaling and resizing — the near-dup signal pixel-exact
+    * fingerprints (q33's media analog) cannot give. Narrow mapPartitions
+    * posture: pixels decode where the bytes sit, one 8-byte hash per
+    * image is all that ever shuffles. Non-image/undecodable rows yield
+    * no hash. */
+  def imageAHash(media: Dataset[MediaRow], size: Int = 8): Dataset[ImageHash] = {
+    require(size > 0 && size * size <= 64,
+      s"imageAHash: size*size must fit in 64 bits (got $size)")
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").flatMap { r =>
+      PngCodec.decode(r.content).map { img =>
+        val rs = PngCodec.resize(img, size, size)
+        val n = size * size
+        var sum = 0L; var i = 0
+        while (i < n) {
+          sum += (rs.pixels(i * rs.channels) & 0xff).toLong; i += 1
+        }
+        var bits = 0L; i = 0
+        while (i < n) {
+          if ((rs.pixels(i * rs.channels) & 0xff).toLong * n >= sum)
+            bits |= (1L << i)
+          i += 1
+        }
+        ImageHash(r.media_id, bits)
       }
     }
   }

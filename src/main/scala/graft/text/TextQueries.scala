@@ -2407,6 +2407,70 @@ object TextQueries {
         (src_tokens + 511) // 512 AS packed_blocks,
         padded_blocks - ((src_tokens + 511) // 512) AS overhead_blocks
       FROM agg"""),
-      notes = "boundary-respecting 512-token packing priced against q94's cross-doc packing: per-source padded blocks, padding tokens, efficiency, and overhead vs the packed floor — the attention-contamination trade quantified; one narrow projection + one source-keyed agg, pure integer arithmetic")
+      notes = "boundary-respecting 512-token packing priced against q94's cross-doc packing: per-source padded blocks, padding tokens, efficiency, and overhead vs the packed floor — the attention-contamination trade quantified; one narrow projection + one source-keyed agg, pure integer arithmetic"),
+
+    // ── Perceptual image dedup (aHash + Hamming blocking, REAL pixels) ─
+    // Near-duplicate IMAGES — the multimodal leg of the dedup family,
+    // composed from two proven parts: the q134 decode→resize path
+    // produces a 64-bit average-hash per image (bit = resized pixel vs
+    // resized mean, integer compare — [[Multimodal.imageAHash]]), and
+    // q138's Manku block pigeonhole turns Hamming ≤ 3 pair-finding into
+    // a key-equi join (any pair within 3 bit flips agrees on at least
+    // one of the 4 16-bit blocks) + bit_count(xor) verify. aHash is the
+    // standard first-pass image near-dup signal: tolerant to resizing
+    // and brightness scaling, where byte-exact fingerprints (q33's
+    // media analog) miss every re-encode. The oracle re-derives each
+    // hash from the generating pixel formula THROUGH the resample
+    // mapping (the q134 contract) and brute-forces pairs n² — so
+    // decode, resize, hash arithmetic, and the blocking join's
+    // losslessness are all under one gate. Block extraction masks after
+    // an arithmetic shift ((h >> 16j) & 0xFFFF), so bit 63's sign never
+    // leaks into keys on either engine. Shapes at 100 TB: hashes are 8
+    // bytes per image (bytes never shuffle, q103's posture); the join
+    // is 4 block-keyed equi probes; verify is constant-time per
+    // candidate.
+    QueryDef("q170_image_ahash", (s, d) => {
+      val hs = graft.multimodal.Multimodal.imageAHash(
+        graft.multimodal.Multimodal.fromDocuments(s, d)).toDF()
+      val blocks = hs.select(col("media_id"), col("ahash"),
+          explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+            shiftrightunsigned(col("ahash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+              .as("blk"))): _*)).as("p"))
+        .select(col("media_id"), col("ahash"), col("p.j"), col("p.blk"))
+      blocks.as("a").join(blocks.as("b"),
+          col("a.j") === col("b.j") && col("a.blk") === col("b.blk") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"),
+          col("b.media_id").as("media_b"),
+          col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+        .distinct()
+        .select(col("media_a"), col("media_b"),
+          expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+    }, Some("""
+      WITH im AS (
+        SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (
+        SELECT id, list_transform(range(64),
+          i -> (id*31 + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 7)
+               % 256) AS p
+        FROM im),
+      px2 AS (SELECT id, p, list_sum(p) AS s FROM px),
+      sig AS (
+        -- list_sum yields HUGEINT; the hash must live in 64-bit space or
+        -- xor/bit_count run 128-bit (bit 63's sign would double-count)
+        SELECT id, CAST(list_sum(list_transform(range(64), i ->
+          CASE WHEN p[i+1] * 64 >= s
+               THEN CASE WHEN i = 63
+                         THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << i END
+               ELSE 0 END)) AS BIGINT) AS sh
+        FROM px2)
+      SELECT a.id AS media_a, b.id AS media_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.id < b.id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3"""),
+      notes = "perceptual image near-dup via aHash (real decode -> 8x8 resample -> integer mean-compare bits) + q138's 4x16-bit block pigeonhole join, Hamming <= 3; oracle re-derives hashes from the generating pixel formula through the resample mapping and brute-forces pairs — decode, resize, hash, and blocking losslessness under one gate")
   )
 }

@@ -347,4 +347,39 @@ class MultimodalSpec extends SparkSpec {
     val odd = Seq(Multimodal.MediaRow(99L, "video", w1 ++ w2)).toDS()
     assert(Multimodal.frameMotion(odd).collect().isEmpty)
   }
+
+  test("imageAHash: invariant to PNG filter choice and brightness shift; only images hash") {
+    import spark.implicits._
+    def hashOf(rows: Seq[Multimodal.MediaRow]): Map[Long, Long] =
+      Multimodal.imageAHash(rows.toDS()).collect()
+        .map(h => h.media_id -> h.ahash).toMap
+    // same pixels encoded under every PNG filter type → identical hash
+    // (the hash sees DECODED pixels, never the container encoding)
+    val img = gradient(13, 9, 1, seed = 5)
+    val perFilter = hashOf((0 to 4).map(f =>
+      Multimodal.MediaRow(f.toLong, "image", PngCodec.encode(img, f))))
+    assert(perFilter.values.toSet.size == 1,
+      s"hash varies with PNG filter type: $perFilter")
+    // brightness shift without wraparound → identical hash (every pixel
+    // and the mean move together; relative order is what the bits encode)
+    val base = PngCodec.PngImage(10, 10, 1,
+      Array.tabulate(100)(i => (50 + (i * 97) % 101).toByte))
+    val brighter = PngCodec.PngImage(10, 10, 1,
+      base.pixels.map(b => (b + 40).toByte))
+    val shifted = hashOf(Seq(
+      Multimodal.MediaRow(0L, "image", PngCodec.encode(base, 0)),
+      Multimodal.MediaRow(1L, "image", PngCodec.encode(brighter, 0))))
+    assert(shifted(0L) == shifted(1L),
+      "brightness shift changed the perceptual hash")
+    // non-image and undecodable rows yield no hash
+    val none = hashOf(Seq(
+      Multimodal.MediaRow(7L, "audio", Array[Byte](1, 2, 3)),
+      Multimodal.MediaRow(8L, "image", Array[Byte](9, 9, 9))))
+    assert(none.isEmpty)
+    // an exact duplicate image under a different id collides at Hamming 0
+    val dup = hashOf(Seq(
+      Multimodal.MediaRow(100L, "image", PngCodec.encode(img, 2)),
+      Multimodal.MediaRow(200L, "image", PngCodec.encode(img, 4))))
+    assert(dup(100L) == dup(200L))
+  }
 }
