@@ -2471,6 +2471,81 @@ object TextQueries {
         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
       FROM sig a JOIN sig b ON a.id < b.id
       WHERE bit_count(xor(a.sh, b.sh)) <= 3"""),
-      notes = "perceptual image near-dup via aHash (real decode -> 8x8 resample -> integer mean-compare bits) + q138's 4x16-bit block pigeonhole join, Hamming <= 3; oracle re-derives hashes from the generating pixel formula through the resample mapping and brute-forces pairs — decode, resize, hash, and blocking losslessness under one gate")
+      notes = "perceptual image near-dup via aHash (real decode -> 8x8 resample -> integer mean-compare bits) + q138's 4x16-bit block pigeonhole join, Hamming <= 3; oracle re-derives hashes from the generating pixel formula through the resample mapping and brute-forces pairs — decode, resize, hash, and blocking losslessness under one gate"),
+
+    // ── Image-text pair curation (CLIP-style multimodal manifest) ──────
+    // The multimodal JOIN every contrastive vision-language pipeline
+    // runs before training: pair each image with its caption text, gate
+    // BOTH modalities, and emit the curated pair manifest with the
+    // per-side decision attributed (q131's per-rule-flag discipline).
+    // Text side: q131's length band [20, 80] + >= 2 stopword hits (a
+    // real caption, not a tag soup) via the SHARED TextSignals
+    // definitions. Image side: resolution floor n_px >= 100 (both
+    // outcomes across the corpus's 64..224-pixel range) on REAL decoded
+    // dimensions, with mean/std from exact decoded integer sums (the
+    // q103 stats). Shapes at 100 TB: image stats decode in place and
+    // emit one metadata row per image (bytes never shuffle); the pair
+    // join is doc_id-keyed metadata x metadata; gates are narrow
+    // projections. The oracle derives the image side from the
+    // generating formula (the q103 contract) and the text side from
+    // the q131 SQL — the whole manifest under one hash gate.
+    QueryDef("q171_pair_curation", (s, d) => {
+      val stats = graft.multimodal.Multimodal.decodedStats(
+        graft.multimodal.Multimodal.fromDocuments(s, d)).toDF()
+        .filter(col("kind") === "image")
+        .select(col("media_id").as("doc_id"), col("n_units").as("n_px"),
+          col("unit_sum"), col("unit_sumsq"))
+      val text = t(s, d, "documents").select(col("doc_id"),
+        TextSignals.nTokens(col("text")).cast("long").as("n_tokens"),
+        TextSignals.stopwordHits(col("text")).as("stop_hits"))
+      stats.join(text, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+          col("n_px"),
+          round(col("unit_sum").cast("double") / col("n_px"), 6)
+            .as("px_mean"),
+          round(sqrt((col("unit_sumsq").cast("double") * col("n_px") -
+            col("unit_sum").cast("double") * col("unit_sum")) /
+            (col("n_px").cast("double") * col("n_px"))), 6).as("px_std"),
+          when(col("n_tokens") >= 20 && col("n_tokens") <= 80 &&
+            col("stop_hits") >= 2.0, 1L).otherwise(0L).as("keep_text"),
+          when(col("n_px") >= 100, 1L).otherwise(0L).as("keep_image"))
+        .withColumn("keep",
+          (col("keep_text") === 1 && col("keep_image") === 1).cast("long"))
+    }, Some("""
+      WITH im AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      st AS (
+        SELECT doc_id, CAST(w * h AS BIGINT) AS n_px,
+          list_sum(list_transform(range(w * h),
+            i -> (doc_id*31 + i*7) % 256)) AS us,
+          list_sum(list_transform(range(w * h),
+            i -> ((doc_id*31 + i*7) % 256) * ((doc_id*31 + i*7) % 256)))
+            AS usq
+        FROM im),
+      tx AS (
+        SELECT doc_id,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS n_tokens,
+          (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\ba\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\band\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\bof\b')) AS DOUBLE))
+            AS stop_hits
+        FROM documents)
+      SELECT st.doc_id, tx.n_tokens, tx.stop_hits, st.n_px,
+        round(CAST(us AS DOUBLE) / n_px, 6) AS px_mean,
+        round(sqrt((CAST(usq AS DOUBLE) * n_px
+          - CAST(us AS DOUBLE) * us) / (CAST(n_px AS DOUBLE) * n_px)), 6)
+          AS px_std,
+        CAST(CASE WHEN tx.n_tokens >= 20 AND tx.n_tokens <= 80
+          AND tx.stop_hits >= 2.0 THEN 1 ELSE 0 END AS BIGINT) AS keep_text,
+        CAST(CASE WHEN st.n_px >= 100 THEN 1 ELSE 0 END AS BIGINT)
+          AS keep_image,
+        CAST(CASE WHEN tx.n_tokens >= 20 AND tx.n_tokens <= 80
+          AND tx.stop_hits >= 2.0 AND st.n_px >= 100
+          THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM st JOIN tx USING (doc_id)"""),
+      notes = "CLIP-style image-text pair curation: per-pair manifest gating BOTH modalities (q131 text band + stopwords via shared TextSignals; resolution floor + exact decoded mean/std on the image side), decisions attributed per side; metadata x metadata doc-keyed join, bytes never shuffle — oracle derives the image side from the generating formula and the text side from the q131 SQL")
   )
 }

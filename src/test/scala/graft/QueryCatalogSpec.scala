@@ -198,6 +198,23 @@ class QueryCatalogSpec extends SparkSpec {
       "short docs should make boundary-respecting packing pay overhead")
   }
 
+  test("q171 gates both modalities with both outcomes and coherent keep logic") {
+    val rows = SparkEntry.queries("q171_pair_curation")(spark, sf).collect()
+    assert(rows.length == 167, "one manifest row per image doc")
+    rows.foreach { r =>
+      val (kt, ki, k) = (r.getAs[Long]("keep_text"),
+        r.getAs[Long]("keep_image"), r.getAs[Long]("keep"))
+      assert(k == (if (kt == 1 && ki == 1) 1L else 0L))
+      assert(r.getAs[Double]("px_std") >= 0)
+      assert(r.getAs[Long]("n_px") >= 64 && r.getAs[Long]("n_px") <= 224)
+    }
+    Seq("keep_text", "keep_image").foreach { c =>
+      assert(rows.map(_.getAs[Long](c)).distinct.length == 2,
+        s"$c should exercise both outcomes on the driver corpus")
+    }
+    assert(rows.exists(_.getAs[Long]("keep") == 1))
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

@@ -248,6 +248,7 @@ class PlanContractSpec extends SparkSpec {
       "q150_prf_bm25", // q86's 1-row corpus-stat broadcasts, both passes
       // index probes: broadcast centroid argmax + bounded offset join
       "q104_hybrid_indexed", "q105_ann_indexed", "q114_knn_vote_indexed",
+      "q168_hard_negatives_indexed",
       "q142_pmi", // broadcast 1-row corpus-count cross join (q50 pattern)
       "q152_dsir_weights", // broadcast 1-row totals + median cross joins
       "q153_source_kl", // 256-row spine + 1-row total: metadata-sized by design
