@@ -2546,6 +2546,118 @@ object TextQueries {
           AND tx.stop_hits >= 2.0 AND st.n_px >= 100
           THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM st JOIN tx USING (doc_id)"""),
-      notes = "CLIP-style image-text pair curation: per-pair manifest gating BOTH modalities (q131 text band + stopwords via shared TextSignals; resolution floor + exact decoded mean/std on the image side), decisions attributed per side; metadata x metadata doc-keyed join, bytes never shuffle — oracle derives the image side from the generating formula and the text side from the q131 SQL")
+      notes = "CLIP-style image-text pair curation: per-pair manifest gating BOTH modalities (q131 text band + stopwords via shared TextSignals; resolution floor + exact decoded mean/std on the image side), decisions attributed per side; metadata x metadata doc-keyed join, bytes never shuffle — oracle derives the image side from the generating formula and the text side from the q131 SQL"),
+
+    // ── Span corruption (T5-style denoising pair generation) ───────────
+    // The objective-side data op the packing/encoding family feeds:
+    // turn each document into an (input, target) denoising pair by
+    // masking spans — input carries a sentinel where each span was,
+    // target carries sentinel + the masked tokens. Span selection is
+    // DETERMINISTIC and non-overlapping by construction: candidate
+    // starts sit on an 8-token grid (pos % 8 == 1), each admitted by
+    // the q51/q109 md5-threshold rule at rate 0.5 over (doc_id, pos) —
+    // reproducible on any cluster, no RNG state — and spans are 3
+    // tokens, shorter than the grid pitch, so overlap resolution (the
+    // sequential part of the T5 algorithm) is never needed. Sentinels
+    // are <extra_id_k> numbered per doc in span order (the T5 vocab
+    // convention). Shapes: token/span explodes are narrow; sentinel
+    // numbering and both reassemblies are doc-keyed (windows bounded by
+    // doc length); the span-body join is (doc,pos)-keyed equi. Exactly
+    // the q130/q161 reassembly machinery pointed at an objective.
+    QueryDef("q172_span_corruption", (s, d) => {
+      val tk = t(s, d, "documents").select(col("doc_id"),
+        filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0)).as("t"))
+      val toks = tk.select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("tok"))
+      val u = conv(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), col("pos").cast("string"))), 1, 15),
+        16, 10).cast("double") / lit(1152921504606846976L) // 2^60
+      val nTok = tk.select(col("doc_id"), size(col("t")).cast("long").as("n"))
+      val spans = toks.join(nTok, "doc_id")
+        .filter(col("pos") % 8 === 1 && col("pos") + 2 <= col("n"))
+        .filter(u < 0.5)
+        .select(col("doc_id"), col("pos").as("sp"))
+        .withColumn("k", (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("sp")) - 1).cast("long"))
+      val roles = spans.select(col("doc_id"), col("sp"), col("k"),
+          explode(expr("sequence(sp, sp + 2)")).as("pos"))
+        .withColumn("is_start", (col("pos") === col("sp")).cast("long"))
+      val input = toks.join(roles, Seq("doc_id", "pos"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_masked"),
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE " +
+              "WHEN k IS NULL THEN named_struct('pos', pos, 'tok', tok) " +
+              "WHEN is_start = 1 THEN named_struct('pos', pos, 'tok', " +
+              "concat('<extra_id_', cast(k AS string), '>')) END)), " +
+              "x -> x.tok)"), " ").as("input_text"))
+      val target = roles.join(toks, Seq("doc_id", "pos"))
+        .groupBy("doc_id")
+        .agg(
+          count_distinct(col("sp")).as("n_spans"),
+          array_join(expr(
+            "transform(array_sort(collect_list(named_struct(" +
+              "'sp', sp, 'pos', pos, 'tok', " +
+              "CASE WHEN is_start = 1 THEN " +
+              "concat('<extra_id_', cast(k AS string), '> ', tok) " +
+              "ELSE tok END))), x -> x.tok)"), " ").as("target_text"))
+      input.join(target, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          col("input_text"),
+          coalesce(col("target_text"), lit("")).as("target_text"))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      toks AS (
+        SELECT doc_id, i AS pos, t[i] AS tok, len(t) AS n
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk)),
+      spans AS (
+        SELECT doc_id, pos AS sp,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+            AS BIGINT) AS k
+        FROM toks
+        WHERE pos % 8 = 1 AND pos + 2 <= n
+          AND CAST(CAST('0x' ||
+            substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+              CAST(pos AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+            / 1152921504606846976.0 < 0.5),
+      roles AS (
+        SELECT doc_id, sp, k, sp + off AS pos,
+          CASE WHEN off = 0 THEN 1 ELSE 0 END AS is_start
+        FROM spans, unnest(range(0, 3)) u(off)),
+      inp AS (
+        SELECT tt.doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_masked,
+          COALESCE(string_agg(CASE
+            WHEN r.k IS NULL THEN tt.tok
+            WHEN r.is_start = 1 THEN
+              '<extra_id_' || CAST(r.k AS VARCHAR) || '>' END,
+            ' ' ORDER BY tt.pos), '') AS input_text
+        FROM toks tt LEFT JOIN roles r
+          ON tt.doc_id = r.doc_id AND tt.pos = r.pos
+        GROUP BY tt.doc_id),
+      tgt AS (
+        SELECT r.doc_id,
+          CAST(COUNT(DISTINCT r.sp) AS BIGINT) AS n_spans,
+          string_agg(CASE WHEN r.is_start = 1 THEN
+              '<extra_id_' || CAST(r.k AS VARCHAR) || '> ' || tt.tok
+            ELSE tt.tok END, ' ' ORDER BY r.sp, r.pos) AS target_text
+        FROM roles r JOIN toks tt
+          ON tt.doc_id = r.doc_id AND tt.pos = r.pos
+        GROUP BY r.doc_id)
+      SELECT i.doc_id, i.n_tokens, i.n_masked,
+        COALESCE(t.n_spans, 0) AS n_spans,
+        i.input_text, COALESCE(t.target_text, '') AS target_text
+      FROM inp i LEFT JOIN tgt t USING (doc_id)"""),
+      notes = "T5-style span corruption: deterministic md5-threshold span starts on an 8-token grid (3-token spans — non-overlapping by construction, no sequential resolution), input = text with <extra_id_k> sentinels, target = sentinel + masked tokens per span; narrow explodes + doc-keyed reassembly, the q130/q161 machinery pointed at the denoising objective")
   )
 }

@@ -215,6 +215,32 @@ class QueryCatalogSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("keep") == 1))
   }
 
+  test("q172 denoising pairs reconstruct: counts and token conservation hold") {
+    val rows = SparkEntry.queries("q172_span_corruption")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nt, nm, ns) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"),
+        r.getAs[Long]("n_spans"))
+      assert(nm == 3 * ns, "3-token spans by construction")
+      def toks(s: String) = if (s.isEmpty) Array.empty[String] else s.split(" ")
+      val in = toks(r.getAs[String]("input_text"))
+      val tg = toks(r.getAs[String]("target_text"))
+      assert(in.length == nt - nm + ns, "input = original - masked + sentinels")
+      assert(tg.length == nm + ns, "target = masked + sentinels")
+      val sentinels = (0L until ns).map(k => s"<extra_id_$k>")
+      assert(sentinels.forall(sx => in.contains(sx) && tg.contains(sx)),
+        "every sentinel must appear once in input and target")
+      // token conservation: non-sentinel input + non-sentinel target
+      // tokens form exactly the original document's token multiset
+      val rebuilt = (in ++ tg).filterNot(_.startsWith("<extra_id_"))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+      assert(rebuilt.values.sum.toLong == nt, "token mass not conserved")
+    }
+    assert(rows.exists(_.getAs[Long]("n_spans") > 0))
+    assert(rows.exists(_.getAs[Long]("n_spans") == 0),
+      "some doc should draw no spans at rate 0.5")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
