@@ -2658,6 +2658,85 @@ object TextQueries {
         COALESCE(t.n_spans, 0) AS n_spans,
         i.input_text, COALESCE(t.target_text, '') AS target_text
       FROM inp i LEFT JOIN tgt t USING (doc_id)"""),
-      notes = "T5-style span corruption: deterministic md5-threshold span starts on an 8-token grid (3-token spans — non-overlapping by construction, no sequential resolution), input = text with <extra_id_k> sentinels, target = sentinel + masked tokens per span; narrow explodes + doc-keyed reassembly, the q130/q161 machinery pointed at the denoising objective")
+      notes = "T5-style span corruption: deterministic md5-threshold span starts on an 8-token grid (3-token spans — non-overlapping by construction, no sequential resolution), input = text with <extra_id_k> sentinels, target = sentinel + masked tokens per span; narrow explodes + doc-keyed reassembly, the q130/q161 machinery pointed at the denoising objective"),
+
+    // ── Fill-in-the-middle (FIM) transformation ────────────────────────
+    // q172's autoregressive sibling (Bavarian et al. 2022): rewrite a
+    // deterministic ~50% of documents into PSM order —
+    // <PRE> prefix <SUF> suffix <MID> middle — so a causal LM learns
+    // infilling from plain next-token prediction; the rest pass through
+    // untouched (the paper's mixed-objective recipe). Determinism all
+    // the way down (no RNG state): the apply decision is the q51/q109
+    // md5 threshold on doc_id, and the two cut points are independent
+    // md5 draws on (doc_id, salt) mod (n+1) — order-normalized so
+    // prefix/middle/suffix partition the token array exactly. Docs
+    // shorter than 4 tokens stay autoregressive (and a zero-token doc
+    // never reaches the mod — the ANSI division guard). Shape: pure
+    // ARRAY arithmetic on the token list — slice/concat per row, NO
+    // explode, NO join, NO shuffle: the narrowest query in the catalog,
+    // which is the point — FIM at 100 TB is a map.
+    QueryDef("q173_fim", (s, d) => {
+      def h(salt: String) = conv(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit(salt))), 1, 15), 16, 10)
+        .cast("long")
+      val tk = t(s, d, "documents").select(col("doc_id"),
+        filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0)).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+      val u = h("apply").cast("double") / lit(1152921504606846976L) // 2^60
+      val fim = tk
+        .withColumn("apply_fim", (u < 0.5 && col("n") >= 4).cast("long"))
+        .withColumn("c1", when(col("apply_fim") === 1,
+          h("cut1") % (col("n") + 1)).otherwise(lit(0L)))
+        .withColumn("c2", when(col("apply_fim") === 1,
+          h("cut2") % (col("n") + 1)).otherwise(lit(0L)))
+        .withColumn("lo", least(col("c1"), col("c2")))
+        .withColumn("hi", greatest(col("c1"), col("c2")))
+      fim.select(col("doc_id"), col("n").as("n_tokens"), col("apply_fim"),
+        col("lo").as("n_prefix"),
+        (col("hi") - col("lo")).as("n_middle"),
+        (col("n") - col("hi")).as("n_suffix"),
+        when(col("apply_fim") === 1, concat(
+            lit("<PRE> "),
+            array_join(expr("slice(t, 1, cast(lo AS int))"), " "),
+            lit(" <SUF> "),
+            array_join(expr(
+              "slice(t, cast(hi + 1 AS int), cast(n - hi AS int))"), " "),
+            lit(" <MID> "),
+            array_join(expr(
+              "slice(t, cast(lo + 1 AS int), cast(hi - lo AS int))"), " ")))
+          .otherwise(array_join(col("t"), " ")).as("out_text"))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        FROM documents),
+      base AS (
+        SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':apply'),
+            1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cut1'),
+            1, 15) AS BIGINT) AS h1,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cut2'),
+            1, 15) AS BIGINT) AS h2
+        FROM tk),
+      cuts AS (
+        SELECT doc_id, t, n,
+          CAST(CASE WHEN u < 0.5 AND n >= 4 THEN 1 ELSE 0 END AS BIGINT)
+            AS apply_fim,
+          CASE WHEN u < 0.5 AND n >= 4
+            THEN least(h1 % (n + 1), h2 % (n + 1)) ELSE 0 END AS lo,
+          CASE WHEN u < 0.5 AND n >= 4
+            THEN greatest(h1 % (n + 1), h2 % (n + 1)) ELSE 0 END AS hi
+        FROM base)
+      SELECT doc_id, n AS n_tokens, apply_fim,
+        lo AS n_prefix, hi - lo AS n_middle, n - hi AS n_suffix,
+        CASE WHEN apply_fim = 1 THEN
+          '<PRE> ' || COALESCE(array_to_string(t[1 : lo], ' '), '') ||
+          ' <SUF> ' || COALESCE(array_to_string(t[hi + 1 : n], ' '), '') ||
+          ' <MID> ' || COALESCE(array_to_string(t[lo + 1 : hi], ' '), '')
+        ELSE array_to_string(t, ' ') END AS out_text
+      FROM cuts"""),
+      notes = "fill-in-the-middle (PSM) transformation at a deterministic 50% mix rate: md5-drawn cut points mod n+1, order-normalized so prefix/middle/suffix partition the token array; pure per-row array arithmetic — no explode, no join, no shuffle (FIM at 100 TB is a map)")
   )
 }

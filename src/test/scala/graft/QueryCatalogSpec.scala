@@ -241,6 +241,29 @@ class QueryCatalogSpec extends SparkSpec {
       "some doc should draw no spans at rate 0.5")
   }
 
+  test("q173 FIM partitions every transformed doc; both modes occur") {
+    val rows = SparkEntry.queries("q173_fim")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (np, nm, ns2, nt) = (r.getAs[Long]("n_prefix"),
+        r.getAs[Long]("n_middle"), r.getAs[Long]("n_suffix"),
+        r.getAs[Long]("n_tokens"))
+      if (r.getAs[Long]("apply_fim") == 1) {
+        assert(np + nm + ns2 == nt, "PSM segments must partition the doc")
+        val out = r.getAs[String]("out_text")
+        assert(out.startsWith("<PRE>") && out.contains("<SUF>") &&
+          out.contains("<MID>"))
+        // the transformed doc carries every original token + 3 markers
+        assert(out.split(" ").count(_.nonEmpty) == nt + 3)
+      } else {
+        assert(np == 0 && nm == 0 && ns2 == nt)
+        assert(!r.getAs[String]("out_text").contains("<PRE>"))
+      }
+    }
+    val modes = rows.map(_.getAs[Long]("apply_fim")).distinct
+    assert(modes.length == 2, "the 50% mix should exercise both modes")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

@@ -54,7 +54,12 @@ class AdversarialCorpusSpec extends SparkSpec {
     // drop from tokenization on both engines), NB (single-class prior
     // guard), planning/fit (per-source / 1-row shapes)
     "q161_substr_dedup", "q163_naive_bayes", "q164_epoch_mix",
-    "q165_zipf_fit", "q166_substr_incremental")
+    "q165_zipf_fit", "q166_substr_incremental",
+    // agreement matrix composes three member pipelines; media queries
+    // build payloads from doc_ids; q172/q173 must reassemble degenerate
+    // docs (empty, 1-token, pathological-length) without ANSI errors
+    "q167_dedup_agreement", "q170_image_ahash", "q171_pair_curation",
+    "q172_span_corruption", "q173_fim")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
