@@ -496,6 +496,172 @@ object MlQueries {
           AS correct
       FROM split sp CROSS JOIN pri LEFT JOIN perdoc p USING (doc_id)
       WHERE NOT sp.is_train"""),
-      notes = "multinomial naive Bayes over 256 hashed-unigram buckets with a leakage-free 90/10 hash split: train = ONE map-side-combined bucket agg (256-row model), score = broadcast join + doc fold over the held-out slice; micro-unit exact ln terms, integer decision at 0 — the one-pass counting classifier beside q116's iterated GD")
+      notes = "multinomial naive Bayes over 256 hashed-unigram buckets with a leakage-free 90/10 hash split: train = ONE map-side-combined bucket agg (256-row model), score = broadcast join + doc fold over the held-out slice; micro-unit exact ln terms, integer decision at 0 — the one-pass counting classifier beside q116's iterated GD"),
+
+    // ── Histogram-based decision-stump split finding (the GBDT core) ───
+    // The primitive every gradient-boosted-tree trainer (XGBoost/
+    // LightGBM histogram mode) runs per node: bin each feature into a
+    // fixed histogram in ONE data pass, then pick the split maximizing
+    // the purity score on the histogram alone — the data is touched
+    // once, the split search runs on |features| x 16 rows of metadata.
+    // Features: the q116 trio (n_chars / whitespace tokens / stopword
+    // hits) as raw integers; label = lang='en'. Binning is exact
+    // integer arithmetic (v*16 div cap, clamped to bin 15; caps
+    // corpus-calibrated so every feature spreads). Split score is the
+    // standard Gini-equivalent sum-of-squares form
+    //   (pos_L² + neg_L²)/n_L + (pos_R² + neg_R²)/n_R
+    // computed in DOUBLE from exact BIGINT counts with an identical
+    // expression tree on both engines (exact while counts < 2^26 —
+    // every driver SF; at 100 TB the score is a heuristic anyway),
+    // micro-unit rounded into a BIGINT argmax key with lowest-bin
+    // tiebreak. Shapes: 3x bounded literal fan-out -> ONE map-side-
+    // combined (feature, bin) agg (<= 48 rows) -> windows and argmax on
+    // metadata only. The cumulative windows partition by feature — no
+    // single-partition exchange anywhere.
+    QueryDef("q176_decision_stump", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val feats = t(s, d, "documents").select(
+        col("n_chars").cast("long").as("f_chars"),
+        (length(col("text")) - length(replace(col("text"), lit(" "),
+          lit(""))) + lit(1)).cast("long").as("f_tokens"),
+        graft.text.TextSignals.stopwordHits(col("text")).cast("long")
+          .as("f_stop"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val exploded = feats.select(col("y"), explode(array(
+          struct(lit("f_chars").as("feature"), col("f_chars").as("v"),
+            lit(600L).as("cap")),
+          struct(lit("f_tokens").as("feature"), col("f_tokens").as("v"),
+            lit(100L).as("cap")),
+          struct(lit("f_stop").as("feature"), col("f_stop").as("v"),
+            lit(12L).as("cap")))).as("fv"))
+        .select(col("fv.feature").as("feature"),
+          least(lit(15L), expr("fv.v * 16 div fv.cap")).as("bin"), col("y"))
+      val hist = exploded.groupBy("feature", "bin").agg(
+        count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val wCum = Window.partitionBy("feature").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("feature")
+      val cand = hist
+        .withColumn("n_left", sum("n").over(wCum))
+        .withColumn("pos_left", sum("pos").over(wCum))
+        .withColumn("tot_n", sum("n").over(wTot))
+        .withColumn("tot_pos", sum("pos").over(wTot))
+        .filter(col("n_left") >= 1 && col("tot_n") - col("n_left") >= 1)
+        .select(col("feature"), col("bin"), col("n_left"), col("pos_left"),
+          (col("tot_n") - col("n_left")).as("n_right"),
+          (col("tot_pos") - col("pos_left")).as("pos_right"))
+      def sq(c: org.apache.spark.sql.Column) = c.cast("double") * c.cast("double")
+      val scored = cand.withColumn("score_u", round((
+          (sq(col("pos_left")) + sq(col("n_left") - col("pos_left"))) /
+            col("n_left").cast("double") +
+          (sq(col("pos_right")) + sq(col("n_right") - col("pos_right"))) /
+            col("n_right").cast("double")) * lit(1e6)).cast("long"))
+      scored.groupBy("feature").agg(max(struct(
+          col("score_u").as("su"), (-col("bin")).as("nb"), col("bin").as("b"),
+          col("n_left").as("nl"), col("pos_left").as("pl"),
+          col("n_right").as("nr"), col("pos_right").as("pr"))).as("best"))
+        .select(col("feature"), col("best.b").as("split_bin"),
+          col("best.nl").as("n_left"), col("best.pl").as("pos_left"),
+          col("best.nr").as("n_right"), col("best.pr").as("pos_right"),
+          (col("best.su").cast("double") / lit(1e6)).as("split_score"))
+    }, Some("""
+      WITH f AS (
+        SELECT CAST(n_chars AS BIGINT) AS f_chars,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS f_tokens,
+          CAST(len(regexp_extract_all(text, '\bthe\b'))
+             + len(regexp_extract_all(text, '\ba\b'))
+             + len(regexp_extract_all(text, '\band\b'))
+             + len(regexp_extract_all(text, '\bof\b')) AS BIGINT) AS f_stop,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      fv AS (
+        SELECT 'f_chars' AS feature, f_chars AS v, 600 AS cap, y FROM f
+        UNION ALL SELECT 'f_tokens', f_tokens, 100, y FROM f
+        UNION ALL SELECT 'f_stop', f_stop, 12, y FROM f),
+      hist AS (
+        SELECT feature, least(15, v * 16 // cap) AS bin,
+          COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM fv GROUP BY 1, 2),
+      cum AS (
+        SELECT feature, bin,
+          CAST(SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT)
+            AS n_left,
+          CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT)
+            AS pos_left,
+          CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS tot_n,
+          CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS tot_pos
+        FROM hist),
+      cand AS (
+        SELECT feature, bin, n_left, pos_left,
+          tot_n - n_left AS n_right, tot_pos - pos_left AS pos_right
+        FROM cum WHERE n_left >= 1 AND tot_n - n_left >= 1),
+      sc AS (
+        SELECT feature, bin, n_left, pos_left, n_right, pos_right,
+          CAST(ROUND((
+            (CAST(pos_left AS DOUBLE) * CAST(pos_left AS DOUBLE)
+             + CAST(n_left - pos_left AS DOUBLE)
+               * CAST(n_left - pos_left AS DOUBLE))
+              / CAST(n_left AS DOUBLE)
+            + (CAST(pos_right AS DOUBLE) * CAST(pos_right AS DOUBLE)
+             + CAST(n_right - pos_right AS DOUBLE)
+               * CAST(n_right - pos_right AS DOUBLE))
+              / CAST(n_right AS DOUBLE)) * 1000000.0) AS BIGINT) AS score_u
+        FROM cand),
+      rk AS (
+        SELECT *, row_number() OVER (PARTITION BY feature
+          ORDER BY score_u DESC, bin ASC) AS r
+        FROM sc)
+      SELECT feature, bin AS split_bin, n_left, pos_left, n_right, pos_right,
+        CAST(score_u AS DOUBLE) / 1000000.0 AS split_score
+      FROM rk WHERE r = 1"""),
+      notes = "histogram-based decision-stump split finding (the XGBoost/LightGBM per-node primitive): one 3x literal fan-out + ONE map-side-combined (feature, bin) agg touches the data once; cumulative windows + Gini-equivalent argmax run on <= 48 metadata rows, micro-unit score key with lowest-bin tiebreak"),
+
+    // ── EL2N example-difficulty scoring for data pruning (Data Diet) ───
+    // Scores every example by the trained q116 model's error margin —
+    // |p − y|, the (scalar-logit) EL2N score of Paul et al. 2021 — and
+    // keeps the top-5 hardest per source: the data-pruning signal that
+    // drops easy redundant examples while keeping the ones that carry
+    // gradient. Composes the catalog's own train path (trainOn; scoring
+    // is the q117 model-as-literals narrow projection) with the q135
+    // per-group top-k shape, so the rank filter pushes into
+    // WindowGroupLimit — per-source bounded state, no global sort. The
+    // error is exact in micro-units (round(p*1e6) is the same BIGINT
+    // both engines; y*1e6 is exact), so ranks and the hash gate are
+    // deterministic; the source attribute rides a doc-keyed join.
+    QueryDef("q177_data_diet", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val w = trainOn(docs)
+      val f = langFeatures(docs)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val el = f.select(col("doc_id"),
+        abs(round(p * lit(1e6)).cast("long") -
+          (col("y") * lit(1e6)).cast("long")).as("el2n_u"))
+      val win = Window.partitionBy("source")
+        .orderBy(col("el2n_u").desc, col("doc_id").asc)
+      el.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("doc_id"),
+          (col("el2n_u").cast("double") / lit(1e6)).as("el2n"))
+    }, Some(OracleSteps + """,
+      el AS (SELECT f.doc_id,
+          abs(CAST(ROUND(1000000.0 /
+            (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3))))
+            AS BIGINT) - CAST(y * 1000000.0 AS BIGINT)) AS el2n_u
+        FROM f, w3),
+      j AS (SELECT d.source, el.doc_id, el.el2n_u
+        FROM el JOIN documents d USING (doc_id)),
+      rk AS (SELECT source, doc_id, el2n_u,
+          row_number() OVER (PARTITION BY source
+            ORDER BY el2n_u DESC, doc_id ASC) AS rank
+        FROM j)
+      SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+        CAST(el2n_u AS DOUBLE) / 1000000.0 AS el2n
+      FROM rk WHERE rank <= 5"""),
+      notes = "EL2N example-difficulty scoring (Paul et al. Data Diet): |p - y| under the q116 model in exact micro-units, top-5 hardest per source via the q135 WindowGroupLimit shape — the data-pruning selection signal, train path + narrow scoring + per-group bounded rank")
   )
 }

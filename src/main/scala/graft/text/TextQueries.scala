@@ -2737,6 +2737,229 @@ object TextQueries {
           ' <MID> ' || COALESCE(array_to_string(t[lo + 1 : hi], ' '), '')
         ELSE array_to_string(t, ' ') END AS out_text
       FROM cuts"""),
-      notes = "fill-in-the-middle (PSM) transformation at a deterministic 50% mix rate: md5-drawn cut points mod n+1, order-normalized so prefix/middle/suffix partition the token array; pure per-row array arithmetic — no explode, no join, no shuffle (FIM at 100 TB is a map)")
+      notes = "fill-in-the-middle (PSM) transformation at a deterministic 50% mix rate: md5-drawn cut points mod n+1, order-normalized so prefix/middle/suffix partition the token array; pure per-row array arithmetic — no explode, no join, no shuffle (FIM at 100 TB is a map)"),
+
+    // ── SFT chat-template formatting with loss-mask accounting ─────────
+    // The supervised-fine-tuning prep step q172/q173 lead up to: render
+    // each document as a chat exchange (system + user + assistant role
+    // markers) and account for the loss mask — an SFT trainer computes
+    // loss only on assistant-span tokens, so the pipeline must report
+    // how much of each rendered sequence is actually supervised. The
+    // user span is the first max(1, n/4) tokens (a deterministic
+    // instruction/response cut; real corpora carry the boundary as
+    // data), the assistant span is the rest. Cut arithmetic is integer,
+    // loss_frac divides two BIGINTs in DOUBLE (IEEE-identical cross-
+    // engine), and the rendered text is slice/concat — q173's posture:
+    // a pure per-row map, NO explode, NO join, NO shuffle. A zero-token
+    // doc never divides (the CASE guard) and renders empty spans.
+    QueryDef("q174_chat_template", (s, d) => {
+      val tk = t(s, d, "documents").select(col("doc_id"),
+        filter(split(col("text"), " "),
+          (x: org.apache.spark.sql.Column) => length(x) > lit(0)).as("tkn"))
+        .withColumn("n", size(col("tkn")).cast("long"))
+        .withColumn("n_user", least(col("n"),
+          greatest(lit(1L), floor(col("n") / lit(4)).cast("long"))))
+      tk.select(
+        col("doc_id"), col("n").as("n_tokens"), col("n_user"),
+        (col("n") - col("n_user")).as("n_loss"),
+        when(col("n") > 0,
+          round((col("n") - col("n_user")).cast("double") /
+            col("n").cast("double"), 6)).otherwise(lit(0.0)).as("loss_frac"),
+        concat(
+          lit("<|system|> You are a helpful assistant. <|user|> "),
+          array_join(expr("slice(tkn, 1, cast(n_user AS int))"), " "),
+          lit(" <|assistant|> "),
+          array_join(expr(
+            "slice(tkn, cast(n_user + 1 AS int), cast(n - n_user AS int))"),
+            " "),
+          lit(" <|end|>")).as("chat_text"))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> len(x) > 0) AS tkn
+        FROM documents),
+      base AS (
+        SELECT doc_id, tkn, CAST(len(tkn) AS BIGINT) AS n FROM tk),
+      cut AS (
+        SELECT doc_id, tkn, n,
+          least(n, greatest(1, CAST(floor(n / 4.0) AS BIGINT))) AS n_user
+        FROM base)
+      SELECT doc_id, n AS n_tokens, n_user, n - n_user AS n_loss,
+        CASE WHEN n > 0
+          THEN round(CAST(n - n_user AS DOUBLE) / CAST(n AS DOUBLE), 6)
+          ELSE 0.0 END AS loss_frac,
+        '<|system|> You are a helpful assistant. <|user|> ' ||
+        COALESCE(array_to_string(tkn[1 : n_user], ' '), '') ||
+        ' <|assistant|> ' ||
+        COALESCE(array_to_string(tkn[n_user + 1 : n], ' '), '') ||
+        ' <|end|>' AS chat_text
+      FROM cut"""),
+      notes = "SFT chat-template rendering with loss-mask accounting: deterministic user/assistant cut at max(1, n/4) tokens, role markers + per-doc supervised-token fraction; pure per-row slice/concat — no explode, no join, no shuffle (q173's posture)"),
+
+    // ── DPO preference-pair construction ───────────────────────────────
+    // Builds (chosen, rejected) training pairs for preference
+    // optimization: within each (source, lang) prompt group, chosen =
+    // the highest-quality document, rejected = the lowest, under a
+    // deterministic integer quality key — stopword density in exact
+    // parts-per-million (BIGINT floor division, q123's arithmetic) plus
+    // a 0.5M-unit in-band length bonus (the q31 band). Total order:
+    // chosen by (score desc, n_chars desc, doc_id asc), rejected by
+    // (score asc, n_chars asc, doc_id desc) — argmax/argmin as ONE
+    // struct-max/min keyed agg (the q59 shape): no window, no self-join,
+    // map-side combinable, so at 100 TB this is a single shuffle of
+    // |groups| partial pairs. Groups of one doc cannot form a pair and
+    // are dropped; with >= 2 docs chosen != rejected by construction
+    // (opposite doc_id tiebreaks).
+    QueryDef("q175_preference_pairs", (s, d) => {
+      val scored = t(s, d, "documents").select(
+          col("source"), col("lang"), col("doc_id"), col("n_chars"),
+          TextSignals.stopwordHits(col("text")).cast("long").as("stop_l"),
+          TextSignals.nTokens(col("text")).cast("long").as("ntok_l"))
+        .withColumn("score_u", expr(
+          "stop_l * 1000000 DIV ntok_l + " +
+            "CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 500000 ELSE 0 END"))
+      scored.groupBy("source", "lang").agg(
+          count(lit(1)).as("group_n"),
+          max(struct(col("score_u").as("s"), col("n_chars").as("nc"),
+            (-col("doc_id")).as("nd"))).as("ch"),
+          min(struct(col("score_u").as("s"), col("n_chars").as("nc"),
+            (-col("doc_id")).as("nd"))).as("rj"))
+        .filter(col("group_n") >= 2)
+        .select(col("source"), col("lang"), col("group_n"),
+          (-col("ch.nd")).as("chosen_doc"), (-col("rj.nd")).as("rejected_doc"),
+          col("ch.s").as("chosen_score_u"), col("rj.s").as("rejected_score_u"),
+          (col("ch.s") - col("rj.s")).as("margin_u"))
+    }, Some("""
+      WITH sc AS (
+        SELECT source, lang, doc_id, n_chars,
+          (CAST(len(regexp_extract_all(text, '\bthe\b'))
+              + len(regexp_extract_all(text, '\ba\b'))
+              + len(regexp_extract_all(text, '\band\b'))
+              + len(regexp_extract_all(text, '\bof\b')) AS BIGINT)
+            * 1000000)
+            // CAST(length(text) - length(replace(text, ' ', '')) + 1
+                 AS BIGINT)
+          + CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 500000 ELSE 0 END
+            AS score_u
+        FROM documents),
+      ch AS (
+        SELECT source, lang, doc_id, score_u,
+          row_number() OVER (PARTITION BY source, lang
+            ORDER BY score_u DESC, n_chars DESC, doc_id ASC) AS r,
+          count(*) OVER (PARTITION BY source, lang) AS gn
+        FROM sc),
+      rj AS (
+        SELECT source, lang, doc_id, score_u,
+          row_number() OVER (PARTITION BY source, lang
+            ORDER BY score_u ASC, n_chars ASC, doc_id DESC) AS r
+        FROM sc)
+      SELECT c.source, c.lang, CAST(c.gn AS BIGINT) AS group_n,
+        c.doc_id AS chosen_doc, j.doc_id AS rejected_doc,
+        c.score_u AS chosen_score_u, j.score_u AS rejected_score_u,
+        c.score_u - j.score_u AS margin_u
+      FROM ch c JOIN rj j
+        ON c.source = j.source AND c.lang = j.lang AND j.r = 1
+      WHERE c.r = 1 AND c.gn >= 2"""),
+      notes = "DPO preference-pair construction: per (source, lang) group, chosen = quality argmax / rejected = argmin under an exact ppm stopword-density + length-band key, opposite doc_id tiebreaks; ONE struct-max/min keyed agg (q59 shape) — no window, no self-join, map-side combinable"),
+
+    // ── Tokenizer fertility / compression diagnostics per language ─────
+    // The tokenizer-selection artifact: per language, how many subword
+    // tokens (the q45 GPT-2-style pre-tokenizer) per whitespace word
+    // (fertility), and how many characters each subword token carries
+    // (compression). High fertility on a language = the tokenizer
+    // fragments it = more compute per content token — the standard
+    // multilingual-tokenizer health check. One map-side-combined agg
+    // over |langs| groups; ratios divide exact BIGINTs in DOUBLE.
+    QueryDef("q178_tokenizer_fertility", (s, d) => {
+      val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+      t(s, d, "documents").groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextSignals.nTokens(col("text")).cast("long")).as("ws_tokens"),
+          sum(size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long")).as("bpe_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"), col("sum_chars"),
+          when(col("ws_tokens") > 0,
+            round(col("bpe_tokens").cast("double") /
+              col("ws_tokens").cast("double"), 6))
+            .otherwise(lit(0.0)).as("fertility"),
+          when(col("bpe_tokens") > 0,
+            round(col("sum_chars").cast("double") /
+              col("bpe_tokens").cast("double"), 6))
+            .otherwise(lit(0.0)).as("chars_per_token"))
+    }, Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+          AS BIGINT) AS ws_tokens,
+        CAST(SUM(len(regexp_extract_all(text,
+          '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+        CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        CASE WHEN SUM(length(text) - length(replace(text, ' ', '')) + 1) > 0
+          THEN round(
+            CAST(SUM(len(regexp_extract_all(text,
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS DOUBLE)
+            / CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                AS DOUBLE), 6)
+          ELSE 0.0 END AS fertility,
+        CASE WHEN SUM(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) > 0
+          THEN round(CAST(SUM(length(text)) AS DOUBLE)
+            / CAST(SUM(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS DOUBLE), 6)
+          ELSE 0.0 END AS chars_per_token
+      FROM documents GROUP BY lang"""),
+      notes = "per-language tokenizer fertility (q45 subword tokens per whitespace word) and chars-per-token compression — the multilingual tokenizer-selection diagnostic; one map-side-combined |langs|-group agg, exact BIGINT sums divided in DOUBLE"),
+
+    // ── Context-length truncation-loss planning ────────────────────────
+    // Prices the context-length decision: for each candidate training
+    // sequence length L (corpus-calibrated 32/64/128 so every regime —
+    // heavy loss, partial, lossless — occurs on the driver corpus), how
+    // many docs per source would truncate and what fraction of token
+    // mass is lost. The 100 TB shape: a narrow 3x literal fan-out
+    // (explode of a 3-element literal array — bounded, no join) into ONE
+    // map-side-combined (source, L) agg; the decision table is
+    // |sources| x 3 rows of metadata.
+    QueryDef("q179_truncation_loss", (s, d) => {
+      t(s, d, "documents").select(col("source"),
+          TextSignals.nTokens(col("text")).cast("long").as("n"))
+        .select(col("source"), col("n"),
+          explode(array(lit(32L), lit(64L), lit(128L))).as("ctx_len"))
+        .groupBy("source", "ctx_len").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n") > col("ctx_len"), 1L).otherwise(0L))
+            .as("docs_truncated"),
+          sum(col("n")).as("tokens_total"),
+          sum(least(col("n"), col("ctx_len"))).as("tokens_kept"),
+          sum(greatest(col("n") - col("ctx_len"), lit(0L)))
+            .as("tokens_lost"))
+        .select(col("source"), col("ctx_len"), col("n_docs"),
+          col("docs_truncated"), col("tokens_total"), col("tokens_kept"),
+          col("tokens_lost"),
+          when(col("tokens_total") > 0,
+            round(col("tokens_lost").cast("double") /
+              col("tokens_total").cast("double"), 6))
+            .otherwise(lit(0.0)).as("loss_frac"))
+    }, Some("""
+      WITH dd AS (
+        SELECT source,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS n
+        FROM documents),
+      x AS (
+        SELECT dd.source, dd.n, CAST(c.ctx_len AS BIGINT) AS ctx_len
+        FROM dd CROSS JOIN (SELECT unnest([32, 64, 128]) AS ctx_len) c)
+      SELECT source, ctx_len, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+          AS docs_truncated,
+        CAST(SUM(n) AS BIGINT) AS tokens_total,
+        CAST(SUM(least(n, ctx_len)) AS BIGINT) AS tokens_kept,
+        CAST(SUM(greatest(n - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+        CASE WHEN SUM(n) > 0
+          THEN round(CAST(SUM(greatest(n - ctx_len, 0)) AS DOUBLE)
+            / CAST(SUM(n) AS DOUBLE), 6)
+          ELSE 0.0 END AS loss_frac
+      FROM x GROUP BY source, ctx_len"""),
+      notes = "context-length truncation-loss planning: per (source, L in 32/64/128) docs truncated + token mass lost + loss fraction; narrow 3x literal fan-out into one map-side-combined agg — the |sources| x 3 decision table for picking a training sequence length")
   )
 }

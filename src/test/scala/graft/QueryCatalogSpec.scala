@@ -264,6 +264,99 @@ class QueryCatalogSpec extends SparkSpec {
     assert(modes.length == 2, "the 50% mix should exercise both modes")
   }
 
+  test("q174 chat rendering conserves tokens and the loss mask is coherent") {
+    val rows = SparkEntry.queries("q174_chat_template")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nt, nu, nl) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_user"),
+        r.getAs[Long]("n_loss"))
+      assert(nu + nl == nt, "user + assistant spans must partition the doc")
+      assert(nu >= 1, "driver docs are non-empty, user span is at least 1")
+      val txt = r.getAs[String]("chat_text")
+      assert(txt.startsWith("<|system|>") && txt.contains("<|user|>") &&
+        txt.contains("<|assistant|>") && txt.endsWith("<|end|>"))
+      // rendered = original tokens + 9 template tokens (5 system-prompt
+      // words + <|system|>/<|user|>/<|assistant|>/<|end|> markers)
+      assert(txt.split(" ").count(_.nonEmpty) == nt + 9,
+        s"doc ${r.getAs[Long]("doc_id")}: token mass not conserved")
+      val lf = r.getAs[Double]("loss_frac")
+      assert(lf >= 0.0 && lf < 1.0)
+    }
+  }
+
+  test("q175 pairs are intra-group, distinct, with non-negative margins") {
+    val rows = SparkEntry.queries("q175_preference_pairs")(spark, sf).collect()
+    assert(rows.length == 94, "one pair per (source, lang) group with >= 2 docs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("chosen_doc") != r.getAs[Long]("rejected_doc"),
+        "a preference pair needs two distinct docs")
+      assert(r.getAs[Long]("group_n") >= 2)
+      val m = r.getAs[Long]("margin_u")
+      assert(m >= 0, "chosen score can never trail rejected")
+      assert(m == r.getAs[Long]("chosen_score_u") -
+        r.getAs[Long]("rejected_score_u"))
+    }
+    assert(rows.exists(_.getAs[Long]("margin_u") > 0),
+      "some group should separate chosen from rejected on quality")
+  }
+
+  test("q176 finds a valid split per feature with coherent histogram algebra") {
+    val rows = SparkEntry.queries("q176_decision_stump")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("feature")).sorted.toSeq ==
+      Seq("f_chars", "f_stop", "f_tokens"), "every feature must split")
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.foreach { r =>
+      val (nl, nr) = (r.getAs[Long]("n_left"), r.getAs[Long]("n_right"))
+      assert(nl >= 1 && nr >= 1, "both split sides must be non-empty")
+      assert(nl + nr == n, "split sides must partition the corpus")
+      assert(r.getAs[Long]("pos_left") <= nl && r.getAs[Long]("pos_right") <= nr)
+      val b = r.getAs[Long]("split_bin")
+      assert(b >= 0 && b < 15, "a split after bin 15 would leave right empty")
+      assert(r.getAs[Double]("split_score") > 0)
+    }
+  }
+
+  test("q177 keeps the 5 hardest per source and ranks agree with scores") {
+    val rows = SparkEntry.queries("q177_data_diet")(spark, sf).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.size == 20, "every source should yield a top-5")
+    bySource.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L))
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("el2n"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"EL2N must be non-increasing in rank: ${byRank.toSeq}")
+      rs.foreach(r => assert(r.getAs[Double]("el2n") >= 0 &&
+        r.getAs[Double]("el2n") <= 1.0))
+    }
+  }
+
+  test("q178 fertility >= 1 per language (subwords refine whitespace words)") {
+    val rows = SparkEntry.queries("q178_tokenizer_fertility")(spark, sf).collect()
+    assert(rows.length == 5, "one row per language")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"),
+        "the q45 pre-tokenizer never merges across whitespace")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Double]("chars_per_token") > 0)
+    }
+  }
+
+  test("q179 truncation accounting is exact and covers all three regimes") {
+    val rows = SparkEntry.queries("q179_truncation_loss")(spark, sf).collect()
+    assert(rows.length == 60, "20 sources x 3 context lengths")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_kept") + r.getAs[Long]("tokens_lost") ==
+        r.getAs[Long]("tokens_total"), "kept + lost must partition the mass")
+      assert(r.getAs[Long]("docs_truncated") <= r.getAs[Long]("n_docs"))
+    }
+    val at = (l: Long) => rows.filter(_.getAs[Long]("ctx_len") == l)
+    assert(at(32L).forall(_.getAs[Long]("tokens_lost") > 0),
+      "L=32 must lose mass in every source (median doc is ~56 tokens)")
+    assert(at(128L).forall(_.getAs[Long]("tokens_lost") == 0),
+      "L=128 must be lossless (max doc is 99 tokens)")
+    assert(at(64L).exists(_.getAs[Long]("tokens_lost") > 0))
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

@@ -36,7 +36,9 @@ class AdversarialCorpusSpec extends SparkSpec {
     "q45_regex_tokens", "q51_hash_sample", "q60_redact", "q65_repetition",
     "q66_shard_pack", "q77_unigram_lm", "q89_global_ids",
     "q131_gopher_gates", "q132_bpe_encode",
-    "q152_dsir_weights", "q155_leakage_split")
+    "q152_dsir_weights", "q155_leakage_split",
+    // chat rendering must survive empty/1-token docs (n_user clamps)
+    "q174_chat_template")
 
   private val otherDocQueries = Seq(
     "q38_ngram_jaccard", "q44_token_topk", "q50_tfidf", "q57_dup_clusters",
@@ -59,7 +61,12 @@ class AdversarialCorpusSpec extends SparkSpec {
     // build payloads from doc_ids; q172/q173 must reassemble degenerate
     // docs (empty, 1-token, pathological-length) without ANSI errors
     "q167_dedup_agreement", "q170_image_ahash", "q171_pair_curation",
-    "q172_span_corruption", "q173_fim")
+    "q172_span_corruption", "q173_fim",
+    // q174-q179 batch: pair construction (1-doc groups drop), stump
+    // binning (clamped bins on the pathological doc), EL2N (trains on
+    // 9 docs), fertility/truncation (empty-text sums stay defined)
+    "q175_preference_pairs", "q176_decision_stump", "q177_data_diet",
+    "q178_tokenizer_fertility", "q179_truncation_loss")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
