@@ -547,5 +547,53 @@ object LakeQueries {
         (SELECT COUNT(*) FROM v1 WHERE NOT EXISTS
           (SELECT 1 FROM v2 WHERE v2.o_orderkey = v1.o_orderkey))
           AS n_removed"""),
-      notes = "snapshot novelty from per-version theta blobs (time travel x sketch algebra): added/removed/persisted key counts for any version pair without a join or rescan; exact below 2^17 keys (every driver SF) via the q154 gate argument, ~0.3% estimates past it; versions are real pointer-resolved Snapshots commits"))
+      notes = "snapshot novelty from per-version theta blobs (time travel x sketch algebra): added/removed/persisted key counts for any version pair without a join or rescan; exact below 2^17 keys (every driver SF) via the q154 gate argument, ~0.3% estimates past it; versions are real pointer-resolved Snapshots commits"),
+
+    // ── Differentially-private count release (Laplace mechanism) ───────
+    // The governance sibling of q129's purge: release per-source doc
+    // counts under the ε=1 Laplace mechanism — each count is a
+    // sensitivity-1 query (one doc contributes to exactly one source),
+    // so noise ~ Laplace(1/ε) gives ε-DP per the standard composition.
+    // The noise draw is the inverse-CDF transform
+    //   noise = −(1/ε)·sign(u−½)·ln(1 − 2|u−½|)
+    // over a DETERMINISTIC md5 uniform per source — which makes the
+    // release hash-gateable end-to-end (LN on identical doubles is the
+    // q77 accepted residual). Production note, stated loudly: a real
+    // deployment derives u from a SECRET seed (a deterministic public
+    // seed voids the privacy guarantee); the mechanism, sensitivity
+    // bound, and release shape are exactly what ships. ln(0) is
+    // unreachable in practice but clamped anyway (greatest 1e-18 —
+    // the ANSI posture). One map-side-combined agg; noise is |sources|
+    // rows of metadata arithmetic.
+    QueryDef("q181_dp_release", (s, d) => {
+      val u = conv(substring(md5(concat_ws(":", col("source"), lit("dp"))),
+        1, 15), 16, 10).cast("double") / lit(1152921504606846976L) // 2^60
+      val x = greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)), lit(1e-18))
+      val sign = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0))
+      val noise = lit(-1.0) * sign * log(x) // 1/eps = 1
+      Ops.t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          lit(1.0).as("epsilon"),
+          round(noise, 6).as("noise"),
+          greatest(lit(0L),
+            round(col("n_docs").cast("double") + noise).cast("long"))
+            .as("dp_count"))
+    }, Some("""
+      WITH agg AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      nz AS (SELECT source, n_docs,
+          CAST(CAST('0x' || substr(md5(source || ':dp'), 1, 15) AS BIGINT)
+            AS DOUBLE) / 1152921504606846976.0 AS u
+        FROM agg),
+      n2 AS (SELECT source, n_docs,
+          -1.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END) *
+            LN(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-18)) AS noise
+        FROM nz)
+      SELECT source, n_docs, CAST(1.0 AS DOUBLE) AS epsilon,
+        round(noise, 6) AS noise,
+        greatest(0, CAST(ROUND(CAST(n_docs AS DOUBLE) + noise) AS BIGINT))
+          AS dp_count
+      FROM n2"""),
+      notes = "eps=1 Laplace count release per source (sensitivity-1 by construction): inverse-CDF noise over a deterministic md5 uniform so the mechanism is hash-gateable (production uses a secret seed — documented loudly); one map-side-combined agg + |sources|-row noise arithmetic"))
 }

@@ -662,6 +662,186 @@ object MlQueries {
       SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
         CAST(el2n_u AS DOUBLE) / 1000000.0 AS el2n
       FROM rk WHERE rank <= 5"""),
-      notes = "EL2N example-difficulty scoring (Paul et al. Data Diet): |p - y| under the q116 model in exact micro-units, top-5 hardest per source via the q135 WindowGroupLimit shape — the data-pruning selection signal, train path + narrow scoring + per-group bounded rank")
+      notes = "EL2N example-difficulty scoring (Paul et al. Data Diet): |p - y| under the q116 model in exact micro-units, top-5 hardest per source via the q135 WindowGroupLimit shape — the data-pruning selection signal, train path + narrow scoring + per-group bounded rank"),
+
+    // ── Split-conformal prediction sets (distribution-free calibration) ─
+    // The release-gate companion to q147/q148: calibrate a conformal
+    // threshold on a held-out slice and emit per-test-doc PREDICTION
+    // SETS with finite-sample coverage ≥ 90% guaranteed by
+    // exchangeability alone (Vovk; split-conformal form) — no
+    // distributional assumption on the deliberately-unlearnable q116
+    // model. Mechanics, all exact integers: 50/50 md5 split (q109's
+    // rule); nonconformity of the TRUE label in micro-units
+    // (1e6 − p_u for y=1 else p_u); threshold = the
+    // ceil(0.9·(n_cal+1))-th smallest calibration score — an order
+    // statistic, so ranks come from GlobalOrder (q147's shape, no
+    // single-partition window) and the k-th row is selected by exact
+    // integer rank (k computed by ceiling floor-division; an
+    // undersized calibration slice degrades to cover-everything,
+    // qhat = 1e6+1). Test stage: two integer compares per doc — set
+    // membership for each label, set size, and whether the true label
+    // is covered. At 100 TB: train once, one calibration pass, then
+    // scoring + two compares per row — the threshold broadcasts as
+    // one BIGINT.
+    QueryDef("q180_conformal", (s, d) => {
+      val docs = t(s, d, "documents")
+      val w = trainOn(docs)
+      val f = langFeatures(docs)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val u = conv(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("conf"))), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976L) // 2^60
+      val scored = f.select(col("doc_id"),
+        round(p * lit(1e6)).cast("long").as("p_u"),
+        col("y").cast("long").as("is_en"),
+        (u < 0.5).as("is_cal"))
+      val cal = scored.filter(col("is_cal"))
+        .withColumn("s_u", when(col("is_en") === 1,
+          lit(1000000L) - col("p_u")).otherwise(col("p_u")))
+      val nCal = cal.agg(count(lit(1)).as("n_cal"))
+      val ranked = graft.operators.GlobalOrder.withRowNumbers(
+        cal, Seq(col("s_u").asc, col("doc_id").asc), out = "r")
+      val qhat = ranked.crossJoin(broadcast(nCal))
+        .filter(col("r") === expr("(9 * (n_cal + 1) + 9) div 10"))
+        .agg(coalesce(max(col("s_u")), lit(1000001L)).as("qhat_u"))
+      scored.filter(!col("is_cal"))
+        .crossJoin(broadcast(qhat))
+        .select(col("doc_id"),
+          (col("p_u").cast("double") / lit(1e6)).as("p_en"),
+          col("qhat_u"),
+          ((lit(1000000L) - col("p_u") <= col("qhat_u")).cast("long") +
+            (col("p_u") <= col("qhat_u")).cast("long")).as("set_size"),
+          when(col("is_en") === 1,
+            (lit(1000000L) - col("p_u") <= col("qhat_u")).cast("long"))
+            .otherwise((col("p_u") <= col("qhat_u")).cast("long"))
+            .as("covered"))
+    }, Some(OracleSteps + """,
+      scored AS (SELECT f.doc_id,
+          CAST(ROUND(1000000.0 /
+            (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3))))
+            AS BIGINT) AS p_u,
+          CAST(y AS BIGINT) AS is_en,
+          CAST(CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR) || ':conf'),
+            1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < 0.5
+            AS is_cal
+        FROM f, w3),
+      cal AS (SELECT doc_id,
+          CASE WHEN is_en = 1 THEN 1000000 - p_u ELSE p_u END AS s_u
+        FROM scored WHERE is_cal),
+      nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+      rk AS (SELECT s_u,
+          row_number() OVER (ORDER BY s_u ASC, doc_id ASC) AS r
+        FROM cal),
+      qh AS (SELECT COALESCE(MAX(s_u), 1000001) AS qhat_u
+        FROM rk, nc WHERE r = (9 * (n_cal + 1) + 9) // 10)
+      SELECT sc.doc_id, CAST(p_u AS DOUBLE) / 1000000.0 AS p_en,
+        qh.qhat_u,
+        CAST(1000000 - p_u <= qh.qhat_u AS BIGINT)
+          + CAST(p_u <= qh.qhat_u AS BIGINT) AS set_size,
+        CASE WHEN is_en = 1 THEN CAST(1000000 - p_u <= qh.qhat_u AS BIGINT)
+             ELSE CAST(p_u <= qh.qhat_u AS BIGINT) END AS covered
+      FROM scored sc, qh WHERE NOT is_cal"""),
+      notes = "split-conformal prediction sets: 50/50 md5 calibration split, micro-unit true-label nonconformity, threshold = exact ceil(0.9(n+1))-th order statistic via GlobalOrder ranks (no single-partition window), per-test-doc set size + coverage by two integer compares — distribution-free >= 90% coverage from exchangeability alone"),
+
+    // ── DoReMi-style domain mixture reweighting ────────────────────────
+    // q164/q102 plan mixtures from token COUNTS; DoReMi (Xie et al.)
+    // reweights from proxy-model LOSS: domains where the proxy does
+    // worse than the corpus average get upweighted (they carry more
+    // learnable signal). Proxy = the q163 unigram machinery trained on
+    // the FULL corpus (mixture planning, not eval — no split): per-
+    // token cross-entropy −ln p(bucket | doc's class) with add-1
+    // smoothing over the aligned 256-bucket spine, micro-unit rounded
+    // into BIGINT sums, so each source's mean loss is exact integers
+    // divided in DOUBLE. One exponentiated-gradient step (η = 1):
+    // w ∝ base_share · exp(mean_loss − corpus_loss), micro-quantized
+    // BEFORE the only cross-source normalization sum (q164's
+    // exactness pattern). Shapes: one token pass + ONE combined
+    // bucket agg (the 256-row model broadcasts) + one source agg;
+    // the mixture algebra runs on |sources| metadata rows.
+    QueryDef("q182_doremi_mix", (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val toks = nbTokens(docs)
+      val model0 = nbCounts(toks).localCheckpoint(true)
+      val tot = model0.agg(sum("c_en").as("n_en"), sum("c_ot").as("n_ot"))
+      val model = model0.crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(-log((col("c_en") + lit(1L)).cast("double") /
+            (col("n_en") + lit(256L)).cast("double")) * 1e6).cast("long")
+            .as("l_en"),
+          round(-log((col("c_ot") + lit(1L)).cast("double") /
+            (col("n_ot") + lit(256L)).cast("double")) * 1e6).cast("long")
+            .as("l_ot"))
+      val perSrc = toks.join(broadcast(model), "b")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("lang") === "en", col("l_en")).otherwise(col("l_ot")))
+            .as("loss_sum_u"))
+      val totals = perSrc.agg(sum("n_tokens").as("tt"),
+        sum("loss_sum_u").as("tl"))
+      val mix = perSrc.crossJoin(broadcast(totals))
+        .withColumn("mean_loss_x", col("loss_sum_u").cast("double") /
+          col("n_tokens").cast("double") / lit(1e6))
+        .withColumn("corpus_loss", col("tl").cast("double") /
+          col("tt").cast("double") / lit(1e6))
+        .withColumn("w_u", round((col("n_tokens").cast("double") /
+          col("tt").cast("double")) *
+          exp(col("mean_loss_x") - col("corpus_loss")) * lit(1e6))
+          .cast("long"))
+      val wTot = mix.agg(sum("w_u").as("wsum"))
+      mix.crossJoin(broadcast(wTot))
+        .select(col("source"), col("n_tokens"),
+          round(col("mean_loss_x"), 6).as("mean_loss"),
+          round(col("n_tokens").cast("double") / col("tt").cast("double"), 6)
+            .as("base_share"),
+          round(col("w_u").cast("double") / col("wsum").cast("double"), 6)
+            .as("new_weight"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+          CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS b
+        FROM (SELECT doc_id, lang, source,
+                unnest(list_filter(string_split(text, ' '),
+                  t -> len(t) > 0)) AS tok
+              FROM documents)),
+      cb AS (SELECT b,
+          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+          SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_ot
+        FROM toks GROUP BY b),
+      model0 AS (SELECT sp.b, COALESCE(c_en, 0) AS c_en,
+          COALESCE(c_ot, 0) AS c_ot
+        FROM (SELECT unnest(range(0, 256)) AS b) sp
+        LEFT JOIN cb ON cb.b = sp.b),
+      tot AS (SELECT SUM(c_en) AS n_en, SUM(c_ot) AS n_ot FROM model0),
+      model AS (SELECT b,
+          CAST(ROUND(-LN(CAST(c_en + 1 AS DOUBLE) /
+            CAST(n_en + 256 AS DOUBLE)) * 1000000) AS BIGINT) AS l_en,
+          CAST(ROUND(-LN(CAST(c_ot + 1 AS DOUBLE) /
+            CAST(n_ot + 256 AS DOUBLE)) * 1000000) AS BIGINT) AS l_ot
+        FROM model0, tot),
+      ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN lang = 'en' THEN l_en ELSE l_ot END) AS BIGINT)
+            AS loss_sum_u
+        FROM toks JOIN model USING (b) GROUP BY source),
+      tts AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+          CAST(SUM(loss_sum_u) AS BIGINT) AS tl FROM ps),
+      mx AS (SELECT source, n_tokens, loss_sum_u, tt, tl,
+          CAST(loss_sum_u AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+            AS mean_loss_x,
+          CAST(tl AS DOUBLE) / CAST(tt AS DOUBLE) / 1000000.0 AS corpus_loss
+        FROM ps, tts),
+      mw AS (SELECT *,
+          CAST(ROUND((CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE)) *
+            EXP(mean_loss_x - corpus_loss) * 1000000.0) AS BIGINT) AS w_u
+        FROM mx),
+      ws AS (SELECT CAST(SUM(w_u) AS BIGINT) AS wsum FROM mw)
+      SELECT source, n_tokens, round(mean_loss_x, 6) AS mean_loss,
+        round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+          AS base_share,
+        round(CAST(w_u AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS new_weight
+      FROM mw, ws"""),
+      notes = "DoReMi-style loss-aware mixture reweighting: per-source mean per-token cross-entropy under the full-corpus q163 unigram proxy (micro-unit exact BIGINT sums), one exponentiated-gradient step w ~ share * exp(excess loss), micro-quantized before the only cross-source normalization — one token pass + 256-row broadcast model + |sources|-row metadata algebra")
   )
 }

@@ -357,6 +357,58 @@ class QueryCatalogSpec extends SparkSpec {
     assert(at(64L).exists(_.getAs[Long]("tokens_lost") > 0))
   }
 
+  test("q180 conformal sets cover >= 85% of test docs with coherent membership") {
+    val rows = SparkEntry.queries("q180_conformal")(spark, sf).collect()
+    assert(rows.length > 150 && rows.length < 350, "~50% md5 test split")
+    val qhats = rows.map(_.getAs[Long]("qhat_u")).distinct
+    assert(qhats.length == 1 && qhats.head >= 0 && qhats.head <= 1000001L,
+      "one broadcast threshold for the whole test slice")
+    rows.foreach { r =>
+      val ss = r.getAs[Long]("set_size")
+      assert(ss >= 0 && ss <= 2)
+      val cov = r.getAs[Long]("covered")
+      assert(cov == 0L || cov == 1L)
+      if (ss == 2) assert(cov == 1L, "a full set always covers")
+      if (ss == 0) assert(cov == 0L, "an empty set never covers")
+    }
+    val coverage = rows.map(_.getAs[Long]("covered")).sum.toDouble / rows.length
+    assert(coverage >= 0.85,
+      f"conformal coverage $coverage%.3f below the finite-sample band")
+  }
+
+  test("q181 DP release: integer counts, nonzero noise, both noise signs") {
+    val rows = SparkEntry.queries("q181_dp_release")(spark, sf).collect()
+    assert(rows.length == 20, "one release row per source")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("epsilon") == 1.0)
+      assert(r.getAs[Long]("dp_count") >= 0, "released counts clamp at 0")
+      val err = math.abs(r.getAs[Long]("dp_count") - r.getAs[Long]("n_docs"))
+      // Laplace(1) tail: P(|noise| > 15) ~ 1.5e-7 — a bigger error means
+      // the inverse-CDF transform is broken, not an unlucky draw
+      assert(err <= 15, s"implausible noise magnitude $err")
+    }
+    val signs = rows.map(r => math.signum(r.getAs[Double]("noise"))).distinct
+    assert(signs.toSet.intersect(Set(1.0, -1.0)).size == 2,
+      "the md5 uniform should draw noise on both sides")
+  }
+
+  test("q182 DoReMi weights normalize to 1 and upweight above-average loss") {
+    val rows = SparkEntry.queries("q182_doremi_mix")(spark, sf).collect()
+    assert(rows.length == 20, "one mixture row per source")
+    val wSum = rows.map(_.getAs[Double]("new_weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    val bSum = rows.map(_.getAs[Double]("base_share")).sum
+    assert(math.abs(bSum - 1.0) < 1e-4)
+    // exp step monotonicity: a source with higher mean loss than another
+    // of equal share gets at least the same relative upweight
+    val meanLoss = rows.map(_.getAs[Double]("mean_loss"))
+    assert(meanLoss.forall(_ > 0))
+    val up = rows.filter(r => r.getAs[Double]("new_weight") >
+      r.getAs[Double]("base_share"))
+    assert(up.nonEmpty && up.length < rows.length,
+      "reweighting should move some sources up and some down")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

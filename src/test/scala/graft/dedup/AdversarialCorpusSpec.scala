@@ -66,7 +66,10 @@ class AdversarialCorpusSpec extends SparkSpec {
     // binning (clamped bins on the pathological doc), EL2N (trains on
     // 9 docs), fertility/truncation (empty-text sums stay defined)
     "q175_preference_pairs", "q176_decision_stump", "q177_data_diet",
-    "q178_tokenizer_fertility", "q179_truncation_loss")
+    "q178_tokenizer_fertility", "q179_truncation_loss",
+    // conformal degrades to cover-everything on a tiny calibration
+    // slice; DP release and DoReMi handle degenerate sources
+    "q180_conformal", "q181_dp_release", "q182_doremi_mix")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
