@@ -774,11 +774,15 @@ object MlQueries {
           round(-log((col("c_ot") + lit(1L)).cast("double") /
             (col("n_ot") + lit(256L)).cast("double")) * 1e6).cast("long")
             .as("l_ot"))
+      // localCheckpoint: perSrc is |sources| metadata rows read twice
+      // (totals + mix) — pin it so the token pass runs ONCE (the
+      // q152-q154 single-pass-per-stage pattern)
       val perSrc = toks.join(broadcast(model), "b")
         .groupBy("source").agg(
           count(lit(1)).as("n_tokens"),
           sum(when(col("lang") === "en", col("l_en")).otherwise(col("l_ot")))
             .as("loss_sum_u"))
+        .localCheckpoint(true)
       val totals = perSrc.agg(sum("n_tokens").as("tt"),
         sum("loss_sum_u").as("tl"))
       val mix = perSrc.crossJoin(broadcast(totals))

@@ -258,7 +258,9 @@ class PlanContractSpec extends SparkSpec {
       "q163_naive_bayes", // broadcast 256-row model + 1-row totals/prior
       "q164_epoch_mix", // broadcast 1-row budget/weight-sum cross join
       "q165_zipf_fit", // GlobalOrder's pinned <=32-row offset self-join
-      "q167_dedup_agreement") // 3-row method-count spine (<' join)
+      "q167_dedup_agreement", // 3-row method-count spine (<' join)
+      "q180_conformal", // broadcast 1-row qhat threshold cross join
+      "q182_doremi_mix") // broadcast 1-row totals/weight-sum cross joins
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -400,6 +402,55 @@ class PlanContractSpec extends SparkSpec {
       !p166.contains("Exchange SinglePartition") &&
       !p166.contains("BroadcastNestedLoopJoin"),
       s"q166 lost its equi-join/no-window shape:\n$p166")
+  }
+
+  test("q174: chat rendering is a pure map — zero shuffles") {
+    val p = plan("q174_chat_template")
+    assert(!p.contains("Exchange"), s"q174 gained a shuffle:\n$p")
+  }
+
+  test("q175/q178/q179/q181: single keyed agg, no windows, no row self-joins") {
+    // each promises ONE map-side-combined keyed agg over the data; a
+    // window or self-join reformulation would show up here
+    Seq("q175_preference_pairs", "q178_tokenizer_fertility",
+      "q179_truncation_loss", "q181_dp_release").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("WindowExec") && !p.contains("RunningWindow"),
+        s"$q gained a window:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q funnelled data through one partition:\n$p")
+      assert(countOf(p, "Exchange") <= 1,
+        s"$q pays more than its one keyed agg shuffle:\n$p")
+    }
+  }
+
+  test("q176: one data-pass agg; split search runs keyed on metadata") {
+    val p = plan("q176_decision_stump")
+    // cumulative/total windows partition by feature — never single-partition
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q176 single-partitioned the histogram:\n$p")
+  }
+
+  test("q177: per-source top-5 gets WindowGroupLimit map-side (q135 contract)") {
+    val p = plan("q177_data_diet")
+    assert(countOf(p, "WindowGroupLimit") >= 2,
+      s"q177 lost rank-limit pushdown:\n$p")
+  }
+
+  test("q180/q182: model/threshold stages collapse only metadata, never the data") {
+    // q180: ranks via GlobalOrder (no window); single-partition stages
+    // are the 1-row n_cal/qhat/offset aggs only
+    val p180 = plan("q180_conformal")
+    assert(!p180.contains("WindowExec") && !p180.contains("RunningWindow"),
+      s"q180 gained a window (GlobalOrder bypassed):\n$p180")
+    assert(countOf(p180, "Exchange SinglePartition") <= 4,
+      s"q180 funnelled the data through one partition:\n$p180")
+    // q182: scoring joins broadcast the 256-row model; single-partition
+    // collapses are the 1-row totals aggs only (the q163 allowance)
+    val p182 = plan("q182_doremi_mix")
+    assert(!p182.contains("WindowExec"), s"q182 gained a window:\n$p182")
+    assert(countOf(p182, "Exchange SinglePartition") <= 3,
+      s"q182 funnelled the token stream through one partition:\n$p182")
   }
 
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
