@@ -159,6 +159,23 @@ object MlQueries {
           w2.w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000.0) / nn.n AS w3
         FROM g3, w2, nn)"""
 
+  /** The q180 test-stage prediction-set construction, shared VERBATIM by
+    * the streaming serving path ([[graft.streaming.StreamingScore]]
+    * serveConformal) — batch/stream parity by one definition, the
+    * scoreWith pattern. Input: (doc_id, p_u BIGINT micro-score, is_en);
+    * `qhatCol` is the broadcast micro-unit conformal threshold. Two
+    * integer compares per row, stateless. */
+  private[graft] def conformalSets(scored: DataFrame,
+      qhatCol: Column): DataFrame =
+    scored.select(col("doc_id"),
+      (col("p_u").cast("double") / lit(1e6)).as("p_en"),
+      qhatCol.as("qhat_u"),
+      ((lit(1000000L) - col("p_u") <= qhatCol).cast("long") +
+        (col("p_u") <= qhatCol).cast("long")).as("set_size"),
+      when(col("is_en") === 1,
+        (lit(1000000L) - col("p_u") <= qhatCol).cast("long"))
+        .otherwise((col("p_u") <= qhatCol).cast("long")).as("covered"))
+
   /** q163's hashed-bucket token projection: one row per token occurrence
     * with its 256-way md5 bucket, every non-text input column preserved
     * (so split/class flags ride through the explode). */
@@ -706,17 +723,8 @@ object MlQueries {
       val qhat = ranked.crossJoin(broadcast(nCal))
         .filter(col("r") === expr("(9 * (n_cal + 1) + 9) div 10"))
         .agg(coalesce(max(col("s_u")), lit(1000001L)).as("qhat_u"))
-      scored.filter(!col("is_cal"))
-        .crossJoin(broadcast(qhat))
-        .select(col("doc_id"),
-          (col("p_u").cast("double") / lit(1e6)).as("p_en"),
-          col("qhat_u"),
-          ((lit(1000000L) - col("p_u") <= col("qhat_u")).cast("long") +
-            (col("p_u") <= col("qhat_u")).cast("long")).as("set_size"),
-          when(col("is_en") === 1,
-            (lit(1000000L) - col("p_u") <= col("qhat_u")).cast("long"))
-            .otherwise((col("p_u") <= col("qhat_u")).cast("long"))
-            .as("covered"))
+      conformalSets(scored.filter(!col("is_cal"))
+        .crossJoin(broadcast(qhat)), col("qhat_u"))
     }, Some(OracleSteps + """,
       scored AS (SELECT f.doc_id,
           CAST(ROUND(1000000.0 /

@@ -42,4 +42,36 @@ object StreamingScore {
       sum(round(col("p_en") * 1e6).cast("long")).as("score_micro_sum"))
     else scored
   }
+
+  /** Conformal serving — [[serve]] plus the q180 prediction-set stage
+    * (shared verbatim: [[graft.ml.MlQueries.conformalSets]]), with the
+    * calibrated micro-unit threshold riding in as ONE literal the way
+    * the weights do. Still stateless: set membership is two integer
+    * compares per row, so the stream needs no state store and batch ==
+    * stream row-for-row by construction.
+    *
+    * Telemetry (`observed = true`, "conformal_monitor"): the selective-
+    * prediction signals a serving gate watches —
+    *   n_empty      set_size 0: the model REJECTS both labels (flag for
+    *                human review / drift alarm; rate should be ~0)
+    *   n_singleton  confident single-label decisions
+    *   n_full       both labels plausible (abstain-or-escalate zone)
+    *   n_covered    true label in set (only meaningful under shadow
+    *                labels; at 0.9 calibration it tracks ~90%)
+    * A rising n_full or n_empty rate against the calibration baseline
+    * is distribution shift the conformal guarantee is ABOUT — this is
+    * the online companion of q180's batch gate. */
+  def serveConformal(docs: DataFrame, w: Array[Double], qhatU: Long,
+      observed: Boolean = true): DataFrame = {
+    val scored = graft.ml.MlQueries.scoreWith(docs, w)
+      .withColumn("p_u", round(col("p_en") * 1e6).cast("long"))
+    val sets = graft.ml.MlQueries.conformalSets(scored, lit(qhatU))
+    if (observed) sets.observe("conformal_monitor",
+      count(lit(1)).as("n_scored"),
+      sum(when(col("set_size") === 0, 1L).otherwise(0L)).as("n_empty"),
+      sum(when(col("set_size") === 1, 1L).otherwise(0L)).as("n_singleton"),
+      sum(when(col("set_size") === 2, 1L).otherwise(0L)).as("n_full"),
+      sum(col("covered")).as("n_covered"))
+    else sets
+  }
 }

@@ -58,6 +58,43 @@ class StreamingScoreSpec extends SparkSpec {
     }
   }
 
+  test("conformal serving: stream == q180 batch on the test slice, across splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = weights
+    val batch = graft.SparkEntry.queries("q180_conformal")(spark, sf).collect()
+    assert(batch.nonEmpty)
+    val qhatU = batch.head.getAs[Long]("qhat_u")
+    val expected = batch.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Double]("p_en"), r.getAs[Long]("set_size"),
+        r.getAs[Long]("covered")))).toMap
+    val testIds = expected.keySet
+    val rows = docRows.filter(r => testIds(r._1))
+    assert(rows.length == expected.size)
+
+    for ((nBatches, name) <- Seq(1 -> "conf_one", 3 -> "conf_three")) {
+      val input = MemoryStream[(Long, String, String, Long)]
+      val q = StreamingScore.serveConformal(
+          input.toDS().toDF("doc_id", "text", "lang", "n_chars"), w, qhatU,
+          observed = false)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, rows.length / nBatches + 1)
+        rows.grouped(per).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        val got = spark.table(name).collect()
+        assert(got.forall(_.getAs[Long]("qhat_u") == qhatU))
+        val gotMap = got.map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("p_en"), r.getAs[Long]("set_size"),
+            r.getAs[Long]("covered")))).toMap
+        assert(gotMap == expected,
+          s"$nBatches-batch conformal replay diverged from q180")
+      } finally q.stop()
+    }
+  }
+
   test("observe tap: per-batch telemetry is exact and sums to the batch totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
