@@ -1604,6 +1604,72 @@ object Relational {
         round(mean + 3.0 * sqrt(variance), 6) AS limit3
       FROM stats
       WHERE CAST(n AS DOUBLE) > mean + 3.0 * sqrt(variance)"""),
-      notes = "trailing-7-day mean+3sigma control chart per event_type (spike cannot mask itself — current day excluded); exact BIGINT window sums make the band identical cross-engine; type-keyed bounded window")
+      notes = "trailing-7-day mean+3sigma control chart per event_type (spike cannot mask itself — current day excluded); exact BIGINT window sums make the band identical cross-engine; type-keyed bounded window"),
+
+    // ── Join-cardinality estimation (the CBO planning primitive) ───────
+    // The System-R containment estimator every cost-based optimizer
+    // runs before picking a join order: |L ⋈ R| ≈ |L|·|R| / max(d_L,
+    // d_R) (distinct key counts, containment-of-value-sets assumption),
+    // audited here against the exact join count for two relations — the
+    // FK-clean orders⋈customer (estimator exact by construction) and
+    // the fact-fact lineitem⋈orders. At 100 TB the estimator's inputs
+    // are table statistics (exact counts here; the q29/q82 HLL family
+    // is the sketch path) — METADATA, which is the whole point: the
+    // planner prices a join without running it. The exact join exists
+    // in this query only to gate the estimator. Integer arithmetic
+    // throughout (BIGINT product + floor division; greatest(…,1)
+    // guards the ANSI division); rel_err divides exact BIGINTs in
+    // DOUBLE.
+    QueryDef("q183_join_estimate", (s, d) => {
+      def est(relName: String, l: org.apache.spark.sql.DataFrame, lk: String,
+          r: org.apache.spark.sql.DataFrame, rk: String) = {
+        val ls = l.agg(count(lit(1)).as("n_left"),
+          count_distinct(col(lk)).as("d_left"))
+        val rs = r.agg(count(lit(1)).as("n_right"),
+          count_distinct(col(rk)).as("d_right"))
+        val ex = l.join(r, col(lk) === col(rk))
+          .agg(count(lit(1)).as("exact_join"))
+        ls.crossJoin(rs).crossJoin(ex)
+          .withColumn("est_join",
+            expr("n_left * n_right div greatest(d_left, d_right, 1L)"))
+          .select(lit(relName).as("relation"), col("n_left"), col("d_left"),
+            col("n_right"), col("d_right"), col("est_join"),
+            col("exact_join"),
+            when(col("exact_join") > 0,
+              round((col("est_join") - col("exact_join")).cast("double") /
+                col("exact_join").cast("double"), 6))
+              .otherwise(lit(0.0)).as("rel_err"))
+      }
+      est("orders_customer", t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey")
+        .unionAll(est("lineitem_orders", t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey"))
+    }, Some("""
+      WITH r1 AS (
+        SELECT 'orders_customer' AS relation,
+          (SELECT COUNT(*) FROM orders) AS n_left,
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS d_left,
+          (SELECT COUNT(*) FROM customer) AS n_right,
+          (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS d_right,
+          (SELECT COUNT(*) FROM orders JOIN customer
+             ON o_custkey = c_custkey) AS exact_join),
+      r2 AS (
+        SELECT 'lineitem_orders' AS relation,
+          (SELECT COUNT(*) FROM lineitem) AS n_left,
+          (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS d_left,
+          (SELECT COUNT(*) FROM orders) AS n_right,
+          (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS d_right,
+          (SELECT COUNT(*) FROM lineitem JOIN orders
+             ON l_orderkey = o_orderkey) AS exact_join),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+      SELECT relation, n_left, d_left, n_right, d_right,
+        n_left * n_right // greatest(d_left, d_right, 1) AS est_join,
+        exact_join,
+        CASE WHEN exact_join > 0 THEN
+          round(CAST(n_left * n_right // greatest(d_left, d_right, 1)
+              - exact_join AS DOUBLE) / CAST(exact_join AS DOUBLE), 6)
+          ELSE 0.0 END AS rel_err
+      FROM u"""),
+      notes = "System-R join-cardinality estimation audited against the exact join: |L||R|/max(d_L,d_R) over exact distinct-key stats (the q29/q82 HLL family is the 100 TB sketch path) for FK-clean and fact-fact relations; the planner prices a join from metadata without running it")
   )
 }

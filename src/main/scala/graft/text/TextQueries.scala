@@ -2960,6 +2960,230 @@ object TextQueries {
             / CAST(SUM(n) AS DOUBLE), 6)
           ELSE 0.0 END AS loss_frac
       FROM x GROUP BY source, ctx_len"""),
-      notes = "context-length truncation-loss planning: per (source, L in 32/64/128) docs truncated + token mass lost + loss fraction; narrow 3x literal fan-out into one map-side-combined agg — the |sources| x 3 decision table for picking a training sequence length")
+      notes = "context-length truncation-loss planning: per (source, L in 32/64/128) docs truncated + token mass lost + loss fraction; narrow 3x literal fan-out into one map-side-combined agg — the |sources| x 3 decision table for picking a training sequence length"),
+
+    // ── Retrieval evaluation: P@k / R@k / MRR / NDCG@k ─────────────────
+    // The IR release gate over the catalog's own retrieval stack: score
+    // the corpus with the EXACT q86 BM25 stage (shared
+    // bm25MicroScores — the ranking under test is the production
+    // ranking), grade relevance from the term-match structure the
+    // scorer itself exposes (grade = n_terms ∈ 0..3 distinct query
+    // terms present; binary-relevant = grade ≥ 2), and emit the
+    // standard eval row at k = 10. NDCG discounts are micro-unit
+    // rounded BIGINT terms (g · ln2/ln(rank+1), the q77 LN residual
+    // class); MRR/precision/recall divide small exact integers. The
+    // two rank windows run over ≤ 10 rows AFTER TakeOrdered limits —
+    // metadata, the GlobalOrder-offsets allowance, never the corpus
+    // (the q88-lesson guard: corpus-wide ranks stay banned).
+    QueryDef("q184_retrieval_eval", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = bm25MicroScores(s, d) // (doc_id, s, n_terms)
+      def discountedSum(df: org.apache.spark.sql.DataFrame,
+          rankCol: String, out: String) =
+        df.agg(sum(round(col("n_terms").cast("double") * log(lit(2.0)) /
+          log((col(rankCol) + 1).cast("double")) * 1e6).cast("long")).as(out))
+      val top = scored.orderBy(col("s").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("s").desc, col("doc_id").asc)).cast("long"))
+      val relTotal = scored.agg(
+        sum(when(col("n_terms") >= 2, 1L).otherwise(0L)).as("n_rel_total"))
+      val dcgRow = top
+        .withColumn("rel", when(col("n_terms") >= 2, 1L).otherwise(0L))
+        .agg(sum(col("rel")).as("n_rel_at_k"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+          sum(round(col("n_terms").cast("double") * log(lit(2.0)) /
+            log((col("rank") + 1).cast("double")) * 1e6).cast("long"))
+            .as("dcg_u"))
+      val ideal = discountedSum(
+        scored.orderBy(col("n_terms").desc, col("doc_id").asc).limit(10)
+          .withColumn("irank", row_number().over(
+            Window.orderBy(col("n_terms").desc, col("doc_id").asc))
+            .cast("long")),
+        "irank", "idcg_u")
+      dcgRow.crossJoin(broadcast(relTotal)).crossJoin(broadcast(ideal))
+        .select(lit(10L).as("k"),
+          coalesce(col("n_rel_total"), lit(0L)).as("n_rel_total"),
+          coalesce(col("n_rel_at_k"), lit(0L)).as("n_rel_at_k"),
+          round(coalesce(col("n_rel_at_k"), lit(0L)).cast("double") /
+            lit(10.0), 6).as("precision_at_k"),
+          when(col("n_rel_total") > 0,
+            round(col("n_rel_at_k").cast("double") /
+              col("n_rel_total").cast("double"), 6))
+            .otherwise(lit(0.0)).as("recall_at_k"),
+          when(col("first_rel").isNotNull,
+            round(lit(1.0) / col("first_rel").cast("double"), 6))
+            .otherwise(lit(0.0)).as("mrr"),
+          when(col("idcg_u") > 0,
+            round(col("dcg_u").cast("double") /
+              col("idcg_u").cast("double"), 6))
+            .otherwise(lit(0.0)).as("ndcg"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS t_toks FROM toks),
+      q AS (SELECT unnest(['query', 'dup', 'scan']) AS tok),
+      df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             FROM toks JOIN q USING (tok) GROUP BY tok),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM toks JOIN q USING (tok) GROUP BY doc_id, tok),
+      terms AS (
+        SELECT tf.doc_id,
+          CAST(ROUND(
+            LN(1.0 + CAST(2 * (stats.n_docs - df.df) + 1 AS DOUBLE)
+                / (2 * df.df + 1))
+            * CAST(tf.tf AS DOUBLE) * 2.2
+            / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+                + 0.75 * CAST(dl.dl AS DOUBLE)
+                  / (CAST(tot.t_toks AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+            * 1000000) AS BIGINT) AS micro
+        FROM tf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN tot
+        JOIN df ON df.tok = tf.tok),
+      scored AS (
+        SELECT doc_id, SUM(micro) AS s, CAST(count(*) AS BIGINT) AS n_terms
+        FROM terms GROUP BY doc_id),
+      topk AS (
+        SELECT doc_id, n_terms,
+          row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+        FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10),
+      relt AS (SELECT CAST(SUM(CASE WHEN n_terms >= 2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_rel_total FROM scored),
+      dcg AS (SELECT
+          CAST(SUM(CASE WHEN n_terms >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_rel_at_k,
+          MIN(CASE WHEN n_terms >= 2 THEN rank END) AS first_rel,
+          CAST(SUM(CAST(ROUND(CAST(n_terms AS DOUBLE) * LN(2.0)
+            / LN(CAST(rank + 1 AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+            AS dcg_u
+        FROM topk),
+      itop AS (
+        SELECT n_terms,
+          row_number() OVER (ORDER BY n_terms DESC, doc_id ASC) AS irank
+        FROM scored ORDER BY n_terms DESC, doc_id ASC LIMIT 10),
+      idcg AS (SELECT
+          CAST(SUM(CAST(ROUND(CAST(n_terms AS DOUBLE) * LN(2.0)
+            / LN(CAST(irank + 1 AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+            AS idcg_u
+        FROM itop)
+      SELECT CAST(10 AS BIGINT) AS k,
+        COALESCE(relt.n_rel_total, 0) AS n_rel_total,
+        COALESCE(dcg.n_rel_at_k, 0) AS n_rel_at_k,
+        round(CAST(COALESCE(dcg.n_rel_at_k, 0) AS DOUBLE) / 10.0, 6)
+          AS precision_at_k,
+        CASE WHEN relt.n_rel_total > 0 THEN
+          round(CAST(dcg.n_rel_at_k AS DOUBLE)
+            / CAST(relt.n_rel_total AS DOUBLE), 6)
+          ELSE 0.0 END AS recall_at_k,
+        CASE WHEN dcg.first_rel IS NOT NULL THEN
+          round(1.0 / CAST(dcg.first_rel AS DOUBLE), 6)
+          ELSE 0.0 END AS mrr,
+        CASE WHEN idcg.idcg_u > 0 THEN
+          round(CAST(dcg.dcg_u AS DOUBLE) / CAST(idcg.idcg_u AS DOUBLE), 6)
+          ELSE 0.0 END AS ndcg
+      FROM dcg, relt, idcg"""),
+      notes = "retrieval evaluation over the production q86 BM25 ranking: P@10 / R@10 / MRR / NDCG@10 with term-match-graded relevance; micro-unit NDCG discounts, rank windows only on the <= 10-row TakeOrdered results (metadata) — the IR release-gate row"),
+
+    // ── Poissonized bootstrap confidence interval ──────────────────────
+    // Error bars for a corpus statistic (mean tokens/doc) without
+    // resampling RNG state: the Poissonized bootstrap draws each doc's
+    // replica weight ~ Poisson(1) (the classic n→∞ approximation of
+    // multinomial resampling, weights independent per doc — which is
+    // what makes it a MAP: no coordination across docs), here from a
+    // deterministic md5 uniform through the exact Poisson inverse CDF
+    // (literal cumulative thresholds, 5-capped — P(X>5) ≈ 0.06%).
+    // B = 32 replicas ride a bounded sequence-explode (32× compute,
+    // the honest price of bootstrap error bars; B trades precision for
+    // cost linearly); per-replica means are exact BIGINT sums divided
+    // once. The CI is the 2nd smallest / 2nd largest replica mean
+    // (~93.8% interval at B=32) — an order statistic over 32 METADATA
+    // rows, where the unpartitioned rank window is the GlobalOrder-
+    // offsets allowance, never the corpus.
+    QueryDef("q185_bootstrap_ci", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        TextSignals.nTokens(col("text")).cast("long").as("ntok"))
+      val u = conv(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), col("rep").cast("string"),
+        lit("boot"))), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976L) // 2^60
+      val wgt = when(u < 0.3678794411714423, 0L)
+        .when(u < 0.7357588823428846, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .otherwise(5L)
+      val repStats = docs
+        .select(col("doc_id"), col("ntok"),
+          explode(expr("sequence(1L, 32L)")).as("rep"))
+        .withColumn("w", wgt)
+        .groupBy("rep").agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("ntok")).as("tok_sum"))
+        .withColumn("mean_tok", when(col("n_eff") > 0,
+          round(col("tok_sum").cast("double") / col("n_eff").cast("double"),
+            6)).otherwise(lit(0.0)))
+      val ranked = repStats.withColumn("r", row_number().over(
+        Window.orderBy(col("mean_tok").asc, col("rep").asc)).cast("long"))
+      val lo = ranked.filter(col("r") === 2)
+        .agg(coalesce(max("mean_tok"), lit(0.0)).as("boot_lo"))
+      val hi = ranked.filter(col("r") === 31)
+        .agg(coalesce(max("mean_tok"), lit(0.0)).as("boot_hi"))
+      val point = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("tok_total"))
+        .select(col("n_docs"),
+          when(col("n_docs") > 0, round(col("tok_total").cast("double") /
+            col("n_docs").cast("double"), 6)).otherwise(lit(0.0))
+            .as("point_mean"))
+      point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_docs"), col("point_mean"), col("boot_lo"),
+          col("boot_hi"), lit(32L).as("n_replicas"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS ntok
+        FROM documents),
+      reps AS (
+        SELECT doc_id, ntok, CAST(rr AS BIGINT) AS rep
+        FROM docs, unnest(range(1, 33)) tr(rr)),
+      wts AS (
+        SELECT rep,  ntok,
+          CASE WHEN u < 0.3678794411714423 THEN 0
+               WHEN u < 0.7357588823428846 THEN 1
+               WHEN u < 0.9196986029286058 THEN 2
+               WHEN u < 0.9810118431238462 THEN 3
+               WHEN u < 0.9963401531726563 THEN 4
+               ELSE 5 END AS w
+        FROM (SELECT rep, ntok,
+                CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(rep AS VARCHAR) || ':boot'), 1, 15) AS BIGINT)
+                  AS DOUBLE) / 1152921504606846976.0 AS u
+              FROM reps)),
+      rs AS (SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+          CAST(SUM(w * ntok) AS BIGINT) AS tok_sum
+        FROM wts GROUP BY rep),
+      ms AS (SELECT rep, n_eff,
+          CASE WHEN n_eff > 0 THEN
+            round(CAST(tok_sum AS DOUBLE) / CAST(n_eff AS DOUBLE), 6)
+          ELSE 0.0 END AS mean_tok
+        FROM rs),
+      rk AS (SELECT *,
+          row_number() OVER (ORDER BY mean_tok ASC, rep ASC) AS r FROM ms),
+      pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CASE WHEN COUNT(*) > 0 THEN
+            round(CAST(SUM(ntok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          ELSE 0.0 END AS point_mean
+        FROM docs),
+      lo AS (SELECT COALESCE(MAX(mean_tok), 0.0) AS boot_lo
+        FROM rk WHERE r = 2),
+      hi AS (SELECT COALESCE(MAX(mean_tok), 0.0) AS boot_hi
+        FROM rk WHERE r = 31)
+      SELECT pt.n_docs, pt.point_mean, lo.boot_lo, hi.boot_hi,
+        CAST(32 AS BIGINT) AS n_replicas
+      FROM pt, lo, hi"""),
+      notes = "Poissonized bootstrap CI for mean tokens/doc: per-(doc, replica) Poisson(1) weights from deterministic md5 uniforms through the exact inverse CDF (a pure map — no cross-doc coordination), 32 replica means as exact BIGINT sums, CI = 2nd/31st order statistic over 32 metadata rows")
   )
 }

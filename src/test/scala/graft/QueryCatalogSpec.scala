@@ -409,6 +409,49 @@ class QueryCatalogSpec extends SparkSpec {
       "reweighting should move some sources up and some down")
   }
 
+  test("q183 estimator is exact on FK-clean relations (containment holds)") {
+    val rows = SparkEntry.queries("q183_join_estimate")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("relation")).sorted.toSeq ==
+      Seq("lineitem_orders", "orders_customer"))
+    rows.foreach { r =>
+      // both driver relations are FK-clean: every left row matches exactly
+      // one right key, which is precisely the containment assumption —
+      // the estimator must land on the exact count with zero error
+      assert(r.getAs[Long]("est_join") == r.getAs[Long]("exact_join"),
+        s"${r.getAs[String]("relation")}: estimator missed on an FK join")
+      assert(r.getAs[Double]("rel_err") == 0.0)
+      assert(r.getAs[Long]("d_left") <= r.getAs[Long]("n_left"))
+      assert(r.getAs[Long]("d_right") <= r.getAs[Long]("n_right"))
+    }
+  }
+
+  test("q184 IR metrics are coherent and the ranking finds relevant docs") {
+    val r = SparkEntry.queries("q184_retrieval_eval")(spark, sf).collect().head
+    assert(r.getAs[Long]("k") == 10L)
+    val (p, rec, mrr, ndcg) = (r.getAs[Double]("precision_at_k"),
+      r.getAs[Double]("recall_at_k"), r.getAs[Double]("mrr"),
+      r.getAs[Double]("ndcg"))
+    Seq(p, rec, mrr, ndcg).foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(r.getAs[Long]("n_rel_at_k") <= 10)
+    assert(r.getAs[Long]("n_rel_at_k") <= r.getAs[Long]("n_rel_total"))
+    // BM25 over a term-graded corpus must put a relevant doc at rank 1
+    // and beat random: the top-10 is mostly relevant on the driver corpus
+    assert(mrr == 1.0, s"top-ranked doc not relevant (mrr=$mrr)")
+    assert(p >= 0.5 && ndcg >= 0.5, s"ranking quality collapsed: p=$p ndcg=$ndcg")
+  }
+
+  test("q185 bootstrap CI brackets the point estimate with positive width") {
+    val r = SparkEntry.queries("q185_bootstrap_ci")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_replicas") == 32L)
+    val (pt, lo, hi) = (r.getAs[Double]("point_mean"),
+      r.getAs[Double]("boot_lo"), r.getAs[Double]("boot_hi"))
+    assert(lo < hi, "degenerate interval")
+    assert(lo <= pt && pt <= hi,
+      s"CI [$lo, $hi] does not bracket the point estimate $pt")
+    // Poisson(1) resampling noise on 500 docs: the interval is tight
+    assert((hi - lo) / pt < 0.25, "implausibly wide interval")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

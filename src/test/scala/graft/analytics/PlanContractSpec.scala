@@ -260,7 +260,10 @@ class PlanContractSpec extends SparkSpec {
       "q165_zipf_fit", // GlobalOrder's pinned <=32-row offset self-join
       "q167_dedup_agreement", // 3-row method-count spine (<' join)
       "q180_conformal", // broadcast 1-row qhat threshold cross join
-      "q182_doremi_mix") // broadcast 1-row totals/weight-sum cross joins
+      "q182_doremi_mix", // broadcast 1-row totals/weight-sum cross joins
+      "q183_join_estimate", // 1-row stats x 1-row exact-count composition joins
+      "q184_retrieval_eval", // q86's 1-row corpus-stat broadcasts + 1-row metric joins
+      "q185_bootstrap_ci") // 1-row point/lo/hi composition joins
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
