@@ -595,5 +595,99 @@ object LakeQueries {
         greatest(0, CAST(ROUND(CAST(n_docs AS DOUBLE) + noise) AS BIGINT))
           AS dp_count
       FROM n2"""),
-      notes = "eps=1 Laplace count release per source (sensitivity-1 by construction): inverse-CDF noise over a deterministic md5 uniform so the mechanism is hash-gateable (production uses a secret seed — documented loudly); one map-side-combined agg + |sources|-row noise arithmetic"))
+      notes = "eps=1 Laplace count release per source (sensitivity-1 by construction): inverse-CDF noise over a deterministic md5 uniform so the mechanism is hash-gateable (production uses a secret seed — documented loudly); one map-side-combined agg + |sources|-row noise arithmetic"),
+
+    // ── Schema-drift audit between snapshot versions ───────────────────
+    // The catalog-governance companion of q125's row diff: what changed
+    // STRUCTURALLY between two committed versions of a table — columns
+    // added/removed, types changed, row/cardinality drift per column.
+    // Versions are real pointer-resolved Snapshots commits (the q125
+    // scratch pattern): v2 drops a column, adds one, narrows a type
+    // (double → float: both engines round-to-nearest, so distinct
+    // counts agree), and removes ~10% of rows. Profiles come from the
+    // PRODUCTION TableProfile pass (q112's operator — one pruned
+    // single-column scan each); schemas are read from the committed
+    // files, so the audit sees what a reader would see, not what the
+    // writer intended. Per-column full-outer join of two profile
+    // tables → a |columns|-row metadata report; at 100 TB this is the
+    // nightly catalog-diff job, priced at one profile pass per side.
+    QueryDef("q187_schema_drift", (s, d) => {
+      import s.implicits._
+      val root = scratch(d, "drift")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val o = t(s, d, "orders")
+      Snapshots.commit(o.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"),
+        col("o_orderpriority").as("prio")), root)
+      Snapshots.commit(o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("float").as("price"),
+          col("o_orderstatus").as("status")), root)
+      def prof(df: org.apache.spark.sql.DataFrame, ver: String) = {
+        val types = df.schema.fields.toSeq
+          .map(fl => (fl.name, fl.dataType.simpleString))
+          .toDF("col_name", s"type_$ver")
+        graft.operators.TableProfile.profile(df)
+          .select(col("col_name"), col("n_rows").as(s"n_rows_$ver"),
+            col("n_distinct").as(s"distinct_$ver"))
+          .join(broadcast(types), "col_name")
+      }
+      prof(Snapshots.read(s, root, 1), "v1")
+        .join(prof(Snapshots.read(s, root, 2), "v2"),
+          Seq("col_name"), "full_outer")
+        .select(col("col_name"),
+          col("type_v1").isNotNull.cast("long").as("in_v1"),
+          col("type_v2").isNotNull.cast("long").as("in_v2"),
+          coalesce(col("type_v1"), lit("")).as("type_v1"),
+          coalesce(col("type_v2"), lit("")).as("type_v2"),
+          coalesce(col("n_rows_v1"), lit(0L)).as("n_rows_v1"),
+          coalesce(col("n_rows_v2"), lit(0L)).as("n_rows_v2"),
+          coalesce(col("distinct_v1"), lit(0L)).as("distinct_v1"),
+          coalesce(col("distinct_v2"), lit(0L)).as("distinct_v2"),
+          when(col("type_v1").isNull, "added")
+            .when(col("type_v2").isNull, "removed")
+            .when(col("type_v1") =!= col("type_v2"), "type_changed")
+            .otherwise("kept").as("change"))
+    }, Some("""
+      WITH v1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+          o_orderpriority AS prio
+        FROM orders),
+      v2 AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS REAL) AS price,
+          o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 10 <> 0),
+      p1 AS (
+        SELECT 'k' AS col_name, 'bigint' AS type_v1,
+          CAST(COUNT(*) AS BIGINT) AS n_rows_v1,
+          CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_v1 FROM v1
+        UNION ALL SELECT 'price', 'double', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT price) AS BIGINT) FROM v1
+        UNION ALL SELECT 'prio', 'string', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT prio) AS BIGINT) FROM v1),
+      p2 AS (
+        SELECT 'k' AS col_name, 'bigint' AS type_v2,
+          CAST(COUNT(*) AS BIGINT) AS n_rows_v2,
+          CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_v2 FROM v2
+        UNION ALL SELECT 'price', 'float', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT price) AS BIGINT) FROM v2
+        UNION ALL SELECT 'status', 'string', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT status) AS BIGINT) FROM v2)
+      SELECT COALESCE(p1.col_name, p2.col_name) AS col_name,
+        CAST(p1.col_name IS NOT NULL AS BIGINT) AS in_v1,
+        CAST(p2.col_name IS NOT NULL AS BIGINT) AS in_v2,
+        COALESCE(type_v1, '') AS type_v1,
+        COALESCE(type_v2, '') AS type_v2,
+        COALESCE(n_rows_v1, 0) AS n_rows_v1,
+        COALESCE(n_rows_v2, 0) AS n_rows_v2,
+        COALESCE(distinct_v1, 0) AS distinct_v1,
+        COALESCE(distinct_v2, 0) AS distinct_v2,
+        CASE WHEN type_v1 IS NULL THEN 'added'
+             WHEN type_v2 IS NULL THEN 'removed'
+             WHEN type_v1 <> type_v2 THEN 'type_changed'
+             ELSE 'kept' END AS change
+      FROM p1 FULL OUTER JOIN p2 ON p1.col_name = p2.col_name"""),
+      notes = "schema-drift audit between real Snapshots versions: columns added/removed/type-changed + per-column row/cardinality drift from the production TableProfile pass; reads what a consumer would see from the committed files — the nightly catalog-diff artifact, one profile pass per side"))
 }

@@ -854,6 +854,192 @@ object MlQueries {
           AS base_share,
         round(CAST(w_u AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS new_weight
       FROM mw, ws"""),
-      notes = "DoReMi-style loss-aware mixture reweighting: per-source mean per-token cross-entropy under the full-corpus q163 unigram proxy (micro-unit exact BIGINT sums), one exponentiated-gradient step w ~ share * exp(excess loss), micro-quantized before the only cross-source normalization — one token pass + 256-row broadcast model + |sources|-row metadata algebra")
+      notes = "DoReMi-style loss-aware mixture reweighting: per-source mean per-token cross-entropy under the full-corpus q163 unigram proxy (micro-unit exact BIGINT sums), one exponentiated-gradient step w ~ share * exp(excess loss), micro-quantized before the only cross-source normalization — one token pass + 256-row broadcast model + |sources|-row metadata algebra"),
+
+    // ── Two-proportion experiment readout (A/B test) ───────────────────
+    // The experiment-analysis primitive beside q185's bootstrap: a
+    // two-proportion z-test per experiment row, z = (p̂_A − p̂_B) /
+    // sqrt(p̂(1−p̂)(1/n_A + 1/n_B)) with the pooled rate, computed in
+    // identical IEEE doubles from exact BIGINT counts (ONE combined
+    // map-side agg per experiment — counts, not rows, cross the
+    // shuffle). Two designed rows prove both verdicts on the driver
+    // corpus: `md5_aa` splits by a content-independent hash (a true
+    // A/A — the test must NOT fire) and `length_effect` splits by
+    // document length with a stopword-count metric (structurally
+    // correlated — the test must fire). The z>1.96 flag is a double
+    // knife-edge in principle; both engines compare the same IEEE z
+    // (the q116 EXP-residual class).
+    QueryDef("q186_ab_test", (s, d) => {
+      val docs = t(s, d, "documents")
+      val u = conv(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("ab"))), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976L) // 2^60
+      val base = docs.select(
+        (u < 0.5).as("arm_a1"),
+        (col("n_chars") >= 300).as("arm_a2"),
+        (graft.text.TextSignals.qualityScore(col("text")) >= 0.5).as("m1"),
+        (graft.text.TextSignals.stopwordHits(col("text")) >= lit(2.0))
+          .as("m2"))
+      def expRow(name: String, arm: String, metric: String) = {
+        val a = col(arm); val m = col(metric)
+        base.agg(
+            sum(when(a, 1L).otherwise(0L)).as("n_a"),
+            sum(when(a && m, 1L).otherwise(0L)).as("pass_a"),
+            sum(when(!a, 1L).otherwise(0L)).as("n_b"),
+            sum(when(!a && m, 1L).otherwise(0L)).as("pass_b"))
+          .withColumn("rate_a", when(col("n_a") > 0,
+            col("pass_a").cast("double") / col("n_a").cast("double"))
+            .otherwise(lit(0.0)))
+          .withColumn("rate_b", when(col("n_b") > 0,
+            col("pass_b").cast("double") / col("n_b").cast("double"))
+            .otherwise(lit(0.0)))
+          .withColumn("pp",
+            when(col("n_a") + col("n_b") > 0,
+              (col("pass_a") + col("pass_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double"))
+              .otherwise(lit(0.0)))
+          .withColumn("se", when(col("n_a") > 0 && col("n_b") > 0,
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n_a").cast("double") +
+               lit(1.0) / col("n_b").cast("double")))).otherwise(lit(0.0)))
+          .withColumn("z", when(col("se") > 0,
+            (col("rate_a") - col("rate_b")) / col("se")).otherwise(lit(0.0)))
+          .select(lit(name).as("experiment"),
+            col("n_a"), col("pass_a"), col("n_b"), col("pass_b"),
+            round(col("rate_a"), 6).as("rate_a"),
+            round(col("rate_b"), 6).as("rate_b"),
+            round(col("z"), 6).as("z"),
+            (abs(col("z")) > 1.96).cast("long").as("significant"))
+      }
+      expRow("md5_aa", "arm_a1", "m1")
+        .unionAll(expRow("length_effect", "arm_a2", "m2"))
+    }, Some("""
+      WITH base AS (
+        SELECT
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ab'),
+            1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < 0.5
+            AS arm_a1,
+          n_chars >= 300 AS arm_a2,
+          (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+               + CAST(len(regexp_extract_all(text, '\ba\b')) AS DOUBLE)
+               + CAST(len(regexp_extract_all(text, '\band\b')) AS DOUBLE)
+               + CAST(len(regexp_extract_all(text, '\bof\b')) AS DOUBLE))
+               / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                   AS DOUBLE) > 0.01
+             THEN 0.5 ELSE 0.0 END) >= 0.5 AS m1,
+          (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\ba\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\band\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\bof\b')) AS DOUBLE)) >= 2.0
+            AS m2
+        FROM documents),
+      agg AS (
+        SELECT 'md5_aa' AS experiment,
+          CAST(SUM(CASE WHEN arm_a1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN arm_a1 AND m1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS pass_a,
+          CAST(SUM(CASE WHEN NOT arm_a1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(SUM(CASE WHEN NOT arm_a1 AND m1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS pass_b
+        FROM base
+        UNION ALL
+        SELECT 'length_effect',
+          CAST(SUM(CASE WHEN arm_a2 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN arm_a2 AND m2 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN NOT arm_a2 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN NOT arm_a2 AND m2 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM base),
+      rates AS (
+        SELECT *,
+          CASE WHEN n_a > 0 THEN CAST(pass_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            ELSE 0.0 END AS rate_a,
+          CASE WHEN n_b > 0 THEN CAST(pass_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+            ELSE 0.0 END AS rate_b,
+          CASE WHEN n_a + n_b > 0 THEN
+            CAST(pass_a + pass_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+            ELSE 0.0 END AS pp
+        FROM agg),
+      zs AS (
+        SELECT *,
+          CASE WHEN n_a > 0 AND n_b > 0 THEN
+            sqrt(pp * (1.0 - pp) *
+              (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+          ELSE 0.0 END AS se
+        FROM rates),
+      fin AS (
+        SELECT *, CASE WHEN se > 0 THEN (rate_a - rate_b) / se
+          ELSE 0.0 END AS z
+        FROM zs)
+      SELECT experiment, n_a, pass_a, n_b, pass_b,
+        round(rate_a, 6) AS rate_a, round(rate_b, 6) AS rate_b,
+        round(z, 6) AS z,
+        CAST(abs(z) > 1.96 AS BIGINT) AS significant
+      FROM fin"""),
+      notes = "two-proportion z-test experiment readout: pooled-rate z in identical IEEE doubles from exact BIGINT counts, one combined map-side agg per experiment; a true A/A row (must not fire) and a structurally-correlated row (must fire) prove both verdicts"),
+
+    // ── Confident-mistake label QA (Cleanlab-style noise estimate) ─────
+    // q177 ranks examples by difficulty; this flags likely LABEL ERRORS:
+    // docs the q116 model scores in the corpus's top quartile of
+    // P(en) while labeled not-en (and the mirror), i.e. confident
+    // disagreement — confident-learning's off-diagonal estimate
+    // collapsed to the binary case with RELATIVE confidence thresholds
+    // (exact p25/p75 of the micro score, the q101 percentile pattern)
+    // because an uncalibrated scorer's absolute 0.9 threshold can be
+    // unreachable. Output: the per-source label-noise report a data-QA
+    // pass files. Shapes: scoring projection + two-percentile agg
+    // (broadcast 1-row thresholds) + doc-keyed source join + ONE keyed
+    // agg.
+    QueryDef("q188_label_noise", (s, d) => {
+      val docs = t(s, d, "documents")
+      val w = trainOn(docs)
+      val f = langFeatures(docs)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val scored = f.select(col("doc_id"),
+        round(p * lit(1e6)).cast("long").as("p_u"),
+        col("y").cast("long").as("is_en"))
+      val qs = scored.agg(expr("percentile(p_u, 0.25)").as("p25"),
+        expr("percentile(p_u, 0.75)").as("p75"))
+      scored.crossJoin(broadcast(qs))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("susp_hi",
+          (col("p_u").cast("double") >= col("p75") && col("is_en") === 0)
+            .cast("long"))
+        .withColumn("susp_lo",
+          (col("p_u").cast("double") <= col("p25") && col("is_en") === 1)
+            .cast("long"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("susp_hi")).as("n_susp_hi"),
+          sum(col("susp_lo")).as("n_susp_lo"))
+        .select(col("source"), col("n_docs"), col("n_susp_hi"),
+          col("n_susp_lo"),
+          round((col("n_susp_hi") + col("n_susp_lo")).cast("double") /
+            col("n_docs").cast("double"), 6).as("noise_rate"))
+    }, Some(OracleSteps + """,
+      scored AS (SELECT f.doc_id,
+          CAST(ROUND(1000000.0 /
+            (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3))))
+            AS BIGINT) AS p_u,
+          CAST(y AS BIGINT) AS is_en
+        FROM f, w3),
+      qs AS (SELECT quantile_cont(p_u, 0.25) AS p25,
+          quantile_cont(p_u, 0.75) AS p75 FROM scored),
+      flagged AS (
+        SELECT d.source,
+          CASE WHEN CAST(sc.p_u AS DOUBLE) >= qs.p75 AND sc.is_en = 0
+            THEN 1 ELSE 0 END AS susp_hi,
+          CASE WHEN CAST(sc.p_u AS DOUBLE) <= qs.p25 AND sc.is_en = 1
+            THEN 1 ELSE 0 END AS susp_lo
+        FROM scored sc CROSS JOIN qs JOIN documents d USING (doc_id))
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(susp_hi) AS BIGINT) AS n_susp_hi,
+        CAST(SUM(susp_lo) AS BIGINT) AS n_susp_lo,
+        round(CAST(SUM(susp_hi) + SUM(susp_lo) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS noise_rate
+      FROM flagged GROUP BY source"""),
+      notes = "Cleanlab-style confident-mistake label QA: docs the q116 model scores in the top P(en) quartile while labeled not-en (and the mirror), relative-confidence thresholds from exact p25/p75 percentiles (q101 pattern); scoring projection + 1-row broadcast thresholds + one keyed agg — the per-source label-noise report")
   )
 }

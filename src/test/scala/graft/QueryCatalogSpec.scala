@@ -452,6 +452,57 @@ class QueryCatalogSpec extends SparkSpec {
     assert((hi - lo) / pt < 0.25, "implausibly wide interval")
   }
 
+  test("q186 A/A does not fire and the designed length effect does") {
+    val rows = SparkEntry.queries("q186_ab_test")(spark, sf).collect()
+      .map(r => r.getAs[String]("experiment") -> r).toMap
+    assert(rows.keySet == Set("md5_aa", "length_effect"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 500)
+      assert(r.getAs[Double]("rate_a") >= 0 && r.getAs[Double]("rate_a") <= 1)
+      assert(r.getAs[Double]("rate_b") >= 0 && r.getAs[Double]("rate_b") <= 1)
+    }
+    assert(rows("md5_aa").getAs[Long]("significant") == 0L,
+      "a content-independent A/A split must not reject the null")
+    val eff = rows("length_effect")
+    assert(eff.getAs[Long]("significant") == 1L &&
+      math.abs(eff.getAs[Double]("z")) > 3.0,
+      "the designed length->stopword correlation must fire decisively")
+  }
+
+  test("q187 drift report covers all four change types with coherent stats") {
+    val rows = SparkEntry.queries("q187_schema_drift")(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.keySet == Set("k", "price", "prio", "status"))
+    assert(rows("k").getAs[String]("change") == "kept")
+    assert(rows("price").getAs[String]("change") == "type_changed")
+    assert(rows("prio").getAs[String]("change") == "removed")
+    assert(rows("status").getAs[String]("change") == "added")
+    assert(rows("price").getAs[String]("type_v1") == "double" &&
+      rows("price").getAs[String]("type_v2") == "float")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("distinct_v1") <= r.getAs[Long]("n_rows_v1"))
+      assert(r.getAs[Long]("distinct_v2") <= r.getAs[Long]("n_rows_v2"))
+    }
+    // v2 drops the o_orderkey % 10 == 0 slice: exactly 10% of 1500
+    assert(rows("k").getAs[Long]("n_rows_v2") == 1350L)
+  }
+
+  test("q188 flags confident mistakes on both sides with bounded rates") {
+    val rows = SparkEntry.queries("q188_label_noise")(spark, sf).collect()
+    assert(rows.length == 20, "one report row per source")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("noise_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_susp_hi") + r.getAs[Long]("n_susp_lo") <=
+        r.getAs[Long]("n_docs"))
+    }
+    assert(rows.exists(_.getAs[Long]("n_susp_hi") > 0),
+      "iid labels x quartile thresholds must flag high-score mislabels")
+    assert(rows.exists(_.getAs[Long]("n_susp_lo") > 0),
+      "and low-score ones")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

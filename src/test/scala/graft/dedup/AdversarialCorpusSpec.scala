@@ -72,7 +72,9 @@ class AdversarialCorpusSpec extends SparkSpec {
     "q180_conformal", "q181_dp_release", "q182_doremi_mix",
     // IR eval degrades to all-zero metrics when no doc matches a query
     // term; bootstrap handles tiny corpora (replica weights can zero out)
-    "q184_retrieval_eval", "q185_bootstrap_ci")
+    "q184_retrieval_eval", "q185_bootstrap_ci",
+    // experiment readout and label QA handle degenerate arms/labels
+    "q186_ab_test", "q188_label_noise")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
