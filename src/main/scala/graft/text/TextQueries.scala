@@ -2971,20 +2971,18 @@ object TextQueries {
     // terms present; binary-relevant = grade ≥ 2), and emit the
     // standard eval row at k = 10. NDCG discounts are micro-unit
     // rounded BIGINT terms (g · ln2/ln(rank+1), the q77 LN residual
-    // class); MRR/precision/recall divide small exact integers. The
-    // two rank windows run over ≤ 10 rows AFTER TakeOrdered limits —
-    // metadata, the GlobalOrder-offsets allowance, never the corpus
-    // (the q88-lesson guard: corpus-wide ranks stay banned).
+    // class); MRR/precision/recall divide small exact integers. Both
+    // rankings come from GlobalOrder.withRowNumbers (the q147 shape) —
+    // no WindowExec, no single-partition sort, scale-safe however many
+    // docs match (the q88-lesson guard: corpus-wide rank windows stay
+    // banned).
     QueryDef("q184_retrieval_eval", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val scored = bm25MicroScores(s, d) // (doc_id, s, n_terms)
-      def discountedSum(df: org.apache.spark.sql.DataFrame,
-          rankCol: String, out: String) =
-        df.agg(sum(round(col("n_terms").cast("double") * log(lit(2.0)) /
-          log((col(rankCol) + 1).cast("double")) * 1e6).cast("long")).as(out))
-      val top = scored.orderBy(col("s").desc, col("doc_id").asc).limit(10)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("s").desc, col("doc_id").asc)).cast("long"))
+      // ranks via GlobalOrder (q147's shape): no WindowExec, no
+      // single-partition sort — scale-safe even when many docs match
+      val top = graft.operators.GlobalOrder.withRowNumbers(scored,
+          Seq(col("s").desc, col("doc_id").asc), out = "rank")
+        .filter(col("rank") <= 10)
       val relTotal = scored.agg(
         sum(when(col("n_terms") >= 2, 1L).otherwise(0L)).as("n_rel_total"))
       val dcgRow = top
@@ -2994,12 +2992,12 @@ object TextQueries {
           sum(round(col("n_terms").cast("double") * log(lit(2.0)) /
             log((col("rank") + 1).cast("double")) * 1e6).cast("long"))
             .as("dcg_u"))
-      val ideal = discountedSum(
-        scored.orderBy(col("n_terms").desc, col("doc_id").asc).limit(10)
-          .withColumn("irank", row_number().over(
-            Window.orderBy(col("n_terms").desc, col("doc_id").asc))
-            .cast("long")),
-        "irank", "idcg_u")
+      val ideal = graft.operators.GlobalOrder.withRowNumbers(scored,
+          Seq(col("n_terms").desc, col("doc_id").asc), out = "irank")
+        .filter(col("irank") <= 10)
+        .agg(sum(round(col("n_terms").cast("double") * log(lit(2.0)) /
+          log((col("irank") + 1).cast("double")) * 1e6).cast("long"))
+          .as("idcg_u"))
       dcgRow.crossJoin(broadcast(relTotal)).crossJoin(broadcast(ideal))
         .select(lit(10L).as("k"),
           coalesce(col("n_rel_total"), lit(0L)).as("n_rel_total"),
@@ -3085,7 +3083,7 @@ object TextQueries {
           round(CAST(dcg.dcg_u AS DOUBLE) / CAST(idcg.idcg_u AS DOUBLE), 6)
           ELSE 0.0 END AS ndcg
       FROM dcg, relt, idcg"""),
-      notes = "retrieval evaluation over the production q86 BM25 ranking: P@10 / R@10 / MRR / NDCG@10 with term-match-graded relevance; micro-unit NDCG discounts, rank windows only on the <= 10-row TakeOrdered results (metadata) — the IR release-gate row"),
+      notes = "retrieval evaluation over the production q86 BM25 ranking: P@10 / R@10 / MRR / NDCG@10 with term-match-graded relevance; micro-unit NDCG discounts, both rankings via GlobalOrder (no window, no single-partition sort) — the IR release-gate row"),
 
     // ── Poissonized bootstrap confidence interval ──────────────────────
     // Error bars for a corpus statistic (mean tokens/doc) without
@@ -3100,10 +3098,9 @@ object TextQueries {
     // cost linearly); per-replica means are exact BIGINT sums divided
     // once. The CI is the 2nd smallest / 2nd largest replica mean
     // (~93.8% interval at B=32) — an order statistic over 32 METADATA
-    // rows, where the unpartitioned rank window is the GlobalOrder-
-    // offsets allowance, never the corpus.
+    // rows, ranked via GlobalOrder (no WindowExec even here: the
+    // bench tail stays free of no-partition window warnings).
     QueryDef("q185_bootstrap_ci", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents").select(col("doc_id"),
         TextSignals.nTokens(col("text")).cast("long").as("ntok"))
       val u = conv(substring(md5(concat_ws(":",
@@ -3125,8 +3122,8 @@ object TextQueries {
         .withColumn("mean_tok", when(col("n_eff") > 0,
           round(col("tok_sum").cast("double") / col("n_eff").cast("double"),
             6)).otherwise(lit(0.0)))
-      val ranked = repStats.withColumn("r", row_number().over(
-        Window.orderBy(col("mean_tok").asc, col("rep").asc)).cast("long"))
+      val ranked = graft.operators.GlobalOrder.withRowNumbers(repStats,
+        Seq(col("mean_tok").asc, col("rep").asc), out = "r")
       val lo = ranked.filter(col("r") === 2)
         .agg(coalesce(max("mean_tok"), lit(0.0)).as("boot_lo"))
       val hi = ranked.filter(col("r") === 31)
@@ -3184,6 +3181,6 @@ object TextQueries {
       SELECT pt.n_docs, pt.point_mean, lo.boot_lo, hi.boot_hi,
         CAST(32 AS BIGINT) AS n_replicas
       FROM pt, lo, hi"""),
-      notes = "Poissonized bootstrap CI for mean tokens/doc: per-(doc, replica) Poisson(1) weights from deterministic md5 uniforms through the exact inverse CDF (a pure map — no cross-doc coordination), 32 replica means as exact BIGINT sums, CI = 2nd/31st order statistic over 32 metadata rows")
+      notes = "Poissonized bootstrap CI for mean tokens/doc: per-(doc, replica) Poisson(1) weights from deterministic md5 uniforms through the exact inverse CDF (a pure map — no cross-doc coordination), 32 replica means as exact BIGINT sums, CI = 2nd/31st order statistic over 32 metadata rows ranked via GlobalOrder")
   )
 }

@@ -441,6 +441,14 @@ class PlanContractSpec extends SparkSpec {
       s"q177 lost rank-limit pushdown:\n$p")
   }
 
+  test("q184/q185: eval and bootstrap rank via GlobalOrder — no windows anywhere") {
+    Seq("q184_retrieval_eval", "q185_bootstrap_ci").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("WindowExec") && !p.contains("RunningWindow"),
+        s"$q gained a window (GlobalOrder bypassed):\n$p")
+    }
+  }
+
   test("q180/q182: model/threshold stages collapse only metadata, never the data") {
     // q180: ranks via GlobalOrder (no window); single-partition stages
     // are the 1-row n_cal/qhat/offset aggs only
