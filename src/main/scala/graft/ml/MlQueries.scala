@@ -176,6 +176,33 @@ object MlQueries {
         (lit(1000000L) - col("p_u") <= qhatCol).cast("long"))
         .otherwise((col("p_u") <= qhatCol).cast("long")).as("covered"))
 
+  /** The q176/q191 one-pass feature histogram: the q116 feature trio as
+    * raw integers, binned into 16 exact-integer bins (v·16 div cap,
+    * clamped; caps corpus-calibrated), ONE map-side-combined
+    * (feature, bin) agg of (n, pos) over a bounded 3× literal fan-out.
+    * The data is touched once; every downstream criterion (Gini split
+    * search, mutual information) runs on ≤ 48 metadata rows. */
+  private[ml] def stumpHistogram(docs: DataFrame): DataFrame = {
+    val feats = docs.select(
+      col("n_chars").cast("long").as("f_chars"),
+      (length(col("text")) - length(replace(col("text"), lit(" "),
+        lit(""))) + lit(1)).cast("long").as("f_tokens"),
+      graft.text.TextSignals.stopwordHits(col("text")).cast("long")
+        .as("f_stop"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    feats.select(col("y"), explode(array(
+        struct(lit("f_chars").as("feature"), col("f_chars").as("v"),
+          lit(600L).as("cap")),
+        struct(lit("f_tokens").as("feature"), col("f_tokens").as("v"),
+          lit(100L).as("cap")),
+        struct(lit("f_stop").as("feature"), col("f_stop").as("v"),
+          lit(12L).as("cap")))).as("fv"))
+      .select(col("fv.feature").as("feature"),
+        least(lit(15L), expr("fv.v * 16 div fv.cap")).as("bin"), col("y"))
+      .groupBy("feature", "bin").agg(
+        count(lit(1)).as("n"), sum(col("y")).as("pos"))
+  }
+
   /** q163's hashed-bucket token projection: one row per token occurrence
     * with its 256-way md5 bucket, every non-text input column preserved
     * (so split/class flags ride through the explode). */
@@ -537,24 +564,7 @@ object MlQueries {
     // single-partition exchange anywhere.
     QueryDef("q176_decision_stump", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val feats = t(s, d, "documents").select(
-        col("n_chars").cast("long").as("f_chars"),
-        (length(col("text")) - length(replace(col("text"), lit(" "),
-          lit(""))) + lit(1)).cast("long").as("f_tokens"),
-        graft.text.TextSignals.stopwordHits(col("text")).cast("long")
-          .as("f_stop"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-      val exploded = feats.select(col("y"), explode(array(
-          struct(lit("f_chars").as("feature"), col("f_chars").as("v"),
-            lit(600L).as("cap")),
-          struct(lit("f_tokens").as("feature"), col("f_tokens").as("v"),
-            lit(100L).as("cap")),
-          struct(lit("f_stop").as("feature"), col("f_stop").as("v"),
-            lit(12L).as("cap")))).as("fv"))
-        .select(col("fv.feature").as("feature"),
-          least(lit(15L), expr("fv.v * 16 div fv.cap")).as("bin"), col("y"))
-      val hist = exploded.groupBy("feature", "bin").agg(
-        count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val hist = stumpHistogram(t(s, d, "documents"))
       val wCum = Window.partitionBy("feature").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wTot = Window.partitionBy("feature")
@@ -1040,6 +1050,243 @@ object MlQueries {
         round(CAST(SUM(susp_hi) + SUM(susp_lo) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE), 6) AS noise_rate
       FROM flagged GROUP BY source"""),
-      notes = "Cleanlab-style confident-mistake label QA: docs the q116 model scores in the top P(en) quartile while labeled not-en (and the mirror), relative-confidence thresholds from exact p25/p75 percentiles (q101 pattern); scoring projection + 1-row broadcast thresholds + one keyed agg — the per-source label-noise report")
+      notes = "Cleanlab-style confident-mistake label QA: docs the q116 model scores in the top P(en) quartile while labeled not-en (and the mirror), relative-confidence thresholds from exact p25/p75 percentiles (q101 pattern); scoring projection + 1-row broadcast thresholds + one keyed agg — the per-source label-noise report"),
+
+    // ── Cohen's kappa between the catalog's two classifiers ────────────
+    // Inter-annotator agreement, the data-QA statistic for any labeling
+    // setup — here the two "annotators" are the catalog's own production
+    // models on the full corpus: q116's logistic regression and q163's
+    // naive Bayes machinery (full-corpus variant — agreement audits use
+    // every prediction, no held-out split). κ = (p_o − p_e)/(1 − p_e)
+    // corrects raw agreement for chance using the marginals; the 2×2
+    // contingency table is ONE combined agg of exact BIGINTs, κ is
+    // constant-size double algebra. Two models that agree only by
+    // chance (κ≈0) on this deliberately-unlearnable target is itself
+    // the documented expected readout. Shapes: both scoring passes are
+    // the catalog's own (narrow literals / broadcast 256-row model),
+    // one doc-keyed join, one agg.
+    QueryDef("q189_model_kappa", (s, d) => {
+      val docs = t(s, d, "documents")
+      val lr = scoreWith(docs, trainOn(docs))
+        .select(col("doc_id"), col("pred_en").as("pred_lr"))
+      val toks = nbTokens(docs.select(col("doc_id"), col("lang"), col("text")))
+      val model0 = nbCounts(toks).localCheckpoint(true)
+      val tot = model0.agg(sum("c_en").as("n_en"), sum("c_ot").as("n_ot"))
+      val model = model0.crossJoin(broadcast(tot))
+        .withColumn("wb", round(log(
+          ((col("c_en") + lit(1L)) * (col("n_ot") + lit(256L))).cast("double") /
+            ((col("c_ot") + lit(1L)) * (col("n_en") + lit(256L))).cast("double"))
+          * 1e6).cast("long"))
+        .select("b", "wb")
+      val pri = docs.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("d_en"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("d_ot"))
+        .select(when(col("d_en") > 0 && col("d_ot") > 0,
+          round(log(col("d_en").cast("double") / col("d_ot").cast("double"))
+            * 1e6).cast("long")).otherwise(lit(0L)).as("pm"))
+      val perdoc = toks.join(broadcast(model), "b")
+        .groupBy("doc_id").agg(sum("wb").as("sm"))
+      val nb = docs.select("doc_id").join(perdoc, Seq("doc_id"), "left_outer")
+        .crossJoin(broadcast(pri))
+        .select(col("doc_id"),
+          ((coalesce(col("sm"), lit(0L)) + col("pm")) > 0).cast("long")
+            .as("pred_nb"))
+      lr.join(nb, "doc_id").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pred_lr") === 1 && col("pred_nb") === 1, 1L)
+            .otherwise(0L)).as("n11"),
+          sum(when(col("pred_lr") === 1 && col("pred_nb") === 0, 1L)
+            .otherwise(0L)).as("n10"),
+          sum(when(col("pred_lr") === 0 && col("pred_nb") === 1, 1L)
+            .otherwise(0L)).as("n01"),
+          sum(when(col("pred_lr") === 0 && col("pred_nb") === 0, 1L)
+            .otherwise(0L)).as("n00"))
+        .withColumn("po", when(col("n") > 0,
+          (col("n11") + col("n00")).cast("double") / col("n").cast("double"))
+          .otherwise(lit(0.0)))
+        .withColumn("pe", when(col("n") > 0,
+          ((col("n11") + col("n10")).cast("double") *
+            (col("n11") + col("n01")).cast("double") +
+           (col("n01") + col("n00")).cast("double") *
+            (col("n10") + col("n00")).cast("double")) /
+            (col("n").cast("double") * col("n").cast("double")))
+          .otherwise(lit(0.0)))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+          when(lit(1.0) - col("pe") > 0,
+            round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+            .otherwise(lit(0.0)).as("kappa"))
+    }, Some(OracleSteps + """,
+      lr AS (SELECT f.doc_id,
+          CAST(1.0 / (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2
+            + w3.w3 * x3))) >= 0.5 AS BIGINT) AS pred_lr
+        FROM f, w3),
+      toks AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS b
+        FROM (SELECT doc_id, lang,
+                unnest(list_filter(string_split(text, ' '),
+                  t -> len(t) > 0)) AS tok
+              FROM documents)),
+      cb AS (SELECT b,
+          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+          SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_ot
+        FROM toks GROUP BY b),
+      model0 AS (SELECT sp.b, COALESCE(c_en, 0) AS c_en,
+          COALESCE(c_ot, 0) AS c_ot
+        FROM (SELECT unnest(range(0, 256)) AS b) sp
+        LEFT JOIN cb ON cb.b = sp.b),
+      tot AS (SELECT SUM(c_en) AS n_en, SUM(c_ot) AS n_ot FROM model0),
+      model AS (SELECT b,
+          CAST(ROUND(LN(
+            CAST((c_en + 1) * (n_ot + 256) AS DOUBLE) /
+            CAST((c_ot + 1) * (n_en + 256) AS DOUBLE)) * 1000000) AS BIGINT)
+            AS wb
+        FROM model0, tot),
+      pri0 AS (SELECT
+          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS d_en,
+          SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS d_ot
+        FROM documents),
+      pri AS (SELECT CASE WHEN d_en > 0 AND d_ot > 0 THEN
+          CAST(ROUND(LN(CAST(d_en AS DOUBLE) / CAST(d_ot AS DOUBLE))
+            * 1000000) AS BIGINT) ELSE 0 END AS pm
+        FROM pri0),
+      perdoc AS (SELECT doc_id, SUM(wb) AS sm
+        FROM toks JOIN model USING (b) GROUP BY doc_id),
+      nb AS (SELECT d.doc_id,
+          CAST(COALESCE(p.sm, 0) + pri.pm > 0 AS BIGINT) AS pred_nb
+        FROM documents d CROSS JOIN pri
+        LEFT JOIN perdoc p ON p.doc_id = d.doc_id),
+      ct AS (SELECT
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN pred_lr = 1 AND pred_nb = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n11,
+          CAST(SUM(CASE WHEN pred_lr = 1 AND pred_nb = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n10,
+          CAST(SUM(CASE WHEN pred_lr = 0 AND pred_nb = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n01,
+          CAST(SUM(CASE WHEN pred_lr = 0 AND pred_nb = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n00
+        FROM lr JOIN nb USING (doc_id)),
+      rates AS (SELECT *,
+          CASE WHEN n > 0 THEN
+            CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END AS po,
+          CASE WHEN n > 0 THEN
+            (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+             + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) ELSE 0.0 END AS pe
+        FROM ct)
+      SELECT n, n11, n10, n01, n00,
+        round(po, 6) AS po, round(pe, 6) AS pe,
+        CASE WHEN 1.0 - pe > 0 THEN round((po - pe) / (1.0 - pe), 6)
+          ELSE 0.0 END AS kappa
+      FROM rates"""),
+      notes = "Cohen's kappa between the catalog's two production classifiers (q116 logreg vs q163-machinery NB, full corpus): chance-corrected agreement from ONE exact 2x2 contingency agg; both scoring passes are the catalog's own narrow/broadcast shapes — the inter-annotator-agreement statistic for label QA"),
+
+    // ── Mutual-information feature ranking (q176's second criterion) ───
+    // Feature selection's standard score over the SAME one-pass
+    // histogram q176 builds (shared stumpHistogram — the data is
+    // touched once, the criterion is swapped on metadata): per
+    // feature, empirical MI(bin; y) = Σ p(b,y)·ln(p(b,y)/(p(b)p(y))),
+    // each term nano-unit rounded from exact BIGINT counts (the q143
+    // entropy pattern) and summed as BIGINT — plus the label entropy
+    // H(y) and the normalized ratio MI/H(y) ∈ [0,1]. On this
+    // deliberately-unlearnable target MI ≈ 0 is the documented
+    // expected readout (the q116/q163 family's honest baseline);
+    // rounding can leave the sum a few nano-units either side of 0.
+    // Per-feature totals ride the same partition-by-feature window as
+    // q176 — no single-partition stage.
+    QueryDef("q191_mi_features", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wTot = Window.partitionBy("feature")
+      def term(nby: org.apache.spark.sql.Column,
+          ny: org.apache.spark.sql.Column) =
+        when(nby > 0, round(
+          nby.cast("double") / col("tot_n").cast("double") *
+            log((nby.cast("double") * col("tot_n").cast("double")) /
+              (col("n").cast("double") * ny.cast("double"))) * lit(1e9))
+          .cast("long")).otherwise(lit(0L))
+      def hterm(c: org.apache.spark.sql.Column) =
+        when(c > 0, round(-(c.cast("double") / col("tn").cast("double")) *
+          log(c.cast("double") / col("tn").cast("double")) * lit(1e9))
+          .cast("long")).otherwise(lit(0L))
+      stumpHistogram(t(s, d, "documents"))
+        .withColumn("tot_n", sum("n").over(wTot))
+        .withColumn("tot_pos", sum("pos").over(wTot))
+        .withColumn("term_u",
+          term(col("pos"), col("tot_pos")) +
+            term(col("n") - col("pos"), col("tot_n") - col("tot_pos")))
+        .groupBy("feature").agg(
+          count(lit(1)).as("n_bins"),
+          sum("term_u").as("mi_u"),
+          first("tot_n").as("tn"), first("tot_pos").as("tp"))
+        .withColumn("hy_u", hterm(col("tp")) + hterm(col("tn") - col("tp")))
+        .select(col("feature"), col("n_bins"),
+          round(col("mi_u").cast("double") / lit(1e9), 6).as("mi_nats"),
+          round(col("hy_u").cast("double") / lit(1e9), 6).as("h_label"),
+          when(col("hy_u") > 0,
+            round(col("mi_u").cast("double") / col("hy_u").cast("double"), 6))
+            .otherwise(lit(0.0)).as("mi_ratio"))
+    }, Some("""
+      WITH f AS (
+        SELECT CAST(n_chars AS BIGINT) AS f_chars,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS f_tokens,
+          CAST(len(regexp_extract_all(text, '\bthe\b'))
+             + len(regexp_extract_all(text, '\ba\b'))
+             + len(regexp_extract_all(text, '\band\b'))
+             + len(regexp_extract_all(text, '\bof\b')) AS BIGINT) AS f_stop,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      fv AS (
+        SELECT 'f_chars' AS feature, f_chars AS v, 600 AS cap, y FROM f
+        UNION ALL SELECT 'f_tokens', f_tokens, 100, y FROM f
+        UNION ALL SELECT 'f_stop', f_stop, 12, y FROM f),
+      hist AS (
+        SELECT feature, least(15, v * 16 // cap) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM fv GROUP BY 1, 2),
+      tots AS (
+        SELECT feature, bin, n, pos,
+          CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS tot_n,
+          CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS tot_pos
+        FROM hist),
+      terms AS (
+        SELECT feature, tot_n, tot_pos,
+          (CASE WHEN pos > 0 THEN CAST(ROUND(
+              CAST(pos AS DOUBLE) / CAST(tot_n AS DOUBLE) *
+              LN((CAST(pos AS DOUBLE) * CAST(tot_n AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(tot_pos AS DOUBLE)))
+              * 1000000000) AS BIGINT) ELSE 0 END
+           + CASE WHEN n - pos > 0 THEN CAST(ROUND(
+              CAST(n - pos AS DOUBLE) / CAST(tot_n AS DOUBLE) *
+              LN((CAST(n - pos AS DOUBLE) * CAST(tot_n AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(tot_n - tot_pos AS DOUBLE)))
+              * 1000000000) AS BIGINT) ELSE 0 END) AS term_u
+        FROM tots),
+      agg AS (
+        SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_bins,
+          CAST(SUM(term_u) AS BIGINT) AS mi_u,
+          ANY_VALUE(tot_n) AS tn, ANY_VALUE(tot_pos) AS tp
+        FROM terms GROUP BY feature),
+      hy AS (
+        SELECT *,
+          (CASE WHEN tp > 0 THEN CAST(ROUND(
+              -(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) *
+              LN(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+              * 1000000000) AS BIGINT) ELSE 0 END
+           + CASE WHEN tn - tp > 0 THEN CAST(ROUND(
+              -(CAST(tn - tp AS DOUBLE) / CAST(tn AS DOUBLE)) *
+              LN(CAST(tn - tp AS DOUBLE) / CAST(tn AS DOUBLE))
+              * 1000000000) AS BIGINT) ELSE 0 END) AS hy_u
+        FROM agg)
+      SELECT feature, n_bins,
+        round(CAST(mi_u AS DOUBLE) / 1000000000.0, 6) AS mi_nats,
+        round(CAST(hy_u AS DOUBLE) / 1000000000.0, 6) AS h_label,
+        CASE WHEN hy_u > 0 THEN
+          round(CAST(mi_u AS DOUBLE) / CAST(hy_u AS DOUBLE), 6)
+          ELSE 0.0 END AS mi_ratio
+      FROM hy"""),
+      notes = "mutual-information feature ranking over the SAME one-pass q176 histogram (shared stumpHistogram): per-feature MI(bin; y) from nano-unit exact terms + label entropy + normalized ratio; the criterion swaps on <= 48 metadata rows, the data is touched once")
   )
 }

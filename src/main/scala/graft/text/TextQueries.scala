@@ -3181,6 +3181,114 @@ object TextQueries {
       SELECT pt.n_docs, pt.point_mean, lo.boot_lo, hi.boot_hi,
         CAST(32 AS BIGINT) AS n_replicas
       FROM pt, lo, hi"""),
-      notes = "Poissonized bootstrap CI for mean tokens/doc: per-(doc, replica) Poisson(1) weights from deterministic md5 uniforms through the exact inverse CDF (a pure map — no cross-doc coordination), 32 replica means as exact BIGINT sums, CI = 2nd/31st order statistic over 32 metadata rows ranked via GlobalOrder")
+      notes = "Poissonized bootstrap CI for mean tokens/doc: per-(doc, replica) Poisson(1) weights from deterministic md5 uniforms through the exact inverse CDF (a pure map — no cross-doc coordination), 32 replica means as exact BIGINT sums, CI = 2nd/31st order statistic over 32 metadata rows ranked via GlobalOrder"),
+
+    // ── Two-sample Kolmogorov-Smirnov test (binned, window-free) ───────
+    // Distribution-shift testing beside q133's PSI and q186's proportion
+    // test: the KS D statistic between two samples' token-count
+    // distributions, in the BINNED form that scales — 64 fixed integer
+    // bins (ntok div 2, clamped), so the ECDF comparison runs on a
+    // 64-row spine however large the corpus. D's running maximum is
+    // computed INSIDE one row via the SQL `aggregate` HOF over the
+    // collected 64-bin array (exact integer cross-products
+    // |cum_a·n_b − cum_b·n_a|, division deferred to the end) — no
+    // window anywhere in the Spark plan; the oracle uses plain windows
+    // (no plan constraints there). Two designed rows prove both
+    // verdicts: an md5 A/A (must not fire) and presence-of-'the' vs
+    // not (length-correlated by construction — must fire). The 5%
+    // critical value is the standard 1.358·sqrt((n_a+n_b)/(n_a·n_b)).
+    QueryDef("q190_ks_test", (s, d) => {
+      val u = conv(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("ks"))), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976L) // 2^60
+      val base = t(s, d, "documents").select(
+        TextSignals.nTokens(col("text")).cast("long").as("ntok"),
+        (u < 0.5).as("g1"),
+        (TextSignals.wordCount(col("text"), "the") >= lit(1.0)).as("g2"))
+      val hist = base.select(col("ntok"), explode(array(
+          struct(lit("md5_aa").as("cmp"), col("g1").as("ga")),
+          struct(lit("the_effect").as("cmp"), col("g2").as("ga")))).as("cg"))
+        .select(col("cg.cmp").as("cmp"), col("cg.ga").as("ga"),
+          least(lit(63L), expr("ntok div 2")).as("bin"))
+        .groupBy("cmp", "bin").agg(
+          sum(when(col("ga"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("ga"), 1L).otherwise(0L)).as("cb"))
+      hist.groupBy("cmp").agg(
+          sum("ca").as("n_a"), sum("cb").as("n_b"),
+          collect_list(struct(col("bin"), col("ca"), col("cb"))).as("bins"))
+        .select(col("cmp").as("comparison"), col("n_a"), col("n_b"),
+          expr("""aggregate(array_sort(bins),
+            named_struct('ca', 0L, 'cb', 0L, 'md', 0L),
+            (acc, x) -> named_struct(
+              'ca', acc.ca + x.ca, 'cb', acc.cb + x.cb,
+              'md', greatest(acc.md,
+                abs((acc.ca + x.ca) * n_b - (acc.cb + x.cb) * n_a))),
+            acc -> acc.md)""").as("d_num"))
+        .withColumn("d_stat", when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+          .otherwise(lit(0.0)))
+        .withColumn("d_crit", when(col("n_a") > 0 && col("n_b") > 0,
+          round(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 6))
+          .otherwise(lit(0.0)))
+        .select(col("comparison"), col("n_a"), col("n_b"), col("d_stat"),
+          col("d_crit"),
+          (col("d_stat") > col("d_crit")).cast("long").as("significant"))
+    }, Some("""
+      WITH base AS (
+        SELECT
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS ntok,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ks'),
+            1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < 0.5 AS g1,
+          len(regexp_extract_all(text, '\bthe\b')) >= 1 AS g2
+        FROM documents),
+      rowsx AS (
+        SELECT 'md5_aa' AS cmp, g1 AS ga, least(63, ntok // 2) AS bin
+        FROM base
+        UNION ALL
+        SELECT 'the_effect', g2, least(63, ntok // 2) FROM base),
+      hist AS (
+        SELECT cmp, bin,
+          CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM rowsx GROUP BY 1, 2),
+      tot AS (SELECT cmp, CAST(SUM(ca) AS BIGINT) AS n_a,
+          CAST(SUM(cb) AS BIGINT) AS n_b
+        FROM hist GROUP BY cmp),
+      cum AS (
+        SELECT cmp,
+          CAST(SUM(ca) OVER (PARTITION BY cmp ORDER BY bin) AS BIGINT)
+            AS cum_a,
+          CAST(SUM(cb) OVER (PARTITION BY cmp ORDER BY bin) AS BIGINT)
+            AS cum_b
+        FROM hist),
+      dnum AS (
+        SELECT c.cmp,
+          CAST(MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT)
+            AS d_num
+        FROM cum c JOIN tot t ON c.cmp = t.cmp GROUP BY c.cmp)
+      SELECT t.cmp AS comparison, t.n_a, t.n_b,
+        CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+          round(CAST(d.d_num AS DOUBLE) /
+            (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6)
+          ELSE 0.0 END AS d_stat,
+        CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+          round(1.358 * sqrt(CAST(t.n_a + t.n_b AS DOUBLE) /
+            (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))), 6)
+          ELSE 0.0 END AS d_crit,
+        CAST(
+          CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+            round(CAST(d.d_num AS DOUBLE) /
+              (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6)
+            ELSE 0.0 END >
+          CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+            round(1.358 * sqrt(CAST(t.n_a + t.n_b AS DOUBLE) /
+              (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))), 6)
+            ELSE 0.0 END
+          AS BIGINT) AS significant
+      FROM tot t JOIN dnum d ON t.cmp = d.cmp"""),
+      notes = "binned two-sample KS test (64 fixed integer bins — the ECDF comparison runs on a 64-row spine at any corpus size): exact integer cross-product running max via the SQL aggregate HOF (no window in the Spark plan), 5% critical value 1.358*sqrt((na+nb)/(na*nb)); A/A and designed-shift rows prove both verdicts")
   )
 }

@@ -503,6 +503,52 @@ class QueryCatalogSpec extends SparkSpec {
       "and low-score ones")
   }
 
+  test("q189 contingency partitions the corpus; kappa near chance by design") {
+    val r = SparkEntry.queries("q189_model_kappa")(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    assert(n == 500)
+    assert(r.getAs[Long]("n11") + r.getAs[Long]("n10") +
+      r.getAs[Long]("n01") + r.getAs[Long]("n00") == n)
+    val (po, pe, k) = (r.getAs[Double]("po"), r.getAs[Double]("pe"),
+      r.getAs[Double]("kappa"))
+    assert(po >= 0 && po <= 1 && pe >= 0 && pe <= 1)
+    // both models chase an unlearnable target: agreement is chance-level
+    assert(math.abs(k) < 0.3, s"kappa $k should sit near chance on iid labels")
+  }
+
+  test("q190 A/A does not fire and the designed 'the'-shift does") {
+    val rows = SparkEntry.queries("q190_ks_test")(spark, sf).collect()
+      .map(r => r.getAs[String]("comparison") -> r).toMap
+    assert(rows.keySet == Set("md5_aa", "the_effect"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 500)
+      assert(r.getAs[Double]("d_stat") >= 0 && r.getAs[Double]("d_stat") <= 1)
+      assert(r.getAs[Double]("d_crit") > 0)
+    }
+    assert(rows("md5_aa").getAs[Long]("significant") == 0L,
+      "a content-independent A/A split must not reject the null")
+    val eff = rows("the_effect")
+    assert(eff.getAs[Long]("significant") == 1L &&
+      eff.getAs[Double]("d_stat") > 2 * eff.getAs[Double]("d_crit"),
+      "presence-of-'the' length shift must fire decisively")
+  }
+
+  test("q191 MI is non-negative-ish, bounded by label entropy, same histogram as q176") {
+    val rows = SparkEntry.queries("q191_mi_features")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("feature")).sorted.toSeq ==
+      Seq("f_chars", "f_stop", "f_tokens"))
+    rows.foreach { r =>
+      val (mi, hy) = (r.getAs[Double]("mi_nats"), r.getAs[Double]("h_label"))
+      assert(hy > 0 && hy <= 0.6931472 + 1e-6, "binary entropy bound")
+      // plug-in MI >= 0 mathematically; nano rounding may dip a hair below
+      assert(mi >= -1e-6 && mi <= hy + 1e-6,
+        s"MI $mi outside [0, H(y)=$hy]")
+      assert(r.getAs[Double]("mi_ratio") <= 0.25,
+        "an unlearnable target cannot carry large normalized MI")
+      assert(r.getAs[Long]("n_bins") >= 2)
+    }
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

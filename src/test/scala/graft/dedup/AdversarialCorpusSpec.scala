@@ -74,7 +74,9 @@ class AdversarialCorpusSpec extends SparkSpec {
     // term; bootstrap handles tiny corpora (replica weights can zero out)
     "q184_retrieval_eval", "q185_bootstrap_ci",
     // experiment readout and label QA handle degenerate arms/labels
-    "q186_ab_test", "q188_label_noise")
+    "q186_ab_test", "q188_label_noise",
+    // agreement/KS/MI handle single-class and degenerate-bin corpora
+    "q189_model_kappa", "q190_ks_test", "q191_mi_features")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
