@@ -1670,6 +1670,131 @@ object Relational {
               - exact_join AS DOUBLE) / CAST(exact_join AS DOUBLE), 6)
           ELSE 0.0 END AS rel_err
       FROM u"""),
-      notes = "System-R join-cardinality estimation audited against the exact join: |L||R|/max(d_L,d_R) over exact distinct-key stats (the q29/q82 HLL family is the 100 TB sketch path) for FK-clean and fact-fact relations; the planner prices a join from metadata without running it")
+      notes = "System-R join-cardinality estimation audited against the exact join: |L||R|/max(d_L,d_R) over exact distinct-key stats (the q29/q82 HLL family is the 100 TB sketch path) for FK-clean and fact-fact relations; the planner prices a join from metadata without running it"),
+
+    // ── Benford first-digit audit (the payments-fraud screen) ──────────
+    // The classic forensic-accounting screen over the reference's OWN
+    // domain (payment amounts): the first significant digit of
+    // naturally-occurring amounts follows log10(1+1/d); fabricated or
+    // structured amounts don't. Digit extraction is engine-portable
+    // integer arithmetic on exact cents — `c div 10^(len(str(c))-1)`
+    // (integer-to-string length, no float log10 knife edge). The
+    // explicit 1..9 spine keeps absent digits in the χ² (they are the
+    // loudest evidence); per-digit χ² terms are micro-unit rounded
+    // BIGINTs so the statistic is deterministic cross-engine. One
+    // map-side-combined digit agg (9 result rows) + metadata algebra;
+    // df=8, α=0.05 critical value 15.507. TPC-H totalprice is a sum of
+    // uniforms, NOT log-uniform — the audit CORRECTLY flags it
+    // (significant=1), which is the point: the screen detects
+    // non-Benford generators, and this one isn't.
+    QueryDef("q192_benford", (s, d) => {
+      val obs = t(s, d, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .withColumn("digit", expr(
+          "cents div CAST(power(10, length(CAST(cents AS STRING)) - 1) AS BIGINT)"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val spine = s.range(1, 10).select(col("id").as("digit"))
+        .join(obs, Seq("digit"), "left_outer")
+        .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      val tot = spine.agg(sum("n_obs").as("n_total"))
+      val terms = spine.crossJoin(broadcast(tot))
+        .withColumn("benford_share",
+          log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+            log(lit(10.0)))
+        .withColumn("exp_n",
+          col("n_total").cast("double") * col("benford_share"))
+        .withColumn("term_u", when(col("exp_n") > 0, round(
+          (col("n_obs").cast("double") - col("exp_n")) *
+            (col("n_obs").cast("double") - col("exp_n")) / col("exp_n") *
+            lit(1e6)).cast("long")).otherwise(lit(0L)))
+      val chi2 = terms.agg(sum("term_u").as("chi2_u"))
+      terms.crossJoin(broadcast(chi2))
+        .select(col("digit"), col("n_obs"),
+          when(col("n_total") > 0, round(col("n_obs").cast("double") /
+            col("n_total").cast("double"), 6)).otherwise(lit(0.0))
+            .as("obs_share"),
+          round(col("benford_share"), 6).as("benford_share"),
+          round(col("chi2_u").cast("double") / lit(1e6), 6).as("chi2"),
+          (col("chi2_u").cast("double") / lit(1e6) > 15.507).cast("long")
+            .as("significant"))
+    }, Some("""
+      WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0),
+      obs AS (
+        SELECT c // CAST(power(10, length(CAST(c AS VARCHAR)) - 1) AS BIGINT)
+          AS digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM cents GROUP BY 1),
+      spine AS (
+        SELECT CAST(dd AS BIGINT) AS digit, COALESCE(n_obs, 0) AS n_obs
+        FROM (SELECT unnest(range(1, 10)) AS dd) sp
+        LEFT JOIN obs ON obs.digit = sp.dd),
+      tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM spine),
+      terms AS (
+        SELECT digit, n_obs, n_total,
+          LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0) AS benford_share,
+          CAST(n_total AS DOUBLE) *
+            (LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)) AS exp_n
+        FROM spine, tot),
+      tu AS (
+        SELECT *, CASE WHEN exp_n > 0 THEN CAST(ROUND(
+            (CAST(n_obs AS DOUBLE) - exp_n) * (CAST(n_obs AS DOUBLE) - exp_n)
+              / exp_n * 1000000) AS BIGINT) ELSE 0 END AS term_u
+        FROM terms),
+      chi AS (SELECT CAST(SUM(term_u) AS BIGINT) AS chi2_u FROM tu)
+      SELECT digit, n_obs,
+        CASE WHEN n_total > 0 THEN
+          round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+          ELSE 0.0 END AS obs_share,
+        round(benford_share, 6) AS benford_share,
+        round(CAST(chi2_u AS DOUBLE) / 1000000.0, 6) AS chi2,
+        CAST(CAST(chi2_u AS DOUBLE) / 1000000.0 > 15.507 AS BIGINT)
+          AS significant
+      FROM tu, chi"""),
+      notes = "Benford first-digit audit over payment amounts (the forensic-accounting screen for the reference's own domain): portable integer digit extraction on exact cents, explicit 1..9 spine, micro-unit chi-square vs log10(1+1/d) at the df=8 critical value; one digit agg + metadata algebra"),
+
+    // ── Transaction-velocity rule (trailing-window burst detection) ────
+    // The streaming-fraud rule every payments platform runs, in batch
+    // form: per user, the trailing-24h event count at every event (a
+    // KEYED time-range window — user-partitioned, so no global sort),
+    // flagging events where the burst reaches 6. The frame is RANGE
+    // over exact nanosecond LONGs (the catalog's ts contract;
+    // ties-as-peers semantics identical cross-engine), counts are
+    // exact integers. Output is the per-user risk summary a rules
+    // engine materializes daily: total events, peak burst, flagged
+    // events, and the user-level flag. At 100 TB: one user-keyed
+    // shuffle; the window state is bounded by a user's 24h event
+    // count. StreamingSlidingWindows is the continuous twin of this
+    // shape.
+    QueryDef("q193_velocity", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-86400000000000L, 0L) // trailing 24h in nanos
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"))
+        .withColumn("burst", count(lit(1)).over(w))
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          max(col("burst")).as("max_burst"),
+          sum(when(col("burst") >= 6, 1L).otherwise(0L)).as("n_flagged"))
+        .select(col("user_id"), col("n_events"), col("max_burst"),
+          col("n_flagged"),
+          (col("n_flagged") > 0).cast("long").as("velocity_flag"))
+    }, Some("""
+      WITH w AS (
+        SELECT user_id,
+          CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+            RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS burst
+        FROM events)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(MAX(burst) AS BIGINT) AS max_burst,
+        CAST(SUM(CASE WHEN burst >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_flagged,
+        CAST(SUM(CASE WHEN burst >= 6 THEN 1 ELSE 0 END) > 0 AS BIGINT)
+          AS velocity_flag
+      FROM w GROUP BY user_id"""),
+      notes = "trailing-24h transaction-velocity rule per user (the payments-fraud burst screen): keyed RANGE window over exact nanosecond LONGs (ties-as-peers identical cross-engine), per-user risk summary with peak burst + flag; one user-keyed shuffle, bounded window state")
   )
 }

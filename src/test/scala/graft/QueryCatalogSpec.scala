@@ -549,6 +549,36 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("q192 digit spine is complete, shares coherent, audit fires on TPC-H amounts") {
+    val rows = SparkEntry.queries("q192_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).sorted.toSeq == (1L to 9L))
+    val obsSum = rows.map(_.getAs[Double]("obs_share")).sum
+    assert(math.abs(obsSum - 1.0) < 1e-4, s"observed shares sum to $obsSum")
+    val expSum = rows.map(_.getAs[Double]("benford_share")).sum
+    assert(math.abs(expSum - 1.0) < 1e-4)
+    val chi2 = rows.map(_.getAs[Double]("chi2")).distinct
+    assert(chi2.length == 1 && chi2.head > 0)
+    // sum-of-uniforms amounts are NOT Benford: the screen must fire
+    assert(rows.forall(_.getAs[Long]("significant") == 1L),
+      "the audit should flag the non-Benford TPC-H generator")
+  }
+
+  test("q193 velocity summary is coherent and flags some but not all users") {
+    val rows = SparkEntry.queries("q193_velocity")(spark, sf).collect()
+    assert(rows.length == 15, "one summary row per user")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_burst") >= 1)
+      assert(r.getAs[Long]("max_burst") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_events"))
+      assert((r.getAs[Long]("velocity_flag") == 1L) ==
+        (r.getAs[Long]("n_flagged") > 0L))
+      if (r.getAs[Long]("velocity_flag") == 1L)
+        assert(r.getAs[Long]("max_burst") >= 6)
+    }
+    val flags = rows.map(_.getAs[Long]("velocity_flag")).distinct
+    assert(flags.length == 2, "threshold should separate users on this corpus")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

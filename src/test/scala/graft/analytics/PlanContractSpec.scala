@@ -265,7 +265,8 @@ class PlanContractSpec extends SparkSpec {
       "q184_retrieval_eval", // q86's 1-row corpus-stat broadcasts + 1-row metric joins
       "q185_bootstrap_ci", // 1-row point/lo/hi composition joins
       "q188_label_noise", // broadcast 1-row percentile-threshold cross join
-      "q189_model_kappa") // broadcast 256-row NB model + 1-row totals/prior (q163 allowance)
+      "q189_model_kappa", // broadcast 256-row NB model + 1-row totals/prior (q163 allowance)
+      "q192_benford") // 9-row spine x 1-row total/chi2 composition joins
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
