@@ -689,5 +689,87 @@ object LakeQueries {
              WHEN type_v1 <> type_v2 THEN 'type_changed'
              ELSE 'kept' END AS change
       FROM p1 FULL OUTER JOIN p2 ON p1.col_name = p2.col_name"""),
-      notes = "schema-drift audit between real Snapshots versions: columns added/removed/type-changed + per-column row/cardinality drift from the production TableProfile pass; reads what a consumer would see from the committed files — the nightly catalog-diff artifact, one profile pass per side"))
+      notes = "schema-drift audit between real Snapshots versions: columns added/removed/type-changed + per-column row/cardinality drift from the production TableProfile pass; reads what a consumer would see from the committed files — the nightly catalog-diff artifact, one profile pass per side"),
+
+    // ── Subject-access report (DSAR — the right-of-access twin of q129) ─
+    // GDPR/CCPA Article-15 style data-subject access: for each subject
+    // in scope (deterministic c_custkey % 100 = 7 slice standing in for
+    // a request list), the cross-table footprint a controller must
+    // disclose — order count + exact spend, line items, event activity
+    // and its time range. q129 purges a subject; this REPORTS one — the
+    // two governance verbs over the same keys. Shapes: three keyed
+    // pre-aggregations (orders / lineitem-via-orders / events) left-
+    // joined onto the broadcast-small subject list; spend accumulates
+    // in DECIMAL and surfaces as DOUBLE (the q146 rule), timestamps
+    // surface as exact epoch micros. At 100 TB the request list is
+    // tiny: every table is pruned by the subject predicate AT THE
+    // SCAN, pre-aggregated before the join, and nothing fans out.
+    QueryDef("q195_subject_access", (s, d) => {
+      val subjects = t(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 7)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val ord = t(s, d, "orders").filter(col("o_custkey") % 100 === 7)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)))
+            .cast("double").as("total_spend"),
+          unix_micros(min(col("o_orderdate")).cast("timestamp"))
+            .as("first_order_us"),
+          unix_micros(max(col("o_orderdate")).cast("timestamp"))
+            .as("last_order_us"))
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(col("o_custkey") % 100 === 7),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_lineitems"))
+      val ev = t(s, d, "events").filter(col("user_id") % 100 === 7)
+        .groupBy(col("user_id").as("c_custkey"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("max(ts) div 1000").as("last_event_us"))
+      subjects
+        .join(ord, Seq("c_custkey"), "left_outer")
+        .join(li, Seq("c_custkey"), "left_outer")
+        .join(ev, Seq("c_custkey"), "left_outer")
+        .select(col("c_custkey").as("subject_key"), col("c_name"),
+          col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
+          coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("first_order_us"), lit(0L)).as("first_order_us"),
+          coalesce(col("last_order_us"), lit(0L)).as("last_order_us"),
+          coalesce(col("last_event_us"), lit(0L)).as("last_event_us"))
+    }, Some("""
+      WITH subjects AS (
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_custkey % 100 = 7),
+      ord AS (
+        SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            AS total_spend,
+          epoch_us(MIN(o_orderdate)) AS first_order_us,
+          epoch_us(MAX(o_orderdate)) AS last_order_us
+        FROM orders WHERE o_custkey % 100 = 7 GROUP BY 1),
+      li AS (
+        SELECT o_custkey AS c_custkey, COUNT(*) AS n_lineitems
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey % 100 = 7 GROUP BY 1),
+      ev AS (
+        SELECT user_id AS c_custkey, COUNT(*) AS n_events,
+          epoch_ns(MAX(ts)) // 1000 AS last_event_us
+        FROM events WHERE user_id % 100 = 7 GROUP BY 1)
+      SELECT s.c_custkey AS subject_key, s.c_name, s.c_mktsegment,
+        COALESCE(o.n_orders, 0) AS n_orders,
+        COALESCE(o.total_spend, 0.0) AS total_spend,
+        COALESCE(l.n_lineitems, 0) AS n_lineitems,
+        COALESCE(e.n_events, 0) AS n_events,
+        COALESCE(o.first_order_us, 0) AS first_order_us,
+        COALESCE(o.last_order_us, 0) AS last_order_us,
+        COALESCE(e.last_event_us, 0) AS last_event_us
+      FROM subjects s
+      LEFT JOIN ord o ON o.c_custkey = s.c_custkey
+      LEFT JOIN li l ON l.c_custkey = s.c_custkey
+      LEFT JOIN ev e ON e.c_custkey = s.c_custkey"""),
+      notes = "GDPR-style subject-access report (the right-of-access twin of q129's purge): per-subject cross-table footprint — orders + exact DECIMAL-accumulated spend, line items, event activity with epoch-micro time range; three keyed pre-aggs joined onto the tiny subject list, every table touched once"))
 }

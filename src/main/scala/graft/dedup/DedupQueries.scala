@@ -1606,6 +1606,101 @@ object DedupQueries {
           (ca.n + cb.n - COALESCE(ov.n_both, 0)), 6) AS set_jaccard
       FROM counts ca JOIN counts cb ON ca.m < cb.m
       LEFT JOIN ov ON ov.method_a = ca.m AND ov.method_b = cb.m"""),
-      notes = "dedup-method agreement matrix over the three exact detectors (q38 Jaccard>=0.6, q95 containment, q151 winnowing): normalized pair sets, pairwise |A|/|B|/intersection + set-level Jaccard — the method-selection artifact; Spark side composes the production operators, matrix stage runs on sparse pair rows")
+      notes = "dedup-method agreement matrix over the three exact detectors (q38 Jaccard>=0.6, q95 containment, q151 winnowing): normalized pair sets, pairwise |A|/|B|/intersection + set-level Jaccard — the method-selection artifact; Spark side composes the production operators, matrix stage runs on sparse pair rows"),
+
+    // ── Entity resolution end-to-end (block → match → cluster → elect) ─
+    // The master-data pipeline composed from the catalog's own exact
+    // operators, over a deterministic dirty-records table derived from
+    // customer: every customer yields a base record with a 12-hex-char
+    // pseudo-name (md5 of its key — NOT c_name: sequential ID-style
+    // names are pairwise Hamming-1 all over the keyspace, so any
+    // edit-distance rule transitively collapses them into one blob;
+    // hash names make cross-entity Hamming-1 collisions vanishingly
+    // rare, which is what real-name entropy looks like), and every
+    // third customer adds a last-char-typo variant with a slightly
+    // lower balance. Match rule: Hamming ≤ 1 via q139's position-
+    // masked blocking join (equal names share every masked key, so
+    // exact dups match too; NO all-pairs stage — the oracle uses the
+    // q138 half-string pigeonhole + levenshtein, lossless for ≤ 1).
+    // Iterative min-label CC (the q57 operator) resolves pairs;
+    // a q59 struct-argmax elects each cluster's golden record
+    // (highest balance, lowest rec_id on ties → the base record).
+    // `n_entities` audits cluster PURITY: distinct true entities per
+    // cluster (1 everywhere = no false merges) — the ER quality
+    // metric, emitted and gated.
+    QueryDef("q194_entity_resolution", (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val base = cust.select((col("c_custkey") * 2).as("rec_id"),
+        col("c_custkey").as("entity_key"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("name"),
+        col("c_acctbal"))
+      val variants = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") * 2 + 1).as("rec_id"),
+          col("c_custkey").as("entity_key"),
+          concat(substring(md5(col("c_custkey").cast("string")), 1, 11),
+            lit("z")).as("name"),
+          (col("c_acctbal") - lit(1.0)).as("c_acctbal"))
+      val records = base.unionAll(variants).localCheckpoint(true)
+      val masked = records.select(col("rec_id"),
+        explode(expr("transform(sequence(1, length(name)), i -> " +
+          "concat(substring(name, 1, i-1), chr(1), " +
+          "substring(name, i+1)))")).as("mk"))
+      val pairs = masked.as("a").join(masked.as("b"),
+          col("a.mk") === col("b.mk") && col("a.rec_id") < col("b.rec_id"))
+        .select(col("a.rec_id").as("doc_a"), col("b.rec_id").as("doc_b"))
+        .distinct()
+      val cc = graft.dedup.DedupClusters.connectedComponents(pairs)
+      cc.join(records, cc("doc_id") === records("rec_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          count_distinct(col("entity_key")).as("n_entities"),
+          max(struct(col("c_acctbal").as("ab"), (-col("rec_id")).as("nk")))
+            .as("g"))
+        .select(col("cluster_id"), col("n_members"), col("n_entities"),
+          (-col("g.nk")).as("golden_rec_id"),
+          col("g.ab").as("golden_acctbal"))
+    }, Some("""
+      WITH RECURSIVE rec AS (
+        SELECT c_custkey * 2 AS rec_id, c_custkey AS entity_key,
+          substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name,
+          c_acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey * 2 + 1, c_custkey,
+          substr(md5(CAST(c_custkey AS VARCHAR)), 1, 11) || 'z',
+          c_acctbal - 1.0
+        FROM customer WHERE c_custkey % 3 = 0),
+      pairs AS (
+        SELECT a.rec_id AS doc_a, b.rec_id AS doc_b
+        FROM rec a JOIN rec b
+          ON a.rec_id < b.rec_id
+         AND (substr(a.name, 1, 6) = substr(b.name, 1, 6)
+           OR substr(a.name, 7, 6) = substr(b.name, 7, 6))
+        WHERE levenshtein(a.name, b.name) <= 1),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cc AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      mem AS (
+        SELECT cc.cluster_id, r.rec_id, r.entity_key, r.c_acctbal
+        FROM cc JOIN rec r ON r.rec_id = cc.doc_id),
+      rk AS (
+        SELECT cluster_id, rec_id, c_acctbal,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY c_acctbal DESC, rec_id ASC) AS r,
+          count(*) OVER (PARTITION BY cluster_id) AS nm,
+          count(DISTINCT entity_key) OVER (PARTITION BY cluster_id) AS ne
+        FROM mem)
+      SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+        CAST(ne AS BIGINT) AS n_entities,
+        rec_id AS golden_rec_id, c_acctbal AS golden_acctbal
+      FROM rk WHERE r = 1"""),
+      notes = "entity resolution end-to-end over a deterministic dirty-records table: q139's Hamming<=1 masked blocking join (no all-pairs; oracle uses the q138 half-string pigeonhole) -> q57's iterative min-label CC -> q59 golden-record election, with a gated n_entities cluster-purity audit")
   )
 }

@@ -579,6 +579,39 @@ class QueryCatalogSpec extends SparkSpec {
     assert(flags.length == 2, "threshold should separate users on this corpus")
   }
 
+  test("q194 resolves every typo variant to its base with perfect purity") {
+    val rows = SparkEntry.queries("q194_entity_resolution")(spark, sf).collect()
+    // one cluster per custkey % 3 == 0 customer (150 at sf0.001)
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") == 2L,
+        "each cluster must be exactly {base, variant}")
+      assert(r.getAs[Long]("n_entities") == 1L,
+        "a cluster mixing true entities is a false merge")
+      // golden record = the base (even rec_id, higher balance)
+      assert(r.getAs[Long]("golden_rec_id") % 2 == 0,
+        "election must pick the base record")
+      assert(r.getAs[Long]("golden_rec_id") / 2 % 3 == 0)
+    }
+  }
+
+  test("q195 reports every subject with coherent cross-table footprints") {
+    val rows = SparkEntry.queries("q195_subject_access")(spark, sf).collect()
+    assert(rows.length == 2, "custkey % 100 == 7 subjects at sf0.001")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("subject_key") % 100 == 7)
+      if (r.getAs[Long]("n_orders") > 0) {
+        assert(r.getAs[Double]("total_spend") > 0)
+        assert(r.getAs[Long]("first_order_us") > 0 &&
+          r.getAs[Long]("first_order_us") <= r.getAs[Long]("last_order_us"))
+        assert(r.getAs[Long]("n_lineitems") > 0,
+          "a subject with orders has line items on this corpus")
+      }
+    }
+    // user_id space is 0..14 at sf0.001: exactly subject 7 has events
+    assert(rows.count(_.getAs[Long]("n_events") > 0) == 1)
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
