@@ -1701,6 +1701,76 @@ object DedupQueries {
         CAST(ne AS BIGINT) AS n_entities,
         rec_id AS golden_rec_id, c_acctbal AS golden_acctbal
       FROM rk WHERE r = 1"""),
-      notes = "entity resolution end-to-end over a deterministic dirty-records table: q139's Hamming<=1 masked blocking join (no all-pairs; oracle uses the q138 half-string pigeonhole) -> q57's iterative min-label CC -> q59 golden-record election, with a gated n_entities cluster-purity audit")
+      notes = "entity resolution end-to-end over a deterministic dirty-records table: q139's Hamming<=1 masked blocking join (no all-pairs; oracle uses the q138 half-string pigeonhole) -> q57's iterative min-label CC -> q59 golden-record election, with a gated n_entities cluster-purity audit"),
+
+    // ── Incremental entity resolution (delta vs resolved base) ─────────
+    // The incremental family's ER member (q70 exact-hash, q149 set-sim,
+    // q166 substr, streaming LSH): a RESOLVED base (every customer's
+    // q194 base record, its own entity) absorbs a delta — typo variants
+    // of every third customer plus genuinely NEW entities (a different
+    // hash name, matching nothing). Delta records block against BASE
+    // masked keys only (the base never self-joins, never re-resolves —
+    // the q149/q166 discipline); a matched record inherits its base
+    // cluster, an unmatched one founds a new entity. Within-delta pairs
+    // cannot exist here by construction (≤ 1 record per entity per
+    // batch); a production batch would run q194's CC on the unmatched
+    // residual — same operators, delta-sized. The `matched`/`is_new`
+    // split is the gated incremental-ER quality readout.
+    QueryDef("q196_er_incremental", (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"))
+      val base = cust.select((col("c_custkey") * 2).as("rec_id"),
+        col("c_custkey").as("entity_key"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("name"))
+      val deltaVar = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") * 2 + 1).as("rec_id"),
+          col("c_custkey").as("entity_key"),
+          concat(substring(md5(col("c_custkey").cast("string")), 1, 11),
+            lit("z")).as("name"))
+      val deltaNew = cust.filter(col("c_custkey") % 7 === 1)
+        .select((col("c_custkey") * 2 + 1000000000L).as("rec_id"),
+          (col("c_custkey") + 2000000000L).as("entity_key"),
+          substring(md5(concat_ws(":", col("c_custkey").cast("string"),
+            lit("new"))), 1, 12).as("name"))
+      val delta = deltaVar.unionAll(deltaNew)
+      def masked(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("rec_id"), explode(expr(
+          "transform(sequence(1, length(name)), i -> " +
+            "concat(substring(name, 1, i-1), chr(1), " +
+            "substring(name, i+1)))")).as("mk"))
+      val matches = masked(delta).withColumnRenamed("rec_id", "d_rec")
+        .join(masked(base).withColumnRenamed("rec_id", "b_rec"), "mk")
+        .groupBy(col("d_rec").as("rec_id"))
+        .agg(min(col("b_rec")).as("base_match"))
+      delta.join(matches, Seq("rec_id"), "left_outer")
+        .select(col("rec_id"), col("entity_key"),
+          col("base_match").isNotNull.cast("long").as("matched"),
+          coalesce(col("base_match"), col("rec_id")).as("assigned_cluster"),
+          col("base_match").isNull.cast("long").as("is_new"))
+    }, Some("""
+      WITH base AS (
+        SELECT c_custkey * 2 AS rec_id, c_custkey AS entity_key,
+          substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name
+        FROM customer),
+      delta AS (
+        SELECT c_custkey * 2 + 1 AS rec_id, c_custkey AS entity_key,
+          substr(md5(CAST(c_custkey AS VARCHAR)), 1, 11) || 'z' AS name
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey * 2 + 1000000000, c_custkey + 2000000000,
+          substr(md5(CAST(c_custkey AS VARCHAR) || ':new'), 1, 12)
+        FROM customer WHERE c_custkey % 7 = 1),
+      m AS (
+        SELECT dd.rec_id, MIN(b.rec_id) AS base_match
+        FROM delta dd JOIN base b
+          ON (substr(dd.name, 1, 6) = substr(b.name, 1, 6)
+           OR substr(dd.name, 7, 6) = substr(b.name, 7, 6))
+         AND levenshtein(dd.name, b.name) <= 1
+        GROUP BY dd.rec_id)
+      SELECT dd.rec_id, dd.entity_key,
+        CAST(m.base_match IS NOT NULL AS BIGINT) AS matched,
+        COALESCE(m.base_match, dd.rec_id) AS assigned_cluster,
+        CAST(m.base_match IS NULL AS BIGINT) AS is_new
+      FROM delta dd LEFT JOIN m ON m.rec_id = dd.rec_id"""),
+      notes = "incremental entity resolution: delta records (typo variants + genuinely new entities) block against BASE masked keys only (base never self-joins — the q149/q166 discipline); matched records inherit their base cluster, unmatched found new entities — the incremental family's ER member, delta-sized at any base size")
   )
 }

@@ -612,6 +612,25 @@ class QueryCatalogSpec extends SparkSpec {
     assert(rows.count(_.getAs[Long]("n_events") > 0) == 1)
   }
 
+  test("q196 delta resolution: variants inherit their base, new entities found clusters") {
+    val rows = SparkEntry.queries("q196_er_incremental")(spark, sf).collect()
+    assert(rows.length == 72, "50 variants + 22 new-entity records at sf0.001")
+    rows.foreach { r =>
+      val (rid, ek) = (r.getAs[Long]("rec_id"), r.getAs[Long]("entity_key"))
+      if (rid < 1000000000L) { // typo variant of base entity ek
+        assert(r.getAs[Long]("matched") == 1L,
+          s"variant $rid must match its base")
+        assert(r.getAs[Long]("assigned_cluster") == ek * 2,
+          "a variant inherits exactly its base's cluster")
+      } else { // genuinely new entity
+        assert(r.getAs[Long]("is_new") == 1L,
+          s"new-entity record $rid must not match any base")
+        assert(r.getAs[Long]("assigned_cluster") == rid)
+      }
+      assert(r.getAs[Long]("matched") + r.getAs[Long]("is_new") == 1L)
+    }
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
