@@ -1287,6 +1287,75 @@ object MlQueries {
           round(CAST(mi_u AS DOUBLE) / CAST(hy_u AS DOUBLE), 6)
           ELSE 0.0 END AS mi_ratio
       FROM hy"""),
-      notes = "mutual-information feature ranking over the SAME one-pass q176 histogram (shared stumpHistogram): per-feature MI(bin; y) from nano-unit exact terms + label entropy + normalized ratio; the criterion swaps on <= 48 metadata rows, the data is touched once")
+      notes = "mutual-information feature ranking over the SAME one-pass q176 histogram (shared stumpHistogram): per-feature MI(bin; y) from nano-unit exact terms + label entropy + normalized ratio; the criterion swaps on <= 48 metadata rows, the data is touched once"),
+
+    // ── Temperature-scaling calibration fit (Guo et al.) ───────────────
+    // q148 MEASURES calibration; this FITS it: the post-hoc temperature
+    // T rescaling logits (p_T = σ(z/T)) chosen to minimize calibration
+    // NLL — the standard one-parameter recalibration every deployed
+    // classifier ships with. T is one-dimensional, so the fit is an
+    // exact GRID SEARCH (6 candidates) instead of an unrolled Newton
+    // loop: per (doc, T) NLL terms in micro-units (σ clamped away from
+    // 0/1 so ln stays finite under ANSI — the q135 lesson), ONE keyed
+    // agg over the 6-way bounded fan-out, argmin by exact BIGINT NLL
+    // with lowest-T tiebreak. Calibration slice = q180's md5 half, so
+    // the conformal and temperature calibrations read the same split.
+    // Output: the full 6-row NLL profile with the winner flagged — the
+    // artifact a model card records.
+    QueryDef("q197_temperature", (s, d) => {
+      val docs = t(s, d, "documents")
+      val w = trainOn(docs)
+      val f = langFeatures(docs)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      val u = conv(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("conf"))), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976L) // 2^60
+      val cal = f.filter(u < 0.5).select(col("y"), z.as("z"))
+      val grid = cal.select(col("y"), col("z"), explode(array(
+        lit(0.5), lit(0.75), lit(1.0), lit(1.5), lit(2.0), lit(3.0)))
+        .as("t_value"))
+      def pc = least(greatest(
+        lit(1.0) / (lit(1.0) + exp(-(col("z") / col("t_value")))),
+        lit(1e-12)), lit(0.999999999999))
+      val nll = grid.withColumn("term_u", round(
+          -(col("y") * log(pc) + (lit(1.0) - col("y")) * log(lit(1.0) - pc))
+            * lit(1e6)).cast("long"))
+        .groupBy("t_value").agg(count(lit(1)).as("n_cal"),
+          sum("term_u").as("nll_u"))
+      val best = nll.agg(min(struct(col("nll_u").as("nu"),
+        col("t_value").as("tv"))).as("b"))
+      nll.crossJoin(broadcast(best))
+        .select(col("t_value"), col("n_cal"),
+          round(col("nll_u").cast("double") / lit(1e6), 6).as("nll"),
+          (col("nll_u") === col("b.nu") && col("t_value") === col("b.tv"))
+            .cast("long").as("is_best"))
+    }, Some(OracleSteps + """,
+      cal AS (SELECT y,
+          w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3 AS z
+        FROM f, w3
+        WHERE CAST(CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)
+          || ':conf'), 1, 15) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0 < 0.5),
+      grid AS (SELECT y, z, CAST(tv AS DOUBLE) AS t_value
+        FROM cal, unnest([0.5, 0.75, 1.0, 1.5, 2.0, 3.0]) g(tv)),
+      terms AS (SELECT t_value,
+          CAST(ROUND(-(y * LN(least(greatest(
+              1.0 / (1.0 + EXP(-(z / t_value))), 1e-12), 0.999999999999))
+            + (1.0 - y) * LN(1.0 - least(greatest(
+              1.0 / (1.0 + EXP(-(z / t_value))), 1e-12), 0.999999999999)))
+            * 1000000) AS BIGINT) AS term_u
+        FROM grid),
+      nllt AS (SELECT t_value, CAST(COUNT(*) AS BIGINT) AS n_cal,
+          CAST(SUM(term_u) AS BIGINT) AS nll_u
+        FROM terms GROUP BY t_value),
+      best AS (SELECT nll_u AS bnu, t_value AS btv FROM nllt
+        ORDER BY nll_u ASC, t_value ASC LIMIT 1)
+      SELECT t_value, n_cal,
+        round(CAST(nll_u AS DOUBLE) / 1000000.0, 6) AS nll,
+        CAST(nllt.nll_u = best.bnu AND nllt.t_value = best.btv AS BIGINT)
+          AS is_best
+      FROM nllt, best"""),
+      notes = "temperature-scaling calibration fit (Guo et al.): exact 6-point grid search minimizing micro-unit NLL on q180's calibration slice (clamped sigmoid keeps ln ANSI-finite), one keyed agg over a bounded fan-out, BIGINT argmin with lowest-T tiebreak — the post-hoc recalibration artifact beside q148's measurement")
   )
 }

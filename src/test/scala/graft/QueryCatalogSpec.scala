@@ -631,6 +631,20 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("q197 grid profile is complete with exactly one winning temperature") {
+    val rows = SparkEntry.queries("q197_temperature")(spark, sf).collect()
+    assert(rows.map(_.getAs[Double]("t_value")).sorted.toSeq ==
+      Seq(0.5, 0.75, 1.0, 1.5, 2.0, 3.0))
+    assert(rows.map(_.getAs[Long]("n_cal")).distinct.length == 1,
+      "every candidate scores the same calibration slice")
+    rows.foreach(r => assert(r.getAs[Double]("nll") > 0))
+    val best = rows.filter(_.getAs[Long]("is_best") == 1L)
+    assert(best.length == 1, "exactly one winner")
+    assert(best.head.getAs[Double]("nll") ==
+      rows.map(_.getAs[Double]("nll")).min,
+      "the winner carries the minimum NLL")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

@@ -74,6 +74,21 @@ class AdversarialEventsSpec extends SparkSpec {
     assert(out == expected, s"got $out")
   }
 
+  test("q193 velocity: pre-1970 events count into bursts and exact ties are peers") {
+    // hand-computed (trailing 24 h): user 1's three events all sit inside
+    // one day of each other (bursts 1, 2, 3 — negative nanos included);
+    // user 2's tied pair are RANGE peers (burst 2 each) and the later
+    // event sees all three; user 3 is a singleton. Nothing reaches the
+    // >= 6 flag threshold.
+    val out = graft.SparkEntry.queries("q193_velocity")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("max_burst"),
+          r.getAs[Long]("n_flagged"), r.getAs[Long]("velocity_flag")))).toMap
+    assert(out(1L) == (3L, 3L, 0L, 0L), s"user 1: ${out(1L)}")
+    assert(out(2L) == (3L, 3L, 0L, 0L), s"user 2: ${out(2L)}")
+    assert(out(3L) == (1L, 1L, 0L, 0L), s"user 3: ${out(3L)}")
+  }
+
   test("q27 json extract: null and malformed props become NULL, not errors") {
     val out = graft.SparkEntry.queries("q27_json_extract")(spark, dir)
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap

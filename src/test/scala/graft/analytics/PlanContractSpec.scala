@@ -266,7 +266,8 @@ class PlanContractSpec extends SparkSpec {
       "q185_bootstrap_ci", // 1-row point/lo/hi composition joins
       "q188_label_noise", // broadcast 1-row percentile-threshold cross join
       "q189_model_kappa", // broadcast 256-row NB model + 1-row totals/prior (q163 allowance)
-      "q192_benford") // 9-row spine x 1-row total/chi2 composition joins
+      "q192_benford", // 9-row spine x 1-row total/chi2 composition joins
+      "q197_temperature") // 6-row grid x 1-row argmin composition join
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -75,8 +75,10 @@ class AdversarialCorpusSpec extends SparkSpec {
     "q184_retrieval_eval", "q185_bootstrap_ci",
     // experiment readout and label QA handle degenerate arms/labels
     "q186_ab_test", "q188_label_noise",
-    // agreement/KS/MI handle single-class and degenerate-bin corpora
-    "q189_model_kappa", "q190_ks_test", "q191_mi_features")
+    // agreement/KS/MI handle single-class and degenerate-bin corpora;
+    // temperature fit clamps ln away from 0/1 on extreme logits
+    "q189_model_kappa", "q190_ks_test", "q191_mi_features",
+    "q197_temperature")
 
   test("q35_dedup_exact: one row per distinct content (8 clusters for 9 docs)") {
     val rows = graft.SparkEntry.queries("q35_dedup_exact")(spark, dir).collect()
