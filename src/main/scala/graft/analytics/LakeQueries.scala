@@ -70,6 +70,37 @@ object LakeQueries {
   /** PageRank iteration count for q123 — fixed so the oracle can unroll. */
   private val PrIters = 5
 
+  /** Value-iteration count for q198 — fixed so the oracle can unroll. */
+  private val MkIters = 8
+
+  /** One unrolled q198 value-iteration chain (`tag` names it; `pinned`
+    * absorbs that channel at 0 — the removal-effect chain). Same
+    * integer-micro floor-division discipline as [[prIterSql]]. */
+  private def mkChainSql(tag: String, pinned: Option[String]): String = {
+    val pin = pinned.map(c => s"WHEN st.v = '$c' THEN 0\n                    ")
+      .getOrElse("")
+    val zero = s"""
+      v${tag}_0 AS (
+        SELECT v, CAST(CASE WHEN v = 'purchase' THEN 1000000 ELSE 0 END
+          AS BIGINT) AS r
+        FROM states)"""
+    val iters = (1 to MkIters).map { i =>
+      s"""
+      v${tag}_$i AS (
+        SELECT st.v,
+          CAST(CASE WHEN st.v = 'purchase' THEN 1000000
+                    WHEN st.v = 'END' THEN 0
+                    ${pin}ELSE COALESCE(SUM((e.n * pv.r) // o.tot), 0)
+               END AS BIGINT) AS r
+        FROM states st
+        LEFT JOIN e ON e.src = st.v
+        LEFT JOIN v${tag}_${i - 1} pv ON pv.v = e.dst
+        LEFT JOIN outd o ON o.src = e.src
+        GROUP BY st.v)"""
+    }.mkString(",")
+    zero + "," + iters
+  }
+
   // one unrolled iteration: rank flows src→dst along weighted edges in
   // integer micro-units; floor division keeps both engines bit-identical
   private def prIterSql(i: Int): String = s"""
@@ -771,5 +802,128 @@ object LakeQueries {
       LEFT JOIN ord o ON o.c_custkey = s.c_custkey
       LEFT JOIN li l ON l.c_custkey = s.c_custkey
       LEFT JOIN ev e ON e.c_custkey = s.c_custkey"""),
-      notes = "GDPR-style subject-access report (the right-of-access twin of q129's purge): per-subject cross-table footprint — orders + exact DECIMAL-accumulated spend, line items, event activity with epoch-micro time range; three keyed pre-aggs joined onto the tiny subject list, every table touched once"))
+      notes = "GDPR-style subject-access report (the right-of-access twin of q129's purge): per-subject cross-table footprint — orders + exact DECIMAL-accumulated spend, line items, event activity with epoch-micro time range; three keyed pre-aggs joined onto the tiny subject list, every table touched once"),
+
+    // ── Markov removal-effect attribution (the q123/q98 completion) ────
+    // Multi-touch attribution done properly: model user journeys as a
+    // Markov chain over event types (START → … → purchase | END), and
+    // credit each channel by its REMOVAL EFFECT — how much conversion
+    // probability disappears when that channel absorbs at zero
+    // (Anderl et al.; the standard alternative to last-touch). The
+    // chain solves by value iteration v(s) ← Σ_t p(s→t)·v(t) with
+    // v(purchase)=1, v(END)=0 — MkIters fixed steps in integer
+    // micro-units with per-edge floor division (the q123 discipline),
+    // so base and per-channel-removed chains are bit-identical across
+    // engines and the oracle unrolls the same steps as generated CTEs.
+    // Conventions, documented: purchase is absorbing (its outgoing
+    // edges drop), journeys end at the user's last event (→ END), and
+    // attribution = removal/Σremovals, micro-quantized before the
+    // normalize (q164). Shapes: the transition graph builds with one
+    // lag/lead window (user-keyed) and collapses to ≤ |types|²
+    // metadata edges; iteration is driver-held O(|states|) — the
+    // MLlib-dataflow posture q71/q76/q123 share.
+    QueryDef("q198_markov_attribution", (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val seqd = t(s, d, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      // every row contributes (prev|START)→type, plus type→END when last;
+      // purchase-outgoing edges drop (absorbing) — ONE pass, one agg
+      val edges = seqd.select(explode(array(
+          struct(coalesce(col("prev"), lit("START")).as("src"),
+            col("event_type").as("dst")),
+          struct(col("event_type").as("src"),
+            when(col("nxt").isNull, lit("END"))
+              .otherwise(lit(null).cast("string")).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .filter(col("dst").isNotNull && col("src") =!= "purchase")
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = t(s, d, "events").select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted
+      require(types.length <= 64 && edges.length <= 4096,
+        "transition graph unexpectedly large — driver iteration is bounded by design")
+      val states = ("START" +: types :+ "END").distinct
+      val out = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+      def solve(pinned: Option[String]): Long = {
+        var v = states.map(st =>
+          st -> (if (st == "purchase") 1000000L else 0L)).toMap
+        for (_ <- 1 to MkIters) {
+          val nv = new scala.collection.mutable.HashMap[String, Long]()
+          edges.foreach { case (src, dst, n) =>
+            nv(src) = nv.getOrElse(src, 0L) + n * v(dst) / out(src)
+          }
+          v = states.map { st =>
+            st -> (if (st == "purchase") 1000000L
+                   else if (st == "END") 0L
+                   else if (pinned.contains(st)) 0L
+                   else nv.getOrElse(st, 0L))
+          }.toMap
+        }
+        v("START")
+      }
+      val pBase = solve(None)
+      val channels = types.filterNot(_ == "purchase")
+      val rows = channels.map { c =>
+        val pc = solve(Some(c))
+        (c, pBase, pc, pBase - pc)
+      }
+      val totRem = rows.map(_._4).sum
+      import s.implicits._
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      rows.map { case (c, pb, pc, rem) =>
+        (c, r6(pb.toDouble / 1e6), r6(pc.toDouble / 1e6), rem,
+          if (totRem > 0) r6(rem.toDouble / totRem.toDouble) else 0.0)
+      }.toSeq.toDF("channel", "p_base", "p_removed", "removal_u",
+        "attribution")
+    }, Some({
+      val channels = Seq("click", "error", "signup", "view")
+      val chains = mkChainSql("b", None) + "," +
+        channels.map(c => mkChainSql(c, Some(c))).mkString(",")
+      val remRows = channels.map(c =>
+        s"""SELECT '$c' AS channel,
+          (SELECT r FROM vb_$MkIters WHERE v = 'START') -
+          (SELECT r FROM v${c}_$MkIters WHERE v = 'START') AS removal_u,
+          (SELECT r FROM v${c}_$MkIters WHERE v = 'START') AS pr""")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH seqd AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER uw AS prev,
+          lead(event_type) OVER uw AS nxt
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      e AS (
+        SELECT 'START' AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seqd WHERE prev IS NULL GROUP BY event_type
+        UNION ALL
+        SELECT prev, event_type, CAST(COUNT(*) AS BIGINT)
+        FROM seqd WHERE prev IS NOT NULL AND prev <> 'purchase'
+        GROUP BY prev, event_type
+        UNION ALL
+        SELECT event_type, 'END', CAST(COUNT(*) AS BIGINT)
+        FROM seqd WHERE nxt IS NULL AND event_type <> 'purchase'
+        GROUP BY event_type),
+      outd AS (SELECT src, SUM(n) AS tot FROM e GROUP BY src),
+      states AS (
+        SELECT 'START' AS v
+        UNION SELECT DISTINCT event_type FROM events
+        UNION SELECT 'END'),
+      $chains,
+      rem AS (
+        $remRows),
+      tot AS (SELECT SUM(removal_u) AS tr FROM rem)
+      SELECT channel,
+        round(CAST((SELECT r FROM vb_$MkIters WHERE v = 'START') AS DOUBLE)
+          / 1000000.0, 6) AS p_base,
+        round(CAST(pr AS DOUBLE) / 1000000.0, 6) AS p_removed,
+        CAST(removal_u AS BIGINT) AS removal_u,
+        CASE WHEN tot.tr > 0 THEN
+          round(CAST(removal_u AS DOUBLE) / CAST(tot.tr AS DOUBLE), 6)
+          ELSE 0.0 END AS attribution
+      FROM rem, tot"""
+    }),
+      notes = "Markov removal-effect multi-touch attribution over the user-journey chain (START -> types -> purchase|END): value iteration in integer micro-units with per-edge floor division (8 fixed steps, q123's discipline) for the base chain and each channel-removed chain; attribution = removal/sum(removals); metadata-sized graph, driver-held O(|states|) iteration, oracle unrolls the same steps as generated CTEs"))
 }

@@ -645,6 +645,25 @@ class QueryCatalogSpec extends SparkSpec {
       "the winner carries the minimum NLL")
   }
 
+  test("q198 removal effects are non-negative, bounded by base, and normalize") {
+    val rows = SparkEntry.queries("q198_markov_attribution")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("channel")).sorted.toSeq ==
+      Seq("click", "error", "signup", "view"))
+    val pBase = rows.map(_.getAs[Double]("p_base")).distinct
+    assert(pBase.length == 1 && pBase.head > 0 && pBase.head <= 1)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p_removed") <= pBase.head + 1e-9,
+        "removing a channel can never raise conversion")
+      assert(r.getAs[Long]("removal_u") >= 0)
+      val a = r.getAs[Double]("attribution")
+      assert(a >= 0 && a <= 1)
+    }
+    val aSum = rows.map(_.getAs[Double]("attribution")).sum
+    assert(math.abs(aSum - 1.0) < 1e-4, s"attributions sum to $aSum")
+    assert(rows.map(_.getAs[Long]("removal_u")).distinct.length > 1,
+      "channels should earn distinct credit on this corpus")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
