@@ -1795,6 +1795,166 @@ object Relational {
         CAST(SUM(CASE WHEN burst >= 6 THEN 1 ELSE 0 END) > 0 AS BIGINT)
           AS velocity_flag
       FROM w GROUP BY user_id"""),
-      notes = "trailing-24h transaction-velocity rule per user (the payments-fraud burst screen): keyed RANGE window over exact nanosecond LONGs (ties-as-peers identical cross-engine), per-user risk summary with peak burst + flag; one user-keyed shuffle, bounded window state")
+      notes = "trailing-24h transaction-velocity rule per user (the payments-fraud burst screen): keyed RANGE window over exact nanosecond LONGs (ties-as-peers identical cross-engine), per-user risk summary with peak burst + flag; one user-keyed shuffle, bounded window state"),
+
+    // ── Kaplan-Meier survival estimate (time-to-conversion, censored) ──
+    // The time-to-event primitive beside q97's retention and q98's
+    // funnel: per user, duration (whole days) from first activity to
+    // first purchase, RIGHT-CENSORED at the last observed event for
+    // users who never convert — censoring is the whole point of KM
+    // (dropping non-converters overstates conversion speed). The
+    // estimator Ŝ(t) = Π_{t_i ≤ t} (1 − d_i/n_i) runs over the
+    // per-day event table — a METADATA axis (observation-span days),
+    // so both prefix quantities (prior removals for n_at_risk, prior
+    // ln-terms for the product) come from the GlobalOrder-offsets
+    // pattern: bounded day < day self-joins on the daily aggregate —
+    // no window anywhere, no single-partition stage over data. The
+    // product is exact-input ln terms in nano-units (q77's residual
+    // class; (n−d)/n clamped at 1e-12 so a last-day total failure
+    // stays ANSI-finite), exponentiated once per emitted row.
+    QueryDef("q199_kaplan_meier", (s, d) => {
+      val perUser = t(s, d, "events").groupBy("user_id").agg(
+          min(col("ts")).as("t0"),
+          max(col("ts")).as("t_end"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_conv"))
+        .select(col("user_id"),
+          (coalesce(col("t_conv"), col("t_end")) - col("t0")).as("span_ns"),
+          col("t_conv").isNotNull.cast("long").as("converted"))
+        .withColumn("day", expr("span_ns div 86400000000000"))
+      val nTotal = perUser.agg(count(lit(1)).as("n_total"))
+      val daily = perUser.groupBy("day").agg(
+          sum(col("converted")).as("d_events"),
+          sum(lit(1L) - col("converted")).as("c_censored"))
+        .localCheckpoint(true) // tiny; read by two self-joins below
+      val atRisk = daily.as("a")
+        .join(broadcast(daily.as("b")), col("b.day") < col("a.day"),
+          "left_outer")
+        .groupBy(col("a.day").as("day"), col("a.d_events").as("d_events"),
+          col("a.c_censored").as("c_censored"))
+        .agg(coalesce(sum(col("b.d_events") + col("b.c_censored")), lit(0L))
+          .as("prior_removed"))
+        .crossJoin(broadcast(nTotal))
+        .withColumn("n_at_risk", col("n_total") - col("prior_removed"))
+        .withColumn("term_u", when(col("d_events") > 0, round(log(greatest(
+            (col("n_at_risk") - col("d_events")).cast("double") /
+              col("n_at_risk").cast("double"), lit(1e-12))) * lit(1e9))
+            .cast("long")).otherwise(lit(0L)))
+        .localCheckpoint(true) // ≤ span-days rows; read by the cum join
+      atRisk.as("x")
+        .join(broadcast(atRisk.as("y")), col("y.day") <= col("x.day"))
+        .groupBy(col("x.day").as("day"), col("x.n_at_risk").as("n_at_risk"),
+          col("x.d_events").as("n_events"),
+          col("x.c_censored").as("n_censored"))
+        .agg(sum(col("y.term_u")).as("cum_ln_u"))
+        .filter(col("n_events") > 0)
+        .select(col("day"), col("n_at_risk"), col("n_events"),
+          col("n_censored"),
+          round(exp(col("cum_ln_u").cast("double") / lit(1e9)), 6)
+            .as("survival"))
+    }, Some("""
+      WITH pu AS (
+        SELECT user_id,
+          min(epoch_ns(ts)) AS t0, max(epoch_ns(ts)) AS t_end,
+          min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+            AS t_conv
+        FROM events GROUP BY user_id),
+      durs AS (
+        SELECT user_id,
+          (COALESCE(t_conv, t_end) - t0) // 86400000000000 AS day,
+          CAST(t_conv IS NOT NULL AS BIGINT) AS converted
+        FROM pu),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM durs),
+      daily AS (
+        SELECT day, CAST(SUM(converted) AS BIGINT) AS d_events,
+          CAST(SUM(1 - converted) AS BIGINT) AS c_censored
+        FROM durs GROUP BY day),
+      ar AS (
+        SELECT day, d_events, c_censored,
+          nt.n_total - CAST(COALESCE(SUM(d_events + c_censored) OVER
+            (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS n_at_risk
+        FROM daily, nt),
+      terms AS (
+        SELECT *, CASE WHEN d_events > 0 THEN CAST(ROUND(LN(greatest(
+            CAST(n_at_risk - d_events AS DOUBLE) /
+              CAST(n_at_risk AS DOUBLE), 1e-12)) * 1000000000) AS BIGINT)
+          ELSE 0 END AS term_u
+        FROM ar),
+      km AS (
+        SELECT day, n_at_risk, d_events AS n_events,
+          c_censored AS n_censored,
+          CAST(SUM(term_u) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_ln_u
+        FROM terms)
+      SELECT day, n_at_risk, n_events, n_censored,
+        round(EXP(CAST(cum_ln_u AS DOUBLE) / 1000000000.0), 6) AS survival
+      FROM km WHERE n_events > 0"""),
+      notes = "Kaplan-Meier time-to-conversion with right-censoring at last observation: per-user durations in one keyed agg, KM product as nano-unit exact ln terms over the metadata day axis — both prefixes (at-risk, cumulative ln) via bounded day<day self-joins (the GlobalOrder-offsets pattern), NO window in the Spark plan"),
+
+    // ── Cohort LTV curves (cumulative revenue per user by cohort age) ──
+    // The payments-analytics completion of q97's retention matrix:
+    // per first-seen-week cohort and week offset, active users and
+    // purchase revenue, accumulated into LTV (cumulative revenue per
+    // cohort member). Revenue sums exact integer CENTS
+    // (round(value·100) — the q192 exactness trick), the cumulative
+    // runs in a COHORT-KEYED window (partitioned — no single-partition
+    // stage), and LTV divides two exact integers per row. Weeks use
+    // the q97 floor-div convention, exact for pre-1970 nanos.
+    QueryDef("q200_cohort_ltv", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        // true FLOOR division (q97's negative-remainder correction) so
+        // pre-1970 nanos bucket identically to DuckDB's `//`
+        .withColumn("week", expr("ts div 604800000000000 - " +
+          "(CASE WHEN ts % 604800000000000 < 0 THEN 1 ELSE 0 END)"))
+      val firstSeen = ev.groupBy("user_id").agg(min(col("week")).as("cweek"))
+      val sized = firstSeen.groupBy("cweek").agg(
+        count(lit(1)).as("cohort_size"))
+      val weekly = ev.join(firstSeen, "user_id")
+        .withColumn("offset", col("week") - col("cweek"))
+        .groupBy(col("cweek"), col("offset")).agg(
+          count_distinct(col("user_id")).as("active_users"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("revenue_cents"))
+      val wCum = Window.partitionBy("cweek").orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly.join(broadcast(sized), "cweek")
+        .withColumn("cum_revenue_cents", sum("revenue_cents").over(wCum))
+        .select(col("cweek").as("cohort_week"), col("offset").as("week_offset"),
+          col("cohort_size"), col("active_users"), col("revenue_cents"),
+          col("cum_revenue_cents"),
+          round(col("cum_revenue_cents").cast("double") / lit(100.0) /
+            col("cohort_size").cast("double"), 6).as("ltv"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, value,
+          epoch_ns(ts) // 604800000000000 AS week
+        FROM events),
+      fs AS (SELECT user_id, MIN(week) AS cweek FROM ev GROUP BY user_id),
+      sized AS (SELECT cweek, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM fs GROUP BY cweek),
+      weekly AS (
+        SELECT fs.cweek, ev.week - fs.cweek AS woff,
+          CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS active_users,
+          CAST(SUM(CASE WHEN ev.event_type = 'purchase'
+            THEN CAST(ROUND(ev.value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS revenue_cents
+        FROM ev JOIN fs ON fs.user_id = ev.user_id
+        GROUP BY fs.cweek, ev.week - fs.cweek),
+      cum AS (
+        SELECT w.*, s.cohort_size,
+          CAST(SUM(revenue_cents) OVER (PARTITION BY w.cweek ORDER BY woff
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_revenue_cents
+        FROM weekly w JOIN sized s ON s.cweek = w.cweek)
+      SELECT cweek AS cohort_week, woff AS week_offset, cohort_size,
+        active_users, revenue_cents, cum_revenue_cents,
+        round(CAST(cum_revenue_cents AS DOUBLE) / 100.0 /
+          CAST(cohort_size AS DOUBLE), 6) AS ltv
+      FROM cum"""),
+      notes = "cohort LTV curves (q97 retention's revenue completion): per (first-seen-week cohort, offset) active users + purchase revenue in exact integer cents, cohort-keyed cumulative window (partitioned — no single-partition stage), LTV = cumulative cents per cohort member")
   )
 }

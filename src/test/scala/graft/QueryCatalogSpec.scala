@@ -664,6 +664,41 @@ class QueryCatalogSpec extends SparkSpec {
       "channels should earn distinct credit on this corpus")
   }
 
+  test("q199 survival is monotone from a full risk set; censoring accounted") {
+    val rows = SparkEntry.queries("q199_kaplan_meier")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("n_at_risk") == 15L,
+      "the first event day starts with every subject at risk")
+    val surv = rows.map(_.getAs[Double]("survival"))
+    assert(surv.forall(v => v >= 0 && v <= 1))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b },
+      s"survival must be non-increasing: ${surv.toSeq}")
+    val risk = rows.map(_.getAs[Long]("n_at_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getAs[Long]("n_events") > 0,
+      "KM emits event days only"))
+  }
+
+  test("q200 LTV is non-decreasing per cohort with bounded activity") {
+    val rows = SparkEntry.queries("q200_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort_week")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("week_offset"))
+      assert(sorted.head.getAs[Long]("week_offset") == 0L,
+        "every cohort starts at offset 0 (its own first-seen week)")
+      val ltv = sorted.map(_.getAs[Double]("ltv"))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => a <= b },
+        s"cumulative LTV cannot decrease: ${ltv.toSeq}")
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cohort_size"))
+        assert(r.getAs[Long]("revenue_cents") >= 0)
+      }
+    }
+    assert(rows.map(_.getAs[Long]("revenue_cents")).sum > 0,
+      "purchases must carry revenue on this corpus")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
