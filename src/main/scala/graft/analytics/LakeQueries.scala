@@ -889,13 +889,13 @@ object LakeQueries {
           (SELECT r FROM v${c}_$MkIters WHERE v = 'START') AS pr""")
         .mkString("\n        UNION ALL ")
       s"""
-      WITH seqd AS (
+      WITH seqd AS MATERIALIZED (
         SELECT user_id, event_type,
           lag(event_type) OVER uw AS prev,
           lead(event_type) OVER uw AS nxt
         FROM events
         WINDOW uw AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-      e AS (
+      e AS MATERIALIZED (
         SELECT 'START' AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
         FROM seqd WHERE prev IS NULL GROUP BY event_type
         UNION ALL
@@ -906,8 +906,8 @@ object LakeQueries {
         SELECT event_type, 'END', CAST(COUNT(*) AS BIGINT)
         FROM seqd WHERE nxt IS NULL AND event_type <> 'purchase'
         GROUP BY event_type),
-      outd AS (SELECT src, SUM(n) AS tot FROM e GROUP BY src),
-      states AS (
+      outd AS MATERIALIZED (SELECT src, SUM(n) AS tot FROM e GROUP BY src),
+      states AS MATERIALIZED (
         SELECT 'START' AS v
         UNION SELECT DISTINCT event_type FROM events
         UNION SELECT 'END'),
