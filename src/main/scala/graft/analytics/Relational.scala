@@ -1955,6 +1955,85 @@ object Relational {
         round(CAST(cum_revenue_cents AS DOUBLE) / 100.0 /
           CAST(cohort_size AS DOUBLE), 6) AS ltv
       FROM cum"""),
-      notes = "cohort LTV curves (q97 retention's revenue completion): per (first-seen-week cohort, offset) active users + purchase revenue in exact integer cents, cohort-keyed cumulative window (partitioned — no single-partition stage), LTV = cumulative cents per cohort member")
+      notes = "cohort LTV curves (q97 retention's revenue completion): per (first-seen-week cohort, offset) active users + purchase revenue in exact integer cents, cohort-keyed cumulative window (partitioned — no single-partition stage), LTV = cumulative cents per cohort member"),
+
+    // ── RFM customer segmentation (the CRM classic) ────────────────────
+    // Recency / Frequency / Monetary quintile scoring — the
+    // segmentation every payments CRM ships: per customer, last order
+    // time, order count, exact-cents spend; each metric ranked
+    // corpus-wide by GlobalOrder (the q144/q147 shape — three range
+    // partitions, NO single-partition window) and mapped to a 1–5
+    // quintile by the q148 integer formula (rank−1)·5 div n + 1, so
+    // score 5 = most recent / most frequent / biggest spender. The
+    // segment label is a fixed CASE policy (champion / loyal /
+    // big_spender / at_risk / hibernating / regular), mirrored
+    // branch-for-branch in the oracle — policy order is semantics.
+    // Deterministic throughout: ranks tiebreak on custkey, money is
+    // integer cents.
+    QueryDef("q201_rfm", (s, d) => {
+      val base = t(s, d, "orders").groupBy(col("o_custkey").as("c_custkey"))
+        .agg(
+          unix_micros(max(col("o_orderdate")).cast("timestamp"))
+            .as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("monetary_cents"))
+      val n = base.agg(count(lit(1)).as("n_c"))
+      // three INDEPENDENT rank passes joined back on the key (not a
+      // serial chain): each GlobalOrder works from the same pinned base
+      val pinned = base.localCheckpoint(true)
+      def ranksOf(c: String, out: String) =
+        graft.operators.GlobalOrder.withRowNumbers(pinned,
+          Seq(col(c).asc, col("c_custkey").asc), out = out)
+          .select("c_custkey", out)
+      val ranked = pinned
+        .join(ranksOf("last_us", "r_r"), "c_custkey")
+        .join(ranksOf("freq", "f_r"), "c_custkey")
+        .join(ranksOf("monetary_cents", "m_r"), "c_custkey")
+      ranked.crossJoin(broadcast(n))
+        .select(col("c_custkey"), col("last_us"), col("freq"),
+          col("monetary_cents"),
+          expr("(r_r - 1) * 5 div n_c + 1").as("r_score"),
+          expr("(f_r - 1) * 5 div n_c + 1").as("f_score"),
+          expr("(m_r - 1) * 5 div n_c + 1").as("m_score"))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4 &&
+            col("m_score") >= 4, "champion")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("m_score") >= 4, "big_spender")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2, "hibernating")
+          .otherwise("regular"))
+    }, Some("""
+      WITH base AS (
+        SELECT o_custkey AS c_custkey,
+          epoch_us(MAX(o_orderdate)) AS last_us,
+          COUNT(*) AS freq,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS monetary_cents
+        FROM orders GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_c FROM base),
+      rk AS (SELECT *,
+          row_number() OVER (ORDER BY last_us ASC, c_custkey ASC) AS r_r,
+          row_number() OVER (ORDER BY freq ASC, c_custkey ASC) AS f_r,
+          row_number() OVER (ORDER BY monetary_cents ASC, c_custkey ASC)
+            AS m_r
+        FROM base),
+      sc AS (SELECT c_custkey, last_us, freq, monetary_cents,
+          (r_r - 1) * 5 // nn.n_c + 1 AS r_score,
+          (f_r - 1) * 5 // nn.n_c + 1 AS f_score,
+          (m_r - 1) * 5 // nn.n_c + 1 AS m_score
+        FROM rk, nn)
+      SELECT c_custkey, last_us, freq, monetary_cents,
+        r_score, f_score, m_score,
+        CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN f_score >= 4 THEN 'loyal'
+             WHEN m_score >= 4 THEN 'big_spender'
+             WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+             WHEN r_score <= 2 THEN 'hibernating'
+             ELSE 'regular' END AS segment
+      FROM sc"""),
+      notes = "RFM quintile segmentation (the payments CRM classic): per-customer recency/frequency/exact-cents monetary, corpus-wide quintiles via GlobalOrder ranks (no single-partition window) + the q148 integer formula, fixed CASE segment policy mirrored branch-for-branch in the oracle")
   )
 }

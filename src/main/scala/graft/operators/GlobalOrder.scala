@@ -55,7 +55,19 @@ object GlobalOrder {
 
   /** `df` + contiguous 1-based `out` column numbering rows in
     * `orderCols` order. One range exchange + narrow monotonic-id
-    * projection on the data path. */
+    * projection on the data path.
+    *
+    * COMPOSITION RULE (q201's regression lesson): do NOT chain a second
+    * withRowNumbers directly over the OUTPUT of a first one. The second
+    * pass's offsets branch and base branch then both embed the first
+    * pass's range exchange with DIFFERENT pruned schemas; when that
+    * defeats exchange reuse, each branch re-samples the first exchange's
+    * boundaries independently, the two executions assign different
+    * monotonic ids, and the chained ranks silently misalign (observed as
+    * quintile drift at sf0.1 on 15k rows — smaller SFs can pass). To
+    * rank one frame by several orders, pin the base (localCheckpoint),
+    * run INDEPENDENT withRowNumbers passes over the pinned frame, select
+    * (key, rank) from each, and equi-join them back — the q201 shape. */
   def withRowNumbers(df: DataFrame, orderCols: Seq[Column],
       numPartitions: Int = 32, out: String = "global_id"): DataFrame = {
     val base = df

@@ -699,6 +699,31 @@ class QueryCatalogSpec extends SparkSpec {
       "purchases must carry revenue on this corpus")
   }
 
+  test("q201 RFM quintiles are near-equal-sized and the policy labels cohere") {
+    val rows = SparkEntry.queries("q201_rfm")(spark, sf).collect()
+    assert(rows.length == 150, "one row per customer with orders at sf0.001")
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val byScore = rows.groupBy(_.getAs[Long](c)).view.mapValues(_.length)
+      assert(byScore.keySet == Set(1L, 2L, 3L, 4L, 5L),
+        s"$c must use the full 1..5 range")
+      assert(byScore.values.max - byScore.values.min <= 1,
+        s"$c quintiles must be equi-depth: ${byScore.toMap}")
+    }
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      val seg = r.getAs[String]("segment")
+      if (rs >= 4 && fs >= 4 && ms >= 4) assert(seg == "champion")
+      else if (fs >= 4) assert(seg == "loyal")
+      else if (ms >= 4) assert(seg == "big_spender")
+      else if (rs <= 2 && fs >= 3) assert(seg == "at_risk")
+      else if (rs <= 2) assert(seg == "hibernating")
+      else assert(seg == "regular")
+    }
+    assert(rows.map(_.getAs[String]("segment")).distinct.length >= 4,
+      "the policy should populate several segments on this corpus")
+  }
+
   test("q135 draws exactly 5 docs per source with ranks 1..5") {
     val rows = SparkEntry.queries("q135_weighted_sample")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

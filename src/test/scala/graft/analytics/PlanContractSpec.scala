@@ -268,7 +268,8 @@ class PlanContractSpec extends SparkSpec {
       "q189_model_kappa", // broadcast 256-row NB model + 1-row totals/prior (q163 allowance)
       "q192_benford", // 9-row spine x 1-row total/chi2 composition joins
       "q197_temperature", // 6-row grid x 1-row argmin composition join
-      "q199_kaplan_meier") // bounded day<day prefix self-joins (offsets pattern) + 1-row total
+      "q199_kaplan_meier", // bounded day<day prefix self-joins (offsets pattern) + 1-row total
+      "q201_rfm") // GlobalOrder offsets + broadcast 1-row count cross join (q144 shape)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
