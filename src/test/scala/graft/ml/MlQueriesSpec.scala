@@ -122,4 +122,39 @@ class MlQueriesSpec extends SparkSpec {
       "summed half-corpus models diverge from the full-corpus model")
     assert(full.values.map(v => v._1 + v._2).sum > 0, "empty model")
   }
+  // ── Single-class corpus degeneracy (the guards, exercised) ──────────
+  // A corpus whose every label is the SAME class stresses the documented
+  // guards across the ML/stats family: q163/q189's prior ln would be
+  // ±Inf without the both-classes gate, q191's label entropy is exactly
+  // 0 (mi_ratio must not divide by it), q176 has no class signal left to
+  // split on (but must not crash), and q180/q197 see a one-sided
+  // calibration slice. Shape-free: no ANSI error, no crash, coherent
+  // degenerate outputs.
+  test("single-class corpus: guards hold across the ML/stats queries") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-oneclass").toString
+    (1L to 60L).map(i =>
+      (i, s"the a and of w$i x$i y$i z$i common tokens here now", "en",
+        s"src${i % 4}", 40L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Seq("q163_naive_bayes", "q176_decision_stump", "q177_data_diet",
+      "q180_conformal", "q182_doremi_mix", "q186_ab_test",
+      "q188_label_noise", "q190_ks_test", "q197_temperature").foreach { q =>
+      graft.SparkEntry.queries(q)(spark, d).collect() // must not throw
+    }
+    // q189: prior guard degrades to 0, kappa stays defined
+    val k = graft.SparkEntry.queries("q189_model_kappa")(spark, d)
+      .collect().head
+    assert(k.getAs[Long]("n") == 60)
+    val kap = k.getAs[Double]("kappa")
+    assert(!kap.isNaN && !kap.isInfinite)
+    // q191: H(y) = 0 exactly -> mi_ratio guard returns 0, MI ~ 0
+    graft.SparkEntry.queries("q191_mi_features")(spark, d)
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("h_label") == 0.0)
+        assert(r.getAs[Double]("mi_ratio") == 0.0)
+        assert(math.abs(r.getAs[Double]("mi_nats")) < 1e-6)
+      }
+  }
 }
