@@ -36,6 +36,8 @@ object Bench {
     try {
       IndexCache.ensure(spark, sfDir)
       IndexCache.ensureZLayout(spark, sfDir)
+      IndexCache.ensureDedupPairs(spark, sfDir)
+      IndexCache.ensureSetSim(spark, sfDir)
       graft.ml.ModelStore.ensureLogReg(spark, sfDir): Unit
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prebuild failed: ${e.getMessage}")
@@ -56,46 +58,57 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
     }
-    // The driver keeps only the LAST ~2000 chars of stdout (BENCH_r01/r02
-    // both stored a 2000-char tail and parsed:null because the full-precision
-    // line was ~2900 chars) — so the line must be COMPACT and the VERY LAST
-    // thing on stdout, after spark.stop(), with nothing of ours following
-    // it except sbt's own "[success] ..." line (~75 chars). Budget for the
-    // JSON is therefore ~1925 chars. Two compactions:
-    //  - per-query KEYS are the short id prefix ("q19b", not
-    //    "q19b_intersect") — the driver contract's own example uses "q1";
-    //    the id↔full-name mapping is the catalog's unambiguous qNN prefix
-    //    (BASELINE.md keeps full names beside full-precision timings);
-    //  - per-query VALUES use tiered precision: 2 dp below 0.1 s, 1 dp
-    //    below 10 s, integer above. Sub-0.3 s entries are
-    //    scheduler-overhead-dominated (BASELINE.md), so coarser deciseconds
-    //    lose no real signal.
-    // At 81 queries (r04) the full-name line measured 1892 chars — ~100 of
-    // headroom; with short keys it is ~1190, leaving room for the catalog
-    // to keep growing. The total keeps 3 dp.
+    // TWO-ARTIFACT CONTRACT (see README). The driver keeps only the LAST
+    // ~2000 chars of stdout; at 208 queries the full per-query map grew to
+    // 2,261 chars and BENCH_r07 recorded parsed:null — the compact-everything
+    // strategy outgrew its own mitigation. So:
+    //  1. STDOUT gets a line whose "queries" map is PACKED TO A HARD BUDGET:
+    //     slowest queries first (the ones a bench reader actually wants),
+    //     adding entries only while the full line stays under STDOUT_BUDGET
+    //     chars; a "q_omitted":N field says how many sub-threshold entries
+    //     were left out. This parses forever, at any catalog size.
+    //  2. SPARK_GRAFT_BENCH_OUT / bench_out.json gets the FULL map — every
+    //     query, same tiered precision — immune to stdout truncation.
+    // Shared compactions: short qNN keys (BASELINE.md maps id→full name);
+    // tiered value precision (2 dp < 0.1 s, 1 dp < 10 s, integer above —
+    // sub-0.3 s lines are scheduler-overhead-dominated per BASELINE.md).
     def r(v: Double, dp: Int): String = BigDecimal(v).setScale(dp,
       BigDecimal.RoundingMode.HALF_UP).underlying.stripTrailingZeros.toPlainString
     def ms(v: Double): String = r(v, 3)
     def qv(v: Double): String =
       if (v >= 10) r(v, 0) else if (v >= 0.1) r(v, 1) else r(v, 2)
-    val qs = timings.map { case (k, v) => s"\"" + shortId(k) + "\":" + qv(v) }
-      .mkString("{", ",", "}")
+    def entry(k: String, v: Double): String = "\"" + shortId(k) + "\":" + qv(v)
     val fs = failed.map(n => s"\"" + shortId(n) + "\"").mkString("[", ",", "]")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     val sfShort = sfDir.split('/').last.stripPrefix("sf") // "/root/testdata/sf0.1" -> "0.1"
-    val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfShort"}"""
-    // File artifact with the same line (SPARK_GRAFT_BENCH_OUT handshake, see
-    // README): survives any stdout truncation and needs no regex archaeology.
+    def render(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,$extra"failed":$fs,"sf":"$sfShort"}"""
+    // Full-map artifact: catalog order, every query.
+    val fullJson = render(
+      timings.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}"), "")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
-      try w.println(json) finally w.close()
+      try w.println(fullJson) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Stdout artifact: greedily pack slowest-first under the budget.
+    // 1800 leaves ~200 chars of tail headroom for sbt's "[success] ..."
+    // line inside the driver's ~2000-char window.
+    val StdoutBudget = 1800
+    val bySlowest = timings.toSeq.sortBy(-_._2)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = render("{}", "\"q_omitted\":" + timings.size + ",").length
+    var omitted = timings.size
+    bySlowest.foreach { case (k, v) =>
+      val e = entry(k, v)
+      if (len + e.length + 1 <= StdoutBudget) { picked += e; len += e.length + 1; omitted -= 1 }
+    }
+    val stdoutJson = render(picked.mkString("{", ",", "}"),
+      if (omitted > 0) "\"q_omitted\":" + omitted + "," else "")
     spark.stop() // BEFORE the println: no Spark shutdown chatter after the JSON
-    println(json)
+    println(stdoutJson)
     if (failed.nonEmpty) sys.exit(2)
   }
 }

@@ -97,6 +97,70 @@ object IndexCache {
     root
   }
 
+  /** Root for the persisted dedup-method pair tables (q81/q167 members). */
+  def dedupPairsRoot(sfDir: String): String =
+    new java.io.File(s"target/graft_idx/${key(sfDir)}/dedup_pairs").getAbsolutePath
+
+  /** Ensure the three exact near-dup detectors' normalized pair sets
+    * ([[graft.dedup.DedupQueries.dedupMethodPairs]]) are persisted and
+    * current for `sfDir`; returns the parquet path. This is the
+    * q104/q105 build-once posture applied to the COMPOSED audit queries:
+    * q81 (CC + election over the jaccard edges) and q167 (agreement
+    * matrix over all three) re-derived the member pair sets inline per
+    * invocation — correct, but the two noisiest bench lines of r07. The
+    * pair sets are deterministic functions of the corpus, so reading the
+    * persisted copy is result-identical and the driver's oracle gates
+    * both queries unchanged. Version-stamped like ModelStore so a member
+    * arithmetic change retires the cache. */
+  def ensureDedupPairs(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = dedupPairsRoot(sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_N_DOCS")
+    val stamp = s"$nDocs:pairs1"
+    val fresh = java.nio.file.Files.isRegularFile(marker) &&
+      scala.util.Try(
+        java.nio.file.Files.readString(marker).trim == stamp)
+        .getOrElse(false)
+    if (!fresh) {
+      graft.dedup.DedupQueries.dedupMethodPairs(spark, sfDir)
+        .coalesce(4).write.mode("overwrite").parquet(s"$root/pairs")
+      java.nio.file.Files.writeString(marker, stamp)
+    }
+    s"$root/pairs"
+  }
+
+  /** Root for the persisted set-similarity prefix index (q202's serving
+    * path; [[graft.dedup.SetSimIndex]]). */
+  def setsimRoot(sfDir: String): String =
+    new java.io.File(s"target/graft_idx/${key(sfDir)}/setsim").getAbsolutePath
+
+  /** Ensure the set-sim prefix index over the q149 BASE split (md5 doc-id
+    * prefix > "19") exists and is current for `sfDir`; returns the root.
+    * Build-once: q202 then probes it delta-proportionally — the serving
+    * twin of q149's inline form, sharing q149's oracle (the q117/q120
+    * precedent). */
+  def ensureSetSim(spark: SparkSession, sfDir: String): String = synchronized {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val root = setsimRoot(sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_N_DOCS")
+    val stamp = s"$nDocs:setsim1"
+    val fresh = java.nio.file.Files.isRegularFile(marker) &&
+      scala.util.Try(
+        java.nio.file.Files.readString(marker).trim == stamp)
+        .getOrElse(false)
+    if (!fresh) {
+      val base = graft.dedup.DedupQueries.hashedGramsOf(docs)
+        .select("doc_id", "grams_h", "n_grams")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) > "19")
+      graft.dedup.SetSimIndex.build(base, root, tau = 0.5)
+      java.nio.file.Files.writeString(marker, stamp)
+    }
+    root
+  }
+
   /** Delete a managed-table directory orphaned by a dead session (the
     * catalog entry lives in memory; the files live in the shared
     * `spark.sql.warehouse.dir`). No-op when the location is absent. */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+import graft.functions.DetMathSql
 import graft.operators.{Expectations, Scd2, SkewOps, Snapshots}
 import Ops._
 
@@ -601,27 +602,36 @@ object LakeQueries {
         1, 15), 16, 10).cast("double") / lit(1152921504606846976L) // 2^60
       val x = greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)), lit(1e-18))
       val sign = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0))
-      val noise = lit(-1.0) * sign * log(x) // 1/eps = 1
+      // -ln(x) = detLnDoubleGe1(1/x) (x in (1e-18, 1] so 1/x in [1, 1e18)):
+      // bit-identical cross-engine, unlike libm/JVM ln
+      val noise = sign * graft.functions.DetMath.detLnDoubleGe1(lit(1.0) / x)
       Ops.t(s, d, "documents").groupBy("source")
         .agg(count(lit(1)).as("n_docs"))
         .select(col("source"), col("n_docs"),
-          lit(1.0).as("epsilon"),
+          // epsilon_NOMINAL: the mechanism as shipped derives its noise
+          // from a public deterministic md5 seed, so the released row must
+          // not itself assert a realized DP guarantee (production swaps in
+          // a secret seed; the column name keeps the artifact honest)
+          lit(1.0).as("epsilon_nominal"),
           round(noise, 6).as("noise"),
           greatest(lit(0L),
             round(col("n_docs").cast("double") + noise).cast("long"))
             .as("dp_count"))
-    }, Some("""
+    }, Some(s"""
       WITH agg AS (
         SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
       nz AS (SELECT source, n_docs,
           CAST(CAST('0x' || substr(md5(source || ':dp'), 1, 15) AS BIGINT)
             AS DOUBLE) / 1152921504606846976.0 AS u
         FROM agg),
+      nx AS (SELECT source, n_docs, u,
+          1.0 / greatest(1.0 - 2.0 * abs(u - 0.5), 1e-18) AS inv
+        FROM nz),
       n2 AS (SELECT source, n_docs,
-          -1.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END) *
-            LN(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-18)) AS noise
-        FROM nz)
-      SELECT source, n_docs, CAST(1.0 AS DOUBLE) AS epsilon,
+          (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END) *
+            ${DetMathSql.lnDoubleGe1("inv")} AS noise
+        FROM nx)
+      SELECT source, n_docs, CAST(1.0 AS DOUBLE) AS epsilon_nominal,
         round(noise, 6) AS noise,
         greatest(0, CAST(ROUND(CAST(n_docs AS DOUBLE) + noise) AS BIGINT))
           AS dp_count

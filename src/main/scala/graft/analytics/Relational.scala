@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.DetMathSql
 
 import Ops._
 
@@ -1630,8 +1631,14 @@ object Relational {
         val ex = l.join(r, col(lk) === col(rk))
           .agg(count(lit(1)).as("exact_join"))
         ls.crossJoin(rs).crossJoin(ex)
+          // DOUBLE estimate arithmetic: the BIGINT product overflowed
+          // (and ANSI-threw) past ~3e9 rows per side — the very scale the
+          // estimator exists to price; the double product is exact-rounded
+          // identically on both engines and rounds once at the end
           .withColumn("est_join",
-            expr("n_left * n_right div greatest(d_left, d_right, 1L)"))
+            round(col("n_left").cast("double") * col("n_right").cast("double")
+              / greatest(col("d_left"), col("d_right"), lit(1L)).cast("double"))
+              .cast("long"))
           .select(lit(relName).as("relation"), col("n_left"), col("d_left"),
             col("n_right"), col("d_right"), col("est_join"),
             col("exact_join"),
@@ -1663,10 +1670,13 @@ object Relational {
              ON l_orderkey = o_orderkey) AS exact_join),
       u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
       SELECT relation, n_left, d_left, n_right, d_right,
-        n_left * n_right // greatest(d_left, d_right, 1) AS est_join,
+        CAST(ROUND(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+          / CAST(greatest(d_left, d_right, 1) AS DOUBLE)) AS BIGINT)
+          AS est_join,
         exact_join,
         CASE WHEN exact_join > 0 THEN
-          round(CAST(n_left * n_right // greatest(d_left, d_right, 1)
+          round(CAST(CAST(ROUND(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+              / CAST(greatest(d_left, d_right, 1) AS DOUBLE)) AS BIGINT)
               - exact_join AS DOUBLE) / CAST(exact_join AS DOUBLE), 6)
           ELSE 0.0 END AS rel_err
       FROM u"""),
@@ -1699,9 +1709,10 @@ object Relational {
         .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
       val tot = spine.agg(sum("n_obs").as("n_total"))
       val terms = spine.crossJoin(broadcast(tot))
+        // detLn: ln(1+1/d) = ln(d+1) − ln d; ln 10 pinned as a literal
         .withColumn("benford_share",
-          log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
-            log(lit(10.0)))
+          graft.functions.DetMath.detLnRatio(col("digit") + lit(1L), col("digit")) /
+            lit(2.302585092994046))
         .withColumn("exp_n",
           col("n_total").cast("double") * col("benford_share"))
         .withColumn("term_u", when(col("exp_n") > 0, round(
@@ -1718,7 +1729,7 @@ object Relational {
           round(col("chi2_u").cast("double") / lit(1e6), 6).as("chi2"),
           (col("chi2_u").cast("double") / lit(1e6) > 15.507).cast("long")
             .as("significant"))
-    }, Some("""
+    }, Some(s"""
       WITH cents AS (
         SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
         FROM orders WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0),
@@ -1731,12 +1742,15 @@ object Relational {
         FROM (SELECT unnest(range(1, 10)) AS dd) sp
         LEFT JOIN obs ON obs.digit = sp.dd),
       tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM spine),
-      terms AS (
+      termb AS (
         SELECT digit, n_obs, n_total,
-          LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0) AS benford_share,
-          CAST(n_total AS DOUBLE) *
-            (LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)) AS exp_n
+          (${DetMathSql.lnLong("digit + 1")} - ${DetMathSql.lnLong("digit")})
+            / CAST(2.302585092994046 AS DOUBLE) AS benford_share
         FROM spine, tot),
+      terms AS (
+        SELECT digit, n_obs, n_total, benford_share,
+          CAST(n_total AS DOUBLE) * benford_share AS exp_n
+        FROM termb),
       tu AS (
         SELECT *, CASE WHEN exp_n > 0 THEN CAST(ROUND(
             (CAST(n_obs AS DOUBLE) - exp_n) * (CAST(n_obs AS DOUBLE) - exp_n)
@@ -1835,10 +1849,15 @@ object Relational {
           .as("prior_removed"))
         .crossJoin(broadcast(nTotal))
         .withColumn("n_at_risk", col("n_total") - col("prior_removed"))
-        .withColumn("term_u", when(col("d_events") > 0, round(log(greatest(
-            (col("n_at_risk") - col("d_events")).cast("double") /
-              col("n_at_risk").cast("double"), lit(1e-12))) * lit(1e9))
-            .cast("long")).otherwise(lit(0L)))
+        // detLn keeps the term bit-identical cross-engine; the total-
+        // failure day (n==d) pins the old greatest(..., 1e-12) clamp as
+        // the precomputed constant round(ln(1e-12)*1e9) = -27631021116
+        .withColumn("term_u", when(col("d_events") > 0,
+          when(col("n_at_risk") > col("d_events"),
+            round(graft.functions.DetMath.detLnRatio(
+              col("n_at_risk") - col("d_events"), col("n_at_risk"))
+              * lit(1e9)).cast("long"))
+          .otherwise(lit(-27631021116L))).otherwise(lit(0L)))
         .localCheckpoint(true) // ≤ span-days rows; read by the cum join
       atRisk.as("x")
         .join(broadcast(atRisk.as("y")), col("y.day") <= col("x.day"))
@@ -1847,11 +1866,15 @@ object Relational {
           col("x.c_censored").as("n_censored"))
         .agg(sum(col("y.term_u")).as("cum_ln_u"))
         .filter(col("n_events") > 0)
+        // detExp (domain-floored at -86: e^-86 already rounds to 0 at
+        // 6 dp, and the floor keeps the 2^k split inside BIGINT even if
+        // many total-failure days stack); micro-first 6-dp surfacing
         .select(col("day"), col("n_at_risk"), col("n_events"),
           col("n_censored"),
-          round(exp(col("cum_ln_u").cast("double") / lit(1e9)), 6)
-            .as("survival"))
-    }, Some("""
+          (round(graft.functions.DetMath.detExp(greatest(
+            col("cum_ln_u").cast("double") / lit(1e9), lit(-86.0)))
+            * lit(1e6)).cast("long") / lit(1e6)).as("survival"))
+    }, Some(s"""
       WITH pu AS (
         SELECT user_id,
           min(epoch_ns(ts)) AS t0, max(epoch_ns(ts)) AS t_end,
@@ -1874,22 +1897,35 @@ object Relational {
             (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
             0) AS BIGINT) AS n_at_risk
         FROM daily, nt),
+      arp AS (SELECT *, n_at_risk - d_events AS srv FROM ar),
       terms AS (
-        SELECT *, CASE WHEN d_events > 0 THEN CAST(ROUND(LN(greatest(
-            CAST(n_at_risk - d_events AS DOUBLE) /
-              CAST(n_at_risk AS DOUBLE), 1e-12)) * 1000000000) AS BIGINT)
+        SELECT *, CASE WHEN d_events > 0 THEN
+            (CASE WHEN n_at_risk > d_events THEN CAST(ROUND(
+              (${DetMathSql.lnLong("srv")} -
+               ${DetMathSql.lnLong("n_at_risk")}) * 1000000000) AS BIGINT)
+             ELSE -27631021116 END)
           ELSE 0 END AS term_u
-        FROM ar),
+        FROM arp),
       km AS (
         SELECT day, n_at_risk, d_events AS n_events,
           c_censored AS n_censored,
           CAST(SUM(term_u) OVER (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS cum_ln_u
-        FROM terms)
+        FROM terms),
+      kmx AS (SELECT *,
+          greatest(CAST(cum_ln_u AS DOUBLE) / 1000000000.0, -86.0) AS dx
+        FROM km),
+      kmk AS (SELECT *, ${DetMathSql.expK("dx")} AS ek FROM kmx),
+      kmr AS (SELECT *, ${DetMathSql.expR("dx", "ek")} AS er,
+          ${DetMathSql.expK1("ek")} AS ek1 FROM kmk),
+      kmq AS (SELECT *, ek - ek1 AS ek2, ${DetMathSql.expPoly("er")} AS ep
+        FROM kmr)
       SELECT day, n_at_risk, n_events, n_censored,
-        round(EXP(CAST(cum_ln_u AS DOUBLE) / 1000000000.0), 6) AS survival
-      FROM km WHERE n_events > 0"""),
+        CAST(ROUND(
+          ${DetMathSql.expScale(DetMathSql.expScale("ep", "ek1"), "ek2")}
+          * 1000000) AS BIGINT) / 1000000.0 AS survival
+      FROM kmq WHERE n_events > 0"""),
       notes = "Kaplan-Meier time-to-conversion with right-censoring at last observation: per-user durations in one keyed agg, KM product as nano-unit exact ln terms over the metadata day axis — both prefixes (at-risk, cumulative ln) via bounded day<day self-joins (the GlobalOrder-offsets pattern), NO window in the Spark plan"),
 
     // ── Cohort LTV curves (cumulative revenue per user by cohort age) ──
@@ -1979,17 +2015,14 @@ object Relational {
           sum(round(col("o_totalprice") * 100).cast("long"))
             .as("monetary_cents"))
       val n = base.agg(count(lit(1)).as("n_c"))
-      // three INDEPENDENT rank passes joined back on the key (not a
-      // serial chain): each GlobalOrder works from the same pinned base
-      val pinned = base.localCheckpoint(true)
-      def ranksOf(c: String, out: String) =
-        graft.operators.GlobalOrder.withRowNumbers(pinned,
-          Seq(col(c).asc, col("c_custkey").asc), out = out)
-          .select("c_custkey", out)
-      val ranked = pinned
-        .join(ranksOf("last_us", "r_r"), "c_custkey")
-        .join(ranksOf("freq", "f_r"), "c_custkey")
-        .join(ranksOf("monetary_cents", "m_r"), "c_custkey")
+      // withRowNumbersMulti: pins the base internally and runs three
+      // INDEPENDENT rank passes — the chained-rank misuse (q201's own
+      // regression class) is unexpressible through this API
+      val ranked = graft.operators.GlobalOrder.withRowNumbersMulti(
+        base, Seq("c_custkey"), Seq(
+          (Seq(col("last_us").asc, col("c_custkey").asc), "r_r"),
+          (Seq(col("freq").asc, col("c_custkey").asc), "f_r"),
+          (Seq(col("monetary_cents").asc, col("c_custkey").asc), "m_r")))
       ranked.crossJoin(broadcast(n))
         .select(col("c_custkey"), col("last_us"), col("freq"),
           col("monetary_cents"),

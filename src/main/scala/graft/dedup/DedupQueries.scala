@@ -329,6 +329,25 @@ object DedupQueries {
     ja.filter(col("jaccard") >= minJ).select("doc_a", "doc_b")
   }
 
+  /** The three exact near-dup detectors' NORMALIZED pair sets as one
+    * tagged frame (m, doc_a, doc_b) with doc_a < doc_b — q167's members
+    * and q81's edge source (m = 'jaccard'). Exposed so
+    * [[graft.IndexCache.ensureDedupPairs]] can persist it once per corpus
+    * (the q104/q105 build-once posture): the three member pipelines are
+    * individually scale-audited but COMPOSED-inline they re-ran per
+    * invocation, which made q81/q167 the two noisiest bench lines in r07
+    * (13 s / 30 s of repeated member work per run). */
+  def dedupMethodPairs(s: SparkSession, d: String): DataFrame = {
+    def normPairs(df: DataFrame, m: String): DataFrame =
+      df.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct().withColumn("m", lit(m))
+    def q(name: String): DataFrame = defs.find(_.name == name).get.fn(s, d)
+    normPairs(q("q38_ngram_jaccard").filter(col("jaccard") >= 0.6), "jaccard")
+      .union(normPairs(q("q95_containment"), "containment"))
+      .union(normPairs(q("q151_winnowing"), "winnowing"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: hash-groupBy fingerprint clusters ─────────────────
@@ -646,8 +665,12 @@ object DedupQueries {
     // can follow); at 100 TB the same two stages run unchanged on q62's
     // LSH-fed clusters.
     QueryDef("q81_cluster_canonical", (s, d) => {
-      val pairs = defs.find(_.name == "q38_ngram_jaccard").get.fn(s, d)
-        .filter(col("jaccard") >= 0.6)
+      // edges from the PERSISTED pair tables (IndexCache build-once, the
+      // q104/q105 posture): result-identical to deriving q38 inline —
+      // the pair set is a deterministic corpus function — but the member
+      // pipeline no longer re-runs inside every CC iteration's lineage
+      val pairs = s.read.parquet(graft.IndexCache.ensureDedupPairs(s, d))
+        .filter(col("m") === "jaccard")
         .select("doc_a", "doc_b")
       canonicalElection(DedupClusters.connectedComponents(pairs),
         t(s, d, "documents"))
@@ -1506,16 +1529,11 @@ object DedupQueries {
     // corpus size), so the matrix stage is metadata-sized;
     // localCheckpoint keeps the members from re-running per branch.
     QueryDef("q167_dedup_agreement", (s, d) => {
-      def normPairs(df: DataFrame, m: String): DataFrame =
-        df.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-            greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-          .distinct().withColumn("m", lit(m))
-      def q(name: String): DataFrame = defs.find(_.name == name).get.fn(s, d)
-      val pairs = normPairs(q("q38_ngram_jaccard")
-          .filter(col("jaccard") >= 0.6), "jaccard")
-        .union(normPairs(q("q95_containment"), "containment"))
-        .union(normPairs(q("q151_winnowing"), "winnowing"))
-        .localCheckpoint(true)
+      // members from the PERSISTED pair tables (IndexCache build-once):
+      // the three pipelines ran inline per invocation in r07 — 30 s of
+      // repeated member work per bench run; the persisted sets are
+      // deterministic, so the matrix (and its oracle gate) is unchanged
+      val pairs = s.read.parquet(graft.IndexCache.ensureDedupPairs(s, d))
       val counts = pairs.groupBy("m").agg(count(lit(1)).as("n"))
       val overlap = pairs.as("a").join(pairs.as("b"),
           col("a.doc_a") === col("b.doc_a") &&
@@ -1771,6 +1789,45 @@ object DedupQueries {
         COALESCE(m.base_match, dd.rec_id) AS assigned_cluster,
         CAST(m.base_match IS NULL AS BIGINT) AS is_new
       FROM delta dd LEFT JOIN m ON m.rec_id = dd.rec_id"""),
-      notes = "incremental entity resolution: delta records (typo variants + genuinely new entities) block against BASE masked keys only (base never self-joins — the q149/q166 discipline); matched records inherit their base cluster, unmatched found new entities — the incremental family's ER member, delta-sized at any base size")
+      notes = "incremental entity resolution: delta records (typo variants + genuinely new entities) block against BASE masked keys only (base never self-joins — the q149/q166 discipline); matched records inherit their base cluster, unmatched found new entities — the incremental family's ER member, delta-sized at any base size"),
+
+    // ── Set-sim serving from the PERSISTED prefix index (q149's twin) ──
+    // q149 is the exact-semantics anchor: it re-derives base grams, base
+    // df and the prefix ordering inline on every run — correct, but the
+    // serving path re-scans the base corpus per batch (r07's "What's
+    // missing #2"). This query is the production steady state: the
+    // SetSimIndex is built ONCE per corpus (IndexCache, the q104/q105/
+    // q120 posture), and each delta batch probes the stored gram-df
+    // order + prefix postings + gram sets delta-proportionally — the
+    // base side never self-joins and never re-tokenizes. The probe's
+    // candidate generation and verify are ARITHMETICALLY IDENTICAL to
+    // q149's (shared prune expressions, frozen base-df order == q149's
+    // base-only df by construction), so q149's DuckDB oracle gates this
+    // query verbatim — a persisted serving path under a full hash gate.
+    QueryDef("q202_setsim_served", (s, d) => {
+      val root = graft.IndexCache.ensureSetSim(s, d)
+      val delta = hashedGrams(s, d).select("doc_id", "grams_h", "n_grams")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
+      SetSimIndex.probe(s, root, delta, tau = 0.5)
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19' AS is_delta,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_intersect(a.grams, b.grams)) AS inter,
+          len(a.grams) AS sa, len(b.grams) AS sb
+        FROM g a JOIN g b ON (NOT a.is_delta) AND b.is_delta)
+      SELECT doc_a, doc_b,
+        round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+      FROM p
+      WHERE CAST(inter AS DOUBLE) / nullif(sa + sb - inter, 0) >= 0.5"""),
+      notes = "q149 served from the persisted SetSimIndex (build-once prefix postings under the frozen base-df order, delta-proportional probe): shares q149's oracle verbatim because probe arithmetic == inline arithmetic — the persisted-serving member of the set-similarity family")
   )
 }

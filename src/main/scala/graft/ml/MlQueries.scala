@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.QueryDef
 import graft.analytics.Ops.t
+import graft.functions.{DetMath, DetMathSql}
 
 /** Distributed training of a tiny quality/routing classifier — gradient
   * descent expressed as aggregation, the dataflow every data-parallel
@@ -46,7 +47,7 @@ object MlQueries {
       val z = xs.zipWithIndex.foldLeft(lit(w(0)): Column) {
         case (acc, (x, j)) => acc + lit(w(j + 1)) * x
       }
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val p = DetMath.detSigmoid(z) // bit-identical cross-engine (detExp)
       val terms = (lit(1.0) +: xs).zipWithIndex.map { case (x, j) =>
         sum(round((p - y) * x * lit(1e6)).cast("long")).as(s"g$j")
       }
@@ -91,7 +92,7 @@ object MlQueries {
     val f = langFeatures(docs)
     val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
       lit(w(3)) * col("x3")
-    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val p = DetMath.detSigmoid(z)
     f.select(col("doc_id"),
       (round(p * lit(1e6)) / lit(1e6)).as("p_en"),
       (p >= 0.5).cast("long").as("pred_en"),
@@ -99,16 +100,16 @@ object MlQueries {
   }
 
   /** Shared oracle CTE prefix: features + three unrolled GD steps. */
-  private val OracleSteps = """
+  private val OracleSteps = s"""
       WITH f AS (
         SELECT doc_id,
           CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
             / 100.0 AS x2,
-          (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
-           + CAST(len(regexp_extract_all(text, '\ba\b')) AS DOUBLE)
-           + CAST(len(regexp_extract_all(text, '\band\b')) AS DOUBLE)
-           + CAST(len(regexp_extract_all(text, '\bof\b')) AS DOUBLE))
+          (CAST(len(regexp_extract_all(text, '\\bthe\\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\\ba\\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\\band\\b')) AS DOUBLE)
+           + CAST(len(regexp_extract_all(text, '\\bof\\b')) AS DOUBLE))
             / 10.0 AS x3,
           CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
                ELSE CAST(0.0 AS DOUBLE) END AS y
@@ -126,10 +127,18 @@ object MlQueries {
           0.0 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000.0) / nn.n AS w2,
           0.0 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000.0) / nn.n AS w3
         FROM g1, nn),
-      p2 AS (SELECT f.*,
-          1.0 / (1.0 + EXP(-(w1.w0 + w1.w1 * x1 + w1.w2 * x2 + w1.w3 * x3)))
-            AS p
+      p2z AS (SELECT f.*,
+          -(w1.w0 + w1.w1 * x1 + w1.w2 * x2 + w1.w3 * x3) AS mz
         FROM f, w1),
+      p2k AS (SELECT *, ${DetMathSql.expK("mz")} AS ek FROM p2z),
+      p2r AS (SELECT *, ${DetMathSql.expR("mz", "ek")} AS er,
+          ${DetMathSql.expK1("ek")} AS ek1 FROM p2k),
+      p2q AS (SELECT *, ek - ek1 AS ek2, ${DetMathSql.expPoly("er")} AS ep
+        FROM p2r),
+      p2 AS (SELECT doc_id, x1, x2, x3, y,
+          1.0 / (1.0 + ${DetMathSql.expScale(DetMathSql.expScale("ep", "ek1"), "ek2")})
+            AS p
+        FROM p2q),
       g2 AS (SELECT
           SUM(CAST(ROUND((p - y) * 1.0 * 1000000.0) AS BIGINT)) AS g0,
           SUM(CAST(ROUND((p - y) * x1 * 1000000.0) AS BIGINT)) AS g1,
@@ -142,10 +151,18 @@ object MlQueries {
           w1.w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000.0) / nn.n AS w2,
           w1.w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000.0) / nn.n AS w3
         FROM g2, w1, nn),
-      p3 AS (SELECT f.*,
-          1.0 / (1.0 + EXP(-(w2.w0 + w2.w1 * x1 + w2.w2 * x2 + w2.w3 * x3)))
-            AS p
+      p3z AS (SELECT f.*,
+          -(w2.w0 + w2.w1 * x1 + w2.w2 * x2 + w2.w3 * x3) AS mz
         FROM f, w2),
+      p3k AS (SELECT *, ${DetMathSql.expK("mz")} AS ek FROM p3z),
+      p3r AS (SELECT *, ${DetMathSql.expR("mz", "ek")} AS er,
+          ${DetMathSql.expK1("ek")} AS ek1 FROM p3k),
+      p3q AS (SELECT *, ek - ek1 AS ek2, ${DetMathSql.expPoly("er")} AS ep
+        FROM p3r),
+      p3 AS (SELECT doc_id, x1, x2, x3, y,
+          1.0 / (1.0 + ${DetMathSql.expScale(DetMathSql.expScale("ep", "ek1"), "ek2")})
+            AS p
+        FROM p3q),
       g3 AS (SELECT
           SUM(CAST(ROUND((p - y) * 1.0 * 1000000.0) AS BIGINT)) AS g0,
           SUM(CAST(ROUND((p - y) * x1 * 1000000.0) AS BIGINT)) AS g1,
@@ -157,7 +174,19 @@ object MlQueries {
           w2.w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000.0) / nn.n AS w1,
           w2.w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000.0) / nn.n AS w2,
           w2.w3 - 0.5 * (CAST(g3 AS DOUBLE) / 1000000.0) / nn.n AS w3
-        FROM g3, w2, nn)"""
+        FROM g3, w2, nn),
+      scz AS (SELECT f.*,
+          (w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3) AS z
+        FROM f, w3),
+      sck AS (SELECT *, ${DetMathSql.expK("-(z)")} AS ek FROM scz),
+      scr AS (SELECT *, ${DetMathSql.expR("-(z)", "ek")} AS er,
+          ${DetMathSql.expK1("ek")} AS ek1 FROM sck),
+      scq AS (SELECT *, ek - ek1 AS ek2, ${DetMathSql.expPoly("er")} AS ep
+        FROM scr),
+      sc AS (SELECT doc_id, x1, x2, x3, y, z,
+          1.0 / (1.0 + ${DetMathSql.expScale(DetMathSql.expScale("ep", "ek1"), "ek2")})
+            AS p
+        FROM scq)"""
 
   /** The q180 test-stage prediction-set construction, shared VERBATIM by
     * the streaming serving path ([[graft.streaming.StreamingScore]]
@@ -267,11 +296,7 @@ object MlQueries {
       val docs = t(s, d, "documents")
       scoreWith(docs, trainOn(docs))
     }, Some(OracleSteps + """,
-      scored AS (SELECT f.doc_id,
-          1.0 / (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3)))
-            AS p,
-          CAST(y AS BIGINT) AS is_en
-        FROM f, w3)
+      scored AS (SELECT doc_id, p, CAST(y AS BIGINT) AS is_en FROM sc)
       SELECT doc_id, ROUND(p * 1000000.0) / 1000000.0 AS p_en,
         CAST(p >= 0.5 AS BIGINT) AS pred_en, is_en
       FROM scored"""),
@@ -292,11 +317,7 @@ object MlQueries {
       val (_, w) = ModelStore.load(s, root)
       scoreWith(t(s, d, "documents"), w)
     }, Some(OracleSteps + """,
-      scored AS (SELECT f.doc_id,
-          1.0 / (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3)))
-            AS p,
-          CAST(y AS BIGINT) AS is_en
-        FROM f, w3)
+      scored AS (SELECT doc_id, p, CAST(y AS BIGINT) AS is_en FROM sc)
       SELECT doc_id, ROUND(p * 1000000.0) / 1000000.0 AS p_en,
         CAST(p >= 0.5 AS BIGINT) AS pred_en, is_en
       FROM scored"""),
@@ -346,14 +367,11 @@ object MlQueries {
             (col("n_pos").cast("double") * (col("n") - col("n_pos"))), 6)
             .as("auc"))
     }, Some(OracleSteps + """,
-      scored AS (SELECT f.doc_id,
-          CAST(ROUND(1000000.0 /
-            (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3))))
-            AS BIGINT) AS sm,
-          CAST(1.0 / (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2
-            + w3.w3 * x3))) >= 0.5 AS BIGINT) AS pred_en,
+      scored AS (SELECT doc_id,
+          CAST(ROUND(p * 1000000.0) AS BIGINT) AS sm,
+          CAST(p >= 0.5 AS BIGINT) AS pred_en,
           CAST(y AS BIGINT) AS is_en
-        FROM f, w3),
+        FROM sc),
       ranked AS (SELECT *,
           row_number() OVER (ORDER BY sm ASC, doc_id ASC) AS r
         FROM scored)
@@ -406,12 +424,10 @@ object MlQueries {
             .as("mean_pred"),
           round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
     }, Some(OracleSteps + """,
-      scored AS (SELECT f.doc_id,
-          CAST(ROUND(1000000.0 /
-            (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3))))
-            AS BIGINT) AS sm,
+      scored AS (SELECT doc_id,
+          CAST(ROUND(p * 1000000.0) AS BIGINT) AS sm,
           CAST(y AS BIGINT) AS is_en
-        FROM f, w3),
+        FROM sc),
       ranked AS (SELECT *,
           row_number() OVER (ORDER BY sm ASC, doc_id ASC) AS r,
           (SELECT COUNT(*) FROM scored) AS nd
@@ -460,9 +476,9 @@ object MlQueries {
         .localCheckpoint(true)
       val tot = model0.agg(sum("c_en").as("n_en"), sum("c_ot").as("n_ot"))
       val model = model0.crossJoin(broadcast(tot))
-        .withColumn("w", round(log(
-          ((col("c_en") + lit(1L)) * (col("n_ot") + lit(256L))).cast("double") /
-            ((col("c_ot") + lit(1L)) * (col("n_en") + lit(256L))).cast("double"))
+        .withColumn("w", round(DetMath.detLnRatio(
+          (col("c_en") + lit(1L)) * (col("n_ot") + lit(256L)),
+          (col("c_ot") + lit(1L)) * (col("n_en") + lit(256L)))
           * 1e6).cast("long"))
         .select("b", "w")
       // single-class guard: a train slice with only one class would send
@@ -474,7 +490,7 @@ object MlQueries {
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("d_en"),
           sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("d_ot"))
         .select(when(col("d_en") > 0 && col("d_ot") > 0,
-          round(log(col("d_en").cast("double") / col("d_ot").cast("double"))
+          round(DetMath.detLnRatio(col("d_en"), col("d_ot"))
             * 1e6).cast("long")).otherwise(lit(0L)).as("pm"))
       val perdoc = toks.filter(!col("is_train"))
         .join(broadcast(model), "b")
@@ -492,7 +508,7 @@ object MlQueries {
           (col("lang") === "en").cast("long").as("is_en"),
           ((coalesce(col("sm"), lit(0L)) + col("pm") > 0) ===
             (col("lang") === "en")).cast("long").as("correct"))
-    }, Some("""
+    }, Some(s"""
       WITH split AS (
         SELECT doc_id, lang, text,
           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
@@ -514,19 +530,21 @@ object MlQueries {
         FROM (SELECT unnest(range(0, 256)) AS b) sp
         LEFT JOIN cb ON cb.b = sp.b),
       tot AS (SELECT SUM(c_en) AS n_en, SUM(c_ot) AS n_ot FROM model0),
-      model AS (SELECT b,
-          CAST(ROUND(LN(
-            CAST((c_en + 1) * (n_ot + 256) AS DOUBLE) /
-            CAST((c_ot + 1) * (n_en + 256) AS DOUBLE)) * 1000000) AS BIGINT)
-            AS w
+      modelp AS (SELECT b,
+          (c_en + 1) * (n_ot + 256) AS num, (c_ot + 1) * (n_en + 256) AS den
         FROM model0, tot),
+      model AS (SELECT b,
+          CAST(ROUND((${DetMathSql.lnLong("num")} -
+            ${DetMathSql.lnLong("den")}) * 1000000) AS BIGINT)
+            AS w
+        FROM modelp),
       pri0 AS (SELECT
           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS d_en,
           SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS d_ot
         FROM split WHERE is_train),
       pri AS (SELECT CASE WHEN d_en > 0 AND d_ot > 0 THEN
-          CAST(ROUND(LN(CAST(d_en AS DOUBLE) / CAST(d_ot AS DOUBLE))
-            * 1000000) AS BIGINT) ELSE 0 END AS pm
+          CAST(ROUND((${DetMathSql.lnLong("d_en")} -
+            ${DetMathSql.lnLong("d_ot")}) * 1000000) AS BIGINT) ELSE 0 END AS pm
         FROM pri0),
       perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
           SUM(w) AS sm
@@ -663,7 +681,7 @@ object MlQueries {
       val f = langFeatures(docs)
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
         lit(w(3)) * col("x3")
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val p = DetMath.detSigmoid(z)
       val el = f.select(col("doc_id"),
         abs(round(p * lit(1e6)).cast("long") -
           (col("y") * lit(1e6)).cast("long")).as("el2n_u"))
@@ -675,11 +693,10 @@ object MlQueries {
         .select(col("source"), col("rank"), col("doc_id"),
           (col("el2n_u").cast("double") / lit(1e6)).as("el2n"))
     }, Some(OracleSteps + """,
-      el AS (SELECT f.doc_id,
-          abs(CAST(ROUND(1000000.0 /
-            (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3))))
-            AS BIGINT) - CAST(y * 1000000.0 AS BIGINT)) AS el2n_u
-        FROM f, w3),
+      el AS (SELECT doc_id,
+          abs(CAST(ROUND(p * 1000000.0) AS BIGINT)
+            - CAST(y * 1000000.0 AS BIGINT)) AS el2n_u
+        FROM sc),
       j AS (SELECT d.source, el.doc_id, el.el2n_u
         FROM el JOIN documents d USING (doc_id)),
       rk AS (SELECT source, doc_id, el2n_u,
@@ -716,7 +733,7 @@ object MlQueries {
       val f = langFeatures(docs)
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
         lit(w(3)) * col("x3")
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val p = DetMath.detSigmoid(z)
       val u = conv(substring(md5(concat_ws(":",
         col("doc_id").cast("string"), lit("conf"))), 1, 15), 16, 10)
         .cast("double") / lit(1152921504606846976L) // 2^60
@@ -736,15 +753,13 @@ object MlQueries {
       conformalSets(scored.filter(!col("is_cal"))
         .crossJoin(broadcast(qhat)), col("qhat_u"))
     }, Some(OracleSteps + """,
-      scored AS (SELECT f.doc_id,
-          CAST(ROUND(1000000.0 /
-            (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3))))
-            AS BIGINT) AS p_u,
+      scored AS (SELECT doc_id,
+          CAST(ROUND(p * 1000000.0) AS BIGINT) AS p_u,
           CAST(y AS BIGINT) AS is_en,
-          CAST(CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR) || ':conf'),
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':conf'),
             1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < 0.5
             AS is_cal
-        FROM f, w3),
+        FROM sc),
       cal AS (SELECT doc_id,
           CASE WHEN is_en = 1 THEN 1000000 - p_u ELSE p_u END AS s_u
         FROM scored WHERE is_cal),
@@ -786,11 +801,11 @@ object MlQueries {
       val tot = model0.agg(sum("c_en").as("n_en"), sum("c_ot").as("n_ot"))
       val model = model0.crossJoin(broadcast(tot))
         .select(col("b"),
-          round(-log((col("c_en") + lit(1L)).cast("double") /
-            (col("n_en") + lit(256L)).cast("double")) * 1e6).cast("long")
+          round(-DetMath.detLnRatio(col("c_en") + lit(1L),
+            col("n_en") + lit(256L)) * 1e6).cast("long")
             .as("l_en"),
-          round(-log((col("c_ot") + lit(1L)).cast("double") /
-            (col("n_ot") + lit(256L)).cast("double")) * 1e6).cast("long")
+          round(-DetMath.detLnRatio(col("c_ot") + lit(1L),
+            col("n_ot") + lit(256L)) * 1e6).cast("long")
             .as("l_ot"))
       // localCheckpoint: perSrc is |sources| metadata rows read twice
       // (totals + mix) — pin it so the token pass runs ONCE (the
@@ -810,17 +825,20 @@ object MlQueries {
           col("tt").cast("double") / lit(1e6))
         .withColumn("w_u", round((col("n_tokens").cast("double") /
           col("tt").cast("double")) *
-          exp(col("mean_loss_x") - col("corpus_loss")) * lit(1e6))
+          DetMath.detExp(col("mean_loss_x") - col("corpus_loss")) * lit(1e6))
           .cast("long"))
       val wTot = mix.agg(sum("w_u").as("wsum"))
       mix.crossJoin(broadcast(wTot))
+        // integer-micro-first surfacing (f7235c6): micro-sum quotients
+        // are the dense 6th-decimal-tie class
         .select(col("source"), col("n_tokens"),
-          round(col("mean_loss_x"), 6).as("mean_loss"),
-          round(col("n_tokens").cast("double") / col("tt").cast("double"), 6)
-            .as("base_share"),
-          round(col("w_u").cast("double") / col("wsum").cast("double"), 6)
-            .as("new_weight"))
-    }, Some("""
+          (round(col("mean_loss_x") * lit(1e6)).cast("long") / lit(1e6))
+            .as("mean_loss"),
+          (round(col("n_tokens").cast("double") / col("tt").cast("double")
+            * lit(1e6)).cast("long") / lit(1e6)).as("base_share"),
+          (round(col("w_u").cast("double") / col("wsum").cast("double")
+            * lit(1e6)).cast("long") / lit(1e6)).as("new_weight"))
+    }, Some(s"""
       WITH toks AS (
         SELECT doc_id, lang, source,
           CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS b
@@ -838,10 +856,10 @@ object MlQueries {
         LEFT JOIN cb ON cb.b = sp.b),
       tot AS (SELECT SUM(c_en) AS n_en, SUM(c_ot) AS n_ot FROM model0),
       model AS (SELECT b,
-          CAST(ROUND(-LN(CAST(c_en + 1 AS DOUBLE) /
-            CAST(n_en + 256 AS DOUBLE)) * 1000000) AS BIGINT) AS l_en,
-          CAST(ROUND(-LN(CAST(c_ot + 1 AS DOUBLE) /
-            CAST(n_ot + 256 AS DOUBLE)) * 1000000) AS BIGINT) AS l_ot
+          CAST(ROUND(-(${DetMathSql.lnLong("c_en + 1")} -
+            ${DetMathSql.lnLong("n_en + 256")}) * 1000000) AS BIGINT) AS l_en,
+          CAST(ROUND(-(${DetMathSql.lnLong("c_ot + 1")} -
+            ${DetMathSql.lnLong("n_ot + 256")}) * 1000000) AS BIGINT) AS l_ot
         FROM model0, tot),
       ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
           CAST(SUM(CASE WHEN lang = 'en' THEN l_en ELSE l_ot END) AS BIGINT)
@@ -854,15 +872,25 @@ object MlQueries {
             AS mean_loss_x,
           CAST(tl AS DOUBLE) / CAST(tt AS DOUBLE) / 1000000.0 AS corpus_loss
         FROM ps, tts),
+      mxd AS (SELECT *, (mean_loss_x - corpus_loss) AS dx FROM mx),
+      mxk AS (SELECT *, ${DetMathSql.expK("dx")} AS ek FROM mxd),
+      mxr AS (SELECT *, ${DetMathSql.expR("dx", "ek")} AS er,
+          ${DetMathSql.expK1("ek")} AS ek1 FROM mxk),
+      mxq AS (SELECT *, ek - ek1 AS ek2, ${DetMathSql.expPoly("er")} AS ep
+        FROM mxr),
       mw AS (SELECT *,
           CAST(ROUND((CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE)) *
-            EXP(mean_loss_x - corpus_loss) * 1000000.0) AS BIGINT) AS w_u
-        FROM mx),
+            ${DetMathSql.expScale(DetMathSql.expScale("ep", "ek1"), "ek2")}
+            * 1000000.0) AS BIGINT) AS w_u
+        FROM mxq),
       ws AS (SELECT CAST(SUM(w_u) AS BIGINT) AS wsum FROM mw)
-      SELECT source, n_tokens, round(mean_loss_x, 6) AS mean_loss,
-        round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6)
-          AS base_share,
-        round(CAST(w_u AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS new_weight
+      SELECT source, n_tokens,
+        CAST(ROUND(mean_loss_x * 1000000) AS BIGINT) / 1000000.0
+          AS mean_loss,
+        CAST(ROUND(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) * 1000000)
+          AS BIGINT) / 1000000.0 AS base_share,
+        CAST(ROUND(CAST(w_u AS DOUBLE) / CAST(wsum AS DOUBLE) * 1000000)
+          AS BIGINT) / 1000000.0 AS new_weight
       FROM mw, ws"""),
       notes = "DoReMi-style loss-aware mixture reweighting: per-source mean per-token cross-entropy under the full-corpus q163 unigram proxy (micro-unit exact BIGINT sums), one exponentiated-gradient step w ~ share * exp(excess loss), micro-quantized before the only cross-source normalization — one token pass + 256-row broadcast model + |sources|-row metadata algebra"),
 
@@ -1006,7 +1034,7 @@ object MlQueries {
       val f = langFeatures(docs)
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
         lit(w(3)) * col("x3")
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val p = DetMath.detSigmoid(z)
       val scored = f.select(col("doc_id"),
         round(p * lit(1e6)).cast("long").as("p_u"),
         col("y").cast("long").as("is_en"))
@@ -1029,12 +1057,10 @@ object MlQueries {
           round((col("n_susp_hi") + col("n_susp_lo")).cast("double") /
             col("n_docs").cast("double"), 6).as("noise_rate"))
     }, Some(OracleSteps + """,
-      scored AS (SELECT f.doc_id,
-          CAST(ROUND(1000000.0 /
-            (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3))))
-            AS BIGINT) AS p_u,
+      scored AS (SELECT doc_id,
+          CAST(ROUND(p * 1000000.0) AS BIGINT) AS p_u,
           CAST(y AS BIGINT) AS is_en
-        FROM f, w3),
+        FROM sc),
       qs AS (SELECT quantile_cont(p_u, 0.25) AS p25,
           quantile_cont(p_u, 0.75) AS p75 FROM scored),
       flagged AS (
@@ -1073,16 +1099,16 @@ object MlQueries {
       val model0 = nbCounts(toks).localCheckpoint(true)
       val tot = model0.agg(sum("c_en").as("n_en"), sum("c_ot").as("n_ot"))
       val model = model0.crossJoin(broadcast(tot))
-        .withColumn("wb", round(log(
-          ((col("c_en") + lit(1L)) * (col("n_ot") + lit(256L))).cast("double") /
-            ((col("c_ot") + lit(1L)) * (col("n_en") + lit(256L))).cast("double"))
+        .withColumn("wb", round(DetMath.detLnRatio(
+          (col("c_en") + lit(1L)) * (col("n_ot") + lit(256L)),
+          (col("c_ot") + lit(1L)) * (col("n_en") + lit(256L)))
           * 1e6).cast("long"))
         .select("b", "wb")
       val pri = docs.agg(
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("d_en"),
           sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("d_ot"))
         .select(when(col("d_en") > 0 && col("d_ot") > 0,
-          round(log(col("d_en").cast("double") / col("d_ot").cast("double"))
+          round(DetMath.detLnRatio(col("d_en"), col("d_ot"))
             * 1e6).cast("long")).otherwise(lit(0L)).as("pm"))
       val perdoc = toks.join(broadcast(model), "b")
         .groupBy("doc_id").agg(sum("wb").as("sm"))
@@ -1116,11 +1142,10 @@ object MlQueries {
           when(lit(1.0) - col("pe") > 0,
             round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
             .otherwise(lit(0.0)).as("kappa"))
-    }, Some(OracleSteps + """,
-      lr AS (SELECT f.doc_id,
-          CAST(1.0 / (1.0 + EXP(-(w3.w0 + w3.w1 * x1 + w3.w2 * x2
-            + w3.w3 * x3))) >= 0.5 AS BIGINT) AS pred_lr
-        FROM f, w3),
+    }, Some(OracleSteps + s""",
+      lr AS (SELECT doc_id,
+          CAST(p >= 0.5 AS BIGINT) AS pred_lr
+        FROM sc),
       toks AS (
         SELECT doc_id, lang,
           CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS b
@@ -1137,19 +1162,21 @@ object MlQueries {
         FROM (SELECT unnest(range(0, 256)) AS b) sp
         LEFT JOIN cb ON cb.b = sp.b),
       tot AS (SELECT SUM(c_en) AS n_en, SUM(c_ot) AS n_ot FROM model0),
-      model AS (SELECT b,
-          CAST(ROUND(LN(
-            CAST((c_en + 1) * (n_ot + 256) AS DOUBLE) /
-            CAST((c_ot + 1) * (n_en + 256) AS DOUBLE)) * 1000000) AS BIGINT)
-            AS wb
+      modelp AS (SELECT b,
+          (c_en + 1) * (n_ot + 256) AS num, (c_ot + 1) * (n_en + 256) AS den
         FROM model0, tot),
+      model AS (SELECT b,
+          CAST(ROUND((${DetMathSql.lnLong("num")} -
+            ${DetMathSql.lnLong("den")}) * 1000000) AS BIGINT)
+            AS wb
+        FROM modelp),
       pri0 AS (SELECT
           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS d_en,
           SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS d_ot
         FROM documents),
       pri AS (SELECT CASE WHEN d_en > 0 AND d_ot > 0 THEN
-          CAST(ROUND(LN(CAST(d_en AS DOUBLE) / CAST(d_ot AS DOUBLE))
-            * 1000000) AS BIGINT) ELSE 0 END AS pm
+          CAST(ROUND((${DetMathSql.lnLong("d_en")} -
+            ${DetMathSql.lnLong("d_ot")}) * 1000000) AS BIGINT) ELSE 0 END AS pm
         FROM pri0),
       perdoc AS (SELECT doc_id, SUM(wb) AS sm
         FROM toks JOIN model USING (b) GROUP BY doc_id),
@@ -1203,12 +1230,11 @@ object MlQueries {
           ny: org.apache.spark.sql.Column) =
         when(nby > 0, round(
           nby.cast("double") / col("tot_n").cast("double") *
-            log((nby.cast("double") * col("tot_n").cast("double")) /
-              (col("n").cast("double") * ny.cast("double"))) * lit(1e9))
+            DetMath.detLnRatio(nby * col("tot_n"), col("n") * ny) * lit(1e9))
           .cast("long")).otherwise(lit(0L))
       def hterm(c: org.apache.spark.sql.Column) =
         when(c > 0, round(-(c.cast("double") / col("tn").cast("double")) *
-          log(c.cast("double") / col("tn").cast("double")) * lit(1e9))
+          DetMath.detLnRatio(c, col("tn")) * lit(1e9))
           .cast("long")).otherwise(lit(0L))
       stumpHistogram(t(s, d, "documents"))
         .withColumn("tot_n", sum("n").over(wTot))
@@ -1221,21 +1247,26 @@ object MlQueries {
           sum("term_u").as("mi_u"),
           first("tot_n").as("tn"), first("tot_pos").as("tp"))
         .withColumn("hy_u", hterm(col("tp")) + hterm(col("tn") - col("tp")))
+        // integer-first surfacing: nano sums quantize nano->milli-nano,
+        // the quotient micro-first (f7235c6 tie class)
         .select(col("feature"), col("n_bins"),
-          round(col("mi_u").cast("double") / lit(1e9), 6).as("mi_nats"),
-          round(col("hy_u").cast("double") / lit(1e9), 6).as("h_label"),
+          (round(col("mi_u").cast("double") / lit(1e3)).cast("long")
+            / lit(1e6)).as("mi_nats"),
+          (round(col("hy_u").cast("double") / lit(1e3)).cast("long")
+            / lit(1e6)).as("h_label"),
           when(col("hy_u") > 0,
-            round(col("mi_u").cast("double") / col("hy_u").cast("double"), 6))
+            round(col("mi_u").cast("double") / col("hy_u").cast("double")
+              * lit(1e6)).cast("long") / lit(1e6))
             .otherwise(lit(0.0)).as("mi_ratio"))
-    }, Some("""
+    }, Some(s"""
       WITH f AS (
         SELECT CAST(n_chars AS BIGINT) AS f_chars,
           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
             AS f_tokens,
-          CAST(len(regexp_extract_all(text, '\bthe\b'))
-             + len(regexp_extract_all(text, '\ba\b'))
-             + len(regexp_extract_all(text, '\band\b'))
-             + len(regexp_extract_all(text, '\bof\b')) AS BIGINT) AS f_stop,
+          CAST(len(regexp_extract_all(text, '\\bthe\\b'))
+             + len(regexp_extract_all(text, '\\ba\\b'))
+             + len(regexp_extract_all(text, '\\band\\b'))
+             + len(regexp_extract_all(text, '\\bof\\b')) AS BIGINT) AS f_stop,
           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
         FROM documents),
       fv AS (
@@ -1251,40 +1282,47 @@ object MlQueries {
           CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS tot_n,
           CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS tot_pos
         FROM hist),
+      termsp AS (
+        SELECT feature, n, pos, tot_n, tot_pos,
+          pos * tot_n AS pnum, n * tot_pos AS pden,
+          (n - pos) * tot_n AS qnum, n * (tot_n - tot_pos) AS qden
+        FROM tots),
       terms AS (
         SELECT feature, tot_n, tot_pos,
           (CASE WHEN pos > 0 THEN CAST(ROUND(
               CAST(pos AS DOUBLE) / CAST(tot_n AS DOUBLE) *
-              LN((CAST(pos AS DOUBLE) * CAST(tot_n AS DOUBLE)) /
-                 (CAST(n AS DOUBLE) * CAST(tot_pos AS DOUBLE)))
+              (${DetMathSql.lnLong("pnum")} - ${DetMathSql.lnLong("pden")})
               * 1000000000) AS BIGINT) ELSE 0 END
            + CASE WHEN n - pos > 0 THEN CAST(ROUND(
               CAST(n - pos AS DOUBLE) / CAST(tot_n AS DOUBLE) *
-              LN((CAST(n - pos AS DOUBLE) * CAST(tot_n AS DOUBLE)) /
-                 (CAST(n AS DOUBLE) * CAST(tot_n - tot_pos AS DOUBLE)))
+              (${DetMathSql.lnLong("qnum")} - ${DetMathSql.lnLong("qden")})
               * 1000000000) AS BIGINT) ELSE 0 END) AS term_u
-        FROM tots),
+        FROM termsp),
       agg AS (
         SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_bins,
           CAST(SUM(term_u) AS BIGINT) AS mi_u,
           ANY_VALUE(tot_n) AS tn, ANY_VALUE(tot_pos) AS tp
         FROM terms GROUP BY feature),
+      hyp AS (SELECT *, tn - tp AS tq FROM agg),
       hy AS (
         SELECT *,
           (CASE WHEN tp > 0 THEN CAST(ROUND(
               -(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) *
-              LN(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+              (${DetMathSql.lnLong("tp")} - ${DetMathSql.lnLong("tn")})
               * 1000000000) AS BIGINT) ELSE 0 END
            + CASE WHEN tn - tp > 0 THEN CAST(ROUND(
               -(CAST(tn - tp AS DOUBLE) / CAST(tn AS DOUBLE)) *
-              LN(CAST(tn - tp AS DOUBLE) / CAST(tn AS DOUBLE))
+              (${DetMathSql.lnLong("tq")} - ${DetMathSql.lnLong("tn")})
               * 1000000000) AS BIGINT) ELSE 0 END) AS hy_u
-        FROM agg)
+        FROM hyp)
       SELECT feature, n_bins,
-        round(CAST(mi_u AS DOUBLE) / 1000000000.0, 6) AS mi_nats,
-        round(CAST(hy_u AS DOUBLE) / 1000000000.0, 6) AS h_label,
+        CAST(ROUND(CAST(mi_u AS DOUBLE) / 1000.0) AS BIGINT) / 1000000.0
+          AS mi_nats,
+        CAST(ROUND(CAST(hy_u AS DOUBLE) / 1000.0) AS BIGINT) / 1000000.0
+          AS h_label,
         CASE WHEN hy_u > 0 THEN
-          round(CAST(mi_u AS DOUBLE) / CAST(hy_u AS DOUBLE), 6)
+          CAST(ROUND(CAST(mi_u AS DOUBLE) / CAST(hy_u AS DOUBLE) * 1000000)
+            AS BIGINT) / 1000000.0
           ELSE 0.0 END AS mi_ratio
       FROM hy"""),
       notes = "mutual-information feature ranking over the SAME one-pass q176 histogram (shared stumpHistogram): per-feature MI(bin; y) from nano-unit exact terms + label entropy + normalized ratio; the criterion swaps on <= 48 metadata rows, the data is touched once"),
@@ -1315,11 +1353,15 @@ object MlQueries {
       val grid = cal.select(col("y"), col("z"), explode(array(
         lit(0.5), lit(0.75), lit(1.0), lit(1.5), lit(2.0), lit(3.0)))
         .as("t_value"))
-      def pc = least(greatest(
-        lit(1.0) / (lit(1.0) + exp(-(col("z") / col("t_value")))),
-        lit(1e-12)), lit(0.999999999999))
+      // softplus form, fully DetMath-deterministic: with sp = ln(1+e^(-z/T))
+      // (argument >= 1, detLnDoubleGe1-safe), the Bernoulli NLL is
+      //   -(y ln sigma + (1-y) ln(1-sigma)) = y*sp + (1-y)*(z/T + sp)
+      // algebraically, with no clamp needed: the old 1e-12 clamp only
+      // bound for |z/T| > 27.6, unreachable on these features
+      val zt = col("z") / col("t_value")
+      val sp = DetMath.detLnDoubleGe1(lit(1.0) + DetMath.detExp(-zt))
       val nll = grid.withColumn("term_u", round(
-          -(col("y") * log(pc) + (lit(1.0) - col("y")) * log(lit(1.0) - pc))
+          (col("y") * sp + (lit(1.0) - col("y")) * (zt + sp))
             * lit(1e6)).cast("long"))
         .groupBy("t_value").agg(count(lit(1)).as("n_cal"),
           sum("term_u").as("nll_u"))
@@ -1330,7 +1372,7 @@ object MlQueries {
           round(col("nll_u").cast("double") / lit(1e6), 6).as("nll"),
           (col("nll_u") === col("b.nu") && col("t_value") === col("b.tv"))
             .cast("long").as("is_best"))
-    }, Some(OracleSteps + """,
+    }, Some(OracleSteps + s""",
       cal AS (SELECT y,
           w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3 AS z
         FROM f, w3
@@ -1339,13 +1381,22 @@ object MlQueries {
           / 1152921504606846976.0 < 0.5),
       grid AS (SELECT y, z, CAST(tv AS DOUBLE) AS t_value
         FROM cal, unnest([0.5, 0.75, 1.0, 1.5, 2.0, 3.0]) g(tv)),
-      terms AS (SELECT t_value,
-          CAST(ROUND(-(y * LN(least(greatest(
-              1.0 / (1.0 + EXP(-(z / t_value))), 1e-12), 0.999999999999))
-            + (1.0 - y) * LN(1.0 - least(greatest(
-              1.0 / (1.0 + EXP(-(z / t_value))), 1e-12), 0.999999999999)))
-            * 1000000) AS BIGINT) AS term_u
+      tg1 AS (SELECT *, (z / t_value) AS zt, -(z / t_value) AS mzt
         FROM grid),
+      tg2 AS (SELECT *, ${DetMathSql.expK("mzt")} AS ek FROM tg1),
+      tg3 AS (SELECT *, ${DetMathSql.expR("mzt", "ek")} AS er,
+          ${DetMathSql.expK1("ek")} AS ek1 FROM tg2),
+      tg4 AS (SELECT *, ek - ek1 AS ek2, ${DetMathSql.expPoly("er")} AS ep
+        FROM tg3),
+      tg5 AS (SELECT *, CAST(1.0 AS DOUBLE) +
+          ${DetMathSql.expScale(DetMathSql.expScale("ep", "ek1"), "ek2")}
+          AS w1p
+        FROM tg4),
+      tg6 AS (SELECT *, ${DetMathSql.lnDoubleGe1("w1p")} AS sp FROM tg5),
+      terms AS (SELECT t_value,
+          CAST(ROUND((y * sp + (1.0 - y) * (zt + sp)) * 1000000) AS BIGINT)
+            AS term_u
+        FROM tg6),
       nllt AS (SELECT t_value, CAST(COUNT(*) AS BIGINT) AS n_cal,
           CAST(SUM(term_u) AS BIGINT) AS nll_u
         FROM terms GROUP BY t_value),

@@ -45,13 +45,18 @@ object ModelStore {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
     val marker = java.nio.file.Paths.get(root, "_GRAFT_N_DOCS")
+    // marker = "<nDocs>:<arithmetic version>" — the version token retires
+    // stored weights when the TRAINING arithmetic changes (detmath1 = the
+    // DetMath deterministic sigmoid), not just when the corpus does; a
+    // doc-count-only marker served stale pre-DetMath weights as "fresh"
+    val stamp = s"$nDocs:detmath1"
     val fresh = java.nio.file.Files.isRegularFile(marker) &&
       scala.util.Try(
-        java.nio.file.Files.readString(marker).trim.toLong == nDocs)
+        java.nio.file.Files.readString(marker).trim == stamp)
         .getOrElse(false)
     if (!fresh) {
       save(spark, root, MlQueries.FeatureNames, MlQueries.trainOn(docs))
-      java.nio.file.Files.writeString(marker, nDocs.toString)
+      java.nio.file.Files.writeString(marker, stamp)
     }
     root
   }

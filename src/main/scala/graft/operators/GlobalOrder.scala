@@ -83,6 +83,32 @@ object GlobalOrder {
       .drop("__go_mid", "__go_pid", "__go_off")
   }
 
+  /** Rank ONE frame by SEVERAL orders — the composition rule above made
+    * API, so the chained-misuse shape is impossible to write: the base is
+    * pinned internally (localCheckpoint — every pass reads the SAME
+    * materialized rows, so no branch can re-sample range boundaries), each
+    * order gets an INDEPENDENT withRowNumbers pass over the pinned frame,
+    * and the rank columns come back via equi-joins on `key`. Also saves
+    * re-executing the upstream pipeline once per order (the q184 lesson:
+    * two unpinned passes ran the whole BM25 stack twice).
+    *
+    * `key` must uniquely identify rows (same contract as the order
+    * columns); each `orders` entry is (order columns, output rank name). */
+  def withRowNumbersMulti(df: DataFrame, key: Seq[String],
+      orders: Seq[(Seq[Column], String)],
+      numPartitions: Int = 32): DataFrame = {
+    require(orders.nonEmpty, "withRowNumbersMulti needs at least one order")
+    require(orders.map(_._2).distinct.size == orders.size,
+      "duplicate output rank column names")
+    val pinned = df.localCheckpoint(true)
+    orders.foldLeft(pinned) { case (acc, (orderCols, out)) =>
+      acc.join(
+        withRowNumbers(pinned, orderCols, numPartitions, out)
+          .select((key.map(col) :+ col(out)): _*),
+        key)
+    }
+  }
+
   /** `df` + exclusive/inclusive running totals of `weight` in `orderCols`
     * order: `startCol` = total weight strictly before the row, `endCol` =
     * including it. One range exchange + a pid-PARTITIONED cumsum window

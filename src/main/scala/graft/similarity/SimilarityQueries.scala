@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.{Ops, QueryDef}
 import Ops._
+import graft.functions.DetMathSql
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -720,7 +721,7 @@ object SimilarityQueries {
         .select(col("doc_id"), round(col("rrf"), 6).as("rrf"),
           coalesce(col("r_lex"), lit(0L)).as("r_lex"),
           coalesce(col("r_vec"), lit(0L)).as("r_vec"))
-    }, Some("""
+    }, Some(s"""
       WITH toks AS (
         SELECT doc_id,
           unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
@@ -737,8 +738,8 @@ object SimilarityQueries {
       terms AS (
         SELECT tf.doc_id,
           CAST(ROUND(
-            LN(1.0 + CAST(2 * (stats.n_docs - df.df) + 1 AS DOUBLE)
-                / (2 * df.df + 1))
+            (${DetMathSql.lnLong("2 * stats.n_docs + 2")}
+                - ${DetMathSql.lnLong("2 * df.df + 1")})
             * CAST(tf.tf AS DOUBLE) * 2.2
             / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
                 + 0.75 * CAST(dl.dl AS DOUBLE)
@@ -805,7 +806,7 @@ object SimilarityQueries {
     // warm-up so the timed number is the PROBE path (production steady
     // state), not the one-time build.
     QueryDef("q104_hybrid_indexed",
-      (s, d) => hybridIndexed(s, d, nProbe = 6, topN = 100), Some("""
+      (s, d) => hybridIndexed(s, d, nProbe = 6, topN = 100), Some(s"""
       WITH toks AS (
         SELECT doc_id,
           unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
@@ -822,8 +823,8 @@ object SimilarityQueries {
       terms AS (
         SELECT tf.doc_id,
           CAST(ROUND(
-            LN(1.0 + CAST(2 * (stats.n_docs - df.df) + 1 AS DOUBLE)
-                / (2 * df.df + 1))
+            (${DetMathSql.lnLong("2 * stats.n_docs + 2")}
+                - ${DetMathSql.lnLong("2 * df.df + 1")})
             * CAST(tf.tf AS DOUBLE) * 2.2
             / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
                 + 0.75 * CAST(dl.dl AS DOUBLE)

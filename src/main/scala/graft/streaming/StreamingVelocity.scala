@@ -57,23 +57,55 @@ object StreamingVelocity {
           val prior = if (state.exists) state.get else VelocityState(Nil, Nil)
           val wmMs = state.getCurrentWatermarkMs()
           val wmUs = wmMs * 1000
-          val pendAll = (prior.pend ++ rows.map(_._2)).sorted
+          // sorted ARRAYS + binary search, not per-event List scans: a hot
+          // user bursting inside the 24h window (the exact fraud scenario
+          // this rule targets) made the old known.count(...)-per-finalized-
+          // event form O(|fin|·|hist|) per micro-batch; this invocation is
+          // O(n log n) worst case
+          val pendAll = (prior.pend.toArray ++ rows.map(_._2)).sorted
           // an event finalizes once the watermark passes it: every event
           // that belongs inside its trailing frame has arrived
-          val (fin, pendLeft) = pendAll.partition(u => wmMs > 0 && u <= wmUs)
-          val known = (prior.hist ++ fin).sorted
+          val split = {
+            var i = 0
+            while (i < pendAll.length && wmMs > 0 && pendAll(i) <= wmUs) i += 1
+            i
+          }
+          val fin = pendAll.take(split)
+          val pendLeft = pendAll.drop(split)
+          val known = (prior.hist.toArray ++ fin).sorted
+          // burst of f = #known in [f - window, f]: two binary searches
+          def lowerBound(a: Array[Long], v: Long): Int = {
+            var lo = 0; var hi = a.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (a(mid) < v) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+          def upperBound(a: Array[Long], v: Long): Int = {
+            var lo = 0; var hi = a.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (a(mid) <= v) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
           val out = fin.map { f =>
-            val burst = known.count(u => u >= f - windowUs && u <= f).toLong
+            val burst =
+              (upperBound(known, f) - lowerBound(known, f - windowUs)).toLong
             VelocityEvent(user, f, burst, if (burst >= threshold) 1L else 0L)
           }
           // prune: any future finalizable event has us > wmUs, so its
           // frame floor is > wmUs - window — older history is dead
           val histLeft = known.filter(_ > wmUs - windowUs)
           if (pendLeft.nonEmpty || histLeft.nonEmpty) {
-            state.update(VelocityState(histLeft, pendLeft))
+            state.update(VelocityState(histLeft.toList, pendLeft.toList))
             val nextUs =
               if (pendLeft.nonEmpty) pendLeft.min else histLeft.max + windowUs
-            state.setTimeoutTimestamp(nextUs / 1000 + 1)
+            // clamp: pre-1970 event times (batch q193 explicitly supports
+            // negative nanos) give a negative target while the watermark is
+            // still 0, and a negative setTimeoutTimestamp kills the query
+            state.setTimeoutTimestamp(math.max(nextUs / 1000 + 1, wmMs + 1))
           } else state.remove()
           out.iterator
         })

@@ -109,9 +109,8 @@ object PostingsIndex {
       // EXACT replica of bm25MicroScores' micro-unit expression — parity
       // is by identical arithmetic, spec-enforced
       .withColumn("micro", round(
-        log(lit(1.0) +
-          (lit(2) * (col("n_docs") - col("df")) + lit(1)).cast("double") /
-            (lit(2) * col("df") + lit(1)))
+        graft.functions.DetMath.detLnRatio(lit(2) * col("n_docs") + lit(2),
+            lit(2) * col("df") + lit(1))
           * col("tf").cast("double") * lit(2.2)
           / (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
               lit(0.75) * col("dl").cast("double") /

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.{Ops, QueryDef}
 import Ops._
+import graft.functions.{DetMath, DetMathSql}
 
 /** Text-analysis operators over the `documents` table — the training-data-
   * pipeline surface (language ID, quality scoring, token counting, document
@@ -58,10 +59,11 @@ object TextQueries {
     tf.join(dl, "doc_id")
       .crossJoin(broadcast(stats)).crossJoin(broadcast(tot))
       .join(broadcast(dfT), "tok")
+      // idf = ln(1 + (2(N-df)+1)/(2df+1)) = ln(2N+2) − ln(2df+1), computed
+      // with DetMath so the pre-round double is bit-identical cross-engine
       .withColumn("micro", round(
-        log(lit(1.0) +
-          (lit(2) * (col("n_docs") - col("df")) + lit(1)).cast("double") /
-            (lit(2) * col("df") + lit(1)))
+        DetMath.detLnRatio(lit(2) * col("n_docs") + lit(2),
+            lit(2) * col("df") + lit(1))
           * col("tf").cast("double") * lit(2.2)
           / (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
               lit(0.75) * col("dl").cast("double") /
@@ -272,9 +274,10 @@ object TextQueries {
     // Two hash-aggs (term stats, corpus size) + a broadcast of the 1-row
     // count — no per-doc vectors materialized, so the plan is the same at
     // 500 docs or 500M: shuffle is one (term)-keyed agg over exploded
-    // tokens with map-side partial counts. ln() is IEEE-identical across
-    // engines for identical double inputs; score still rounds to 6 dp per
-    // the determinism contract (belt and braces vs libm drift).
+    // tokens with map-side partial counts. idf = detLn(n_docs) − detLn(df)
+    // (DetMath: bit-identical cross-engine; libm-vs-JVM ln ULP slack was
+    // the r07 q143 red row) and the score is micro-quantized integer-first
+    // (the f7235c6 idiom) — round(x, 6) would re-expose the tie class.
     QueryDef("q50_tfidf", (s, d) => {
       val docs = t(s, d, "documents")
       val toks = docs
@@ -286,11 +289,12 @@ object TextQueries {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       stats.crossJoin(broadcast(n))
         .select(col("term"), col("df"), col("tf"),
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
-            .as("tfidf"))
+          (round(col("tf").cast("double") *
+            DetMath.detLnRatio(col("n_docs"), col("df")) * lit(1e6))
+            .cast("long") / lit(1e6)).as("tfidf"))
         .orderBy(col("tfidf").desc, col("term").asc)
         .limit(20)
-    }, Some("""
+    }, Some(s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       stats AS (
@@ -298,7 +302,9 @@ object TextQueries {
         FROM toks WHERE len(term) > 0 GROUP BY term),
       n AS (SELECT COUNT(*) AS n_docs FROM documents)
       SELECT term, df, tf,
-        ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        CAST(ROUND(CAST(tf AS DOUBLE) * (${DetMathSql.lnLong("n_docs")} -
+          ${DetMathSql.lnLong("df")}) * 1000000) AS BIGINT) / 1000000.0
+          AS tfidf
       FROM stats, n
       ORDER BY tfidf DESC, term ASC
       LIMIT 20"""),
@@ -829,10 +835,11 @@ object TextQueries {
     // low). Two corpus stats (token frequencies + total count, one
     // token-keyed hash-agg and a 1-row broadcast — the q50 shapes), then
     // each token occurrence joins its frequency and sums per doc.
-    // Exactness: ln() on identical doubles is cross-engine (q50-proven);
-    // the per-doc SUM is order-sensitive in doubles, so each occurrence
-    // contributes round(ln(p)·1e6) AS BIGINT — order-independent integer
-    // sums, the q56 trick — and only the surfaced mean rounds to 6 dp.
+    // Exactness: ln is DetMath.detLnRatio (bit-identical cross-engine by
+    // construction — libm vs JVM log each carry ~1 ULP of slack, the r07
+    // q143 lesson); the per-doc SUM is order-sensitive in doubles, so each
+    // occurrence contributes round(ln(p)·1e6) AS BIGINT — order-independent
+    // integer sums, the q56 trick — and only the surfaced mean rounds 6 dp.
     // Tokenless docs (empty/whitespace text) keep a row with n_tokens 0 /
     // score 0.0 via the left join (per-doc contract, total division).
     // Scale: the vocab join shuffles by token; a Zipf vocab is small
@@ -848,7 +855,8 @@ object TextQueries {
       val tot = toks.agg(count(lit(1)).as("n"))
       val perdoc = toks.join(vocab, "tok").crossJoin(broadcast(tot))
         .withColumn("lp",
-          round(log(col("cnt").cast("double") / col("n")) * 1e6).cast("long"))
+          round(DetMath.detLnRatio(col("cnt"), col("n"))
+            * 1e6).cast("long"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("s"))
       docs.select(col("doc_id"))
@@ -862,7 +870,7 @@ object TextQueries {
           // DuckDB's libm round disagree — a real sf0.1 hash miss (q152)
           coalesce(round(col("s").cast("double") / col("n_tokens"))
             .cast("long") / lit(1e6), lit(0.0)).as("lm_score"))
-    }, Some("""
+    }, Some(s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       tw AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
@@ -871,7 +879,8 @@ object TextQueries {
       perdoc AS (
         SELECT tw.doc_id,
           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-          SUM(CAST(ROUND(LN(CAST(vocab.cnt AS DOUBLE) / tot.n) * 1000000) AS BIGINT)) AS s
+          SUM(CAST(ROUND((${DetMathSql.lnLong("vocab.cnt")} -
+            ${DetMathSql.lnLong("tot.n")}) * 1000000) AS BIGINT)) AS s
         FROM tw JOIN vocab USING (tok) CROSS JOIN tot
         GROUP BY tw.doc_id)
       SELECT d.doc_id,
@@ -1129,7 +1138,7 @@ object TextQueries {
         .orderBy(col("s").desc, col("doc_id").asc).limit(20)
         .select(col("doc_id"),
           round(col("s").cast("double") / 1e6, 6).as("bm25"), col("n_terms"))
-    }, Some("""
+    }, Some(s"""
       WITH toks AS (
         SELECT doc_id,
           unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
@@ -1146,8 +1155,8 @@ object TextQueries {
       terms AS (
         SELECT tf.doc_id,
           CAST(ROUND(
-            LN(1.0 + CAST(2 * (stats.n_docs - df.df) + 1 AS DOUBLE)
-                / (2 * df.df + 1))
+            (${DetMathSql.lnLong("2 * stats.n_docs + 2")}
+                - ${DetMathSql.lnLong("2 * df.df + 1")})
             * CAST(tf.tf AS DOUBLE) * 2.2
             / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
                 + 0.75 * CAST(dl.dl AS DOUBLE)
@@ -1501,8 +1510,8 @@ object TextQueries {
     // occurrence joins both counts back and folds per doc. The w1-keyed
     // join is Zipf-skewed at scale — same posture as q77: broadcast the
     // top-V model or let AQE skew-join split the hot keys. Exactness:
-    // cb/cw division of exact ints is IEEE-correctly-rounded, ln on
-    // identical doubles is cross-engine (q50/q77-proven), and per-doc
+    // ln is DetMath.detLnRatio (bit-identical cross-engine by
+    // construction — the r07 q143 lesson), and per-doc
     // sums use the round(ln·1e6)-to-BIGINT micro-unit trick (q56/q77) so
     // summation order cannot drift. Docs with < 2 tokens keep a row with
     // n_bigrams 0 / score 0.0 via the left join.
@@ -1522,7 +1531,7 @@ object TextQueries {
       val ctxCnt = bi.groupBy("w1").agg(count(lit(1)).as("cw"))
       val perdoc = bi.join(pairCnt, Seq("w1", "w2")).join(ctxCnt, Seq("w1"))
         .withColumn("lp",
-          round(log(col("cb").cast("double") / col("cw")) * 1e6).cast("long"))
+          round(DetMath.detLnRatio(col("cb"), col("cw")) * 1e6).cast("long"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
       docs.select(col("doc_id"))
@@ -1532,7 +1541,7 @@ object TextQueries {
           // integer-micro-first rounding — see q77's tie-break note
           coalesce(round(col("s").cast("double") / col("n_bigrams"))
             .cast("long") / lit(1e6), lit(0.0)).as("bigram_lm_score"))
-    }, Some("""
+    }, Some(s"""
       WITH tkt AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0)
           AS tk
@@ -1548,7 +1557,8 @@ object TextQueries {
       perdoc AS (
         SELECT bx.doc_id,
           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-          SUM(CAST(ROUND(LN(CAST(cb.cb AS DOUBLE) / cw.cw) * 1000000)
+          SUM(CAST(ROUND((${DetMathSql.lnLong("cb.cb")} -
+            ${DetMathSql.lnLong("cw.cw")}) * 1000000)
             AS BIGINT)) AS s
         FROM bx JOIN cb USING (w1, w2) JOIN cw USING (w1)
         GROUP BY 1)
@@ -1731,9 +1741,10 @@ object TextQueries {
     // cluster-to-cluster: the key is a pure function of (doc_id, w), so
     // the sample is stable under repartitioning and re-runs, and a
     // changed corpus only perturbs the affected sources. Exactness: u is
-    // the md5/2^60 idiom; ln can differ by 1 ULP between engines
-    // (measured 2e-19 at sf0.01), so the key is quantized to integer
-    // NANO-units before ranking (the q77 micro-unit family) — both the
+    // the md5/2^60 idiom, and ln(u) = detLn(h) − detLn(2^60) with both
+    // terms DetMath-deterministic (bit-identical cross-engine — libm/JVM
+    // ln ULP slack was the r07 q143 red row); the key is quantized to
+    // integer NANO-units before ranking (q77 micro-unit family) — both the
     // emitted column and the sort key are exact BIGINTs, with the total
     // (key desc, doc_id) tiebreak. Shape: one narrow key projection +
     // one source-keyed window whose rank<=5 filter gets WindowGroupLimit
@@ -1741,8 +1752,9 @@ object TextQueries {
     // q07/q08 contract), so at 100 TB the exchange carries ~5 rows per
     // source per map partition, not docs.
     QueryDef("q135_weighted_sample", (s, d) => {
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("double") / lit(1152921504606846976L) // 2^60
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val lnU = DetMath.detLnRatio(h, lit(1152921504606846976L)) // ln(h/2^60)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
         .orderBy(col("key_nano").desc, col("doc_id").asc)
       t(s, d, "documents")
@@ -1751,20 +1763,24 @@ object TextQueries {
         // them explicitly, mirrored in the oracle's WHERE
         .filter(col("n_chars") > 0)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          round(log(u) / col("n_chars").cast("double") * lit(1e9))
+          round(lnU / col("n_chars").cast("double") * lit(1e9))
             .cast("long").as("key_nano"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("doc_id"), col("source"), col("n_chars"), col("key_nano"),
           col("rank").cast("long").as("rank"))
-    }, Some("""
-      WITH dt AS (
+    }, Some(s"""
+      WITH hs AS (
         SELECT doc_id, source, n_chars,
-          CAST(round(ln(CAST(CAST('0x'
-                || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-               AS BIGINT) AS DOUBLE) / 1152921504606846976.0)
-            / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT) AS key_nano
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            AS h
         FROM documents WHERE n_chars > 0),
+      dt AS (
+        SELECT doc_id, source, n_chars,
+          CAST(round((${DetMathSql.lnLong("h")} -
+            ${DetMathSql.lnLong("1152921504606846976")})
+            / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT) AS key_nano
+        FROM hs),
       r AS (
         SELECT *, row_number() OVER (
           PARTITION BY source ORDER BY key_nano DESC, doc_id ASC) AS rank
@@ -1829,8 +1845,10 @@ object TextQueries {
     // the production variant composes q137's broadcast top-K vocab as a
     // pre-filter so the pair space is V^2-bounded; the corpus vocab here
     // IS small, so the unfiltered form is already bounded. Cross-engine:
-    // ln() receives the identical double (BIGINT ratio division) on both
-    // engines — the q50 precedent — and surfaces rounded to 6 dp.
+    // pmi = detLn(n_ab·nd) − detLn(n_a·n_b) is bit-identical by
+    // construction (DetMath), and the surfaced value is micro-quantized
+    // integer-first (the f7235c6 idiom) — round(x, 6) directly would
+    // re-expose the BigDecimal-vs-libm 6th-decimal tie class.
     QueryDef("q142_pmi", (s, d) => {
       val docs = t(s, d, "documents")
       val dt = docs.select(col("doc_id"),
@@ -1847,9 +1865,10 @@ object TextQueries {
           Seq("tok_b"))
         .crossJoin(broadcast(nDocs))
         .select(col("tok_a"), col("tok_b"), col("n_ab"),
-          round(log((col("n_ab") * col("nd")).cast("double") /
-            (col("n_a") * col("n_b")).cast("double")), 6).as("pmi"))
-    }, Some("""
+          (round(DetMath.detLnRatio(col("n_ab") * col("nd"),
+            col("n_a") * col("n_b")) * lit(1e6)).cast("long") / lit(1e6))
+            .as("pmi"))
+    }, Some(s"""
       WITH dt AS (
         SELECT DISTINCT doc_id, tok FROM (
           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1859,15 +1878,19 @@ object TextQueries {
       pr AS (
         SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
         FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
-        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
-      SELECT pr.tok_a, pr.tok_b, pr.n_ab,
-        round(ln(CAST(pr.n_ab * n.nd AS DOUBLE) /
-                 CAST(x.n_a * y.n_a AS DOUBLE)), 6) AS pmi
-      FROM pr
-      JOIN ta x ON x.tok = pr.tok_a
-      JOIN ta y ON y.tok = pr.tok_b
-      CROSS JOIN n"""),
-      notes = "document-level PMI association table: distinct-token explode, df agg, doc-keyed pair self-join (fan-out bounded by doc length) + min-support 5; ln over identical BIGINT-ratio doubles, 6 dp"),
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      pj AS (
+        SELECT pr.tok_a, pr.tok_b, pr.n_ab,
+          pr.n_ab * n.nd AS num, x.n_a * y.n_a AS den
+        FROM pr
+        JOIN ta x ON x.tok = pr.tok_a
+        JOIN ta y ON y.tok = pr.tok_b
+        CROSS JOIN n)
+      SELECT tok_a, tok_b, n_ab,
+        CAST(round((${DetMathSql.lnLong("num")} -
+          ${DetMathSql.lnLong("den")}) * 1000000) AS BIGINT) / 1000000.0 AS pmi
+      FROM pj"""),
+      notes = "document-level PMI association table: distinct-token explode, df agg, doc-keyed pair self-join (fan-out bounded by doc length) + min-support 5; detLn over BIGINT products, micro-quantized integer-first"),
 
     // ── Per-source dataset card (corpus composition summary) ───────────
     // The one-stop per-source release summary a corpus owner publishes
@@ -1879,7 +1902,10 @@ object TextQueries {
     // corpus scale. Entropy terms are quantized to integer NANO-units
     // BEFORE summation (the q77/q133 trick): up to |langs| doubles
     // summed in engine-dependent order would risk a last-ulp hash
-    // mismatch, so the sum is exact BIGINT on both engines.
+    // mismatch, so the sum is exact BIGINT on both engines. The ln itself
+    // is DetMath.detLnRatio — libm-vs-JVM log disagree by an ULP, and the
+    // r07 driver gate caught this term landing on a nano knife edge; with
+    // detLn the pre-round double is bit-identical by construction.
     // dup_docs = n_docs - distinct md5(text): docs in excess of one per
     // unique text — the q35 exact-dup signal folded into ONE aggregate.
     QueryDef("q143_dataset_card", (s, d) => {
@@ -1894,13 +1920,13 @@ object TextQueries {
         .join(base.select(col("source"), col("n_docs")), Seq("source"))
         .groupBy("source")
         .agg(sum(round(-(col("c").cast("double") / col("n_docs")) *
-            log(col("c").cast("double") / col("n_docs")) * lit(1e9))
+            DetMath.detLnRatio(col("c"), col("n_docs")) * lit(1e9))
           .cast("long")).as("lang_entropy_nano"))
       base.join(ent, Seq("source"))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("n_chars_total"), col("n_langs"), col("dup_docs"),
           col("lang_entropy_nano"))
-    }, Some("""
+    }, Some(s"""
       WITH base AS (
         SELECT source,
           CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1913,7 +1939,8 @@ object TextQueries {
       ent AS (
         SELECT lc.source,
           SUM(CAST(round(-(CAST(lc.c AS DOUBLE) / base.n_docs) *
-            ln(CAST(lc.c AS DOUBLE) / base.n_docs) * 1e9) AS BIGINT))
+            (${DetMathSql.lnLong("lc.c")} -
+             ${DetMathSql.lnLong("base.n_docs")}) * 1e9) AS BIGINT))
             AS lang_entropy_nano
         FROM lc JOIN base ON lc.source = base.source
         GROUP BY lc.source)
@@ -1956,7 +1983,7 @@ object TextQueries {
         .select(col("doc_id"),
           round(col("s").cast("double") / 1e6, 6).as("bm25_prf"),
           col("n_terms"))
-    }, Some("""
+    }, Some(s"""
       WITH toks AS (
         SELECT doc_id,
           unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
@@ -1973,8 +2000,8 @@ object TextQueries {
       t1 AS (
         SELECT tf1.doc_id,
           CAST(ROUND(
-            LN(1.0 + CAST(2 * (stats.n_docs - df1.df) + 1 AS DOUBLE)
-                / (2 * df1.df + 1))
+            (${DetMathSql.lnLong("2 * stats.n_docs + 2")}
+                - ${DetMathSql.lnLong("2 * df1.df + 1")})
             * CAST(tf1.tf AS DOUBLE) * 2.2
             / (CAST(tf1.tf AS DOUBLE) + 1.2 * (0.25
                 + 0.75 * CAST(dl.dl AS DOUBLE)
@@ -1996,8 +2023,8 @@ object TextQueries {
       t2 AS (
         SELECT tf2.doc_id,
           CAST(ROUND(
-            LN(1.0 + CAST(2 * (stats.n_docs - df2.df) + 1 AS DOUBLE)
-                / (2 * df2.df + 1))
+            (${DetMathSql.lnLong("2 * stats.n_docs + 2")}
+                - ${DetMathSql.lnLong("2 * df2.df + 1")})
             * CAST(tf2.tf AS DOUBLE) * 2.2
             / (CAST(tf2.tf AS DOUBLE) + 1.2 * (0.25
                 + 0.75 * CAST(dl.dl AS DOUBLE)
@@ -2062,9 +2089,10 @@ object TextQueries {
         .localCheckpoint(true)
       val totals = buckets.agg(sum("cr").as("n_r"), sum("ct").as("n_t"))
       val lr = buckets.crossJoin(broadcast(totals))
-        .withColumn("lr_micro", round(log(
-          ((col("ct") + lit(1L)) * (col("n_r") + lit(256L))).cast("double") /
-            ((col("cr") + lit(1L)) * (col("n_t") + lit(256L))).cast("double"))
+        // detLn of the BIGINT products (bit-identical cross-engine)
+        .withColumn("lr_micro", round(DetMath.detLnRatio(
+          (col("ct") + lit(1L)) * (col("n_r") + lit(256L)),
+          (col("cr") + lit(1L)) * (col("n_t") + lit(256L)))
           * 1e6).cast("long"))
         .select("b", "lr_micro")
       // pass 2: score every token occurrence against the broadcast model
@@ -2086,7 +2114,7 @@ object TextQueries {
           when(coalesce(
             col("sm").cast("double") / col("n_tokens") >= col("med"),
             lit(false)), 1L).otherwise(0L).as("keep"))
-    }, Some("""
+    }, Some(s"""
       WITH toks AS (
         SELECT doc_id, lang,
           CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS b
@@ -2098,13 +2126,17 @@ object TextQueries {
       cr AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY 1),
       nt AS (SELECT SUM(ct) AS n_t FROM ct),
       nr AS (SELECT SUM(cr) AS n_r FROM cr),
-      lr AS (
+      lrp AS (
         SELECT cr.b,
-          CAST(ROUND(LN(
-            CAST((COALESCE(ct.ct, 0) + 1) * (nr.n_r + 256) AS DOUBLE) /
-            CAST((cr.cr + 1) * (nt.n_t + 256) AS DOUBLE)) * 1000000)
-            AS BIGINT) AS lr_micro
+          (COALESCE(ct.ct, 0) + 1) * (nr.n_r + 256) AS num,
+          (cr.cr + 1) * (nt.n_t + 256) AS den
         FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr),
+      lr AS (
+        SELECT b,
+          CAST(ROUND((${DetMathSql.lnLong("num")} -
+            ${DetMathSql.lnLong("den")}) * 1000000)
+            AS BIGINT) AS lr_micro
+        FROM lrp),
       perdoc AS (
         SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
           SUM(lr_micro) AS sm
@@ -2164,15 +2196,18 @@ object TextQueries {
       val terms = grid
         .withColumn("ps",
           (col("cs") + lit(1L)).cast("double") / (col("n_s") + lit(256L)))
-        .withColumn("term_nano", round(col("ps") * log(
-          ((col("cs") + lit(1L)) * (col("n_c") + lit(256L))).cast("double") /
-            ((col("cc") + lit(1L)) * (col("n_s") + lit(256L))).cast("double"))
+        // detLn of the BIGINT products (bit-identical cross-engine); the
+        // surfaced 6-dp value quantizes integer-first (nano→milli-nano),
+        // never through round(x, 6) on an engine-variant double
+        .withColumn("term_nano", round(col("ps") * DetMath.detLnRatio(
+          (col("cs") + lit(1L)) * (col("n_c") + lit(256L)),
+          (col("cc") + lit(1L)) * (col("n_s") + lit(256L)))
           * 1e9).cast("long"))
       terms.groupBy("source")
         .agg(first(col("n_s")).as("n_tokens"),
-          round(sum(col("term_nano")).cast("double") / 1e9, 6)
-            .as("kl_divergence"))
-    }, Some("""
+          (round(sum(col("term_nano")).cast("double") / lit(1e3))
+            .cast("long") / lit(1e6)).as("kl_divergence"))
+    }, Some(s"""
       WITH toks AS (
         SELECT source, CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS b
         FROM (SELECT source,
@@ -2190,17 +2225,21 @@ object TextQueries {
         FROM ns CROSS JOIN spine CROSS JOIN nc
         LEFT JOIN cs ON cs.source = ns.source AND cs.b = spine.b
         LEFT JOIN cc ON cc.b = spine.b),
+      gridp AS (
+        SELECT source, n_s, cs, cc,
+          (cs + 1) * (n_c + 256) AS num, (cc + 1) * (n_s + 256) AS den
+        FROM grid),
       terms AS (
         SELECT source, n_s,
           CAST(ROUND(
             (CAST(cs + 1 AS DOUBLE) / (n_s + 256)) *
-            LN(CAST((cs + 1) * (n_c + 256) AS DOUBLE)
-               / CAST((cc + 1) * (n_s + 256) AS DOUBLE)) * 1000000000)
+            (${DetMathSql.lnLong("num")} -
+             ${DetMathSql.lnLong("den")}) * 1000000000)
             AS BIGINT) AS term_nano
-        FROM grid)
+        FROM gridp)
       SELECT source, CAST(ANY_VALUE(n_s) AS BIGINT) AS n_tokens,
-        round(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6)
-          AS kl_divergence
+        CAST(ROUND(CAST(SUM(term_nano) AS DOUBLE) / 1000.0) AS BIGINT)
+          / 1000000.0 AS kl_divergence
       FROM terms GROUP BY 1"""),
       notes = "per-source KL(source || corpus) over the full 256-bucket hashed-unigram spine, add-1 smoothed, nano-unit exact terms: the source-mix drift diagnostic; one token pass + metadata-sized model algebra"),
 
@@ -2301,8 +2340,8 @@ object TextQueries {
       val ranked = graft.operators.GlobalOrder.withRowNumbers(
         vocab, Seq(col("freq").desc, col("tok").asc), out = "rank")
       val pts = ranked.select(
-        round(log(col("rank").cast("double")) * 1e6).cast("long").as("xm"),
-        round(log(col("freq").cast("double")) * 1e6).cast("long").as("ym"))
+        round(DetMath.detLnLong(col("rank")) * 1e6).cast("long").as("xm"),
+        round(DetMath.detLnLong(col("freq")) * 1e6).cast("long").as("ym"))
       val m = pts.agg(count(lit(1)).as("n"),
         sum("xm").as("sx"), sum("ym").as("sy"),
         sum(col("xm") * col("ym")).as("sxy"),
@@ -2312,12 +2351,17 @@ object TextQueries {
       val cov = dn * col("sxy") - col("sx").cast("double") * col("sy")
       val varx = dn * col("sxx") - col("sx").cast("double") * col("sx")
       val vary = dn * col("syy") - col("sy").cast("double") * col("sy")
+      // micro-quantize integer-first (f7235c6 idiom): the inputs are
+      // bit-identical, so scale-0 rounding agrees by construction where
+      // round(x, 6) could still tie at the 6th decimal
       m.select(col("n").as("n_types"),
-        round(cov / varx, 6).as("zipf_slope"),
-        round(((col("sy").cast("double") - (cov / varx) * col("sx")) / dn)
-          / lit(1e6), 6).as("intercept"),
-        round(cov * cov / (varx * vary), 6).as("r2"))
-    }, Some("""
+        (round((cov / varx) * lit(1e6)).cast("long") / lit(1e6))
+          .as("zipf_slope"),
+        (round((((col("sy").cast("double") - (cov / varx) * col("sx")) / dn)
+          / lit(1e6)) * lit(1e6)).cast("long") / lit(1e6)).as("intercept"),
+        (round((cov * cov / (varx * vary)) * lit(1e6)).cast("long") / lit(1e6))
+          .as("r2"))
+    }, Some(s"""
       WITH toks AS (
         SELECT unnest(list_filter(string_split(text, ' '),
           t -> len(t) > 0)) AS tok
@@ -2328,27 +2372,27 @@ object TextQueries {
           row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
         FROM vocab),
       pts AS (SELECT
-          CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS xm,
-          CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS ym
+          CAST(ROUND(${DetMathSql.lnLong("rank")} * 1000000) AS BIGINT) AS xm,
+          CAST(ROUND(${DetMathSql.lnLong("freq")} * 1000000) AS BIGINT) AS ym
         FROM ranked),
       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           SUM(xm) AS sx, SUM(ym) AS sy, SUM(xm * ym) AS sxy,
           SUM(xm * xm) AS sxx, SUM(ym * ym) AS syy
-        FROM pts)
+        FROM pts),
+      cv AS (SELECT n,
+          CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+          CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS varx,
+          CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vary,
+          CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+        FROM m)
       SELECT n AS n_types,
-        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-              (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+        CAST(ROUND((cov / varx) * 1000000) AS BIGINT) / 1000000.0
           AS zipf_slope,
-        round(((CAST(sy AS DOUBLE) -
-          ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-           (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
-          / CAST(n AS DOUBLE)) / 1000000.0, 6) AS intercept,
-        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
-              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-              ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
-               (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-          AS r2
-      FROM m"""),
+        CAST(ROUND((((syd - (cov / varx) * sxd) / CAST(n AS DOUBLE))
+          / 1000000.0) * 1000000) AS BIGINT) / 1000000.0 AS intercept,
+        CAST(ROUND((cov * cov / (varx * vary)) * 1000000) AS BIGINT)
+          / 1000000.0 AS r2
+      FROM cv"""),
       notes = "Zipf rank-frequency power-law fit over the vocabulary: GlobalOrder ranks (no single-partition window), ln coordinates micro-quantized per type so the five moment sums are exact BIGINTs, closed-form least squares in identical IEEE doubles — slope/intercept/R² as the corpus-statistics fingerprint beside q143's entropy"),
 
     // ── Boundary-respecting packing + padding-cost accounting ──────────
@@ -2977,26 +3021,27 @@ object TextQueries {
     // docs match (the q88-lesson guard: corpus-wide rank windows stay
     // banned).
     QueryDef("q184_retrieval_eval", (s, d) => {
-      val scored = bm25MicroScores(s, d) // (doc_id, s, n_terms)
-      // ranks via GlobalOrder (q147's shape): no WindowExec, no
-      // single-partition sort — scale-safe even when many docs match
-      val top = graft.operators.GlobalOrder.withRowNumbers(scored,
-          Seq(col("s").desc, col("doc_id").asc), out = "rank")
-        .filter(col("rank") <= 10)
-      val relTotal = scored.agg(
+      // ONE pinned frame, BOTH rankings via withRowNumbersMulti: the
+      // BM25 stack executes once (unpinned, the top/ideal/relTotal
+      // branches re-ran it per consumer), and the chained-rank misuse
+      // shape is unexpressible through the API
+      val ranked = graft.operators.GlobalOrder.withRowNumbersMulti(
+        bm25MicroScores(s, d), Seq("doc_id"), Seq(
+          (Seq(col("s").desc, col("doc_id").asc), "rank"),
+          (Seq(col("n_terms").desc, col("doc_id").asc), "irank")))
+      val top = ranked.filter(col("rank") <= 10)
+      val relTotal = ranked.agg(
         sum(when(col("n_terms") >= 2, 1L).otherwise(0L)).as("n_rel_total"))
       val dcgRow = top
         .withColumn("rel", when(col("n_terms") >= 2, 1L).otherwise(0L))
         .agg(sum(col("rel")).as("n_rel_at_k"),
           min(when(col("rel") === 1, col("rank"))).as("first_rel"),
-          sum(round(col("n_terms").cast("double") * log(lit(2.0)) /
-            log((col("rank") + 1).cast("double")) * 1e6).cast("long"))
+          sum(round(col("n_terms").cast("double") * lit(DetMath.LN2) /
+            DetMath.detLnLong(col("rank") + 1) * 1e6).cast("long"))
             .as("dcg_u"))
-      val ideal = graft.operators.GlobalOrder.withRowNumbers(scored,
-          Seq(col("n_terms").desc, col("doc_id").asc), out = "irank")
-        .filter(col("irank") <= 10)
-        .agg(sum(round(col("n_terms").cast("double") * log(lit(2.0)) /
-          log((col("irank") + 1).cast("double")) * 1e6).cast("long"))
+      val ideal = ranked.filter(col("irank") <= 10)
+        .agg(sum(round(col("n_terms").cast("double") * lit(DetMath.LN2) /
+          DetMath.detLnLong(col("irank") + 1) * 1e6).cast("long"))
           .as("idcg_u"))
       dcgRow.crossJoin(broadcast(relTotal)).crossJoin(broadcast(ideal))
         .select(lit(10L).as("k"),
@@ -3011,11 +3056,13 @@ object TextQueries {
           when(col("first_rel").isNotNull,
             round(lit(1.0) / col("first_rel").cast("double"), 6))
             .otherwise(lit(0.0)).as("mrr"),
+          // integer-micro-first (f7235c6): dcg_u/idcg_u is a micro-sum
+          // quotient, the dense 6th-decimal-tie class
           when(col("idcg_u") > 0,
             round(col("dcg_u").cast("double") /
-              col("idcg_u").cast("double"), 6))
+              col("idcg_u").cast("double") * lit(1e6)).cast("long") / lit(1e6))
             .otherwise(lit(0.0)).as("ndcg"))
-    }, Some("""
+    }, Some(s"""
       WITH toks AS (
         SELECT doc_id,
           unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
@@ -3032,8 +3079,8 @@ object TextQueries {
       terms AS (
         SELECT tf.doc_id,
           CAST(ROUND(
-            LN(1.0 + CAST(2 * (stats.n_docs - df.df) + 1 AS DOUBLE)
-                / (2 * df.df + 1))
+            (${DetMathSql.lnLong("2 * stats.n_docs + 2")}
+                - ${DetMathSql.lnLong("2 * df.df + 1")})
             * CAST(tf.tf AS DOUBLE) * 2.2
             / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
                 + 0.75 * CAST(dl.dl AS DOUBLE)
@@ -3054,8 +3101,9 @@ object TextQueries {
           CAST(SUM(CASE WHEN n_terms >= 2 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_rel_at_k,
           MIN(CASE WHEN n_terms >= 2 THEN rank END) AS first_rel,
-          CAST(SUM(CAST(ROUND(CAST(n_terms AS DOUBLE) * LN(2.0)
-            / LN(CAST(rank + 1 AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+          CAST(SUM(CAST(ROUND(CAST(n_terms AS DOUBLE)
+            * CAST(0.6931471805599453 AS DOUBLE)
+            / ${DetMathSql.lnLong("rank + 1")} * 1000000) AS BIGINT)) AS BIGINT)
             AS dcg_u
         FROM topk),
       itop AS (
@@ -3063,8 +3111,9 @@ object TextQueries {
           row_number() OVER (ORDER BY n_terms DESC, doc_id ASC) AS irank
         FROM scored ORDER BY n_terms DESC, doc_id ASC LIMIT 10),
       idcg AS (SELECT
-          CAST(SUM(CAST(ROUND(CAST(n_terms AS DOUBLE) * LN(2.0)
-            / LN(CAST(irank + 1 AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+          CAST(SUM(CAST(ROUND(CAST(n_terms AS DOUBLE)
+            * CAST(0.6931471805599453 AS DOUBLE)
+            / ${DetMathSql.lnLong("irank + 1")} * 1000000) AS BIGINT)) AS BIGINT)
             AS idcg_u
         FROM itop)
       SELECT CAST(10 AS BIGINT) AS k,
@@ -3080,7 +3129,8 @@ object TextQueries {
           round(1.0 / CAST(dcg.first_rel AS DOUBLE), 6)
           ELSE 0.0 END AS mrr,
         CASE WHEN idcg.idcg_u > 0 THEN
-          round(CAST(dcg.dcg_u AS DOUBLE) / CAST(idcg.idcg_u AS DOUBLE), 6)
+          CAST(round(CAST(dcg.dcg_u AS DOUBLE) / CAST(idcg.idcg_u AS DOUBLE)
+            * 1000000) AS BIGINT) / 1000000.0
           ELSE 0.0 END AS ndcg
       FROM dcg, relt, idcg"""),
       notes = "retrieval evaluation over the production q86 BM25 ranking: P@10 / R@10 / MRR / NDCG@10 with term-match-graded relevance; micro-unit NDCG discounts, both rankings via GlobalOrder (no window, no single-partition sort) — the IR release-gate row"),
@@ -3122,6 +3172,9 @@ object TextQueries {
         .withColumn("mean_tok", when(col("n_eff") > 0,
           round(col("tok_sum").cast("double") / col("n_eff").cast("double"),
             6)).otherwise(lit(0.0)))
+        // 32 metadata rows; pinned so the lo/hi branches read them instead
+        // of re-running the 32x replica explode per consumer
+        .localCheckpoint(true)
       val ranked = graft.operators.GlobalOrder.withRowNumbers(repStats,
         Seq(col("mean_tok").asc, col("rep").asc), out = "r")
       val lo = ranked.filter(col("r") === 2)

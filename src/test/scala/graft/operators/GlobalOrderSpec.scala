@@ -24,6 +24,37 @@ class GlobalOrderSpec extends SparkSpec {
       "distributed row numbers diverged from the window form")
   }
 
+  test("withRowNumbersMulti: all orders rank the SAME pinned rows (chained-misuse impossible)") {
+    // q201's regression class: two chained withRowNumbers passes could
+    // rank DIFFERENT executions of a nondeterministic-boundary base.
+    // Through the Multi API the base is pinned once, so every rank column
+    // must agree with the window form computed on the same frame — and
+    // with each other row-for-row via the join key.
+    val got = GlobalOrder.withRowNumbersMulti(frame, Seq("k"), Seq(
+      (Seq(col("k").asc), "r_asc"),
+      (Seq(col("k").desc), "r_desc"),
+      (Seq(col("w").asc, col("k").asc), "r_w")))
+    val n = frame.count()
+    // complementary orders over a pinned base must mirror exactly
+    assert(got.filter(col("r_asc") + col("r_desc") =!= n + 1).isEmpty,
+      "asc/desc ranks disagree -> the two passes ranked different rows")
+    val want = frame.select(col("k"),
+      row_number().over(Window.orderBy(col("k").asc)).cast("long").as("r_asc"),
+      row_number().over(Window.orderBy(col("k").desc)).cast("long").as("r_desc"),
+      row_number().over(Window.orderBy(col("w").asc, col("k").asc)).cast("long")
+        .as("r_w"))
+    val g = got.select("k", "r_asc", "r_desc", "r_w")
+    assert(g.exceptAll(want).isEmpty && want.exceptAll(g).isEmpty,
+      "multi ranks diverged from the window forms")
+  }
+
+  test("withRowNumbersMulti rejects duplicate output names") {
+    intercept[IllegalArgumentException] {
+      GlobalOrder.withRowNumbersMulti(frame, Seq("k"), Seq(
+        (Seq(col("k").asc), "r"), (Seq(col("w").asc), "r")))
+    }
+  }
+
   test("withRunningTotals equals sum() over the global order (exclusive/inclusive)") {
     val got = GlobalOrder.withRunningTotals(frame, Seq(col("k")), col("w"))
       .select("k", "tstart", "tend")

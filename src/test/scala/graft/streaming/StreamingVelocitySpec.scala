@@ -117,4 +117,33 @@ class StreamingVelocitySpec extends SparkSpec {
         s"out-of-order burst wrong: $got")
     } finally q.stop()
   }
+
+  test("pre-1970 event times do not kill the query (negative-timeout clamp)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch q193 explicitly supports negative nanos (AdversarialEventsSpec);
+    // the stream twin must not throw on them: before the clamp, a pending
+    // pre-1970 event while the watermark was still 0 produced a NEGATIVE
+    // setTimeoutTimestamp and an IllegalArgumentException killed the query
+    val Tneg = -86400000000L // 1969-12-31
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingVelocity.flags(
+        input.toDS().toDF("user_id", "event_us")
+          .select(col("user_id"), timestamp_micros(col("event_us")).as("ts")),
+        watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("vel_neg")
+      .outputMode("append").start()
+    try {
+      input.addData((3L, Tneg)); q.processAllAvailable()
+      input.addData((3L, Tneg + 60000000L)); q.processAllAvailable()
+      // advance the watermark into positive time; flush timeouts
+      input.addData((999999L, 90L * 86400000000L)); q.processAllAvailable()
+      input.addData((999999L, 91L * 86400000000L)); q.processAllAvailable()
+      val got = spark.table("vel_neg").filter(col("user_id") === 3L)
+        .collect().map(r => r.getAs[Long]("ts_us") -> r.getAs[Long]("burst"))
+        .toMap
+      assert(got == Map(Tneg -> 1L, (Tneg + 60000000L) -> 2L),
+        s"pre-1970 bursts wrong or query died: $got")
+    } finally q.stop()
+  }
 }
