@@ -1791,6 +1791,237 @@ object DedupQueries {
       FROM delta dd LEFT JOIN m ON m.rec_id = dd.rec_id"""),
       notes = "incremental entity resolution: delta records (typo variants + genuinely new entities) block against BASE masked keys only (base never self-joins — the q149/q166 discipline); matched records inherit their base cluster, unmatched found new entities — the incremental family's ER member, delta-sized at any base size"),
 
+    // ── LSH -> CC -> canonical, fully HASH-GATED (md5-portable twin) ───
+    // q107 composes the production xxhash64 LSH (rows-only: band hashes
+    // are engine-specific, pinned by LshCanonicalSpec). This twin replays
+    // the ENTIRE pipeline in engine-portable md5 arithmetic so the DuckDB
+    // oracle can follow every stage exactly — the q138 precedent of
+    // promoting a rows-only family to a full hash gate, retiring a
+    // "trust me" row: K=16 minhashes h_j = min over distinct 3-gram
+    // shingles of the 60-bit md5(gram || ':' || j) integer; 4 bands of 4
+    // rows, band key = md5 of the comma-joined slots; bucket-join
+    // candidates (doc_a < doc_b, distinct); exact-Jaccard >= 0.6 verify
+    // on candidates ONLY (the shared verifyJaccard); iterative min-label
+    // CC; longest-member canonical election. Same shapes as q107 —
+    // signatures are one explode + one doc-keyed agg of K mins,
+    // candidates shuffle (band, key, doc) triples, verify is
+    // O(candidates) — just 16 md5s per gram instead of 16 xxhash64s, the
+    // declared price of oracle portability (the production path keeps
+    // xxhash64; LshCanonicalSpec pins this twin's parity with it).
+    QueryDef("q107b_lsh_canonical_md5", (s, d) => {
+      val grams = tokenized(t(s, d, "documents"))
+        .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
+      val sigCols = (0 until K).map { j =>
+        min(conv(substring(md5(concat(col("gram"), lit(s":$j"))), 1, 15),
+          16, 10).cast("long")).as(s"h$j")
+      }
+      val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until Bands).map { b =>
+        val slots = (b * K / Bands until (b + 1) * K / Bands)
+          .map(j => col(s"h$j"))
+        struct(lit(b).as("band_id"),
+          md5(concat_ws(",", slots: _*)).as("bh"))
+      }
+      val bands = sig.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band_id").as("band_id"),
+          col("bb.bh").as("bh"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val edges = verifyJaccard(cand, hashedGrams(s, d), 0.6)
+      canonicalElection(DedupClusters.connectedComponents(edges),
+        t(s, d, "documents"))
+    }, Some {
+      val sigSql = (0 until K).map(j =>
+        s"MIN(CAST('0x' || substr(md5(gram || ':$j'), 1, 15) AS BIGINT)) AS h$j")
+        .mkString(",\n          ")
+      val bandSql = (0 until Bands).map { b =>
+        val slots = (b * K / Bands until (b + 1) * K / Bands)
+          .map(j => s"h$j").mkString(" || ',' || ")
+        s"WHEN $b THEN md5($slots)"
+      }.mkString("\n            ")
+      s"""
+      WITH RECURSIVE g AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      sig AS (
+        SELECT doc_id,
+          $sigSql
+        FROM ex GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, band_id,
+          CASE band_id
+            $bandSql
+          END AS bh
+        FROM sig, unnest([0, 1, 2, 3]) u(band_id)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.doc_a
+        JOIN g gb ON gb.doc_id = c.doc_b
+        WHERE len(ga.grams) + len(gb.grams)
+                - len(list_intersect(ga.grams, gb.grams)) > 0
+          AND CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+              (len(ga.grams) + len(gb.grams)
+                - len(list_intersect(ga.grams, gb.grams))) >= 0.6),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cc AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+          row_number() OVER (PARTITION BY c.cluster_id
+            ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+          CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS members
+        FROM cc c JOIN documents d USING (doc_id))
+      SELECT cluster_id, doc_id AS canonical_doc, members
+      FROM ranked WHERE rn = 1"""
+    },
+      notes = "the q107 LSH->verify->CC->election composition replayed in engine-portable md5 arithmetic, FULLY hash-gated (the q138 rows-only-promotion precedent): K=16 md5 minhashes, 4x4 banding, exact-verify on candidates only, recursive-CC oracle; production keeps the xxhash64 twin (q107), parity spec-pinned"),
+
+    // ── Incremental ER with a DIRTY batch (within-delta residual) ──────
+    // q196 defers the within-delta case because its batch cannot contain
+    // one (<= 1 record per entity per batch, by construction). A real
+    // crawl batch HAS internal dups — this entry runs the documented
+    // composition on a batch built to contain them: every fifth customer
+    // (mod 5 == 2) contributes TWO records of one genuinely-new entity
+    // whose names are Hamming-1 of each other and match nothing in base.
+    // Pipeline: (1) q196's delta-vs-base masked absorption (base never
+    // self-joins); (2) q194's operators — masked blocking + iterative CC
+    // — on the UNMATCHED RESIDUAL only, delta-sized at any base size.
+    // Output adds the three-way partition the judge of an incremental ER
+    // run reads: inherits (matched=1), founds-new singleton (is_new=1,
+    // merged_in_delta=0), merges-within-delta (is_new=1,
+    // merged_in_delta=1, shared assigned_cluster = min member rec_id).
+    QueryDef("q196b_er_dirty_batch", (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"))
+      val base = cust.select((col("c_custkey") * 2).as("rec_id"),
+        col("c_custkey").as("entity_key"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("name"))
+      val deltaVar = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") * 2 + 1).as("rec_id"),
+          col("c_custkey").as("entity_key"),
+          concat(substring(md5(col("c_custkey").cast("string")), 1, 11),
+            lit("z")).as("name"))
+      val deltaNew = cust.filter(col("c_custkey") % 7 === 1)
+        .select((col("c_custkey") * 2 + 1000000000L).as("rec_id"),
+          (col("c_custkey") + 2000000000L).as("entity_key"),
+          substring(md5(concat_ws(":", col("c_custkey").cast("string"),
+            lit("new"))), 1, 12).as("name"))
+      val deltaDup = cust.filter(col("c_custkey") % 5 === 2)
+        .select(col("c_custkey"), explode(expr("array('x', 'y')")).as("sfx"))
+        .select((col("c_custkey") * 2 + lit(3000000000L) +
+            when(col("sfx") === "y", 1L).otherwise(0L)).as("rec_id"),
+          (col("c_custkey") + 4000000000L).as("entity_key"),
+          concat(substring(md5(concat_ws(":",
+            col("c_custkey").cast("string"), lit("wd"))), 1, 11),
+            col("sfx")).as("name"))
+      val delta = deltaVar.unionAll(deltaNew).unionAll(deltaDup)
+      def masked(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("rec_id"), explode(expr(
+          "transform(sequence(1, length(name)), i -> " +
+            "concat(substring(name, 1, i-1), chr(1), " +
+            "substring(name, i+1)))")).as("mk"))
+      val matches = masked(delta).withColumnRenamed("rec_id", "d_rec")
+        .join(masked(base).withColumnRenamed("rec_id", "b_rec"), "mk")
+        .groupBy(col("d_rec").as("rec_id"))
+        .agg(min(col("b_rec")).as("base_match"))
+      val joined = delta.join(matches, Seq("rec_id"), "left_outer")
+        .localCheckpoint(true) // read by the residual AND the final join
+      val residual = joined.filter(col("base_match").isNull)
+        .select("rec_id", "name")
+      val rm = masked(residual)
+      val rPairs = rm.as("a").join(rm.as("b"),
+          col("a.mk") === col("b.mk") && col("a.rec_id") < col("b.rec_id"))
+        .select(col("a.rec_id").as("doc_a"), col("b.rec_id").as("doc_b"))
+        .distinct()
+      val cc = graft.dedup.DedupClusters.connectedComponents(rPairs)
+      joined.join(cc, joined("rec_id") === cc("doc_id"), "left_outer")
+        .select(joined("rec_id"), col("entity_key"),
+          col("base_match").isNotNull.cast("long").as("matched"),
+          coalesce(col("base_match"), col("cluster_id"), joined("rec_id"))
+            .as("assigned_cluster"),
+          col("base_match").isNull.cast("long").as("is_new"),
+          (col("base_match").isNull && col("cluster_id").isNotNull)
+            .cast("long").as("merged_in_delta"))
+    }, Some("""
+      WITH RECURSIVE base AS (
+        SELECT c_custkey * 2 AS rec_id, c_custkey AS entity_key,
+          substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name
+        FROM customer),
+      delta AS (
+        SELECT c_custkey * 2 + 1 AS rec_id, c_custkey AS entity_key,
+          substr(md5(CAST(c_custkey AS VARCHAR)), 1, 11) || 'z' AS name
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey * 2 + 1000000000, c_custkey + 2000000000,
+          substr(md5(CAST(c_custkey AS VARCHAR) || ':new'), 1, 12)
+        FROM customer WHERE c_custkey % 7 = 1
+        UNION ALL
+        SELECT c_custkey * 2 + 3000000000
+            + CASE WHEN sfx = 'y' THEN 1 ELSE 0 END,
+          c_custkey + 4000000000,
+          substr(md5(CAST(c_custkey AS VARCHAR) || ':wd'), 1, 11) || sfx
+        FROM customer, unnest(['x', 'y']) u(sfx)
+        WHERE c_custkey % 5 = 2),
+      m AS (
+        SELECT dd.rec_id, MIN(b.rec_id) AS base_match
+        FROM delta dd JOIN base b
+          ON (substr(dd.name, 1, 6) = substr(b.name, 1, 6)
+           OR substr(dd.name, 7, 6) = substr(b.name, 7, 6))
+         AND levenshtein(dd.name, b.name) <= 1
+        GROUP BY dd.rec_id),
+      jd AS (
+        SELECT dd.rec_id, dd.entity_key, dd.name, m.base_match
+        FROM delta dd LEFT JOIN m ON m.rec_id = dd.rec_id),
+      res AS (SELECT rec_id, name FROM jd WHERE base_match IS NULL),
+      rpairs AS (
+        SELECT a.rec_id AS doc_a, b.rec_id AS doc_b
+        FROM res a JOIN res b
+          ON a.rec_id < b.rec_id
+         AND (substr(a.name, 1, 6) = substr(b.name, 1, 6)
+           OR substr(a.name, 7, 6) = substr(b.name, 7, 6))
+        WHERE levenshtein(a.name, b.name) <= 1),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM rpairs
+        UNION SELECT doc_b, doc_a FROM rpairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cc AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+      SELECT jd.rec_id, jd.entity_key,
+        CAST(jd.base_match IS NOT NULL AS BIGINT) AS matched,
+        COALESCE(jd.base_match, cc.cluster_id, jd.rec_id)
+          AS assigned_cluster,
+        CAST(jd.base_match IS NULL AS BIGINT) AS is_new,
+        CAST(jd.base_match IS NULL AND cc.cluster_id IS NOT NULL AS BIGINT)
+          AS merged_in_delta
+      FROM jd LEFT JOIN cc ON cc.doc_id = jd.rec_id"""),
+      notes = "incremental ER with a DIRTY batch: q196's base absorption + q194's masked blocking + CC on the unmatched residual (which HAS internal Hamming-1 pairs by construction) — the three-way inherits / founds-new / merges-within-delta partition, all stages delta-sized"),
+
     // ── Set-sim serving from the PERSISTED prefix index (q149's twin) ──
     // q149 is the exact-semantics anchor: it re-derives base grams, base
     // df and the prefix ordering inline on every run — correct, but the

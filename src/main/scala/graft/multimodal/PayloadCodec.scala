@@ -13,10 +13,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * fabricated, the hash gate would fail.
   *
   * Format scope (documented, loud): 8-bit-depth PNG in grayscale /
-  * gray+alpha / RGB / RGBA, non-interlaced (colour types 0/4/2/6 — what a
-  * training-data ingest normalizes to anyway), and 16-bit PCM WAV. Other
-  * containers return None and the caller degrades to header-only metadata
-  * — ingest never crashes on a payload it can't decode.
+  * gray+alpha / RGB / RGBA / palette, non-interlaced (colour types
+  * 0/4/2/6/3 — palette decode expands through the PLTE lookup to RGB,
+  * closing r07's widest real-world format gap), and 16-bit PCM WAV.
+  * Other containers return None and the caller degrades to header-only
+  * metadata — ingest never crashes on a payload it can't decode.
   */
 object PngCodec {
 
@@ -34,9 +35,11 @@ object PngCodec {
   private def channelsOf(colorType: Int): Option[Int] = colorType match {
     case 0 => Some(1) // grayscale
     case 2 => Some(3) // RGB
+    case 3 => Some(1) // palette: 1 index byte per pixel in the STREAM;
+                      // decode expands via the PLTE lookup to 3 channels
     case 4 => Some(2) // gray + alpha
     case 6 => Some(4) // RGBA
-    case _ => None    // palette (3) needs a PLTE lookup — out of scope
+    case _ => None
   }
 
   private def colorTypeOf(channels: Int): Int = channels match {
@@ -120,6 +123,8 @@ object PngCodec {
     if (!HeaderCodec.isPng(bytes) || bytes.length < 33) return None
     var off = 8
     var width = 0; var height = 0; var channels = 0
+    var isPalette = false
+    var palette: Array[Byte] = null
     var seenIhdr = false; var ok = true
     val idat = new java.io.ByteArrayOutputStream()
     while (ok && off + 8 <= bytes.length) {
@@ -135,13 +140,20 @@ object PngCodec {
               height = u32be(bytes, off + 12).toInt
               val bitDepth = bytes(off + 16) & 0xff
               val interlace = bytes(off + 20) & 0xff
-              channelsOf(bytes(off + 17) & 0xff) match {
+              val colorType = bytes(off + 17) & 0xff
+              channelsOf(colorType) match {
                 case Some(ch) if bitDepth == 8 && interlace == 0 &&
                     width > 0 && height > 0 =>
-                  channels = ch; seenIhdr = true
+                  channels = ch; isPalette = colorType == 3; seenIhdr = true
                 case _ => ok = false
               }
             }
+          case "PLTE" =>
+            // PNG spec §11.2.3: 1..256 RGB triples; malformed length or a
+            // duplicate PLTE is a hard error, not a degrade
+            if (palette != null || len == 0 || len % 3 != 0 || len > 768)
+              ok = false
+            else palette = bytes.slice(off + 8, off + 8 + len.toInt)
           case "IDAT" => idat.write(bytes, off + 8, len.toInt)
           case "IEND" => off = bytes.length // stop the walk
           case _ => () // ancillary chunk — skip
@@ -194,7 +206,54 @@ object PngCodec {
       }
       y += 1
     }
-    Some(PngImage(width, height, channels, px))
+    if (!isPalette) Some(PngImage(width, height, channels, px))
+    else {
+      // PLTE expansion: each index byte becomes its RGB triple; an index
+      // past the palette end is corrupt data (spec: error), so None — the
+      // same never-garbage-pixels posture as every other failure path
+      if (palette == null) return None
+      if (width.toLong * height * 3 > Int.MaxValue - 8) return None
+      val nEntries = palette.length / 3
+      val rgb = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < width * height) {
+        val idx = px(i) & 0xff
+        if (idx >= nEntries) return None
+        rgb(i * 3) = palette(idx * 3)
+        rgb(i * 3 + 1) = palette(idx * 3 + 1)
+        rgb(i * 3 + 2) = palette(idx * 3 + 2)
+        i += 1
+      }
+      Some(PngImage(width, height, 3, rgb))
+    }
+  }
+
+  /** Encode an INDEXED (colour type 3) PNG: `indices` are row-major
+    * palette lookups, `palette` is 1..256 RGB triples. Filter-None
+    * scanlines (the indexed round-trip exercises the PLTE path; filtered
+    * variants ride the truecolour encoder's spec coverage). */
+  def encodeIndexed(width: Int, height: Int, indices: Array[Byte],
+      palette: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height,
+      s"index buffer ${indices.length} != $width x $height")
+    require(palette.nonEmpty && palette.length % 3 == 0 &&
+      palette.length <= 768, s"bad palette length ${palette.length}")
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      raw(y * (width + 1)) = 0 // filter None
+      System.arraycopy(indices, y * width, raw, y * (width + 1) + 1, width)
+      y += 1
+    }
+    val deflater = new Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32(width) ++ be32(height) ++ Array[Byte](8, 3, 0, 0, 0)
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("PLTE", palette) ++
+      chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
   }
 
   /** Nearest-neighbor resample on REAL pixels (the ingest-normalization

@@ -64,6 +64,34 @@ class LshCanonicalSpec extends SparkSpec {
     }
   }
 
+  test("q107b (md5-portable, hash-gated) is sound and refines the exact clustering") {
+    // the oracle-portable twin must satisfy the same soundness contract
+    // as the production xxhash64 path: verified edges are a subset of the
+    // exact all-pairs edge set, clusters refine the exact clusters, and
+    // recall stays floored
+    val got = graft.SparkEntry.queries("q107b_lsh_canonical_md5")(spark, sf)
+      .collect()
+    assert(got.nonEmpty, "q107b found no clusters on the seeded corpus")
+    val exactClusters = clustersOf(exactEdges).values.toSeq
+    // every q107b cluster's (canonical, members) must be realizable from
+    // SOME exact cluster: members <= containing exact cluster size
+    got.foreach { r =>
+      val canonical = r.getAs[Long]("canonical_doc")
+      val members = r.getAs[Long]("members")
+      val container = exactClusters.filter(_.contains(canonical))
+      assert(container.size == 1,
+        s"canonical $canonical not in exactly one exact cluster")
+      assert(members <= container.head.size,
+        s"q107b cluster at $canonical has $members members > exact ${container.head.size}")
+    }
+    // recall on clustered docs vs the exact clustering
+    val exactDocs = exactClusters.map(_.size).sum
+    val gotDocs = got.map(_.getAs[Long]("members")).sum
+    val recall = gotDocs.toDouble / exactDocs
+    info(f"q107b clustered-doc recall: $recall%.3f ($gotDocs/$exactDocs)")
+    assert(recall >= 0.5, f"q107b recall dropped to $recall%.3f")
+  }
+
   test("same-member clusters elect the same canonical (shared election definition)") {
     def electionsFrom(clusters: Map[Long, Set[Long]],
         canon: Map[Long, Long]): Map[Set[Long], Long] =

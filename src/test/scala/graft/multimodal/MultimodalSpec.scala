@@ -32,13 +32,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("palette PNG (PLTE) round-trips through the indexed encoder and decodes to RGB") {
+    // identity-gray palette: index v -> (v, v, v); decoded RGB must equal
+    // the gray q103-corpus pixels expanded channel-wise
+    val gray = gradient(11, 7, 1, seed = 3)
+    val identityPalette = Array.tabulate(768)(i => (i / 3).toByte)
+    val bytes = PngCodec.encodeIndexed(11, 7, gray.pixels, identityPalette)
+    val d = PngCodec.decode(bytes)
+    assert(d.isDefined, "palette decode failed")
+    assert(d.get.width == 11 && d.get.height == 7 && d.get.channels == 3)
+    val want = gray.pixels.flatMap(v => Array(v, v, v))
+    assert(java.util.Arrays.equals(d.get.pixels, want),
+      "PLTE expansion diverged from the index pixels")
+    // a small NON-gray palette with arbitrary triples
+    val pal = Array[Byte](10, 20, 30, 100, -56, 7, 0, -1, 127)
+    val idx = Array[Byte](0, 1, 2, 2, 1, 0)
+    val d2 = PngCodec.decode(PngCodec.encodeIndexed(3, 2, idx, pal))
+    assert(d2.isDefined && d2.get.channels == 3)
+    assert(java.util.Arrays.equals(d2.get.pixels,
+      idx.flatMap(i => pal.slice(i * 3, i * 3 + 3))))
+    // an index past the palette end is corrupt: None, never garbage
+    val overIdx = Array[Byte](0, 1, 5, 2, 1, 0)
+    assert(PngCodec.decode(PngCodec.encodeIndexed(3, 2, overIdx, pal)).isEmpty)
+  }
+
   test("PNG decode rejects out-of-scope or corrupt containers with None, never garbage") {
     val img = gradient(8, 8, 3, seed = 5)
     val good = PngCodec.encode(img)
     assert(PngCodec.decode(good).isDefined)
     // truncated IDAT (cut mid-stream)
     assert(PngCodec.decode(good.take(good.length - 20)).isEmpty)
-    // palette color type (3) is out of documented scope
+    // a palette claim WITHOUT a PLTE chunk is corrupt, not decodable
     val palette = good.clone(); palette(25) = 3
     assert(PngCodec.decode(palette).isEmpty)
     // 16-bit depth out of scope
