@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
   * operands bit-identical, so the difference is too.
   *
   * [[DetMathSql]] emits the DuckDB-SQL twin with the exact same op tree.
-  * No custom Expression is needed: the whole thing is built-in arithmetic,
-  * so it stays inside whole-stage codegen.
+  * The Spark side executes as single-node codegen'd expressions
+  * ([[DetMathExpressions]]) calling the JVM reference impls below; the
+  * Column-TREE builders (tree*) stay as the spec-pinned executable proof
+  * that the op sequence the SQL twin evaluates is bit-identical.
   */
 object DetMath {
   /** Odd reciprocal coefficients of the atanh series, 1/3 … 1/35. */
@@ -44,10 +46,29 @@ object DetMath {
   /** The double nearest ln 2; the identical literal appears in the SQL twin. */
   val LN2 = 0.6931471805599453
 
+  /** Column builders resolve through the registered single-node
+    * expressions ([[DetMathExpressions]]): the Column-TREE forms below
+    * (tree*) are bit-identical (DetMathSpec) but their serialized trees
+    * blow up combinatorially when composed — q197's softplus went to a
+    * 273 MiB task binary on the r08 bring-up bench. Registration is
+    * idempotent and piggybacked here so every call site works in any
+    * session that has one active. */
+  private def viaFn(name: String, arg: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    call_function(name, arg)
+  }
+
   /** Deterministic ln of a positive integral column (cast to BIGINT).
     * Behaviour for x < 1 is undefined (callers guard, as they already did
     * for plain `log`). */
-  def detLnLong(x: Column): Column = {
+  def detLnLong(x: Column): Column =
+    viaFn("graft_det_ln_long", x.cast("long"))
+
+  /** The original Column-TREE form — spec-only, kept as the executable
+    * proof that the op sequence the DuckDB twin evaluates is bit-identical
+    * to [[lnLong]] (which the single-node expression calls). */
+  private[functions] def treeLnLong(x: Column): Column = {
     val xl = x.cast("long")
     val e = length(bin(xl)) - lit(1)
     val m = xl.cast("double") /
@@ -82,7 +103,10 @@ object DetMath {
     *   e^r by 18-term Taylor-Horner;  e^x = e^r · 2^k1 · 2^k2, k = k1+k2
     * (scaling by an exact power of two never rounds, and splitting k keeps
     * each BIGINT shift in range). */
-  def detExp(x: Column): Column = {
+  def detExp(x: Column): Column = viaFn("graft_det_exp", x.cast("double"))
+
+  /** Column-TREE form of detExp — spec-only (see [[treeLnLong]]). */
+  private[functions] def treeExp(x: Column): Column = {
     val k = round(x * lit(INVLN2)).cast("long")
     val kd = k.cast("double")
     val r = (x - (kd * lit(LN2HI))) - (kd * lit(LN2LO))
@@ -108,7 +132,11 @@ object DetMath {
     * engine log2), then the same atanh series as [[detLnLong]]. The
     * catalog's use is softplus(u) = ln(1 + e^u), whose argument is ≥ 1 by
     * construction; u ≤ 43 keeps floor(w) inside BIGINT. */
-  def detLnDoubleGe1(w: Column): Column = {
+  def detLnDoubleGe1(w: Column): Column =
+    viaFn("graft_det_ln_ge1", w.cast("double"))
+
+  /** Column-TREE form of detLnDoubleGe1 — spec-only (see [[treeLnLong]]). */
+  private[functions] def treeLnDoubleGe1(w: Column): Column = {
     val e = length(bin(floor(w).cast("long"))) - lit(1)
     val m = w / call_function("shiftleft", lit(1L), e.cast("int")).cast("double")
     val z = (m - lit(1.0)) / (m + lit(1.0))
@@ -132,11 +160,15 @@ object DetMath {
 
   /** JVM-double twin of [[detExp]] — the spec's bit-equality reference. */
   def expDouble(x: Double): Double = {
-    // Exactly Spark Round's double path (BigDecimal.valueOf → HALF_UP),
-    // which equals libm round() for every double — floor(v+0.5) would NOT
-    // (it mis-rounds values one ULP below a half)
-    val k = java.math.BigDecimal.valueOf(x * INVLN2)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    // Half-away-from-zero, equal to Spark Round's BigDecimal path and to
+    // libm round() for EVERY double, without the per-row BigDecimal
+    // allocation: non-ties take rint (nearest); an exact .5 fraction (the
+    // only case rint's half-even differs) rounds away from zero.
+    // floor(v+0.5) would NOT work — it mis-rounds values 1 ULP below a half.
+    val v = x * INVLN2
+    val f = Math.floor(v)
+    val k = (if (v - f == 0.5) { if (v >= 0) f + 1.0 else f }
+             else Math.rint(v)).toLong
     val kd = k.toDouble
     val r = (x - (kd * LN2HI)) - (kd * LN2LO)
     var p = 1.0

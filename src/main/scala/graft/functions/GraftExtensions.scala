@@ -34,6 +34,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedLongIntersectCard(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_det_ln_long"),
+      new ExpressionInfo(classOf[DetLnLong].getName, "graft_det_ln_long"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_det_ln_long(x) takes one BIGINT")
+        DetLnLong(exprs(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_det_exp"),
+      new ExpressionInfo(classOf[DetExp].getName, "graft_det_exp"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_det_exp(x) takes one DOUBLE")
+        DetExp(exprs(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_det_ln_ge1"),
+      new ExpressionInfo(classOf[DetLnDoubleGe1].getName, "graft_det_ln_ge1"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_det_ln_ge1(w) takes one DOUBLE")
+        DetLnDoubleGe1(exprs(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
       (exprs: Seq[Expression]) => {

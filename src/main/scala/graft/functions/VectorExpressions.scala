@@ -154,6 +154,18 @@ object GraftFunctions {
       require(exprs.length == 2, "graft_zorder(a, b) takes two BIGINT keys")
       ZOrder2(exprs(0), exprs(1))
     },
+    "graft_det_ln_long" -> { exprs =>
+      require(exprs.length == 1, "graft_det_ln_long(x) takes one BIGINT")
+      DetLnLong(exprs(0))
+    },
+    "graft_det_exp" -> { exprs =>
+      require(exprs.length == 1, "graft_det_exp(x) takes one DOUBLE")
+      DetExp(exprs(0))
+    },
+    "graft_det_ln_ge1" -> { exprs =>
+      require(exprs.length == 1, "graft_det_ln_ge1(w) takes one DOUBLE")
+      DetLnDoubleGe1(exprs(0))
+    },
     "graft_bloom_contains" -> { exprs =>
       require(exprs.length == 2,
         "graft_bloom_contains(key, bloomBytes) takes a key and a foldable binary sketch")

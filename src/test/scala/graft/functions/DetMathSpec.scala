@@ -11,17 +11,25 @@ import org.apache.spark.sql.functions._
   * detLn-using query. */
 class DetMathSpec extends SparkSpec {
 
-  test("Column detLnLong is bit-identical to the JVM reference over [1, 1e5]") {
+  test("TREE detLnLong (the SQL twin's op sequence) is bit-identical to the JVM impl over [1, 1e5]") {
+    // This is the cross-engine proof: the tree evaluates the same IEEE op
+    // sequence the DuckDB SQL twin does; the production single-node
+    // expression calls the JVM impl directly, so tree == JVM closes the
+    // chain expression == tree == SQL twin.
     import spark.implicits._
     val rows = spark.range(1, 100001).toDF("x")
-      .select(col("x"), DetMath.detLnLong(col("x")).as("lnx"))
+      .select(col("x"), DetMath.treeLnLong(col("x")).as("tree"),
+        DetMath.detLnLong(col("x")).as("node"))
       .collect()
     rows.foreach { r =>
       val x = r.getLong(0)
       val expect = DetMath.lnLong(x)
       assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
         java.lang.Double.doubleToRawLongBits(expect),
-        s"detLnLong($x) Column=${r.getDouble(1)} JVM=$expect")
+        s"treeLnLong($x) tree=${r.getDouble(1)} JVM=$expect")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(expect),
+        s"detLnLong($x) node=${r.getDouble(2)} JVM=$expect")
     }
   }
 
@@ -36,6 +44,18 @@ class DetMathSpec extends SparkSpec {
     }
   }
 
+  test("expression tree size stays O(1): composed softplus plans serialize small") {
+    // the r08 bring-up regression: Column-TREE composition of
+    // ln(1 + exp(-z)) serialized to a ~273 MiB task binary and 217 s on
+    // q197. The single-node expressions must keep the plan tiny.
+    val sp = DetMath.detLnDoubleGe1(lit(1.0) + DetMath.detExp(-col("x")))
+    val plan = spark.range(1).toDF().selectExpr("cast(id as double) as x")
+      .select(sp.as("sp")).queryExecution.analyzed
+    var nodes = 0
+    plan.foreach(p => p.expressions.foreach(_.foreach(_ => nodes += 1)))
+    assert(nodes < 50, s"composed softplus expression has $nodes nodes")
+  }
+
   test("detLnRatio(a,b) == detLnLong(a) - detLnLong(b) bit-for-bit") {
     import spark.implicits._
     val df = Seq((3L, 7L), (1L, 60000L), (999L, 1000L), (123456789L, 7L))
@@ -48,17 +68,21 @@ class DetMathSpec extends SparkSpec {
     }
   }
 
-  test("Column detExp is bit-identical to the JVM reference over [-80, 80]") {
+  test("TREE detExp (the SQL twin's op sequence) is bit-identical to the JVM impl over [-80, 80]") {
     import spark.implicits._
     val rows = spark.range(0, 160001).toDF("i")
       .select(((col("i") - lit(80000L)).cast("double") / lit(1000.0)).as("x"))
-      .select(col("x"), DetMath.detExp(col("x")).as("ex"))
+      .select(col("x"), DetMath.treeExp(col("x")).as("tree"),
+        DetMath.detExp(col("x")).as("node"))
       .collect()
     rows.foreach { r =>
       val expect = DetMath.expDouble(r.getDouble(0))
       assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
         java.lang.Double.doubleToRawLongBits(expect),
-        s"detExp(${r.getDouble(0)}) Column=${r.getDouble(1)} JVM=$expect")
+        s"treeExp(${r.getDouble(0)}) tree=${r.getDouble(1)} JVM=$expect")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(expect),
+        s"detExp(${r.getDouble(0)}) node=${r.getDouble(2)} JVM=$expect")
     }
   }
 
@@ -72,15 +96,18 @@ class DetMathSpec extends SparkSpec {
     }
   }
 
-  test("Column detLnDoubleGe1 matches JVM reference and Math.log (softplus range)") {
+  test("TREE detLnDoubleGe1 matches JVM impl and Math.log (softplus range)") {
     import spark.implicits._
     val rows = spark.range(0, 100000).toDF("i")
       .select((lit(1.0) + col("i").cast("double") / lit(7.0)).as("w"))
-      .select(col("w"), DetMath.detLnDoubleGe1(col("w")).as("lnw"))
+      .select(col("w"), DetMath.treeLnDoubleGe1(col("w")).as("tree"),
+        DetMath.detLnDoubleGe1(col("w")).as("node"))
       .collect()
     rows.foreach { r =>
       val expect = DetMath.lnDoubleGe1(r.getDouble(0))
       assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(expect))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
         java.lang.Double.doubleToRawLongBits(expect))
       val t = Math.log(r.getDouble(0))
       assert(math.abs(expect - t) <= 2 * Math.ulp(math.max(t, 1e-300)) + 1e-18)
