@@ -1791,6 +1791,129 @@ object DedupQueries {
       FROM delta dd LEFT JOIN m ON m.rec_id = dd.rec_id"""),
       notes = "incremental entity resolution: delta records (typo variants + genuinely new entities) block against BASE masked keys only (base never self-joins — the q149/q166 discipline); matched records inherit their base cluster, unmatched found new entities — the incremental family's ER member, delta-sized at any base size"),
 
+    // ── Eval-set decontamination REMOVAL (q64's enforcement twin) ──────
+    // q64 DETECTS train↔eval shingle collisions pairwise; this is the op
+    // a pipeline actually runs before training: drop every train doc
+    // whose content overlaps the eval UNION set too much. Rule (the
+    // BigCode/GPT-3-style n-gram decontamination): a train doc is
+    // dropped when >= half its distinct 3-gram shingles appear anywhere
+    // in the eval set, or when >= 8 of them do (long docs with a full
+    // embedded eval item must not escape via the ratio). Scale shape —
+    // and the reason this beats the pairwise form for REMOVAL: the eval
+    // grams collapse to a DISTINCT gram set first, so the train side
+    // joins a set membership (fan-out <= 1 per gram occurrence, no DF
+    // cap needed, nothing pairwise, no q64-style bounded blow-up); one
+    // gram-keyed join + one doc-keyed agg, linear at any corpus size.
+    // Total per-doc contract: gramless (<= 2 token) train docs keep a
+    // row with n_grams 0 / kept.
+    QueryDef("q203_decontaminate", (s, d) => {
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 2) <= "0a"
+      val g = tokenized(t(s, d, "documents"))
+        .select(col("doc_id"), isEval.as("is_eval"),
+          explode(expr(shinglesOfToks)).as("gram"))
+      val evalGrams = g.filter(col("is_eval")).select("gram").distinct()
+        .withColumn("hit", lit(1L))
+      val perDoc = g.filter(!col("is_eval"))
+        .join(evalGrams, Seq("gram"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("shared_eval_grams"))
+      t(s, d, "documents").filter(!isEval).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("shared_eval_grams"), lit(0L)).as("shared_eval_grams"),
+          ((coalesce(col("shared_eval_grams"), lit(0L)) * lit(2L) >=
+              coalesce(col("n_grams"), lit(0L)) &&
+            coalesce(col("n_grams"), lit(0L)) > 0) ||
+            coalesce(col("shared_eval_grams"), lit(0L)) >= 8L)
+            .cast("long").as("dropped"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0a' AS is_eval,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval),
+      tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_eval),
+      pd AS (
+        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS shared_eval_grams
+        FROM tr LEFT JOIN ev ON ev.gram = tr.gram
+        GROUP BY tr.doc_id)
+      SELECT d.doc_id,
+        COALESCE(pd.n_grams, 0) AS n_grams,
+        COALESCE(pd.shared_eval_grams, 0) AS shared_eval_grams,
+        CAST((COALESCE(pd.shared_eval_grams, 0) * 2 >= COALESCE(pd.n_grams, 0)
+              AND COALESCE(pd.n_grams, 0) > 0)
+          OR COALESCE(pd.shared_eval_grams, 0) >= 8 AS BIGINT) AS dropped
+      FROM (SELECT doc_id FROM g WHERE NOT is_eval) d
+      LEFT JOIN pd USING (doc_id)"""),
+      notes = "eval-set decontamination removal (q64's enforcement twin): train docs vs the eval UNION gram set — ratio >= 1/2 or absolute >= 8 shared shingles drops the doc; set-membership join (fan-out <= 1, no DF cap, nothing pairwise), one gram join + one doc agg at any scale"),
+
+    // ── Effective-token accounting after exact dedup (data-card row) ───
+    // The number every dataset card needs next to q143's volume: how
+    // many tokens SURVIVE exact deduplication, per source. Canonical =
+    // the min doc_id per md5(text) fingerprint CORPUS-WIDE (the q35
+    // rule); a source's effective tokens count only its canonical docs,
+    // so cross-source duplicates charge the source that re-crawled
+    // them, not the one that found them first. One fingerprint agg +
+    // one broadcast-sized join back + one source agg — the q35 shape
+    // with token accounting attached; dup_token_fraction surfaces
+    // integer-first (f7235c6 idiom).
+    QueryDef("q205_effective_tokens", (s, d) => {
+      val docs = t(s, d, "documents").select(col("source"), col("doc_id"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))
+          + lit(1)).cast("long").as("ntok"),
+        md5(col("text")).as("fp"))
+      val canon = docs.groupBy("fp").agg(min(col("doc_id")).as("canon_id"))
+      docs.join(canon, Seq("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(when(col("doc_id") === col("canon_id"), 1L).otherwise(0L))
+            .as("n_canonical"),
+          sum(when(col("doc_id") === col("canon_id"), col("ntok"))
+            .otherwise(0L)).as("effective_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_canonical"), col("effective_tokens"),
+          (col("n_tokens") - col("effective_tokens")).as("dup_tokens"),
+          when(col("n_tokens") > 0,
+            round((col("n_tokens") - col("effective_tokens")).cast("double") /
+              col("n_tokens").cast("double") * lit(1e6)).cast("long") /
+              lit(1e6))
+            .otherwise(lit(0.0)).as("dup_token_fraction"))
+    }, Some("""
+      WITH docs AS (
+        SELECT source, doc_id,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS ntok,
+          md5(text) AS fp
+        FROM documents),
+      canon AS (SELECT fp, MIN(doc_id) AS canon_id FROM docs GROUP BY fp)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN doc_id = canon_id THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_canonical,
+        CAST(SUM(CASE WHEN doc_id = canon_id THEN ntok ELSE 0 END) AS BIGINT)
+          AS effective_tokens,
+        CAST(SUM(ntok) - SUM(CASE WHEN doc_id = canon_id THEN ntok ELSE 0 END)
+          AS BIGINT) AS dup_tokens,
+        CASE WHEN SUM(ntok) > 0 THEN
+          CAST(ROUND(CAST(SUM(ntok) - SUM(CASE WHEN doc_id = canon_id
+              THEN ntok ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(ntok) AS DOUBLE) * 1000000) AS BIGINT) / 1000000.0
+          ELSE 0.0 END AS dup_token_fraction
+      FROM docs JOIN canon USING (fp)
+      GROUP BY source"""),
+      notes = "per-source effective tokens after corpus-wide exact dedup (canonical = min doc_id per md5(text)): the data-card row beside q143 — cross-source dups charge the re-crawling source; one fp agg + one join + one source agg, integer-first dup fraction"),
+
     // ── LSH -> CC -> canonical, fully HASH-GATED (md5-portable twin) ───
     // q107 composes the production xxhash64 LSH (rows-only: band hashes
     // are engine-specific, pinned by LshCanonicalSpec). This twin replays

@@ -890,6 +890,80 @@ object TextQueries {
       FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
       notes = "per-doc mean unigram log-prob (LM quality proxy): corpus freq agg + broadcast total + micro-unit exact per-doc sums"),
 
+    // ── Curriculum phases from the LM quality score (q77 composed) ─────
+    // Curriculum learning's data-side half: order training docs easy →
+    // hard and bucket them into phases a schedule consumes. Difficulty
+    // proxy = q77's mean unigram log-prob (high score = typical/easy,
+    // low = rare-token-heavy/hard — the standard perplexity-curriculum
+    // proxy), composed via the SHARED q77 stages so the proxy can never
+    // drift from the gated score. Rank WITHIN source (curricula are
+    // built per corpus slice; the window is source-partitioned — no
+    // global sort, no single-partition stage) by micro-integer score
+    // desc with doc_id tiebreak; phase = equi-depth tercile via the
+    // q148/q201 integer formula (1 = easy ... 3 = hard). Exactness:
+    // ranks order EXACT micro integers; the only doubles are q77's
+    // already-gated projections. One extra source-keyed window over
+    // q77's plan — nothing else.
+    QueryDef("q204_curriculum", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val perdoc = toks.join(vocab, "tok").crossJoin(broadcast(tot))
+        .withColumn("lp",
+          round(DetMath.detLnRatio(col("cnt"), col("n"))
+            * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("s"))
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(perdoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(round(col("s").cast("double") / col("n_tokens"))
+            .cast("long"), lit(0L)).as("score_u"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("score_u").desc, col("doc_id").asc)
+      val nSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(nSrc))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("score_u").cast("double") / lit(1e6)).as("lm_score"),
+          col("rank"),
+          expr("(rank - 1) * 3 div n_src + 1").as("phase"))
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tw AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+      vocab AS (SELECT tok, COUNT(*) AS cnt FROM tw GROUP BY tok),
+      tot AS (SELECT COUNT(*) AS n FROM tw),
+      perdoc AS (
+        SELECT tw.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          SUM(CAST(ROUND((${DetMathSql.lnLong("vocab.cnt")} -
+            ${DetMathSql.lnLong("tot.n")}) * 1000000) AS BIGINT)) AS s
+        FROM tw JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY tw.doc_id),
+      scored AS (
+        SELECT d.doc_id, d.source,
+          COALESCE(p.n_tokens, 0) AS n_tokens,
+          COALESCE(CAST(ROUND(CAST(p.s AS DOUBLE) / p.n_tokens) AS BIGINT),
+            0) AS score_u
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+      ranked AS (
+        SELECT *,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY score_u DESC, doc_id ASC) AS BIGINT) AS rank,
+          CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        FROM scored)
+      SELECT doc_id, source, n_tokens,
+        CAST(score_u AS DOUBLE) / 1000000.0 AS lm_score,
+        rank, (rank - 1) * 3 // n_src + 1 AS phase
+      FROM ranked"""),
+      notes = "perplexity-curriculum phases: q77's micro-integer LM score ranked desc within source (partitioned window, no global sort), equi-depth terciles 1=easy..3=hard via the q148 integer formula — the curriculum-learning data artifact, ranks over exact integers"),
+
     // ── Token-budget mixture sampling (data-mixing to a budget) ────────
     // The mixture-weighting primitive stated in TOKENS, not rates: each
     // source contributes documents — in the reproducible q51 content-hash

@@ -376,6 +376,60 @@ class QueryCatalogSpec extends SparkSpec {
       f"conformal coverage $coverage%.3f below the finite-sample band")
   }
 
+  test("q203 decontamination: eval docs excluded, drop rule exact, both verdicts occur") {
+    val rows = SparkEntry.queries("q203_decontaminate")(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_grams")
+      val sh = r.getAs[Long]("shared_eval_grams")
+      val want = if ((sh * 2 >= n && n > 0) || sh >= 8) 1L else 0L
+      assert(sh <= n, "shared grams cannot exceed the doc's gram count")
+      assert(r.getAs[Long]("dropped") == want, s"drop rule mismatch at $r")
+    }
+    val verdicts = rows.map(_.getAs[Long]("dropped")).distinct.sorted
+    assert(verdicts.length == 2,
+      "the seeded corpus should produce both kept and dropped docs")
+  }
+
+  test("q204 curriculum: per-source equi-depth terciles, easy ranks score highest") {
+    val rows = SparkEntry.queries("q204_curriculum")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val phases = rs.map(_.getAs[Long]("phase"))
+      assert(phases.forall(p => p >= 1 && p <= 3), s"$src phase range")
+      // equi-depth: phase sizes differ by at most 1 when n >= 3
+      if (rs.length >= 3) {
+        val sizes = phases.groupBy(identity).values.map(_.size)
+        assert(sizes.max - sizes.min <= 1, s"$src terciles not equi-depth")
+      }
+      // ranks are a permutation and order scores descending
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length).toSeq)
+      val scores = byRank.map(_.getAs[Double]("lm_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$src ranks do not order scores descending")
+    }
+  }
+
+  test("q205 effective tokens: accounting identities and a real dup deficit") {
+    val rows = SparkEntry.queries("q205_effective_tokens")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_canonical") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("effective_tokens") + r.getAs[Long]("dup_tokens")
+        == r.getAs[Long]("n_tokens"), "token accounting must balance")
+    }
+    // dup presence depends on the SF's corpus (sf0.001 happens to carry
+    // zero exact text dups) — derive the expectation from the corpus
+    // itself rather than assuming
+    val docs = graft.analytics.Ops.t(spark, sf, "documents")
+    val nDocs = docs.count()
+    val nDistinct = docs.selectExpr("md5(text)").distinct().count()
+    val gotDupDocs = rows.map(r =>
+      r.getAs[Long]("n_docs") - r.getAs[Long]("n_canonical")).sum
+    assert(gotDupDocs == nDocs - nDistinct,
+      s"non-canonical docs $gotDupDocs != corpus dup count ${nDocs - nDistinct}")
+    assert((rows.map(_.getAs[Long]("dup_tokens")).sum > 0) ==
+      (nDocs > nDistinct), "dup tokens iff the corpus has dup texts")
+  }
+
   test("q181 DP release: integer counts, nonzero noise, both noise signs") {
     val rows = SparkEntry.queries("q181_dp_release")(spark, sf).collect()
     assert(rows.length == 20, "one release row per source")
