@@ -269,6 +269,7 @@ class PlanContractSpec extends SparkSpec {
       "q192_benford", // 9-row spine x 1-row total/chi2 composition joins
       "q197_temperature", // 6-row grid x 1-row argmin composition join
       "q199_kaplan_meier", // bounded day<day prefix self-joins (offsets pattern) + 1-row total
+      "q204_curriculum", // q77's broadcast 1-row corpus-count cross join
       "q201_rfm") // GlobalOrder offsets + broadcast 1-row count cross join (q144 shape)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
@@ -468,6 +469,42 @@ class PlanContractSpec extends SparkSpec {
     assert(!p182.contains("WindowExec"), s"q182 gained a window:\n$p182")
     assert(countOf(p182, "Exchange SinglePartition") <= 3,
       s"q182 funnelled the token stream through one partition:\n$p182")
+  }
+
+  test("q202/q203: serving probes and decontamination stay non-pairwise") {
+    // q202: the probe must carry NO cartesian product and NO corpus-wide
+    // window — candidates come from the gram-keyed postings join with
+    // the PPJoin prunes, verify joins candidates only
+    val p202 = plan("q202_setsim_served")
+    assert(!p202.contains("CartesianProduct"),
+      s"q202 fell back to a cartesian:\n$p202")
+    assert(!p202.contains("WindowExec"), s"q202 gained a window:\n$p202")
+    // q203: the eval gram set is a plain distinct + join — nothing
+    // pairwise, no window, no single-partition stage over data
+    val p203 = plan("q203_decontaminate")
+    assert(!p203.contains("CartesianProduct"),
+      s"q203 went pairwise:\n$p203")
+    assert(!p203.contains("WindowExec"), s"q203 gained a window:\n$p203")
+    assert(!p203.contains("Exchange SinglePartition"),
+      s"q203 funnelled data through one partition:\n$p203")
+  }
+
+  test("q204/q205: one partitioned window / keyed-agg shapes, no global sort") {
+    // q204 = q77's plan + ONE source-partitioned window; the allowed
+    // SinglePartition collapses are q77's 1-row corpus-total aggs, never
+    // the doc stream; a global (empty partition spec) window would be
+    // the q88-lesson regression
+    val p204 = plan("q204_curriculum")
+    assert(countOf(p204, "Exchange SinglePartition") <= 2,
+      s"q204 funnelled data through one partition:\n$p204")
+    assert(!p204.contains("windowspecdefinition()"),
+      s"q204 gained an UNPARTITIONED window:\n$p204")
+    // q205: fingerprint agg + join + source agg — no window at all
+    val p205 = plan("q205_effective_tokens")
+    assert(!p205.contains("WindowExec"), s"q205 gained a window:\n$p205")
+    assert(!p205.contains("CartesianProduct") &&
+      !p205.contains("Exchange SinglePartition"),
+      s"q205 lost its keyed-agg shape:\n$p205")
   }
 
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
