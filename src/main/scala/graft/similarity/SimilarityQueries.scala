@@ -415,6 +415,88 @@ object SimilarityQueries {
     }, None,
       notes = "scale-path cosine near-dup: LSH candidates -> exact cosine verify (candidates only); rows-only (plane literals engine-side)"),
 
+    // ── Sign-LSH cosine pairs, fully HASH-GATED (md5-portable twin) ────
+    // q68's promotion to a full hash gate (the q107b/q138 precedent):
+    // the hyperplane bank derives every component from md5 — h(t,b,i) =
+    // md5int(t:b:i) % 2001 − 1000 — so BOTH engines build the identical
+    // 12×3×64 bank, and the bucket bits compare graft_dot (Spark) vs
+    // list_dot_product (DuckDB), the q39-proven bit-compatible
+    // sequential-fold pair, against zero. Identical sign decisions ⇒
+    // identical candidate sets ⇒ the exact-cosine verify is the already
+    // portable q39 arithmetic with an integer-first 6-dp surface. Same
+    // plan shapes as q68 (bounded buckets, candidate-only verification,
+    // id-only shuffles, the k ≈ log2(n/B) corpus-size knob); the bank is
+    // a 36-row broadcast either way. The only nonportable piece of q68
+    // was its plane-literal SOURCE — q68 keeps the engine-side planes as
+    // the production form, this twin retires the trust-me row.
+    QueryDef("q68b_cosine_pairs_lsh_md5", (s, d) => {
+      val Dim = 64 // the fixture's embedding width; the md5 bank below is
+      // deterministic in (t, b, i) so any width works — the require makes
+      // a fixture change loud instead of silently mis-hashing
+      val v = vecs(s, d)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(key: String): Long = {
+        val hex = md.digest(key.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val planes = for (tb <- 0 until 12; b <- 0 until 3) yield
+        (tb, b, 1L << b,
+          (0 until Dim).map(i => (h(s"$tb:$b:$i") % 2001 - 1000).toDouble))
+      import s.implicits._
+      val planesDf = planes.toDF("table_id", "bit", "weight", "harr")
+      val bits = v.join(broadcast(planesDf))
+        .withColumn("d", expr("graft_dot(v, harr)"))
+        .groupBy(col("vec_id"), col("table_id"))
+        .agg(sum(when(col("d") >= 0, col("weight")).otherwise(0L))
+          .as("bucket"))
+      val cand = bits.as("a").join(bits.as("b"),
+          col("a.table_id") === col("b.table_id") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(v.toDF("id_a", "va", "na"), Seq("id_a"))
+        .join(v.toDF("id_b", "vb", "nb"), Seq("id_b"))
+        .filter(col("na") * col("nb") > 0)
+        .withColumn("cos_sim",
+          round(expr("graft_dot(va, vb)") / (col("na") * col("nb"))
+            * lit(1e6)).cast("long") / lit(1e6))
+        .filter(col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      planes AS (
+        SELECT t, b,
+          list_transform(range(0, 64), i ->
+            CAST(CAST('0x' || substr(md5(t || ':' || b || ':' || i), 1, 15)
+              AS BIGINT) % 2001 - 1000 AS DOUBLE)) AS harr
+        FROM range(0, 12) r1(t), range(0, 3) r2(b)),
+      bits AS (
+        SELECT v.vec_id, p.t,
+          SUM(CASE WHEN list_dot_product(v.e, p.harr) >= 0
+            THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+        FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.t),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        FROM bits a JOIN bits b2
+          ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+          CAST(ROUND(list_dot_product(va.e, vb.e) /
+            (sqrt(list_dot_product(va.e, va.e)) *
+             sqrt(list_dot_product(vb.e, vb.e))) * 1000000) AS BIGINT)
+            / 1000000.0 AS cos_sim
+        FROM cand c
+        JOIN v va ON va.vec_id = c.id_a
+        JOIN v vb ON vb.vec_id = c.id_b
+        WHERE sqrt(list_dot_product(va.e, va.e)) *
+              sqrt(list_dot_product(vb.e, vb.e)) > 0)
+      SELECT id_a, id_b, cos_sim FROM verified WHERE cos_sim >= 0.35"""),
+      notes = "q68's sign-LSH pair mining promoted to a full hash gate via an md5-derived hyperplane bank (identical on both engines; bucket signs from the q39-proven bit-compatible dot pair) — 12x3x64 broadcast bank, candidate-only exact verify, integer-first 6-dp cosine"),
+
     // ── Embedding int8 quantization (storage-side compression op) ──────
     // Per-vector symmetric max-abs quantization: scale = max|v|/127,
     // q_i = round(v_i/scale) ∈ [-127,127], plus the reconstruction RMSE a

@@ -28,6 +28,23 @@ class CosinePairsLshSpec extends SparkSpec {
     }
   }
 
+  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    val name = sf.split('/').last
+
+    test(s"q68b (md5-portable, hash-gated) pairs sound vs q39, recall floored at $name") {
+      // q68b rounds integer-first (round(cos*1e6)/1e6) where q39 rounds
+      // round(cos, 6): compare on ids and on cos to the shared 6-dp grid
+      val exact = pairs("q39_cosine_dup_pairs", sf)
+        .map { case (a, b, c) => (a, b, math.round(c * 1e6)) }
+      val md5Lsh = pairs("q68b_cosine_pairs_lsh_md5", sf)
+        .map { case (a, b, c) => (a, b, math.round(c * 1e6)) }
+      assert(md5Lsh.subsetOf(exact),
+        s"q68b emitted ${(md5Lsh -- exact).size} pairs q39 does not have")
+      val recall = (md5Lsh & exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"q68b recall degraded to $recall")
+    }
+  }
+
   test("q68 is deterministic across runs (literal planes)") {
     val sf = "/root/testdata/sf0.001"
     assert(pairs("q68_cosine_pairs_lsh", sf) == pairs("q68_cosine_pairs_lsh", sf))
