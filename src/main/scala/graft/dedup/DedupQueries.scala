@@ -329,6 +329,47 @@ object DedupQueries {
     ja.filter(col("jaccard") >= minJ).select("doc_a", "doc_b")
   }
 
+  /** md5-portable MinHash signatures: K 60-bit minhashes per doc over
+    * the distinct 3-gram shingles, h_j = min md5(gram || ':' || j) — the
+    * engine-portable twin of [[signaturesOf]]'s xxhash64 form, shared by
+    * the q36b/q107b hash-gated promotions. Docs without shingles emit no
+    * row (same contract as signaturesOf). */
+  private[dedup] def md5Signatures(s: SparkSession, d: String): DataFrame = {
+    val grams = tokenized(t(s, d, "documents"))
+      .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
+    val sigCols = (0 until K).map { j =>
+      min(conv(substring(md5(concat(col("gram"), lit(s":$j"))), 1, 15),
+        16, 10).cast("long")).as(s"h$j")
+    }
+    grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** (doc_id, band_id, bh) banding of [[md5Signatures]] — band key = md5
+    * of the comma-joined slot values, identical text on both engines. */
+  private[dedup] def md5Bands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      val slots = (b * K / Bands until (b + 1) * K / Bands)
+        .map(j => col(s"h$j"))
+      struct(lit(b).as("band_id"), md5(concat_ws(",", slots: _*)).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"),
+        col("bb.bh").as("bh"))
+  }
+
+  /** The SQL twin of [[md5Signatures]]'s aggregate list (spliced into the
+    * q36b/q107b oracles). */
+  private[dedup] def md5SigSql: String = (0 until K).map(j =>
+    s"MIN(CAST('0x' || substr(md5(gram || ':$j'), 1, 15) AS BIGINT)) AS h$j")
+    .mkString(",\n          ")
+
+  /** The SQL twin of [[md5Bands]]'s band-key CASE. */
+  private[dedup] def md5BandSql: String = (0 until Bands).map { b =>
+    val slots = (b * K / Bands until (b + 1) * K / Bands)
+      .map(j => s"h$j").mkString(" || ',' || ")
+    s"WHEN $b THEN md5($slots)"
+  }.mkString("\n            ")
+
   /** The three exact near-dup detectors' NORMALIZED pair sets as one
     * tagged frame (m, doc_a, doc_b) with doc_a < doc_b — q167's members
     * and q81's edge source (m = 'jaccard'). Exposed so
@@ -1791,6 +1832,114 @@ object DedupQueries {
       FROM delta dd LEFT JOIN m ON m.rec_id = dd.rec_id"""),
       notes = "incremental entity resolution: delta records (typo variants + genuinely new entities) block against BASE masked keys only (base never self-joins — the q149/q166 discipline); matched records inherit their base cluster, unmatched found new entities — the incremental family's ER member, delta-sized at any base size"),
 
+    // ── MinHash+LSH candidate summary, HASH-GATED (md5 twin of q36) ────
+    // q36's per-doc candidate summary with the md5-portable signature
+    // bank (shared md5Signatures/md5Bands — the q107b machinery), so the
+    // DuckDB oracle replays signatures, banding, bucket-join candidate
+    // counts and the sig head exactly. Same shapes as q36: one explode +
+    // K-min agg, (band, key, doc) triples through the shuffle, per-doc
+    // candidate counts. q36 stays as the xxhash64 production form.
+    QueryDef("q36b_minhash_lsh_md5", (s, d) => {
+      val sig = md5Signatures(s, d)
+      val bands = md5Bands(sig)
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val candCount = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(sig, Seq("doc_id"), "left_outer")
+        .join(candCount, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("h0").as("sig0"), col("h1").as("sig1"))
+    }, Some(s"""
+      WITH g AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      sig AS (
+        SELECT doc_id,
+          ${md5SigSql}
+        FROM ex GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, band_id,
+          CASE band_id
+            ${md5BandSql}
+          END AS bh
+        FROM sig, unnest([0, 1, 2, 3]) u(band_id)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      cc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM (SELECT doc_a AS doc_id FROM cand
+              UNION ALL SELECT doc_b FROM cand)
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(cc.n_candidates, 0) AS n_candidates,
+        sig.h0 AS sig0, sig.h1 AS sig1
+      FROM documents d
+      LEFT JOIN sig ON sig.doc_id = d.doc_id
+      LEFT JOIN cc ON cc.doc_id = d.doc_id"""),
+      notes = "q36's MinHash+LSH candidate summary promoted to a full hash gate via the shared md5 signature bank (q107b machinery); per-doc candidate counts + sig head, total-per-doc contract preserved"),
+
+    // ── SimHash, HASH-GATED (md5 twin of q37, 60-bit) ──────────────────
+    // q37's bit-vote SimHash with the 60-bit md5 token hash both engines
+    // share (15 hex chars — the catalog's md5-integer idiom), so the
+    // oracle replays every vote: bit i's sum over tokens of ±1 by
+    // (h >> i) & 1, fingerprint = OR of the winning bits (disjoint
+    // powers sum == OR). Same shape as q37 — one explode + ONE doc-keyed
+    // agg of 60 integer votes. q37 stays as the 64-bit xxhash64
+    // production form.
+    QueryDef("q37b_simhash_md5", (s, d) => {
+      val tokens = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+      val bitCols = (0 until 60).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$i")
+      }
+      val bitSums = tokens.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      val sim = (0 until 60).map { i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+      bitSums.select(col("doc_id"), sim.as("simhash"))
+    }, Some {
+      val votes = (0 until 60).map(i =>
+        s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+        .mkString(",\n          ")
+      val orBits = (0 until 60).map(i =>
+        s"(CASE WHEN b$i > 0 THEN CAST(1 AS BIGINT) << $i ELSE 0 END)")
+        .mkString("\n        + ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)),
+      votes AS (
+        SELECT doc_id,
+          $votes
+        FROM toks GROUP BY doc_id)
+      SELECT doc_id,
+        $orBits AS simhash
+      FROM votes"""
+    },
+      notes = "q37's SimHash promoted to a full hash gate: 60-bit md5 token hashes (the 15-hex idiom) voted bit-wise, fingerprint = OR of winning bits — one explode + one doc-keyed agg; q37 keeps the 64-bit xxhash64 production form"),
+
     // ── Eval-set decontamination REMOVAL (q64's enforcement twin) ──────
     // q64 DETECTS train↔eval shingle collisions pairwise; this is the op
     // a pipeline actually runs before training: drop every train doc
@@ -1932,23 +2081,7 @@ object DedupQueries {
     // declared price of oracle portability (the production path keeps
     // xxhash64; LshCanonicalSpec pins this twin's parity with it).
     QueryDef("q107b_lsh_canonical_md5", (s, d) => {
-      val grams = tokenized(t(s, d, "documents"))
-        .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
-      val sigCols = (0 until K).map { j =>
-        min(conv(substring(md5(concat(col("gram"), lit(s":$j"))), 1, 15),
-          16, 10).cast("long")).as(s"h$j")
-      }
-      val sig = grams.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bandCols = (0 until Bands).map { b =>
-        val slots = (b * K / Bands until (b + 1) * K / Bands)
-          .map(j => col(s"h$j"))
-        struct(lit(b).as("band_id"),
-          md5(concat_ws(",", slots: _*)).as("bh"))
-      }
-      val bands = sig.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band_id").as("band_id"),
-          col("bb.bh").as("bh"))
+      val bands = md5Bands(md5Signatures(s, d))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
             col("a.bh") === col("b.bh") &&
@@ -1959,14 +2092,8 @@ object DedupQueries {
       canonicalElection(DedupClusters.connectedComponents(edges),
         t(s, d, "documents"))
     }, Some {
-      val sigSql = (0 until K).map(j =>
-        s"MIN(CAST('0x' || substr(md5(gram || ':$j'), 1, 15) AS BIGINT)) AS h$j")
-        .mkString(",\n          ")
-      val bandSql = (0 until Bands).map { b =>
-        val slots = (b * K / Bands until (b + 1) * K / Bands)
-          .map(j => s"h$j").mkString(" || ',' || ")
-        s"WHEN $b THEN md5($slots)"
-      }.mkString("\n            ")
+      val sigSql = md5SigSql
+      val bandSql = md5BandSql
       s"""
       WITH RECURSIVE g AS (
         SELECT doc_id,
