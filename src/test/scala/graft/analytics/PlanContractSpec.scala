@@ -270,6 +270,7 @@ class PlanContractSpec extends SparkSpec {
       "q197_temperature", // 6-row grid x 1-row argmin composition join
       "q199_kaplan_meier", // bounded day<day prefix self-joins (offsets pattern) + 1-row total
       "q204_curriculum", // q77's broadcast 1-row corpus-count cross join
+      "q68b_cosine_pairs_lsh_md5", // broadcast 36-row md5 hyperplane bank
       "q201_rfm") // GlobalOrder offsets + broadcast 1-row count cross join (q144 shape)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
