@@ -1108,8 +1108,11 @@ object DedupQueries {
     // ~14% md5-split of doc ids — the q70/q109 hash-split idiom) checked
     // for Jaccard >= 0.5 duplicates AGAINST the existing corpus (base)
     // without ever pairing base with base or delta with delta. Gram
-    // order comes from BASE document frequencies (what a persisted
-    // prefix index would store), with unseen-in-base grams at df 0 —
+    // order comes from BASE document frequencies — exactly what the
+    // persisted [[SetSimIndex]] stores since r08 (q202 is this query's
+    // serving twin probing it delta-proportionally; this inline form
+    // stays as the exact-semantics anchor and shares its oracle) — with
+    // unseen-in-base grams at df 0 —
     // rarest-first; prefix filtering stays lossless for ANY shared total
     // order, and the PPJoin length/positional prunes apply unchanged to
     // the cross join of the two prefix sets. Cost model: O(|delta|)
@@ -1176,7 +1179,7 @@ object DedupQueries {
         round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
       FROM p
       WHERE CAST(inter AS DOUBLE) / nullif(sa + sb - inter, 0) >= 0.5"""),
-      notes = "incremental exact near-dup: md5-split delta joined against base-only prefix postings (base df order — what a persisted prefix index stores); base never self-joins; q70's exact-hash and the streaming LSH ingest's third sibling"),
+      notes = "incremental exact near-dup: md5-split delta joined against base-only prefix postings (base df order — exactly what the persisted SetSimIndex stores; q202 is the index-served twin); base never self-joins; q70's exact-hash and the streaming LSH ingest's third sibling"),
 
     // ── Winnowing fingerprints (MOSS-style overlap detection) ──────────
     // The POSITION-ROBUST member of the overlap family: q33's rolling

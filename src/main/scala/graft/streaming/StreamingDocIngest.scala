@@ -174,11 +174,12 @@ object StreamingDocIngest {
   def indexedIngest(docs: DataFrame, outPath: String, sigPath: String,
       checkpoint: String, postingsRoot: String,
       vectorIndexName: Option[String] = None,
+      setSimRoot: Option[String] = None,
       minJ: Double = 0.6): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         indexedBatch(batch, outPath, sigPath, postingsRoot,
-          vectorIndexName, minJ)
+          vectorIndexName, setSimRoot, minJ)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -186,7 +187,8 @@ object StreamingDocIngest {
 
   private[graft] def indexedBatch(batch: DataFrame, outPath: String,
       sigPath: String, postingsRoot: String,
-      vectorIndexName: Option[String], minJ: Double): Unit = {
+      vectorIndexName: Option[String], setSimRoot: Option[String],
+      minJ: Double): Unit = {
     val (survivorsDf, sigRows) = survivorsOf(batch, sigPath, minJ)
     val survivors = survivorsDf.persist()
     try {
@@ -200,6 +202,16 @@ object StreamingDocIngest {
         if (batch.columns.contains("embedding"))
           graft.similarity.VectorIndex.append(batch.sparkSession, vn,
             survivors.select(col("doc_id").as("vec_id"), col("embedding")))
+      }
+      // third persisted structure, same frozen-order posture as the
+      // vector quantizer: the set-sim prefix index must already be BUILT
+      // (the order freeze is a build-time decision); survivors append
+      // under the frozen base-df order, delta-proportionally
+      setSimRoot.foreach { root =>
+        graft.dedup.SetSimIndex.append(batch.sparkSession, root,
+          graft.dedup.DedupQueries.hashedGramsOf(
+            survivors.select("doc_id", "text"))
+            .select("doc_id", "grams_h", "n_grams"))
       }
       sigRows.write.mode("append").parquet(sigPath)
     } finally survivors.unpersist()

@@ -100,9 +100,11 @@ class IncrementalIndexSpec extends SparkSpec {
     val c = docs.unionByName(clones)
     val r = Files.createTempDirectory("graft-ing").toString
     graft.streaming.StreamingDocIngest.indexedBatch(
-      c.filter(col("doc_id") < 30), s"$r/out", s"$r/sig", s"$r/idx", None, 0.6)
+      c.filter(col("doc_id") < 30), s"$r/out", s"$r/sig", s"$r/idx",
+      None, None, 0.6)
     graft.streaming.StreamingDocIngest.indexedBatch(
-      c.filter(col("doc_id") >= 30), s"$r/out", s"$r/sig", s"$r/idx", None, 0.6)
+      c.filter(col("doc_id") >= 30), s"$r/out", s"$r/sig", s"$r/idx",
+      None, None, 0.6)
     val landed = spark.read.parquet(s"$r/out").select("doc_id", "text")
     // clones were near-dup-dropped: the index absorbed survivors only
     assert(landed.filter(col("doc_id") >= 10000).count() == 0)
@@ -113,5 +115,47 @@ class IncrementalIndexSpec extends SparkSpec {
         s"streaming-maintained $t diverged from rebuild over survivors")
     assert(probeRows(s"$r/idx", Seq("query", "dup", "scan")) ==
       probeRows(rebuilt, Seq("query", "dup", "scan")))
+  }
+
+  test("streaming hook: SetSimIndex maintained across batches == frozen-order appends") {
+    // the third persisted structure rides the same ingest hook: build the
+    // prefix index on a BASE, stream two survivor batches through
+    // indexedBatch with setSimRoot set, and the maintained index must
+    // find the same matches as explicit appends of the same survivors
+    // (the frozen-order soundness SetSimIndexSpec pins) — and a probe
+    // must surface a delta clone of a base doc at jaccard 1.0
+    import graft.dedup.{DedupQueries, SetSimIndex}
+    val docs = graft.analytics.Ops.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val base = docs.filter(col("doc_id") < 100)
+    val stream1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 130)
+    val stream2 = docs.filter(col("doc_id") >= 130 && col("doc_id") < 160)
+      .unionByName(base.filter(col("doc_id") === 5)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      DedupQueries.hashedGramsOf(df).select("doc_id", "grams_h", "n_grams")
+    val r = Files.createTempDirectory("graft-ssi-stream").toString
+    SetSimIndex.build(grams(base), s"$r/ss", tau = 0.5)
+    graft.streaming.StreamingDocIngest.indexedBatch(
+      stream1, s"$r/out", s"$r/sig", s"$r/idx", None, Some(s"$r/ss"), 0.6)
+    graft.streaming.StreamingDocIngest.indexedBatch(
+      stream2, s"$r/out", s"$r/sig", s"$r/idx", None, Some(s"$r/ss"), 0.6)
+    // twin: explicit appends of the SAME landed survivors
+    val landed = spark.read.parquet(s"$r/out").select("doc_id", "text")
+    val twin = Files.createTempDirectory("graft-ssi-twin").toString
+    SetSimIndex.build(grams(base), s"$twin/ss", tau = 0.5)
+    SetSimIndex.append(spark, s"$twin/ss", grams(landed), tau = 0.5)
+    val probe = grams(docs.filter(col("doc_id") >= 400 && col("doc_id") < 440)
+      .unionByName(base.filter(col("doc_id") === 7)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text"))))
+    val got = SetSimIndex.probe(spark, s"$r/ss", probe, tau = 0.5)
+    val want = SetSimIndex.probe(spark, s"$twin/ss", probe, tau = 0.5)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming-maintained SetSimIndex diverged from explicit appends")
+    // the probe clone of base doc 7 must match it at jaccard 1.0
+    val hit = got.filter(col("doc_b") === 30007L && col("doc_a") === 7L)
+      .collect()
+    assert(hit.length == 1 && hit(0).getAs[Double]("jaccard") == 1.0,
+      s"clone probe missed its base twin: ${hit.mkString(",")}")
   }
 }
