@@ -329,6 +329,37 @@ object DedupQueries {
     ja.filter(col("jaccard") >= minJ).select("doc_a", "doc_b")
   }
 
+  /** The q203 decontamination stage as a frame-level function — shared
+    * verbatim by the batch query and [[graft.streaming.StreamingDecontaminate]]
+    * (stateless against a FIXED eval gram set, so batch⇄stream parity is
+    * by shared definition, the StreamingScore pattern). `evalGrams` must
+    * expose one `gram` column (already distinct). */
+  private[graft] def decontaminateAgainst(docs: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
+    val g = tokenized(docs)
+      .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
+    val perDoc = g
+      .join(evalGrams.withColumn("hit", lit(1L)), Seq("gram"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("shared_eval_grams"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("shared_eval_grams"), lit(0L)).as("shared_eval_grams"),
+        ((coalesce(col("shared_eval_grams"), lit(0L)) * lit(2L) >=
+            coalesce(col("n_grams"), lit(0L)) &&
+          coalesce(col("n_grams"), lit(0L)) > 0) ||
+          coalesce(col("shared_eval_grams"), lit(0L)) >= 8L)
+          .cast("long").as("dropped"))
+  }
+
+  /** The q203 eval-side gram set for a documents frame (distinct union). */
+  private[graft] def evalGramSetOf(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .select(explode(expr(shinglesOfToks)).as("gram")).distinct()
+
   /** md5-portable MinHash signatures: K 60-bit minhashes per doc over
     * the distinct 3-gram shingles, h_j = min md5(gram || ':' || j) — the
     * engine-portable twin of [[signaturesOf]]'s xxhash64 form, shared by
@@ -1960,26 +1991,9 @@ object DedupQueries {
     // row with n_grams 0 / kept.
     QueryDef("q203_decontaminate", (s, d) => {
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 2) <= "0a"
-      val g = tokenized(t(s, d, "documents"))
-        .select(col("doc_id"), isEval.as("is_eval"),
-          explode(expr(shinglesOfToks)).as("gram"))
-      val evalGrams = g.filter(col("is_eval")).select("gram").distinct()
-        .withColumn("hit", lit(1L))
-      val perDoc = g.filter(!col("is_eval"))
-        .join(evalGrams, Seq("gram"), "left_outer")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(coalesce(col("hit"), lit(0L))).as("shared_eval_grams"))
-      t(s, d, "documents").filter(!isEval).select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("shared_eval_grams"), lit(0L)).as("shared_eval_grams"),
-          ((coalesce(col("shared_eval_grams"), lit(0L)) * lit(2L) >=
-              coalesce(col("n_grams"), lit(0L)) &&
-            coalesce(col("n_grams"), lit(0L)) > 0) ||
-            coalesce(col("shared_eval_grams"), lit(0L)) >= 8L)
-            .cast("long").as("dropped"))
+      val docs = t(s, d, "documents")
+      decontaminateAgainst(docs.filter(!isEval),
+        evalGramSetOf(docs.filter(isEval)))
     }, Some("""
       WITH g AS (
         SELECT doc_id,
