@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   * P has 17 Horner coefficients 1/3 … 1/35 — truncation < 6e-19, so the
   * result is within 1 ULP of true ln (property-pinned in DetMathSpec), and
   * identical to the last bit on Spark, DuckDB, the JVM, and CPython
-  * (bit-equality proven over x ∈ [1, 3e5] in the bring-up prototype; the
-  * driver's 3-SF hash gates re-prove it on every query that uses it).
+  * (bit-equality re-runnable via `tools/detmath_check.py` — 0 mismatches
+  * over x ∈ [1, 3e5] for ln and x ∈ [-80, 80] for exp; the driver's 3-SF
+  * hash gates re-prove it on every query that uses it).
   * ln(a/b) for integers a, b is `detLnLong(a) - detLnLong(b)` — both
   * operands bit-identical, so the difference is too.
   *
