@@ -21,6 +21,25 @@ object IndexCache {
   private def key(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_").stripSuffix("_")
 
+  /** Metadata-only content fingerprint of a source table: xor-fold of
+    * (path-hash, size, mtime) over every data file. A corpus rewrite that
+    * preserves row COUNT still changes sizes/mtimes, so stale persisted
+    * indexes are retired without scanning a byte of data — the posture
+    * that stays O(files) at 100 TB (a row-count marker alone let a
+    * same-count content change serve stale pairs to spec/ungated callers). */
+  private def contentStamp(path: String): Long = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).iterator.flatMap(_.iterator.flatMap(walk))
+      else Iterator.single(f)
+    walk(new java.io.File(path))
+      .filterNot(_.getName.startsWith("_"))
+      .foldLeft(0L) { (acc, f) =>
+        acc ^ java.lang.Long.rotateLeft(f.getPath.hashCode.toLong, 17) ^
+          (f.length * 1000003L) ^ f.lastModified()
+      }
+  }
+
   def postingsRoot(sfDir: String): String =
     new java.io.File(s"target/graft_idx/${key(sfDir)}/postings").getAbsolutePath
 
@@ -33,14 +52,15 @@ object IndexCache {
     val pRoot = postingsRoot(sfDir)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
+    val pStamp = s"$nDocs:${contentStamp(s"$sfDir/documents.parquet")}"
     val marker = java.nio.file.Paths.get(pRoot, "_GRAFT_N_DOCS")
     val fresh = java.nio.file.Files.isRegularFile(marker) &&
       scala.util.Try(
-        java.nio.file.Files.readString(marker).trim.toLong == nDocs)
+        java.nio.file.Files.readString(marker).trim == pStamp)
         .getOrElse(false)
     if (!fresh) {
       graft.text.PostingsIndex.build(docs, pRoot)
-      java.nio.file.Files.writeString(marker, nDocs.toString)
+      java.nio.file.Files.writeString(marker, pStamp)
     }
     val vName = vectorIndexName(sfDir)
     if (!spark.catalog.tableExists(s"${vName}_centroids") ||
@@ -80,10 +100,11 @@ object IndexCache {
     val root = zlayoutRoot(sfDir)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val nRows = li.count()
+    val zStamp = s"$nRows:${contentStamp(s"$sfDir/lineitem.parquet")}"
     val marker = java.nio.file.Paths.get(root, "_GRAFT_N_ROWS")
     val fresh = java.nio.file.Files.isRegularFile(marker) &&
       scala.util.Try(
-        java.nio.file.Files.readString(marker).trim.toLong == nRows)
+        java.nio.file.Files.readString(marker).trim == zStamp)
         .getOrElse(false)
     if (!fresh) {
       graft.operators.ZOrderLayout.write(li,
@@ -92,7 +113,7 @@ object IndexCache {
         root, numFiles = 16)
       graft.operators.SkippingIndex.buildManifest(spark, root,
         Seq("l_partkey", "l_suppkey"))
-      java.nio.file.Files.writeString(marker, nRows.toString)
+      java.nio.file.Files.writeString(marker, zStamp)
     }
     root
   }
@@ -117,7 +138,7 @@ object IndexCache {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
     val marker = java.nio.file.Paths.get(root, "_GRAFT_N_DOCS")
-    val stamp = s"$nDocs:pairs1"
+    val stamp = s"$nDocs:${contentStamp(s"$sfDir/documents.parquet")}:pairs1"
     val fresh = java.nio.file.Files.isRegularFile(marker) &&
       scala.util.Try(
         java.nio.file.Files.readString(marker).trim == stamp)
@@ -146,7 +167,7 @@ object IndexCache {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
     val marker = java.nio.file.Paths.get(root, "_GRAFT_N_DOCS")
-    val stamp = s"$nDocs:setsim1"
+    val stamp = s"$nDocs:${contentStamp(s"$sfDir/documents.parquet")}:setsim1"
     val fresh = java.nio.file.Files.isRegularFile(marker) &&
       scala.util.Try(
         java.nio.file.Files.readString(marker).trim == stamp)

@@ -1910,7 +1910,7 @@ object DedupQueries {
           CASE band_id
             ${md5BandSql}
           END AS bh
-        FROM sig, unnest([0, 1, 2, 3]) u(band_id)),
+        FROM sig, unnest([${(0 until Bands).mkString(", ")}]) u(band_id)),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -2130,7 +2130,7 @@ object DedupQueries {
           CASE band_id
             $bandSql
           END AS bh
-        FROM sig, unnest([0, 1, 2, 3]) u(band_id)),
+        FROM sig, unnest([${(0 until Bands).mkString(", ")}]) u(band_id)),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b

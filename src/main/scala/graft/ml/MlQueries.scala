@@ -790,14 +790,32 @@ object MlQueries {
     // divided in DOUBLE. One exponentiated-gradient step (η = 1):
     // w ∝ base_share · exp(mean_loss − corpus_loss), micro-quantized
     // BEFORE the only cross-source normalization sum (q164's
-    // exactness pattern). Shapes: one token pass + ONE combined
-    // bucket agg (the 256-row model broadcasts) + one source agg;
-    // the mixture algebra runs on |sources| metadata rows.
+    // exactness pattern). Shapes: ONE corpus token pass, reduced
+    // immediately to a (source, is_en, bucket)-keyed pre-agg
+    // (<= |sources|·2·256 rows, localCheckpoint-pinned) that feeds
+    // BOTH the 256-row model and the per-source loss totals — the
+    // loss sum is Σ c·l over the pre-agg, exact because l is already
+    // a micro-quantized BIGINT (r08's shape consumed the corpus-sized
+    // token frame twice: model build + loss join = two full scans at
+    // 100 TB where one suffices). Everything downstream of the
+    // pre-agg runs on metadata-sized frames.
     QueryDef("q182_doremi_mix", (s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
       val toks = nbTokens(docs)
-      val model0 = nbCounts(toks).localCheckpoint(true)
+      val pre = toks.groupBy(col("source"),
+          (col("lang") === "en").as("is_en"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val cb = pre.groupBy("b").agg(
+        sum(when(col("is_en"), col("c")).otherwise(0L)).as("c_en"),
+        sum(when(!col("is_en"), col("c")).otherwise(0L)).as("c_ot"))
+      // explicit 256-bucket spine (nbCounts' contract) so no scoring
+      // bucket can fall out of the loss join
+      val model0 = s.range(0, 256).select(col("id").as("b"))
+        .join(cb, Seq("b"), "left_outer")
+        .select(col("b"), coalesce(col("c_en"), lit(0L)).as("c_en"),
+          coalesce(col("c_ot"), lit(0L)).as("c_ot"))
       val tot = model0.agg(sum("c_en").as("n_en"), sum("c_ot").as("n_ot"))
       val model = model0.crossJoin(broadcast(tot))
         .select(col("b"),
@@ -808,12 +826,14 @@ object MlQueries {
             col("n_ot") + lit(256L)) * 1e6).cast("long")
             .as("l_ot"))
       // localCheckpoint: perSrc is |sources| metadata rows read twice
-      // (totals + mix) — pin it so the token pass runs ONCE (the
-      // q152-q154 single-pass-per-stage pattern)
-      val perSrc = toks.join(broadcast(model), "b")
+      // (totals + mix) — pin it (the q152-q154 single-pass-per-stage
+      // pattern); its input `pre` is itself pinned, so nothing below
+      // this line touches the corpus again
+      val perSrc = pre.join(broadcast(model), "b")
         .groupBy("source").agg(
-          count(lit(1)).as("n_tokens"),
-          sum(when(col("lang") === "en", col("l_en")).otherwise(col("l_ot")))
+          sum(col("c")).as("n_tokens"),
+          sum(col("c") *
+            when(col("is_en"), col("l_en")).otherwise(col("l_ot")))
             .as("loss_sum_u"))
         .localCheckpoint(true)
       val totals = perSrc.agg(sum("n_tokens").as("tt"),

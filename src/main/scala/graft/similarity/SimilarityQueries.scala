@@ -434,6 +434,11 @@ object SimilarityQueries {
       // deterministic in (t, b, i) so any width works — the require makes
       // a fixture change loud instead of silently mis-hashing
       val v = vecs(s, d)
+      val actualDim = v.select(size(col("v")).as("d")).head().getInt(0)
+      require(actualDim == Dim,
+        s"q68b md5 plane bank is built for $Dim-dim embeddings but the " +
+          s"fixture has $actualDim dims; graft_dot would fold over " +
+          "min(len) and silently mis-bucket while the DuckDB twin diverges")
       val md = java.security.MessageDigest.getInstance("MD5")
       def h(key: String): Long = {
         val hex = md.digest(key.getBytes("UTF-8"))
@@ -1079,10 +1084,14 @@ object SimilarityQueries {
     // re-rank between retrieval and consumption. Distribution of work
     // follows the operator's real shape at 100 TB: candidate GENERATION
     // is the distributed part (here the guarded q40 baseline; in
-    // production VectorIndex.probe, identical interface), while the
-    // greedy runs on the collected per-query candidate lists — bounded
-    // at queries × topN rows by construction, the q71 driver-state
-    // posture, NEVER corpus-sized. Exactness: rel and pairwise sims are
+    // production VectorIndex.probe, identical interface), and the
+    // per-query greedy — embarrassingly parallel across queries — runs
+    // in a flatMapGroups keyed by query_id over the bounded top-8
+    // lists (≤8 rel + ≤28 sim rows per group), so driver memory is
+    // O(1) regardless of query load (the r08 form collected every
+    // (query, cand, sim) row and looped on the driver — fine at
+    // fixture scale, a driver bottleneck at production query counts).
+    // Exactness: rel and pairwise sims are
     // the 6dp-rounded cosines q40 already hash-matches; each greedy
     // score combines them with identical IEEE ops on both engines, ties
     // break on cand_id, so the oracle's 3 unrolled greedy steps land on
@@ -1102,27 +1111,36 @@ object SimilarityQueries {
         col("cv").as("av"), col("cn").as("an"))
       val b = cands.select(col("query_id").as("qb"), col("cand_id").as("cb"),
         col("cv").as("bv"), col("cn").as("bn"))
-      val simOf = a.join(b, col("query_id") === col("qb") && col("ca") < col("cb"))
-        .withColumn("sim", cosine("av", "bv", "an", "bn"))
-        .select("query_id", "ca", "cb", "sim")
-        .collect()
-        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
-        .toMap
       // exact integer scoring: 6dp cosines become micro-unit longs, the
       // greedy score 0.7·rel − 0.3·sim becomes 7·relµ − 3·simµ in 1e-7
       // units — pure BIGINT on both engines, so no rounding knife-edge
       // can ever flip a pick or drift the output hash (a double-rounding
-      // .5 boundary DID bite at sf0.01 before this)
-      val relRows = cands.select("query_id", "cand_id", "rel").collect()
-        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
-      val picks = relRows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
-        case (qid, rows) =>
-          val rel = rows.map(r => r._2 -> r._3).toMap
+      // .5 boundary DID bite at sf0.01 before this). Both the rel rows
+      // (kind = −1 marker) and the sim rows union into ONE query-keyed
+      // frame so the greedy sees its whole bounded group in one pass.
+      import s.implicits._
+      val simT = a.join(b,
+          col("query_id") === col("qb") && col("ca") < col("cb"))
+        .withColumn("sim", cosine("av", "bv", "an", "bn"))
+        .select(col("query_id"), col("ca"), col("cb"),
+          round(col("sim") * lit(1e6)).cast("long").as("m"))
+        .as[(Long, Long, Long, Long)]
+      val relT = cands
+        .select(col("query_id"), col("cand_id"), lit(-1L).as("kind"),
+          round(col("rel") * lit(1e6)).cast("long").as("m"))
+        .as[(Long, Long, Long, Long)]
+      val picks = relT.union(simT).groupByKey(_._1).flatMapGroups {
+        (qid: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+          val rows = it.toIndexedSeq
+          val rel = rows.collect { case (_, cid, -1L, m) => cid -> m }.toMap
+          val simMap = rows.collect { case (_, x, y, m) if y != -1L =>
+            (x, y) -> m
+          }.toMap
           def sim(x: Long, y: Long): Long =
-            math.round(simOf((qid, math.min(x, y), math.max(x, y))) * 1e6)
+            simMap((math.min(x, y), math.max(x, y)))
           var remaining = rel.keySet.toList.sorted
           var selected = List.empty[Long]
-          (1 to 3).map { step =>
+          (1 to 3).iterator.map { step =>
             val best = remaining.map { cid =>
               val score =
                 if (selected.isEmpty) 7L * rel(cid)
@@ -1134,7 +1152,6 @@ object SimilarityQueries {
             (qid, step.toLong, best._1, best._2)
           }
       }
-      import s.implicits._
       picks.toDF("query_id", "pick_rank", "cand_id", "raw")
         .select(col("query_id"), col("pick_rank"), col("cand_id"),
           (col("raw").cast("double") / lit(1e7)).as("mmr_score"))

@@ -1828,7 +1828,12 @@ object TextQueries {
     QueryDef("q135_weighted_sample", (s, d) => {
       val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
-      val lnU = DetMath.detLnRatio(h, lit(1152921504606846976L)) // ln(h/2^60)
+      // greatest(h, 1): DetMath.lnLong requires x >= 1, and an md5 60-bit
+      // prefix of exactly 0 (p = 2^-60 per doc) would otherwise fail the
+      // task; clamping to ln(1/2^60) keeps that doc a valid minimal-key
+      // draw. Mirrored verbatim in the oracle so both engines clamp alike.
+      val lnU = DetMath.detLnRatio(greatest(h, lit(1L)),
+        lit(1152921504606846976L)) // ln(max(h,1)/2^60)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
         .orderBy(col("key_nano").desc, col("doc_id").asc)
       t(s, d, "documents")
@@ -1851,7 +1856,7 @@ object TextQueries {
         FROM documents WHERE n_chars > 0),
       dt AS (
         SELECT doc_id, source, n_chars,
-          CAST(round((${DetMathSql.lnLong("h")} -
+          CAST(round((${DetMathSql.lnLong("greatest(h, 1)")} -
             ${DetMathSql.lnLong("1152921504606846976")})
             / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT) AS key_nano
         FROM hs),
@@ -2012,9 +2017,9 @@ object TextQueries {
       lc AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
       ent AS (
         SELECT lc.source,
-          SUM(CAST(round(-(CAST(lc.c AS DOUBLE) / base.n_docs) *
+          CAST(SUM(CAST(round(-(CAST(lc.c AS DOUBLE) / base.n_docs) *
             (${DetMathSql.lnLong("lc.c")} -
-             ${DetMathSql.lnLong("base.n_docs")}) * 1e9) AS BIGINT))
+             ${DetMathSql.lnLong("base.n_docs")}) * 1e9) AS BIGINT)) AS BIGINT)
             AS lang_entropy_nano
         FROM lc JOIN base ON lc.source = base.source
         GROUP BY lc.source)

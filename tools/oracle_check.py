@@ -57,6 +57,19 @@ def main(sf_dir, out_dir):
         if len(a) != len(b):
             print(f"{name:28s} ROWS-MISMATCH spark={len(a)} duck={len(b)}")
             fails.append(name); continue
+        # The driver hashes FORMATTED values, so an int64 column on one side
+        # and float64 on the other ("20" vs "20.0") is a hash failure even
+        # when the numbers agree. Reject dtype-KIND drift before any value
+        # coercion — numeric compare below must never launder int-vs-float.
+        def kind(dt):
+            k = dt.kind  # i/u int, f float, b bool, M datetime, O object
+            return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                    "M": "datetime"}.get(k, "obj")
+        kind_bad = [(c, kind(a[c].dtype), kind(b[c].dtype)) for c in a.columns
+                    if kind(a[c].dtype) != kind(b[c].dtype)]
+        if kind_bad:
+            print(f"{name:28s} DTYPE-MISMATCH {kind_bad[:4]} (spark,duck)")
+            fails.append(name); continue
         diff_cols = []
         for c in a.columns:
             av, bv = a[c].values, b[c].values
