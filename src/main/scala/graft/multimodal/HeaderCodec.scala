@@ -87,11 +87,16 @@ object HeaderCodec {
   }
 
   /** Real-header decode: Some(meta) when a known container parses, None
-    * otherwise (caller falls back to the stub codec). */
+    * otherwise (caller falls back to the stub codec). JPEG dims come from
+    * [[JpegCodec.parseHeader]]'s SOF0 walk (baseline streams only — the
+    * same scope as the pixel decoder, so metadata never claims dims the
+    * codec layer could not honor). */
   def decode(kind: String, bytes: Array[Byte]): Option[Multimodal.MediaMeta] =
     parsePng(bytes).map { case (w, h) =>
       Multimodal.MediaMeta(kind, "png", bytes.length.toLong, w, h, 0L)
     }.orElse(parseWav(bytes).map { wm =>
       Multimodal.MediaMeta(kind, "wav", bytes.length.toLong, 0, 0, wm.durationMs)
+    }).orElse(JpegCodec.parseHeader(bytes).map { case (w, h, _) =>
+      Multimodal.MediaMeta(kind, "jpeg", bytes.length.toLong, w, h, 0L)
     })
 }

@@ -76,6 +76,14 @@ object Multimodal {
     * (25 fps), documented rather than fabricated per-payload. */
   private val VideoFrameMs = 40L
 
+  /** Still-image decode across the supported raster containers: PNG
+    * first (signature-dispatched), then baseline JPEG. One shared entry
+    * so every image operator (stats, patches, aHash, resize) accepts
+    * both formats with identical downstream arithmetic. */
+  def decodeImage(bytes: Array[Byte]): Option[PngCodec.PngImage] =
+    if (HeaderCodec.isPng(bytes)) PngCodec.decode(bytes)
+    else JpegCodec.decode(bytes)
+
   /** Split a motion-PNG stream into its PNG frames (signature-delimited).
     * A single PNG yields one frame; non-PNG bytes yield none. */
   def splitFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
@@ -134,7 +142,10 @@ object Multimodal {
           out(7) = meta.durationMs.toFloat
         }
       } else {
-        val frames = splitFrames(bytes).flatMap(PngCodec.decode)
+        val pngFrames = splitFrames(bytes).flatMap(PngCodec.decode)
+        val frames =
+          if (pngFrames.nonEmpty) pngFrames
+          else JpegCodec.decode(bytes).toSeq
         if (frames.nonEmpty) {
           val ch = frames.head.channels
           val chSum = new Array[Double](4)
@@ -189,8 +200,15 @@ object Multimodal {
   def resized(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val out = splitFrames(r.content).flatMap(f =>
+      val png = splitFrames(r.content).flatMap(f =>
         PngCodec.decode(f).map(img => PngCodec.encode(PngCodec.resize(img, w, h))))
+      // JPEG stills transcode to PNG on the way out: resize re-encode is
+      // lossless-container by policy (a resample through a lossy encoder
+      // would compound generation loss)
+      val out =
+        if (png.nonEmpty) png
+        else JpegCodec.decode(r.content)
+          .map(img => PngCodec.encode(PngCodec.resize(img, w, h))).toSeq
       if (out.isEmpty) r else r.copy(content = out.flatten.toArray)
     })
   }
@@ -254,6 +272,41 @@ object Multimodal {
       })
   }
 
+  // ── JPEG fixture corpus (the q206 oracle contract) ───────────────────
+  // Real baseline JFIF streams whose decode is BIT-EXACT despite the
+  // lossy format: every image is built from FLAT 8x8 blocks (constant
+  // value per block), so the DCT has a single integer DC coefficient and
+  // zero AC per block, and with the quant=1 tables the decoder's
+  // huffman→dequant→IDCT chain reproduces each pixel exactly — which is
+  // what lets DuckDB oracle the decoded statistics from the closed form:
+  //   w = 16 + (id%3)*8, h = 16 + (id%2)*8  (2..4 x 2..3 blocks)
+  //   block b (row-major over the block grid): value (id*37 + b*29) % 256.
+
+  private def jpegDims(id: Long): (Int, Int) =
+    ((16 + (id % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
+
+  private def buildJpegPayload(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < w * h) {
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      px(i) = ((id * 37 + (by * (w / 8) + bx) * 29) % 256).toByte
+      i += 1
+    }
+    JpegCodec.encode(PngCodec.PngImage(w, h, 1, px), quant = 1)
+  }
+
+  /** JPEG media table over the documents corpus ids — the q206 gate input:
+    * real entropy-coded baseline streams, decoded statistics exactly
+    * reproducible from the generating formula (see above). */
+  def jpegFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "image", buildJpegPayload(id))))
+  }
+
   /** Decoded-statistics pass for the q103 gate: every number derives from
     * the DECODED pixels/samples (dims from the parsed IHDR, sums over the
     * unfiltered raster / PCM samples) — no shortcut to the generator. */
@@ -274,7 +327,11 @@ object Multimodal {
               MediaStats(r.media_id, r.kind, "bin", 0L, 0L, 0L, 0L, 0L, 0L)
           }
         case _ =>
-          val frames = splitFrames(r.content).flatMap(PngCodec.decode)
+          val pngFrames = splitFrames(r.content).flatMap(PngCodec.decode)
+          val (frames, fmt) =
+            if (pngFrames.nonEmpty)
+              (pngFrames, if (r.kind == "video") "png-seq" else "png")
+            else (JpegCodec.decode(r.content).toSeq, "jpeg")
           if (frames.isEmpty)
             MediaStats(r.media_id, r.kind, "bin", 0L, 0L, 0L, 0L, 0L, 0L)
           else {
@@ -287,8 +344,7 @@ object Multimodal {
               }
               n += px.length
             }
-            MediaStats(r.media_id, r.kind,
-              if (r.kind == "video") "png-seq" else "png",
+            MediaStats(r.media_id, r.kind, fmt,
               n, sum, sq, frames.head.width.toLong, frames.head.height.toLong,
               if (r.kind == "video") frames.size * VideoFrameMs else 0L)
           }
@@ -343,7 +399,7 @@ object Multimodal {
     require(patch > 0, "imagePatches: patch must be positive")
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").flatMap { r =>
-      PngCodec.decode(r.content) match {
+      decodeImage(r.content) match {
         case Some(img) =>
           val pr = (img.height + patch - 1) / patch
           val pc = (img.width + patch - 1) / patch
@@ -390,7 +446,7 @@ object Multimodal {
       s"imageAHash: size*size must fit in 64 bits (got $size)")
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").flatMap { r =>
-      PngCodec.decode(r.content).map { img =>
+      decodeImage(r.content).map { img =>
         val rs = PngCodec.resize(img, size, size)
         val n = size * size
         var sum = 0L; var i = 0

@@ -531,6 +531,44 @@ object TextQueries {
       FROM d"""),
       notes = "real nearest-neighbor resize gate: decode -> resample to 16x16 -> re-encode -> decode again, statistics vs DuckDB evaluating the resample arithmetic on the generating formula; narrow mapPartitions, bytes never shuffle"),
 
+    // ── JPEG baseline decode (REAL entropy-coded streams, formula-oracled) ─
+    // The last declared multimodal format gap: real corpora are mostly
+    // JPEG, and until round 9 only PNG/WAV/motion-PNG had pixel-level
+    // decode. JpegCodec is a full baseline-sequential JFIF decoder
+    // (marker walk, canonical Huffman from DHT, run-length AC, dequant,
+    // float IDCT, level shift, YCbCr→RGB, 4:2:0 replication upsampling —
+    // JDK-only, T.81 layout). A LOSSY format can still sit under an
+    // exact hash gate because the fixture is flat-8x8-block by
+    // construction: a constant block has one integer DC coefficient and
+    // zero AC, so with quant=1 tables huffman→dequant→IDCT reproduces
+    // every pixel bit-exactly and DuckDB derives the decoded statistics
+    // from the generating formula (block b value = (id*37 + b*29) % 256).
+    // A decoder that fabricated pixels, mis-walked zigzag order, or
+    // mispredicted DC differences could not match — the DC chain is
+    // differential, so ONE wrong block corrupts every later block in the
+    // image. Non-flat content (gradients, color, 4:2:0, corrupt streams)
+    // is spec-pinned in JpegCodecSpec with bounded-error / None
+    // contracts. Scale: the q103 posture — one narrow mapPartitions,
+    // bytes never shuffle, 9 stat columns flow on.
+    QueryDef("q206_jpeg_decode", (s, d) => {
+      graft.multimodal.Multimodal.decodedStats(
+        graft.multimodal.Multimodal.jpegFromDocuments(s, d)).toDF()
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, 16 + (doc_id % 2) * 8 AS h
+        FROM documents)
+      SELECT doc_id AS media_id, 'image' AS kind, 'jpeg' AS format,
+        CAST(w * h AS BIGINT) AS n_units,
+        CAST(64 * list_sum(list_transform(range((w // 8) * (h // 8)),
+          b -> (doc_id*37 + b*29) % 256)) AS BIGINT) AS unit_sum,
+        CAST(64 * list_sum(list_transform(range((w // 8) * (h // 8)),
+          b -> ((doc_id*37 + b*29) % 256) * ((doc_id*37 + b*29) % 256)))
+          AS BIGINT) AS unit_sumsq,
+        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(0 AS BIGINT) AS duration_ms
+      FROM d"""),
+      notes = "real baseline JPEG decode (JDK-only huffman+dequant+IDCT) gated bit-exactly on decoded pixel statistics vs the generating formula via flat-block DC-only construction"),
+
     // ── Audio energy segmentation (VAD-style, REAL PCM, formula-oracled) ─
     // q103 proves WAV decode, this proves the audio TRANSFORM layer: the
     // windowed-energy pass that silence trimming, speech-segment

@@ -1,0 +1,158 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the baseline JFIF codec's contracts: bit-exact decode for the
+  * flat-block DC-only construction (the q206 gate's exactness argument),
+  * bounded reconstruction error for general content (lossy by design,
+  * never unbounded), scope rejection (progressive / truncated / corrupt →
+  * None, never garbage pixels), and the 4:2:0 interleaved-MCU path. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def flatBlocks(w: Int, h: Int, seed: Int): PngCodec.PngImage = {
+    val px = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      ((seed * 37 + (by * (w / 8) + bx) * 29) % 256).toByte
+    }
+    PngCodec.PngImage(w, h, 1, px)
+  }
+
+  private def gradient(w: Int, h: Int, ch: Int, seed: Int): PngCodec.PngImage =
+    PngCodec.PngImage(w, h, ch,
+      Array.tabulate(w * h * ch)(i => ((seed * 31 + i * 7) % 256).toByte))
+
+  private def maxAbsDiff(a: Array[Byte], b: Array[Byte]): Int = {
+    require(a.length == b.length, s"length ${a.length} vs ${b.length}")
+    a.indices.foldLeft(0)((m, i) =>
+      math.max(m, math.abs((a(i) & 0xff) - (b(i) & 0xff))))
+  }
+
+  test("flat-block grayscale decodes BIT-EXACTLY at quant=1 (the q206 exactness contract)") {
+    for (seed <- Seq(0, 1, 7, 100, 255); (w, h) <- Seq((16, 16), (24, 16), (32, 24))) {
+      val img = flatBlocks(w, h, seed)
+      val bytes = JpegCodec.encode(img, quant = 1)
+      val d = JpegCodec.decode(bytes)
+      assert(d.isDefined, s"decode failed seed=$seed ${w}x$h")
+      assert(d.get.width == w && d.get.height == h && d.get.channels == 1)
+      assert(java.util.Arrays.equals(d.get.pixels, img.pixels),
+        s"flat-block decode not exact seed=$seed ${w}x$h " +
+          s"(maxDiff=${maxAbsDiff(d.get.pixels, img.pixels)})")
+    }
+  }
+
+  test("flat-block decode stays exact at non-multiple-of-8 dims (edge-replicated partial blocks)") {
+    // 20x13: right/bottom blocks are partial; encoder pads by replication,
+    // decoder crops — padding a FLAT block with its own value keeps the
+    // block flat, so exactness must survive
+    val w = 20; val h = 13
+    val px = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      ((91 + (by * 3 + bx) * 29) % 256).toByte
+    }
+    val img = PngCodec.PngImage(w, h, 1, px)
+    val d = JpegCodec.decode(JpegCodec.encode(img, quant = 1))
+    assert(d.isDefined && d.get.width == w && d.get.height == h)
+    assert(java.util.Arrays.equals(d.get.pixels, img.pixels))
+  }
+
+  test("grayscale gradient round-trips with small bounded error at quant=1") {
+    val img = gradient(24, 16, 1, seed = 11)
+    val d = JpegCodec.decode(JpegCodec.encode(img, quant = 1))
+    assert(d.isDefined)
+    // quant=1 loses only coefficient rounding (≤0.5 per coefficient);
+    // reconstruction error stays a few grey levels
+    val diff = maxAbsDiff(d.get.pixels, img.pixels)
+    assert(diff <= 4, s"gradient error $diff > 4 at quant=1")
+  }
+
+  test("coarser quantization degrades gracefully and keeps dims/channels") {
+    val img = gradient(16, 16, 1, seed = 5)
+    for (q <- Seq(2, 8, 32)) {
+      val d = JpegCodec.decode(JpegCodec.encode(img, q))
+      assert(d.isDefined && d.get.width == 16 && d.get.height == 16)
+      val diff = maxAbsDiff(d.get.pixels, img.pixels)
+      assert(diff <= 16 * q, s"error $diff unreasonably large at quant=$q")
+    }
+  }
+
+  test("RGB 4:4:4 color round-trips within color-matrix rounding error") {
+    // flat-color image: spatial DCT is exact (DC-only), so the only loss
+    // is the YCbCr<->RGB double-rounding — a couple of levels per channel
+    val px = Array.tabulate(16 * 16 * 3) { i =>
+      Seq(200.toByte, 60.toByte, 110.toByte)(i % 3)
+    }
+    val img = PngCodec.PngImage(16, 16, 3, px)
+    val d = JpegCodec.decode(JpegCodec.encode(img, quant = 1))
+    assert(d.isDefined && d.get.channels == 3)
+    val diff = maxAbsDiff(d.get.pixels, img.pixels)
+    assert(diff <= 2, s"flat-color RGB error $diff > 2")
+    // non-flat color content: bounded, looser
+    val img2 = gradient(16, 16, 3, seed = 9)
+    val d2 = JpegCodec.decode(JpegCodec.encode(img2, quant = 1))
+    assert(d2.isDefined)
+    assert(maxAbsDiff(d2.get.pixels, img2.pixels) <= 8)
+  }
+
+  test("4:2:0 subsampled encode exercises the interleaved-MCU + upsample path") {
+    // flat color: chroma mean-pool of a constant is the constant, so the
+    // subsampled round-trip stays within the same matrix-rounding budget
+    val px = Array.tabulate(32 * 16 * 3) { i =>
+      Seq(90.toByte, 180.toByte, 40.toByte)(i % 3)
+    }
+    val img = PngCodec.PngImage(32, 16, 3, px)
+    val bytes = JpegCodec.encode420(img, quant = 1)
+    val d = JpegCodec.decode(bytes)
+    assert(d.isDefined, "4:2:0 decode failed")
+    assert(d.get.width == 32 && d.get.height == 16 && d.get.channels == 3)
+    assert(maxAbsDiff(d.get.pixels, img.pixels) <= 2,
+      "flat-color 4:2:0 round-trip outside rounding budget")
+    // sanity: the stream really declares 2x2 luma sampling (SOF walk)
+    assert(JpegCodec.parseHeader(bytes).contains((32, 16, 3)))
+  }
+
+  test("decode rejects out-of-scope or corrupt streams with None, never garbage") {
+    val good = JpegCodec.encode(flatBlocks(16, 16, 1), quant = 1)
+    assert(JpegCodec.decode(good).isDefined)
+    // not a JPEG at all
+    assert(JpegCodec.decode("not a jpeg".getBytes).isEmpty)
+    assert(JpegCodec.decode(Array.emptyByteArray).isEmpty)
+    // truncated: cut inside the entropy-coded data
+    assert(JpegCodec.decode(good.take(good.length / 2)).isEmpty)
+    // progressive: rewrite the SOF0 marker byte (FFC0 -> FFC2)
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(prog).isEmpty, "progressive must be rejected")
+    assert(JpegCodec.parseHeader(prog).isEmpty)
+    // corrupt entropy data: flip bytes mid-stream until a failure mode
+    // (either None or a decode that still terminates — never a crash)
+    val corrupt = good.clone()
+    for (i <- good.length - 20 until good.length - 2) corrupt(i) = 0x55
+    JpegCodec.decode(corrupt) // must not throw
+  }
+
+  test("parseHeader reports dims for the metadata path and HeaderCodec dispatches jpeg") {
+    val bytes = JpegCodec.encode(flatBlocks(24, 16, 3), quant = 1)
+    assert(JpegCodec.parseHeader(bytes).contains((24, 16, 1)))
+    val meta = HeaderCodec.decode("image", bytes)
+    assert(meta.isDefined)
+    assert(meta.get.format == "jpeg" && meta.get.width == 24 && meta.get.height == 16)
+  }
+
+  test("DC differential chain: a corrupted early block cannot decode to the original tail") {
+    // pins the gate's tamper argument: DC coding is differential, so the
+    // pixel content of later blocks depends on every earlier DC — flip a
+    // byte in the FIRST entropy bytes and either decode fails or the
+    // raster differs from the original (it cannot silently agree)
+    val img = flatBlocks(32, 24, 42)
+    val bytes = JpegCodec.encode(img, quant = 1)
+    val sosAt = bytes.indices.find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda).get
+    val entStart = sosAt + 2 + (((bytes(sosAt + 2) & 0xff) << 8) | (bytes(sosAt + 3) & 0xff))
+    val tampered = bytes.clone()
+    tampered(entStart) = (tampered(entStart) ^ 0x40).toByte
+    val d = JpegCodec.decode(tampered)
+    assert(d.isEmpty || !java.util.Arrays.equals(d.get.pixels, img.pixels))
+  }
+}

@@ -59,14 +59,15 @@ def main(sf_dir, out_dir):
             fails.append(name); continue
         # The driver hashes FORMATTED values, so an int64 column on one side
         # and float64 on the other ("20" vs "20.0") is a hash failure even
-        # when the numbers agree. Reject dtype-KIND drift before any value
-        # coercion — numeric compare below must never launder int-vs-float.
+        # when the numbers agree — the q143/HUGEINT class this check exists
+        # to catch. Reject int-vs-float kind drift BEFORE the numeric value
+        # compare below can launder it through astype(float). Other kind
+        # pairs (e.g. object date vs datetime64) stay on the string-compare
+        # path, which the driver's formatting is known to agree with.
         def kind(dt):
-            k = dt.kind  # i/u int, f float, b bool, M datetime, O object
-            return {"i": "int", "u": "int", "f": "float", "b": "bool",
-                    "M": "datetime"}.get(k, "obj")
+            return {"i": "int", "u": "int", "f": "float"}.get(dt.kind, "other")
         kind_bad = [(c, kind(a[c].dtype), kind(b[c].dtype)) for c in a.columns
-                    if kind(a[c].dtype) != kind(b[c].dtype)]
+                    if {kind(a[c].dtype), kind(b[c].dtype)} == {"int", "float"}]
         if kind_bad:
             print(f"{name:28s} DTYPE-MISMATCH {kind_bad[:4]} (spark,duck)")
             fails.append(name); continue
