@@ -695,6 +695,33 @@ object SimilarityQueries {
       WHERE vec_id NOT IN (SELECT id_b FROM pairs)"""),
       notes = "SemDeDup-style semantic dedup: Lloyd-trained IVF cells bound candidates, exact cosine within cells, keep-earliest survivor rule; fully oracled incl. training"),
 
+    // ── Semantic dedup, SCALE PATH (persisted IVF index) ───────────────
+    // q74 served from the stored quantizer — the anchor→scale-twin rule
+    // (q40→q105, q113→q114, q162→q168) applied to the LAST inline-trained
+    // member: q74 retrains its cells on every invocation, which is
+    // correct for the gate but mismeasures serving (the r06 q42b lesson).
+    // Here the cell assignment is READ from `<name>_cells`, the table
+    // [[VectorIndex.build]] persisted BUCKETED BY cell — so the
+    // within-cell self-join that generates candidate pairs consumes two
+    // co-located bucketed scans with ZERO exchange on either side
+    // (SemanticDedupIndexedSpec plan-asserts it); the only shuffle left
+    // is the label-sized distinct over dominated ids. At 100 TB the
+    // dedup pass costs two bucket-local reads of the standing index +
+    // an id-only exchange — the corpus embeddings never move. Same
+    // keep-earliest rule and tau as q74 ([[dominatedIn]] verbatim), so
+    // any divergence from q74 is exactly the quantizer (k=20 trained at
+    // 2 Lloyd iters vs q74's 1) — survivor-set closure under the INDEX
+    // cells and the q74 parity floor are spec-pinned. Rows-only for
+    // q42b's reason: cells depend on the trained quantizer.
+    QueryDef("q207_semantic_dedup_indexed", (s, d) => {
+      val (_, vName) = graft.IndexCache.ensure(s, d)
+      val assigned = s.table(s"${vName}_cells")
+        .select("vec_id", "v", "norm", "cell")
+      assigned.join(dominatedIn(assigned, 0.35), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+    }, None,
+      notes = "q74 served from the persisted bucketed IVF cells (SemDeDup at serving: exchange-free within-cell candidate join over the standing index, keep-earliest survivors); rows-only (quantizer-dependent), parity + closure spec-pinned"),
+
     // ── Top principal component via power iteration (embedding analysis) ─
     // The q71 pattern applied to PCA: per-doc projection scores onto the
     // dominant eigenvector of the (uncentered) second-moment matrix EᵀE,
