@@ -452,14 +452,20 @@ object LakeQueries {
     // orderkey-keyed self-join (suppliers-per-order is small and bounded
     // by order size, so the per-key fan-out is tiny) + one (u,v)-keyed
     // agg; the triangle join is the standard two-hop join e1(u,v)⋈e2(v,w)
-    // matched against e3(u,w), all key-ordered (u < v < w) so each
-    // triangle is found exactly once. Support-thresholded edges keep the
-    // two-hop fan-out proportional to real co-purchase density; at scale
-    // the remaining skew (hub nodes) is AQE skew-join territory, and the
-    // classic degree-ordered orientation is the drop-in refinement (same
-    // count, fan-out bounded by sqrt(m)) — key order stands in for it
-    // here to keep the oracle twin byte-equal. Per-node counts come from
-    // exploding each triangle to its 3 corners + one node-keyed agg.
+    // matched against e3(u,w), with edges ORIENTED by the classic
+    // degree-ordered total order (deg asc, id asc — each edge points
+    // from its lower-degree endpoint) so each triangle is found exactly
+    // once AND the two-hop fan-out per node is bounded by O(sqrt m)
+    // regardless of hub skew (the Suri-Vassilvitskii refinement; key
+    // order alone leaves a low-id hub with its full degree as fan-out).
+    // Per-NODE triangle counts are orientation-INVARIANT, so the oracle
+    // twin keeps the plain key order and the driver hash gate proves
+    // the invariance every round. The degree frame is |V|-sized
+    // metadata — broadcast onto both endpoints. Support-thresholded
+    // edges keep density proportional to real co-purchase structure;
+    // residual reducer skew on top is AQE skew-join territory
+    // (BASELINE.md skew table). Per-node counts come from exploding
+    // each triangle to its 3 corners + one node-keyed agg.
     QueryDef("q140_triangles", (s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey")).distinct()
@@ -469,11 +475,23 @@ object LakeQueries {
         .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("w"))
         .filter(col("w") >= 25).select("u", "v")
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.v") === col("e2.u"))
-        .join(e.as("e3"),
-          col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
-        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      val deg = e.select(col("u").as("n"))
+        .union(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      // orient: a = endpoint earlier in (deg, id) order; e has u < v, so
+      // ties keep (u, v) and the orientation is a strict total order
+      val uLower = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val g = e
+        .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
+        .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
+          when(uLower, col("v")).otherwise(col("u")).as("b"))
+      val tri = g.as("e1")
+        .join(g.as("e2"), col("e1.b") === col("e2.a"))
+        .join(g.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
       tri.select(explode(array(col("x"), col("y"), col("z"))).as("s_suppkey"))
         .groupBy("s_suppkey").agg(count(lit(1)).as("n_triangles"))
     }, Some("""
@@ -491,7 +509,7 @@ object LakeQueries {
       corners AS (SELECT unnest([x, y, z]) AS s_suppkey FROM tri)
       SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
       FROM corners GROUP BY s_suppkey"""),
-      notes = "per-supplier triangle counts on the support-thresholded co-purchase graph: orderkey self-join -> (u,v) agg -> key-ordered two-hop triangle join -> corner explode + node agg"),
+      notes = "per-supplier triangle counts on the support-thresholded co-purchase graph: orderkey self-join -> (u,v) agg -> DEGREE-ORDERED orientation (sqrt-m fan-out bound under hub skew) -> two-hop triangle join -> corner explode + node agg; counts orientation-invariant, oracle keeps plain key order"),
 
     // ── Salted skew-join equivalence (SkewOps.saltedInnerJoin gated) ───
     // The manual skew escape hatch, driver-gated: revenue by order
