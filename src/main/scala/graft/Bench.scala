@@ -10,13 +10,26 @@ object Bench {
     require(SparkEntry.queries.keys.map(shortId).toSet.size ==
       SparkEntry.queries.size,
       "short query ids must stay unique — rename the colliding catalog entry")
-    val spark = SparkSession.builder()
+    // Dev-only knobs (the driver sets neither): SPARK_GRAFT_ONLY filters
+    // the warm-up + timed loops to comma-separated FULL-NAME prefixes
+    // (median-of-N single-query adjudication, the r08 regression
+    // protocol); SPARK_GRAFT_CONF injects "k=v;k=v" session confs (AQE
+    // on/off skew profiling). Prebuild always runs — serve-path queries
+    // need their indexes regardless of the subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def selected(name: String) = only.forall(_.exists(name.startsWith))
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split('=')).collect {
+        case Array(k, v) => (k.trim, v.trim)
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up at the smallest SF: triggers codegen compilation + JIT for
     // every query shape so the timed run measures execution, not JVM warmup.
@@ -24,9 +37,10 @@ object Bench {
       val small = "/root/testdata/sf0.001"
       if (new java.io.File(small).isDirectory) small else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (selected(name))
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
     }
     // Pre-build the persisted structures for the TIMED corpus (fixture
     // setup): q104/q105 probe the indexes, q115 reads the z-ordered layout
@@ -44,7 +58,8 @@ object Bench {
     }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Catalyst prune computed projections out of the measure).
