@@ -29,7 +29,8 @@ class QueryCatalogSpec extends SparkSpec {
       "q108_quantile_rollup", // KLL blobs engine-specific (KllSketchSpec exact/merge/error pins)
       "q114_knn_vote_indexed", // quantizer-dependent probe (KnnVoteIndexedSpec agreement pins)
       "q132_bpe_encode", // sequential greedy merge (TrainingDataOpsSpec brute-force encoder parity)
-      "q168_hard_negatives_indexed"), // quantizer-dependent probe (HardNegativesIndexedSpec overlap pins)
+      "q168_hard_negatives_indexed", // quantizer-dependent probe (HardNegativesIndexedSpec overlap pins)
+      "q207_semantic_dedup_indexed"), // quantizer-dependent cells (SemanticDedupIndexedSpec closure + q74 parity pins)
       "only engine-specific-hash / approximate / sequential-merge ops may omit the oracle")
   }
 
