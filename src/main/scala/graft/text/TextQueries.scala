@@ -569,6 +569,74 @@ object TextQueries {
       FROM d"""),
       notes = "real baseline JPEG decode (JDK-only huffman+dequant+IDCT) gated bit-exactly on decoded pixel statistics vs the generating formula via flat-block DC-only construction"),
 
+    // ── JPEG perceptual dedup (codec composed with the dedup leg) ──────
+    // q206 proves the decode; this proves the new codec COMPOSES with a
+    // real downstream operator end-to-end: [[Multimodal.imageAHash]]
+    // (decode → 8×8 nearest-neighbor resample → integer mean-compare
+    // bits) runs over the JPEG corpus through the shared decodeImage
+    // entry — the identical operator q170 gates on PNG — and each
+    // image's near-dup candidate count comes from the q138/q170 4×16-bit
+    // block pigeonhole join at Hamming ≤ 3. Output is one (media_id,
+    // ahash, n_neardups) row per image, so the gate is never vacuous
+    // even when the corpus has few collisions. Exactness: the flat-block
+    // fixture makes decode bit-exact (q206), the resample maps
+    // ⌊x·w/8⌋/⌊y·h/8⌋ to a block value in pure integers, and the mean
+    // compare multiplies the division away (v·64 ≥ Σv) — the oracle
+    // re-derives every 64-bit hash from the generating formula THROUGH
+    // the resample mapping and brute-forces the pairs (the q170
+    // contract, now over baseline-JPEG bytes). Shapes: bytes decode in
+    // place, 8-byte hashes + block keys are all that shuffles.
+    QueryDef("q208_jpeg_ahash", (s, d) => {
+      val hs = graft.multimodal.Multimodal.imageAHash(
+        graft.multimodal.Multimodal.jpegFromDocuments(s, d)).toDF()
+      val blocks = hs.select(col("media_id"), col("ahash"),
+          explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+            shiftrightunsigned(col("ahash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+              .as("blk"))): _*)).as("p"))
+        .select(col("media_id"), col("ahash"), col("p.j"), col("p.blk"))
+      val nd = blocks.as("a").join(blocks.as("b"),
+          col("a.j") === col("b.j") && col("a.blk") === col("b.blk") &&
+            col("a.media_id") =!= col("b.media_id"))
+        .select(col("a.media_id").as("media_id"),
+          col("b.media_id").as("other"),
+          col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+        .distinct()
+        .filter(expr("bit_count(ha ^ hb)").cast("long") <= 3)
+        .groupBy("media_id").agg(count(lit(1)).as("n_nd"))
+      hs.join(nd, Seq("media_id"), "left_outer")
+        .select(col("media_id"), col("ahash"),
+          coalesce(col("n_nd"), lit(0L)).as("n_neardups"))
+    }, Some("""
+      WITH im AS (
+        SELECT doc_id AS id, 16 + (doc_id % 3) * 8 AS w,
+          16 + (doc_id % 2) * 8 AS h
+        FROM documents),
+      px AS (
+        SELECT id, list_transform(range(64),
+          i -> (id*37 + (((((i // 8) * h // 8) // 8) * (w // 8))
+                + (((i % 8) * w // 8) // 8)) * 29) % 256) AS p
+        FROM im),
+      px2 AS (SELECT id, p, list_sum(p) AS s FROM px),
+      sig AS (
+        -- list_sum yields HUGEINT; the hash must live in 64-bit space or
+        -- xor/bit_count run 128-bit (bit 63's sign would double-count)
+        SELECT id, CAST(list_sum(list_transform(range(64), i ->
+          CASE WHEN p[i+1] * 64 >= s
+               THEN CASE WHEN i = 63
+                         THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << i END
+               ELSE 0 END)) AS BIGINT) AS ahash
+        FROM px2),
+      nd AS (
+        SELECT a.id, CAST(COUNT(*) AS BIGINT) AS n_neardups
+        FROM sig a JOIN sig b ON a.id <> b.id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        GROUP BY a.id)
+      SELECT sig.id AS media_id, sig.ahash,
+        CAST(COALESCE(nd.n_neardups, 0) AS BIGINT) AS n_neardups
+      FROM sig LEFT JOIN nd ON nd.id = sig.id"""),
+      notes = "perceptual aHash over the JPEG corpus through the shared decodeImage entry (q170's operator on the new codec) + pigeonhole near-dup counts; oracle re-derives all 64-bit hashes from the generating formula through the resample mapping and brute-forces pairs"),
+
     // ── Audio energy segmentation (VAD-style, REAL PCM, formula-oracled) ─
     // q103 proves WAV decode, this proves the audio TRANSFORM layer: the
     // windowed-energy pass that silence trimming, speech-segment
