@@ -19,7 +19,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     def selected(name: String) = only.forall(_.exists(name.startsWith))
     val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(';')).map(_.split('=')).collect {
+      .flatMap(_.split(';')).filter(_.nonEmpty)
+      .map(_.split("=", 2)).collect { // split ONCE: values may contain '='
         case Array(k, v) => (k.trim, v.trim)
       }
     val builder = SparkSession.builder()

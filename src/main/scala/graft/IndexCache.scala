@@ -32,11 +32,22 @@ object IndexCache {
       if (f.isDirectory)
         Option(f.listFiles()).iterator.flatMap(_.iterator.flatMap(walk))
       else Iterator.single(f)
+    // splitmix64 finalizer: each file's (path, size, mtime) tuple is MIXED
+    // into one avalanched word before the order-independent xor fold —
+    // xoring the raw terms would let two files exchanging sizes (same-ms
+    // mtimes under parallel writers) cancel out and leave the stamp
+    // unchanged for changed content
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
     walk(new java.io.File(path))
       .filterNot(_.getName.startsWith("_"))
       .foldLeft(0L) { (acc, f) =>
-        acc ^ java.lang.Long.rotateLeft(f.getPath.hashCode.toLong, 17) ^
-          (f.length * 1000003L) ^ f.lastModified()
+        acc ^ mix(mix(mix(f.getPath.hashCode.toLong) ^ f.length) ^
+          f.lastModified())
       }
   }
 
@@ -63,7 +74,19 @@ object IndexCache {
       java.nio.file.Files.writeString(marker, pStamp)
     }
     val vName = vectorIndexName(sfDir)
-    if (!spark.catalog.tableExists(s"${vName}_centroids") ||
+    // Same content-fingerprint freshness as the file-backed indexes: the
+    // cells/centroids tables live in the session catalog, so a sidecar
+    // marker under this cache's namespace carries the stamp — existence
+    // alone let a same-session embeddings rewrite serve stale cells to
+    // q105/q114/q168/q207.
+    val vStamp = contentStamp(s"$sfDir/embeddings.parquet").toString
+    val vMarker = java.nio.file.Paths.get(
+      s"target/graft_idx/${key(sfDir)}", "_GRAFT_VEC_STAMP")
+    val vFresh = java.nio.file.Files.isRegularFile(vMarker) &&
+      scala.util.Try(
+        java.nio.file.Files.readString(vMarker).trim == vStamp)
+        .getOrElse(false)
+    if (!vFresh || !spark.catalog.tableExists(s"${vName}_centroids") ||
         !spark.catalog.tableExists(s"${vName}_cells")) {
       // A previous JVM may have left the managed-table DIRECTORIES in the
       // shared warehouse while this session's in-memory catalog has no
@@ -77,6 +100,8 @@ object IndexCache {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding")
       graft.similarity.VectorIndex.build(emb, vName)
+      java.nio.file.Files.createDirectories(vMarker.getParent)
+      java.nio.file.Files.writeString(vMarker, vStamp): Unit
     }
     (pRoot, vName)
   }

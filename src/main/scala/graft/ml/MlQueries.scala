@@ -247,18 +247,21 @@ object MlQueries {
     * over their union (MlQueriesSpec pins it), which is what makes NB
     * retraining on a delta a delta-sized job at 100 TB (the mergeable-
     * partial property the sketch families share). */
-  private[graft] def nbCounts(toks: DataFrame): DataFrame = {
-    val cb = toks.groupBy("b").agg(
+  private[graft] def nbCounts(toks: DataFrame): DataFrame =
+    bucketSpine(toks.groupBy("b").agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"),
-      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_ot"))
-    // explicit 256-bucket spine (q153's trick): buckets absent from this
-    // slice still appear with zero counts, so models ALIGN for merging
-    // and no scoring token can fall out of the join
-    toks.sparkSession.range(0, 256).select(col("id").as("b"))
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_ot")))
+
+  /** Explicit 256-bucket spine over a (b, c_en, c_ot) count frame (q153's
+    * trick): buckets absent from a slice still appear with zero counts,
+    * so models ALIGN for merging and no scoring token can fall out of
+    * the join. Shared by [[nbCounts]] and q182's pre-agg-derived model —
+    * one definition, no drift. */
+  private[graft] def bucketSpine(cb: DataFrame): DataFrame =
+    cb.sparkSession.range(0, 256).select(col("id").as("b"))
       .join(cb, Seq("b"), "left_outer")
       .select(col("b"), coalesce(col("c_en"), lit(0L)).as("c_en"),
         coalesce(col("c_ot"), lit(0L)).as("c_ot"))
-  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -807,15 +810,9 @@ object MlQueries {
           (col("lang") === "en").as("is_en"), col("b"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
-      val cb = pre.groupBy("b").agg(
+      val model0 = bucketSpine(pre.groupBy("b").agg(
         sum(when(col("is_en"), col("c")).otherwise(0L)).as("c_en"),
-        sum(when(!col("is_en"), col("c")).otherwise(0L)).as("c_ot"))
-      // explicit 256-bucket spine (nbCounts' contract) so no scoring
-      // bucket can fall out of the loss join
-      val model0 = s.range(0, 256).select(col("id").as("b"))
-        .join(cb, Seq("b"), "left_outer")
-        .select(col("b"), coalesce(col("c_en"), lit(0L)).as("c_en"),
-          coalesce(col("c_ot"), lit(0L)).as("c_ot"))
+        sum(when(!col("is_en"), col("c")).otherwise(0L)).as("c_ot")))
       val tot = model0.agg(sum("c_en").as("n_en"), sum("c_ot").as("n_ot"))
       val model = model0.crossJoin(broadcast(tot))
         .select(col("b"),

@@ -369,31 +369,41 @@ object JpegCodec {
     * `quant` fills the uniform quantization tables; quant=1 makes flat
     * 8x8 blocks round-trip bit-exactly (DC-only integer coefficients). */
   def encode(img: PngImage, quant: Int = 1): Array[Byte] =
-    encodeInternal(img, quant, subsample = false)
+    encodeInternal(img, quant, ySamp = 1, cSamp = 1)
 
   /** Baseline JFIF encode with 4:2:0 chroma subsampling (Y at 2x2 per
     * MCU, Cb/Cr mean-pooled) — exercises the decoder's sampling-factor
     * path with a real interleaved-MCU stream. Grayscale input falls back
     * to the single-component form. */
   def encode420(img: PngImage, quant: Int = 1): Array[Byte] =
-    encodeInternal(img, quant, subsample = img.channels == 3)
+    encodeInternal(img, quant, ySamp = 2, cSamp = 1)
+
+  /** Spec-only generalized sampling: any (ySamp, cSamp) in {1,2}² —
+    * including the legal-but-unusual Y-subsampled streams (Y 1x1 +
+    * chroma 2x2) that exercise the decoder's non-max-luma assembly path.
+    * Production encodes use [[encode]] (4:4:4) / [[encode420]]. */
+  private[multimodal] def encodeSampled(img: PngImage, quant: Int,
+      ySamp: Int, cSamp: Int): Array[Byte] =
+    encodeInternal(img, quant, ySamp, cSamp)
 
   private def encodeInternal(img: PngImage, quant: Int,
-      subsample: Boolean): Array[Byte] = {
+      ySamp: Int, cSamp: Int): Array[Byte] = {
     require(quant >= 1 && quant <= 255, s"quant $quant outside 1..255")
+    require(ySamp >= 1 && ySamp <= 2 && cSamp >= 1 && cSamp <= 2,
+      s"sampling factors must be 1 or 2, got y=$ySamp c=$cSamp")
     val planes0 = toPlanes(img)
     val nComp = planes0.length
     val w = img.width; val h = img.height
-    // per-component (plane, width, height, hSamp, vSamp)
+    // per-component (plane, width, height, hSamp, vSamp); a component at
+    // factor f < fMax carries a mean-pooled plane at w·f/fMax resolution
     val comps: Array[(Array[Int], Int, Int, Int, Int)] =
       if (nComp == 1) Array((planes0(0), w, h, 1, 1))
-      else if (!subsample)
-        Array((planes0(0), w, h, 1, 1), (planes0(1), w, h, 1, 1),
-          (planes0(2), w, h, 1, 1))
       else {
-        val (cb, cw, chh) = downsample2(planes0(1), w, h)
-        val (cr, _, _) = downsample2(planes0(2), w, h)
-        Array((planes0(0), w, h, 2, 2), (cb, cw, chh, 1, 1), (cr, cw, chh, 1, 1))
+        val sMax = math.max(ySamp, cSamp)
+        def at(plane: Array[Int], s0: Int): (Array[Int], Int, Int, Int, Int) =
+          if (s0 == sMax) (plane, w, h, s0, s0)
+          else { val (p2, w2, h2) = downsample2(plane, w, h); (p2, w2, h2, s0, s0) }
+        Array(at(planes0(0), ySamp), at(planes0(1), cSamp), at(planes0(2), cSamp))
       }
     val hMax = comps.map(_._4).max
     val vMax = comps.map(_._5).max
@@ -503,13 +513,24 @@ object JpegCodec {
           if (len < 8 || (b(off + 4) & 0xff) != 8) return None
           val h = u16(b, off + 5); val w = u16(b, off + 7)
           val nc = b(off + 9) & 0xff
-          return if (w > 0 && h > 0 && (nc == 1 || nc == 3)) Some((w, h, nc))
-          else None
+          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+          if (len < 8 + 3 * nc) return None
+          // validate the per-component sampling factors against the SAME
+          // scope decode() enforces — the header path must never claim
+          // dims for a stream the pixel path would reject (e.g. 4:1:1)
+          var i = 0
+          while (i < nc) {
+            val samp = b(off + 10 + 3 * i + 1) & 0xff
+            val hs = (samp & 0xf0) >> 4; val vs = samp & 0x0f
+            if (hs < 1 || hs > 2 || vs < 1 || vs > 2) return None
+            i += 1
+          }
+          return Some((w, h, nc))
         }
-        // any other SOFn (progressive, extended, lossless…) or DAC: out
-        // of the documented baseline scope
-        if ((marker >= 0xc1 && marker <= 0xcf && marker != 0xc4 &&
-          marker != 0xc8) || marker == 0xcc) return None
+        // any other SOFn (progressive, extended, lossless…), the reserved
+        // JPG marker (0xc8), or DAC: out of the documented baseline scope
+        // — the exact marker set decode() rejects
+        if (marker >= 0xc1 && marker <= 0xcf && marker != 0xc4) return None
         off += 2 + len
       }
     }
@@ -723,7 +744,12 @@ object JpegCodec {
       while (y < height) {
         var x = 0
         while (x < width) {
-          val yy = planes(0)(y * planeW(0) + x)
+          // every component maps through its own sampling ratio — including
+          // luma, which is NOT guaranteed max-sampled (Y 1x1 + Cb 2x2 is a
+          // legal baseline stream; indexing Y at full resolution would read
+          // past its plane)
+          val yy = planes(0)((y * comps(0).vs / vMax) * planeW(0) +
+            (x * comps(0).hs / hMax))
           val cb = planes(1)((y * comps(1).vs / vMax) * planeW(1) +
             (x * comps(1).hs / hMax))
           val cr = planes(2)((y * comps(2).vs / vMax) * planeW(2) +

@@ -434,11 +434,14 @@ object SimilarityQueries {
       // deterministic in (t, b, i) so any width works — the require makes
       // a fixture change loud instead of silently mis-hashing
       val v = vecs(s, d)
-      val actualDim = v.select(size(col("v")).as("d")).head().getInt(0)
-      require(actualDim == Dim,
-        s"q68b md5 plane bank is built for $Dim-dim embeddings but the " +
-          s"fixture has $actualDim dims; graft_dot would fold over " +
-          "min(len) and silently mis-bucket while the DuckDB twin diverges")
+      // one-row probe (empty corpus → empty result, nothing to guard); a
+      // bare head() would throw NoSuchElementException before the message
+      v.select(size(col("v")).as("d")).take(1).foreach { r =>
+        require(r.getInt(0) == Dim,
+          s"q68b md5 plane bank is built for $Dim-dim embeddings but the " +
+            s"fixture has ${r.getInt(0)} dims; graft_dot would fold over " +
+            "min(len) and silently mis-bucket while the DuckDB twin diverges")
+      }
       val md = java.security.MessageDigest.getInstance("MD5")
       def h(key: String): Long = {
         val hex = md.digest(key.getBytes("UTF-8"))

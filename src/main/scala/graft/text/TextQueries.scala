@@ -587,8 +587,13 @@ object TextQueries {
     // contract, now over baseline-JPEG bytes). Shapes: bytes decode in
     // place, 8-byte hashes + block keys are all that shuffles.
     QueryDef("q208_jpeg_ahash", (s, d) => {
+      // localCheckpoint: hs feeds the self-joined blocks AND the final
+      // left join — unpinned, the encode+decode of the whole JPEG corpus
+      // would re-run up to 4× (the q182 single-pass rule; hashes are 16
+      // bytes/row, the pin is metadata-sized)
       val hs = graft.multimodal.Multimodal.imageAHash(
         graft.multimodal.Multimodal.jpegFromDocuments(s, d)).toDF()
+        .localCheckpoint(true)
       val blocks = hs.select(col("media_id"), col("ahash"),
           explode(array((0 until 4).map(j => struct(lit(j).as("j"),
             shiftrightunsigned(col("ahash"), 16 * j).bitwiseAND(lit(0xFFFFL))

@@ -110,6 +110,26 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.parseHeader(bytes).contains((32, 16, 3)))
   }
 
+  test("Y-subsampled stream (Y 1x1, chroma 2x2) decodes through the non-max-luma path") {
+    // legal-but-unusual baseline layout: luma is NOT the max-sampled
+    // component, so the assembly loop must scale Y's plane indices by its
+    // sampling ratio (indexing Y at full output resolution read past the
+    // plane before the r09 fix). Flat color: the 2x mean-pooled luma of a
+    // constant is the constant, so the round-trip stays within the
+    // color-matrix rounding budget.
+    val px = Array.tabulate(32 * 16 * 3) { i =>
+      Seq(120.toByte, 200.toByte, 80.toByte)(i % 3)
+    }
+    val img = PngCodec.PngImage(32, 16, 3, px)
+    val bytes = JpegCodec.encodeSampled(img, quant = 1, ySamp = 1, cSamp = 2)
+    assert(JpegCodec.parseHeader(bytes).contains((32, 16, 3)))
+    val d = JpegCodec.decode(bytes)
+    assert(d.isDefined, "Y-subsampled decode failed")
+    assert(d.get.width == 32 && d.get.height == 16 && d.get.channels == 3)
+    assert(maxAbsDiff(d.get.pixels, img.pixels) <= 2,
+      "flat-color Y-subsampled round-trip outside rounding budget")
+  }
+
   test("decode rejects out-of-scope or corrupt streams with None, never garbage") {
     val good = JpegCodec.encode(flatBlocks(16, 16, 1), quant = 1)
     assert(JpegCodec.decode(good).isDefined)
