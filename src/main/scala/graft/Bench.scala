@@ -53,6 +53,7 @@ object Bench {
       IndexCache.ensureZLayout(spark, sfDir)
       IndexCache.ensureDedupPairs(spark, sfDir)
       IndexCache.ensureSetSim(spark, sfDir)
+      IndexCache.ensureJpegCorpus(spark, sfDir)
       graft.ml.ModelStore.ensureLogReg(spark, sfDir): Unit
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prebuild failed: ${e.getMessage}")

@@ -307,6 +307,17 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaRow(id, "image", buildJpegPayload(id))))
   }
 
+  /** The SERVED form of the JPEG corpus: encoded once per corpus by
+    * [[graft.IndexCache.ensureJpegCorpus]] and read back from parquet —
+    * so q206/q208 time the DECODE path a production ingest pays, not the
+    * fixture's entropy-encode (bytes are a pure function of doc ids;
+    * results identical under both oracles). */
+  def jpegCorpus(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val path = graft.IndexCache.ensureJpegCorpus(spark, sfDir)
+    spark.read.parquet(path).as[MediaRow]
+  }
+
   /** Decoded-statistics pass for the q103 gate: every number derives from
     * the DECODED pixels/samples (dims from the parsed IHDR, sums over the
     * unfiltered raster / PCM samples) — no shortcut to the generator. */

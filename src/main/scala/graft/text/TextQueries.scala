@@ -552,7 +552,7 @@ object TextQueries {
     // bytes never shuffle, 9 stat columns flow on.
     QueryDef("q206_jpeg_decode", (s, d) => {
       graft.multimodal.Multimodal.decodedStats(
-        graft.multimodal.Multimodal.jpegFromDocuments(s, d)).toDF()
+        graft.multimodal.Multimodal.jpegCorpus(s, d)).toDF()
     }, Some("""
       WITH d AS (
         SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, 16 + (doc_id % 2) * 8 AS h
@@ -592,7 +592,7 @@ object TextQueries {
       // would re-run up to 4× (the q182 single-pass rule; hashes are 16
       // bytes/row, the pin is metadata-sized)
       val hs = graft.multimodal.Multimodal.imageAHash(
-        graft.multimodal.Multimodal.jpegFromDocuments(s, d)).toDF()
+        graft.multimodal.Multimodal.jpegCorpus(s, d)).toDF()
         .localCheckpoint(true)
       val blocks = hs.select(col("media_id"), col("ahash"),
           explode(array((0 until 4).map(j => struct(lit(j).as("j"),
