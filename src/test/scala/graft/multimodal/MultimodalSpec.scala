@@ -406,4 +406,20 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRow(200L, "image", PngCodec.encode(img, 4))))
     assert(dup(100L) == dup(200L))
   }
+
+  test("persisted JPEG corpus == fresh synthesis byte-for-byte (q206/q208 serve-path parity)") {
+    val fresh = Multimodal.jpegFromDocuments(spark, sf).collect()
+      .map(r => r.media_id -> r.content.toSeq).toMap
+    val served = Multimodal.jpegCorpus(spark, sf).collect()
+      .map(r => r.media_id -> r.content.toSeq).toMap
+    assert(served.keySet == fresh.keySet, "corpus id sets differ")
+    served.foreach { case (id, bytes) =>
+      assert(bytes == fresh(id), s"persisted payload drift for media $id")
+    }
+    // the serve path really decodes: stats over the persisted corpus are
+    // non-degenerate and jpeg-formatted for every row
+    val stats = Multimodal.decodedStats(Multimodal.jpegCorpus(spark, sf)).collect()
+    assert(stats.length == fresh.size)
+    assert(stats.forall(m => m.format == "jpeg" && m.n_units > 0))
+  }
 }
