@@ -360,6 +360,39 @@ object DedupQueries {
     tokenized(docs)
       .select(explode(expr(shinglesOfToks)).as("gram")).distinct()
 
+  /** Decontamination oracle, shared VERBATIM by q203 (the inline exact
+    * form) and q209 (the bloom-pruned serving form): the bloom sketch has
+    * no false negatives and the exact semi join removes its false
+    * positives, so both queries compute the same relation by construction
+    * — one oracle string keeps that claim honest the same way q202 shares
+    * q149's. */
+  private[dedup] val decontamOracleSql = """
+      WITH g AS (
+        SELECT doc_id,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0a' AS is_eval,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS grams
+        FROM documents),
+      ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval),
+      tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_eval),
+      pd AS (
+        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS shared_eval_grams
+        FROM tr LEFT JOIN ev ON ev.gram = tr.gram
+        GROUP BY tr.doc_id)
+      SELECT d.doc_id,
+        COALESCE(pd.n_grams, 0) AS n_grams,
+        COALESCE(pd.shared_eval_grams, 0) AS shared_eval_grams,
+        CAST((COALESCE(pd.shared_eval_grams, 0) * 2 >= COALESCE(pd.n_grams, 0)
+              AND COALESCE(pd.n_grams, 0) > 0)
+          OR COALESCE(pd.shared_eval_grams, 0) >= 8 AS BIGINT) AS dropped
+      FROM (SELECT doc_id FROM g WHERE NOT is_eval) d
+      LEFT JOIN pd USING (doc_id)"""
+
   /** md5-portable MinHash signatures: K 60-bit minhashes per doc over
     * the distinct 3-gram shingles, h_j = min md5(gram || ':' || j) — the
     * engine-portable twin of [[signaturesOf]]'s xxhash64 form, shared by
@@ -1994,32 +2027,7 @@ object DedupQueries {
       val docs = t(s, d, "documents")
       decontaminateAgainst(docs.filter(!isEval),
         evalGramSetOf(docs.filter(isEval)))
-    }, Some("""
-      WITH g AS (
-        SELECT doc_id,
-          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0a' AS is_eval,
-          list_distinct(list_transform(
-            range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-            i -> string_split(text, ' ')[i] || ' ' ||
-                 string_split(text, ' ')[i+1] || ' ' ||
-                 string_split(text, ' ')[i+2])) AS grams
-        FROM documents),
-      ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval),
-      tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_eval),
-      pd AS (
-        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-          CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
-            AS BIGINT) AS shared_eval_grams
-        FROM tr LEFT JOIN ev ON ev.gram = tr.gram
-        GROUP BY tr.doc_id)
-      SELECT d.doc_id,
-        COALESCE(pd.n_grams, 0) AS n_grams,
-        COALESCE(pd.shared_eval_grams, 0) AS shared_eval_grams,
-        CAST((COALESCE(pd.shared_eval_grams, 0) * 2 >= COALESCE(pd.n_grams, 0)
-              AND COALESCE(pd.n_grams, 0) > 0)
-          OR COALESCE(pd.shared_eval_grams, 0) >= 8 AS BIGINT) AS dropped
-      FROM (SELECT doc_id FROM g WHERE NOT is_eval) d
-      LEFT JOIN pd USING (doc_id)"""),
+    }, Some(decontamOracleSql),
       notes = "eval-set decontamination removal (q64's enforcement twin): train docs vs the eval UNION gram set — ratio >= 1/2 or absolute >= 8 shared shingles drops the doc; set-membership join (fan-out <= 1, no DF cap, nothing pairwise), one gram join + one doc agg at any scale"),
 
     // ── Effective-token accounting after exact dedup (data-card row) ───
@@ -2326,6 +2334,72 @@ object DedupQueries {
         round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
       FROM p
       WHERE CAST(inter AS DOUBLE) / nullif(sa + sb - inter, 0) >= 0.5"""),
-      notes = "q149 served from the persisted SetSimIndex (build-once prefix postings under the frozen base-df order, delta-proportional probe): shares q149's oracle verbatim because probe arithmetic == inline arithmetic — the persisted-serving member of the set-similarity family")
+      notes = "q149 served from the persisted SetSimIndex (build-once prefix postings under the frozen base-df order, delta-proportional probe): shares q149's oracle verbatim because probe arithmetic == inline arithmetic — the persisted-serving member of the set-similarity family"),
+
+    // ── Bloom-pruned decontamination (q203's shuffle-diet twin) ────────
+    // q203's cost at 100 TB is ONE gram-keyed exchange carrying every
+    // distinct train shingle — trillions of rows of which only the tiny
+    // contaminated fraction matters. This twin moves the eval gram set
+    // across as a BLOOM SKETCH instead (BloomPrune's contract: ~1.2 MB
+    // per 1M keys at 1% fpp, built distributed via the tree-aggregated
+    // `stat.bloomFilter`, shipped once per task through the codegen
+    // references array): train grams are probed by the codegen'd
+    // graft_bloom_contains BEFORE any exchange, so the gram shuffle
+    // carries only sketch survivors (true hits + <=1% false positives of
+    // the pruned mass — the observe metric below makes the realized
+    // prune factor visible in-flow, the q36/q141 no-silent-caps rule).
+    // Exactness is structural, not statistical: the sketch has NO false
+    // negatives, and the exact semi join against the eval gram set
+    // removes its false positives — so the result relation is q203's,
+    // and this query shares q203's oracle VERBATIM (the q202/q149
+    // serving-twin pattern). The per-doc totals (n_grams) never needed
+    // the gram exchange at all: they partial-aggregate map-side under
+    // the doc_id key — splitting them out of the membership join is
+    // itself part of the diet (q203's single left-outer ships every
+    // gram; here the full gram stream crosses no exchange unkeyed).
+    // Probe keys are xxhash64(gram) on BOTH build and probe sides (the
+    // sketch stores longs; gram-string equality is re-established by the
+    // exact verify, so a 2^-64 hash collision can only ADD a candidate
+    // that the semi join then adjudicates on the real gram).
+    QueryDef("q209_decontaminate_bloom", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 2) <= "0a"
+      val docs = t(s, d, "documents")
+      // Eval grams are consumed three times (count for sketch sizing,
+      // sketch build, exact verify) — pin once; the eval side is bounded
+      // by contract (it is the EVAL set), so materializing it is the
+      // cheap side of the trade.
+      val ev = evalGramSetOf(docs.filter(isEval)).localCheckpoint(true)
+      val nEval = math.max(ev.count(), 1L)
+      val sketch = ev.select(xxhash64(col("gram")).as("h"))
+        .stat.bloomFilter("h", nEval, 0.01)
+      val bytes = {
+        val out = new java.io.ByteArrayOutputStream()
+        sketch.writeTo(out)
+        out.toByteArray
+      }
+      val train = docs.filter(!isEval)
+      val g = tokenized(train)
+        .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
+      val perDoc = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val shared = g
+        .filter(call_function("graft_bloom_contains",
+          xxhash64(col("gram")), lit(bytes)))
+        .observe("q209_bloom", count(lit(1)).as("n_bloom_survivors"))
+        .join(ev, Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("shared_eval_grams"))
+      train.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .join(shared, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("shared_eval_grams"), lit(0L)).as("shared_eval_grams"),
+          ((coalesce(col("shared_eval_grams"), lit(0L)) * lit(2L) >=
+              coalesce(col("n_grams"), lit(0L)) &&
+            coalesce(col("n_grams"), lit(0L)) > 0) ||
+            coalesce(col("shared_eval_grams"), lit(0L)) >= 8L)
+            .cast("long").as("dropped"))
+    }, Some(decontamOracleSql),
+      notes = "q203's decontamination under a bloom-pruned gram exchange: eval grams cross as a fixed-size sketch, train grams are probed pre-shuffle by the codegen'd graft_bloom_contains, only survivors reach the exact verify semi join (which removes the <=1% false positives — no false negatives exist, so the result is q203's relation and shares its oracle verbatim); per-doc totals split into a map-side partial agg that never ships grams")
   )
 }

@@ -1404,7 +1404,63 @@ object SimilarityQueries {
         .select("query_id", "q_label", "rank", "cand_id", "cand_label",
           "cos_sim")
     }, None,
-      notes = "q162 served from the persisted IVF index (probe top-10 -> drop held-out -> label filter -> top-3 re-rank, stages shared with q162): the hard-negative mining scale path; rows-only (quantizer-dependent), overlap floor + perfect-recall-subset spec-pinned")
+      notes = "q162 served from the persisted IVF index (probe top-10 -> drop held-out -> label filter -> top-3 re-rank, stages shared with q162): the hard-negative mining scale path; rows-only (quantizer-dependent), overlap floor + perfect-recall-subset spec-pinned"),
+
+    // ── Semantic (embedding-space) decontamination ─────────────────────
+    // q64/q203/q209 decontaminate on LITERAL n-gram overlap, which a
+    // paraphrased or translated eval item defeats entirely — the known
+    // blind spot of GPT-3-style decontamination. This is the
+    // embedding-space member: every train vector is scored by its
+    // MAXIMUM cosine against the eval set (the q203 md5 selector on
+    // vec_id, ~4%), and dropped past a similarity ceiling. Shape: the
+    // eval side is bounded BY CONTRACT (it is the eval set — the same
+    // asymmetry q203 exploits), so it broadcasts and the scan is
+    // LINEAR in train (a broadcast nested-loop over n_eval candidates
+    // per train row — n_train × n_eval work with n_eval a constant,
+    // NOT all-pairs; the require below makes a misuse on an unbounded
+    // "eval" side loud, and the million-item-eval upgrade is the q207
+    // IVF-probe path with this query as its exact-semantics anchor).
+    // Exactness: cosine is the q39-proven bit-portable surface
+    // (graft_dot / list_dot_product, 6-dp round); the per-train argmax
+    // is a train-keyed window (partition size = n_eval, bounded) with
+    // the total (cos_sim desc, eval_id asc) tiebreak on both engines.
+    QueryDef("q211_semantic_decontaminate", (s, d) => {
+      val isEval = substring(md5(col("vec_id").cast("string")), 1, 2) <= "0a"
+      val all = vecs(s, d)
+      val ev = all.filter(isEval).toDF("eval_id", "ev", "en")
+      val nEval = ev.count()
+      require(nEval <= 50000,
+        s"q211 scores every train vector against ALL $nEval eval vectors " +
+          "(linear in train only while the eval side is bounded); an eval " +
+          "set this large should go through the IVF probe path " +
+          "(VectorIndex.probe, the q207 shape) instead")
+      val train = all.filter(!isEval).toDF("train_id", "tv", "tn")
+      val w = Window.partitionBy("train_id")
+        .orderBy(col("cos_sim").desc, col("eval_id").asc)
+      train.crossJoin(broadcast(ev))
+        .withColumn("cos_sim", cosine("tv", "ev", "tn", "en"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("train_id"), col("eval_id").as("nearest_eval"),
+          col("cos_sim").as("max_sim"),
+          (col("cos_sim") >= 0.35).cast("long").as("dropped"))
+    }, Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+          substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '0a' AS is_eval
+        FROM embeddings),
+      scored AS (
+        SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+          round(list_dot_product(t.e, q.e) /
+                (sqrt(list_dot_product(t.e, t.e)) *
+                 sqrt(list_dot_product(q.e, q.e))), 6) AS cos_sim
+        FROM v t JOIN v q ON (NOT t.is_eval) AND q.is_eval)
+      SELECT train_id, eval_id AS nearest_eval, cos_sim AS max_sim,
+        CAST(cos_sim >= 0.35 AS BIGINT) AS dropped
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY train_id
+        ORDER BY cos_sim DESC, eval_id ASC) = 1"""),
+      notes = "embedding-space decontamination (the paraphrase-robust member q64/q203/q209's n-grams can't see): max cosine of every train vector vs the bounded eval set, dropped past 0.35; broadcast eval side -> linear in train, q39-portable 6-dp cosine, train-keyed bounded window argmax; the IVF probe path (q207 shape) is the large-eval upgrade with this as its exact anchor")
   )
 
   private[similarity] def labelsOf(s: SparkSession, d: String): DataFrame =

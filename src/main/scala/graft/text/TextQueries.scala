@@ -19,6 +19,19 @@ import graft.functions.{DetMath, DetMathSql}
   */
 object TextQueries {
 
+  /** q210 count-min sketch geometry. The fixture text draws from a ~31-type
+    * vocabulary (measured, identical at every driver SF), so the width is
+    * deliberately SMALL — 16 buckets ≈ e^(-30/16) ≈ 15% collision-free
+    * probability per depth — to make real bucket collisions occur and both
+    * outcomes of the overestimate audit show up in the surface (a
+    * production run sizes W ≈ e/ε against its vocabulary, the same way the
+    * Gopher thresholds here are corpus-calibrated but config in
+    * production). Both engines derive bucket ids from these SAME constants
+    * (the oracle SQL interpolates them), so the sketch is engine-identical
+    * by construction. */
+  private val CmsDepth = 4
+  private val CmsWidth = 16
+
   /** Adjacent-symbol pairs of the pre-split token array `tk`, as
     * "a b" strings — shared by the BPE trainers (q72 builds its own
     * equivalent; q75/q78 recount over merged arrays). */
@@ -3532,6 +3545,174 @@ object TextQueries {
             ELSE 0.0 END
           AS BIGINT) AS significant
       FROM tot t JOIN dnum d ON t.cmp = d.cmp"""),
-      notes = "binned two-sample KS test (64 fixed integer bins — the ECDF comparison runs on a 64-row spine at any corpus size): exact integer cross-product running max via the SQL aggregate HOF (no window in the Spark plan), 5% critical value 1.358*sqrt((na+nb)/(na*nb)); A/A and designed-shift rows prove both verdicts")
+      notes = "binned two-sample KS test (64 fixed integer bins — the ECDF comparison runs on a 64-row spine at any corpus size): exact integer cross-product running max via the SQL aggregate HOF (no window in the Spark plan), 5% critical value 1.358*sqrt((na+nb)/(na*nb)); A/A and designed-shift rows prove both verdicts"),
+
+    // ── Count-min sketch point frequencies (the sketch family's
+    //    FREQUENCY member) ───────────────────────────────────────────────
+    // HLL answers "how many distinct" (q82), KLL "what quantile" (q108),
+    // Theta "what overlap" (q154), heavy-hitters "which keys are big"
+    // (q92); count-min answers the remaining streaming-monitor question:
+    // "how often does THIS key occur per source", from state whose size
+    // never depends on the corpus. The counter table is |sources| × D × W
+    // rows (here D×W = CmsDepth×CmsWidth per source) built by ONE
+    // token-keyed agg whose partials merge map-side — CMS is
+    // sum-associative by construction, so the same groupBy IS the
+    // distributed sketch merge, and per-source sketches union by adding
+    // counters. Point estimate = min over the D rows a token hashes to;
+    // overestimates come only from bucket collisions (never under), which
+    // the audit columns surface against exact counts. Unlike the other
+    // sketches this one is FULLY hash-gated: both engines derive the
+    // bucket ids from the md5 60-bit idiom, so counters, estimates, and
+    // errors are deterministic and identical — no rows-only concession.
+    // At 100 TB only the counter build touches the corpus; estimates read
+    // |probes| × D counter rows. (The exact side here is the audit
+    // harness, not the production path.)
+    QueryDef("q210_cms_freq", (s, d) => {
+      def pos(tokCol: org.apache.spark.sql.Column, dd: Int) =
+        conv(substring(md5(concat(tokCol, lit(s":$dd"))), 1, 15), 16, 10)
+          .cast("long") % CmsWidth
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counters = toks
+        .select(col("source"), explode(array((0 until CmsDepth).map(dd =>
+          struct(lit(dd).as("d"), pos(col("tok"), dd).as("pos"))): _*)).as("dp"))
+        .groupBy(col("source"), col("dp.d").as("d"), col("dp.pos").as("pos"))
+        .agg(count(lit(1)).as("c"))
+      val probes = toks.groupBy("tok").agg(count(lit(1)).as("tn"))
+        .orderBy(col("tn").desc, col("tok").asc).limit(10)
+        .select("tok")
+      val probePos = toks.select("source").distinct()
+        .crossJoin(probes)
+        .select(col("source"), col("tok"),
+          explode(array((0 until CmsDepth).map(dd =>
+            struct(lit(dd).as("d"), pos(col("tok"), dd).as("pos"))): _*))
+            .as("dp"))
+        .select(col("source"), col("tok"),
+          col("dp.d").as("d"), col("dp.pos").as("pos"))
+      val est = probePos
+        .join(counters, Seq("source", "d", "pos"), "left_outer")
+        .groupBy("source", "tok")
+        .agg(min(coalesce(col("c"), lit(0L))).as("cms_n"))
+      val exact = toks.groupBy("source", "tok").agg(count(lit(1)).as("exact_n"))
+      est.join(exact, Seq("source", "tok"), "left_outer")
+        .select(col("source"), col("tok").as("token"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+          col("cms_n"),
+          (col("cms_n") - coalesce(col("exact_n"), lit(0L))).as("overestimate"))
+    }, Some(s"""
+      WITH tok AS (
+        SELECT source, tok FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0),
+      dp AS (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS d),
+      counters AS (
+        SELECT source, d,
+          CAST('0x' || substr(md5(tok || ':' || CAST(d AS VARCHAR)), 1, 15)
+            AS BIGINT) % $CmsWidth AS pos,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok CROSS JOIN dp
+        GROUP BY 1, 2, 3),
+      probes AS (
+        SELECT tok FROM (SELECT tok, COUNT(*) AS tn FROM tok GROUP BY 1)
+        ORDER BY tn DESC, tok ASC LIMIT 10),
+      pp AS (
+        SELECT s.source, p.tok, dp.d,
+          CAST('0x' || substr(md5(p.tok || ':' || CAST(dp.d AS VARCHAR)), 1, 15)
+            AS BIGINT) % $CmsWidth AS pos
+        FROM (SELECT DISTINCT source FROM tok) s
+        CROSS JOIN probes p CROSS JOIN dp),
+      est AS (
+        SELECT pp.source, pp.tok, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_n
+        FROM pp LEFT JOIN counters c
+          ON c.source = pp.source AND c.d = pp.d AND c.pos = pp.pos
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM tok GROUP BY 1, 2)
+      SELECT est.source, est.tok AS token,
+        COALESCE(exact.exact_n, 0) AS exact_n, est.cms_n,
+        est.cms_n - COALESCE(exact.exact_n, 0) AS overestimate
+      FROM est LEFT JOIN exact
+        ON exact.source = est.source AND exact.tok = est.tok"""),
+      notes = "count-min sketch per-source token frequencies (the sketch family's point-frequency member, and the only one FULLY hash-gated: md5-derived bucket ids make counters and estimates engine-identical): one sum-associative counter agg (|sources|xDxW rows at any corpus size, map-side partial merge IS the sketch union), min-over-depth point estimates for the corpus top-10 probe tokens, overestimate audited against exact counts"),
+
+    // ── Length-bucketed batching / padding-waste audit ─────────────────
+    // q94 packs ACROSS doc boundaries (zero padding, attention
+    // contamination) and q169 prices per-doc block padding; this is the
+    // third batching regime — the one inference servers and
+    // sequence-length-grouped training actually use: fixed BATCHES of B
+    // docs padded to the batch max, where batch COMPOSITION decides the
+    // waste. Arrival order mixes short and long docs (every batch pays
+    // the long doc's max); sorting by length first makes batches
+    // length-homogeneous (the dynamic-batching / length-grouped trick).
+    // This query prices both compositions on identical docs: per-batch
+    // padded = n·max − sum, aggregated per strategy. Both global orders
+    // come from ONE GlobalOrder.withRowNumbersMulti pass (pinned base,
+    // independent range-partitioned rank passes — no single-partition
+    // window, the q201 composition rule made API), and both strategies
+    // aggregate from ONE scan of the ranked frame (explode into
+    // (strategy, batch_id) pairs, one keyed agg). The 2-row surface is
+    // exact integer arithmetic; waste_ratio is the q169 6-dp idiom.
+    QueryDef("q212_length_batching", (s, d) => {
+      val B = 8
+      val nTok = (length(col("text"))
+        - length(replace(col("text"), lit(" "), lit(""))) + lit(1))
+        .cast("long")
+      val docs = t(s, d, "documents").select(col("doc_id"), nTok.as("ntok"))
+      val ranked = graft.operators.GlobalOrder.withRowNumbersMulti(
+        docs, Seq("doc_id"),
+        Seq((Seq(col("doc_id")), "rn_arrival"),
+          (Seq(col("ntok"), col("doc_id")), "rn_sorted")))
+      val assigned = ranked.select(col("ntok"), explode(array(
+        struct(lit("arrival").as("strategy"),
+          ((col("rn_arrival") - lit(1L)) / lit(B)).cast("long").as("batch_id")),
+        struct(lit("length_sorted").as("strategy"),
+          ((col("rn_sorted") - lit(1L)) / lit(B)).cast("long").as("batch_id"))))
+        .as("sb"))
+        .select(col("sb.strategy").as("strategy"),
+          col("sb.batch_id").as("batch_id"), col("ntok"))
+      assigned.groupBy("strategy", "batch_id")
+        .agg(count(lit(1)).as("n"), max("ntok").as("mx"),
+          sum("ntok").as("tot"))
+        .groupBy("strategy")
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("tot")).as("real_tokens"),
+          sum(col("n") * col("mx") - col("tot")).as("padding_tokens"))
+        .select(col("strategy"), col("n_batches"), col("real_tokens"),
+          col("padding_tokens"),
+          round(col("padding_tokens").cast("double") /
+            (col("real_tokens") + col("padding_tokens")), 6).as("waste_ratio"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+            AS ntok
+        FROM documents),
+      r AS (
+        SELECT doc_id, ntok,
+          row_number() OVER (ORDER BY doc_id) AS rn_a,
+          row_number() OVER (ORDER BY ntok, doc_id) AS rn_s
+        FROM d),
+      a AS (
+        SELECT strategy, batch_id, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MAX(ntok) AS BIGINT) AS mx, CAST(SUM(ntok) AS BIGINT) AS tot
+        FROM (
+          SELECT 'arrival' AS strategy, (rn_a - 1) // 8 AS batch_id, ntok
+          FROM r
+          UNION ALL
+          SELECT 'length_sorted', (rn_s - 1) // 8, ntok FROM r)
+        GROUP BY 1, 2),
+      g AS (
+        SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+          CAST(SUM(tot) AS BIGINT) AS real_tokens,
+          CAST(SUM(n * mx - tot) AS BIGINT) AS padding_tokens
+        FROM a GROUP BY 1)
+      SELECT strategy, n_batches, real_tokens, padding_tokens,
+        round(CAST(padding_tokens AS DOUBLE) /
+          (real_tokens + padding_tokens), 6) AS waste_ratio
+      FROM g"""),
+      notes = "length-bucketed batching audit (the third batching regime beside q94 cross-doc packing and q169 per-doc blocks): fixed 8-doc batches padded to batch max under arrival vs length-sorted composition, priced on identical docs; both global orders from one pinned withRowNumbersMulti pass, both strategies aggregated from one scan; 2-row exact-integer surface")
   )
 }

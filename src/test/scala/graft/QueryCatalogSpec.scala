@@ -868,6 +868,75 @@ class QueryCatalogSpec extends SparkSpec {
     assert(nTerms.max > 3, s"no doc matched an expansion term: ${nTerms.toSeq}")
   }
 
+  test("q209 bloom-pruned decontamination returns exactly q203's relation") {
+    // The sketch has no false negatives and the exact semi join removes
+    // its false positives — so the two queries must agree ROW FOR ROW,
+    // which is also why q209 may share q203's oracle verbatim.
+    val a = SparkEntry.queries("q203_decontaminate")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val b = SparkEntry.queries("q209_decontaminate_bloom")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty, "decontamination verdict set should not be empty")
+    assert(a == b, s"bloom twin diverged: only-q203=${(a -- b).take(3)} " +
+      s"only-q209=${(b -- a).take(3)}")
+  }
+
+  test("q210 CMS: never underestimates, probe spine complete, errors audited") {
+    val rows = SparkEntry.queries("q210_cms_freq")(spark, sf).collect()
+    val nSrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length == nSrc * 10, "one row per (source, probe token)")
+    assert(rows.map(_.getAs[String]("token")).distinct.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_n") >= r.getAs[Long]("exact_n"),
+        s"count-min must never underestimate: $r")
+      assert(r.getAs[Long]("overestimate") ==
+        r.getAs[Long]("cms_n") - r.getAs[Long]("exact_n"))
+    }
+    // width is calibrated to the fixture vocabulary so BOTH audit
+    // outcomes occur: exact hits (some depth is collision-free) and
+    // measured collision overestimates
+    val over = rows.map(_.getAs[Long]("overestimate"))
+    assert(over.exists(_ == 0L) && over.exists(_ > 0L),
+      s"CMS audit should show both exact and overestimated probes: ${over.toSeq.distinct.sorted}")
+  }
+
+  test("q211 semantic decontamination: eval side excluded and nearest is an eval vector") {
+    def md5hex(v: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = SparkEntry.queries("q211_semantic_decontaminate")(spark, sf)
+      .collect()
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length < nVec && rows.length > nVec * 4 / 5,
+      "train side should be the ~96% md5 complement")
+    rows.foreach { r =>
+      assert(md5hex(r.getAs[Long]("train_id").toString).substring(0, 2) > "0a",
+        "a train row leaked from the eval slice")
+      assert(md5hex(r.getAs[Long]("nearest_eval").toString)
+        .substring(0, 2) <= "0a", "nearest neighbour must be an eval vector")
+      val ms = r.getAs[Double]("max_sim")
+      assert(ms >= -1.000001 && ms <= 1.000001, s"cosine out of range: $ms")
+      assert(r.getAs[Long]("dropped") == (if (ms >= 0.35) 1L else 0L))
+    }
+  }
+
+  test("q212 batching: identical docs, fewer padded tokens when length-sorted") {
+    val rows = SparkEntry.queries("q212_length_batching")(spark, sf).collect()
+    assert(rows.length == 2)
+    val byStrat = rows.map(r => r.getAs[String]("strategy") -> r).toMap
+    val arr = byStrat("arrival")
+    val srt = byStrat("length_sorted")
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(arr.getAs[Long]("n_batches") == (nDocs + 7) / 8)
+    assert(arr.getAs[Long]("n_batches") == srt.getAs[Long]("n_batches"))
+    assert(arr.getAs[Long]("real_tokens") == srt.getAs[Long]("real_tokens"),
+      "both strategies batch the same documents")
+    assert(srt.getAs[Long]("padding_tokens") <= arr.getAs[Long]("padding_tokens"),
+      "sorted contiguous batching is padding-optimal for fixed batch size")
+    assert(arr.getAs[Long]("padding_tokens") >= 0)
+  }
+
   test("oracleSql column names appear in the Spark result (alias contract)") {
     // The driver compare sorts columns by name — a misaligned alias breaks
     // the hash even when values match. Guard: every Spark output column

@@ -271,7 +271,10 @@ class PlanContractSpec extends SparkSpec {
       "q199_kaplan_meier", // bounded day<day prefix self-joins (offsets pattern) + 1-row total
       "q204_curriculum", // q77's broadcast 1-row corpus-count cross join
       "q68b_cosine_pairs_lsh_md5", // broadcast 36-row md5 hyperplane bank
-      "q201_rfm") // GlobalOrder offsets + broadcast 1-row count cross join (q144 shape)
+      "q201_rfm", // GlobalOrder offsets + broadcast 1-row count cross join (q144 shape)
+      "q210_cms_freq", // |sources| x 10-probe spine cross join (metadata-sized)
+      "q211_semantic_decontaminate", // broadcast BOUNDED eval side by design (require-guarded)
+      "q212_length_batching") // GlobalOrder's pinned <=32-row offset self-joins
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
