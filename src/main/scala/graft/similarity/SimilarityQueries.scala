@@ -1460,7 +1460,75 @@ object SimilarityQueries {
       FROM scored
       QUALIFY row_number() OVER (PARTITION BY train_id
         ORDER BY cos_sim DESC, eval_id ASC) = 1"""),
-      notes = "embedding-space decontamination (the paraphrase-robust member q64/q203/q209's n-grams can't see): max cosine of every train vector vs the bounded eval set, dropped past 0.35; broadcast eval side -> linear in train, q39-portable 6-dp cosine, train-keyed bounded window argmax; the IVF probe path (q207 shape) is the large-eval upgrade with this as its exact anchor")
+      notes = "embedding-space decontamination (the paraphrase-robust member q64/q203/q209's n-grams can't see): max cosine of every train vector vs the bounded eval set, dropped past 0.35; broadcast eval side -> linear in train, q39-portable 6-dp cosine, train-keyed bounded window argmax; the IVF probe path (q207 shape) is the large-eval upgrade with this as its exact anchor"),
+
+    // ── Semantic decontamination, SCALE PATH (persisted IVF index) ─────
+    // q211's require caps its broadcast-eval shape at 50k eval vectors; a
+    // real decontamination sweep screens against EVERY benchmark suite at
+    // once — millions of eval items, far past any broadcast. This is the
+    // served form: the eval side becomes an IVF INDEX and each train
+    // vector probes its nProbe nearest cells, so per-train work is
+    // O(|probed cells|), not O(n_eval). No new index is built — the
+    // standing corpus index's bucketed cells table FILTERED to the eval
+    // slice is itself a valid IVF index of the eval set under the same
+    // frozen quantizer (probeAgainst's contract), and the filter rides
+    // the bucketed scan without disturbing its exchange-free co-location.
+    // Verdict semantics vs the q211 anchor are ONE-SIDED by construction:
+    // every similarity the probe surfaces is a real cosine, so the
+    // indexed max is a lower bound of the true max — an indexed drop is
+    // always a true drop (no train doc is ever falsely discarded);
+    // recall of the drop set is the quantizer-dependent part, floor-
+    // pinned in the spec (the AnnRecallSpec posture). Trains whose
+    // probed cells hold no eval vector surface with NULL nearest/sim and
+    // dropped=0 — the left join keeps the verdict relation TOTAL over
+    // the train side (a decontamination pass must pass judgment on
+    // every doc, not just the ones with candidates). Rows-only for
+    // q42b's reason: the surfaced neighbors depend on the trained
+    // quantizer.
+    QueryDef("q213_semantic_decontaminate_indexed", (s, d) => {
+      val (_, vName) = graft.IndexCache.ensure(s, d)
+      val isEval = substring(md5(col("vec_id").cast("string")), 1, 2) <= "0a"
+      val cents = s.table(s"${vName}_centroids")
+      val cells = s.table(s"${vName}_cells")
+      val emb = t(s, d, "embeddings")
+      // Forward: each train vector probes the eval slice, keeps its top
+      // candidate. Reverse: each EVAL vector probes the TRAIN slice with
+      // a THRESHOLD (range search, no top-k truncation — a contaminated
+      // cluster of 500 train near-copies of one eval item must surface
+      // all 500). Decontamination's costly error is a MISSED drop; under
+      // the union a miss needs BOTH directions to mis-cell the pair,
+      // which is what lifts measured drop recall to 1.00/0.91/0.93
+      // across the three fixture SFs where the one-direction probe read
+      // 0.76-0.87 (spec floor 0.85). The fixture deliberately stresses
+      // the WORST regime for any locality method: its embeddings are
+      // near-random, so tau=0.35 sits in the similarity BULK (q90-q95),
+      // not the near-dup tail — production decontamination thresholds
+      // live in the tail, where the quantizer's AnnRecallSpec regime
+      // (0.90-0.94 top-k) applies per direction BEFORE the union.
+      // Reverse cost scales with the EVAL side (the small side) times
+      // probed train buckets — the corpus still never moves.
+      val fwd = graft.similarity.VectorIndex.probeAgainst(
+        cents, cells.filter(isEval), emb.filter(!isEval), nProbe = 8,
+        topK = 1)
+        .select(col("query_id").as("train_id"),
+          col("cand_id").as("eval_id"), col("cos_sim"))
+      val rev = graft.similarity.VectorIndex.probeThreshold(
+        cents, cells.filter(!isEval), emb.filter(isEval), tau = 0.35,
+        nProbe = 8)
+        .select(col("cand_id").as("train_id"),
+          col("query_id").as("eval_id"), col("cos_sim"))
+      val w = Window.partitionBy("train_id")
+        .orderBy(col("cos_sim").desc, col("eval_id").asc)
+      val best = fwd.union(rev)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      emb.filter(!isEval).select(col("vec_id").as("train_id"))
+        .join(best, Seq("train_id"), "left_outer")
+        .select(col("train_id"), col("eval_id").as("nearest_eval"),
+          col("cos_sim").as("max_sim"),
+          coalesce((col("cos_sim") >= 0.35).cast("long"), lit(0L))
+            .as("dropped"))
+    }, None,
+      notes = "q211 served from the persisted IVF index for unbounded eval sets (the standing cells table filtered per slice IS a slice index under the frozen quantizer): BIDIRECTIONAL probe — train->eval top-1 unioned with eval->train threshold range search (a miss needs both directions to mis-cell the pair; hot eval items surface ALL tau-near train docs, no top-k truncation); indexed drops are ALWAYS true drops (surfaced sims are real cosines — no false discards), drop recall 1.00/0.91/0.93 measured at the 3 SFs, floor-pinned 0.85 (fixture tau sits in the sim bulk — the adversarial regime); verdict total via left join; rows-only (quantizer-dependent)")
   )
 
   private[similarity] def labelsOf(s: SparkSession, d: String): DataFrame =

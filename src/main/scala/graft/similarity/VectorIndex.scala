@@ -69,8 +69,19 @@ object VectorIndex {
   /** Top-k cosine neighbors for a query batch against the stored index —
     * the q42b probe dataflow reading persisted tables. */
   def probe(s: SparkSession, name: String, queries: DataFrame,
+      nProbe: Int = 6, topK: Int = 5): DataFrame =
+    probeAgainst(s.table(s"${name}_centroids"), s.table(s"${name}_cells"),
+      queries, nProbe, topK)
+
+  /** [[probe]]'s dataflow over caller-supplied centroid/cells frames — the
+    * hook for probing a RESTRICTION of a stored index: any filter of the
+    * bucketed cells table (e.g. q213's eval slice) is itself a valid IVF
+    * index under the same frozen quantizer, and the filter composes with
+    * the bucketed scan without disturbing its exchange-free co-location.
+    * `cents` must be metadata-sized (it is broadcast); `cells` needs the
+    * stored layout's (vec_id, v, norm, cell). */
+  def probeAgainst(cents: DataFrame, cellsFrame: DataFrame, queries: DataFrame,
       nProbe: Int = 6, topK: Int = 5): DataFrame = {
-    val cents = s.table(s"${name}_centroids")
     val q = withNorm(queries, "qv", "qn").withColumnRenamed("vec_id", "query_id")
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("dot").desc, col("cent_id").asc)
@@ -79,7 +90,7 @@ object VectorIndex {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
-    val cells = s.table(s"${name}_cells").select(col("vec_id").as("cand_id"),
+    val cells = cellsFrame.select(col("vec_id").as("cand_id"),
       col("v").as("cv"), col("norm").as("cn"), col("cell"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
@@ -89,5 +100,33 @@ object VectorIndex {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= topK)
       .select("query_id", "cand_id", "rank", "cos_sim")
+  }
+
+  /** Range search over a stored index: ALL candidates with cosine ≥ `tau`
+    * in the query's `nProbe` nearest cells — [[probeAgainst]] with the
+    * rank window replaced by a threshold filter. No top-k truncation
+    * means no rank window in the plan at all (the scored candidate
+    * stream filters in place, map-side); output volume is bounded by the
+    * TRUE number of τ-near pairs in the probed cells, which is the
+    * operator's semantic payload — the shape screening passes (q213's
+    * reverse direction) need, where a hot query near more than k
+    * candidates must surface every one of them. */
+  def probeThreshold(cents: DataFrame, cellsFrame: DataFrame,
+      queries: DataFrame, tau: Double, nProbe: Int = 6): DataFrame = {
+    val q = withNorm(queries, "qv", "qn").withColumnRenamed("vec_id", "query_id")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("cent_id").asc)
+    val probes = q.join(broadcast(cents))
+      .withColumn("dot", expr("graft_dot(qv, cv)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    val cells = cellsFrame.select(col("vec_id").as("cand_id"),
+      col("v").as("cv"), col("norm").as("cn"), col("cell"))
+    probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", SimilarityQueries.cosine("qv", "cv", "qn", "cn"))
+      .filter(col("cos_sim") >= tau)
+      .select("query_id", "cand_id", "cos_sim")
   }
 }

@@ -29,8 +29,8 @@ object TextQueries {
     * production). Both engines derive bucket ids from these SAME constants
     * (the oracle SQL interpolates them), so the sketch is engine-identical
     * by construction. */
-  private val CmsDepth = 4
-  private val CmsWidth = 16
+  private[graft] val cmsDepth = 4
+  private[graft] val cmsWidth = 16
 
   /** Adjacent-symbol pairs of the pre-split token array `tk`, as
     * "a b" strings — shared by the BPE trainers (q72 builds its own
@@ -3554,7 +3554,7 @@ object TextQueries {
     // (q92); count-min answers the remaining streaming-monitor question:
     // "how often does THIS key occur per source", from state whose size
     // never depends on the corpus. The counter table is |sources| × D × W
-    // rows (here D×W = CmsDepth×CmsWidth per source) built by ONE
+    // rows (here D×W = cmsDepth×cmsWidth per source) built by ONE
     // token-keyed agg whose partials merge map-side — CMS is
     // sum-associative by construction, so the same groupBy IS the
     // distributed sketch merge, and per-source sketches union by adding
@@ -3570,12 +3570,12 @@ object TextQueries {
     QueryDef("q210_cms_freq", (s, d) => {
       def pos(tokCol: org.apache.spark.sql.Column, dd: Int) =
         conv(substring(md5(concat(tokCol, lit(s":$dd"))), 1, 15), 16, 10)
-          .cast("long") % CmsWidth
+          .cast("long") % cmsWidth
       val toks = t(s, d, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
       val counters = toks
-        .select(col("source"), explode(array((0 until CmsDepth).map(dd =>
+        .select(col("source"), explode(array((0 until cmsDepth).map(dd =>
           struct(lit(dd).as("d"), pos(col("tok"), dd).as("pos"))): _*)).as("dp"))
         .groupBy(col("source"), col("dp.d").as("d"), col("dp.pos").as("pos"))
         .agg(count(lit(1)).as("c"))
@@ -3585,7 +3585,7 @@ object TextQueries {
       val probePos = toks.select("source").distinct()
         .crossJoin(probes)
         .select(col("source"), col("tok"),
-          explode(array((0 until CmsDepth).map(dd =>
+          explode(array((0 until cmsDepth).map(dd =>
             struct(lit(dd).as("d"), pos(col("tok"), dd).as("pos"))): _*))
             .as("dp"))
         .select(col("source"), col("tok"),
@@ -3606,11 +3606,11 @@ object TextQueries {
           SELECT source, unnest(string_split(text, ' ')) AS tok
           FROM documents)
         WHERE len(tok) > 0),
-      dp AS (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS d),
+      dp AS (SELECT unnest([${(0 until cmsDepth).mkString(", ")}]) AS d),
       counters AS (
         SELECT source, d,
           CAST('0x' || substr(md5(tok || ':' || CAST(d AS VARCHAR)), 1, 15)
-            AS BIGINT) % $CmsWidth AS pos,
+            AS BIGINT) % $cmsWidth AS pos,
           CAST(COUNT(*) AS BIGINT) AS c
         FROM tok CROSS JOIN dp
         GROUP BY 1, 2, 3),
@@ -3620,7 +3620,7 @@ object TextQueries {
       pp AS (
         SELECT s.source, p.tok, dp.d,
           CAST('0x' || substr(md5(p.tok || ':' || CAST(dp.d AS VARCHAR)), 1, 15)
-            AS BIGINT) % $CmsWidth AS pos
+            AS BIGINT) % $cmsWidth AS pos
         FROM (SELECT DISTINCT source FROM tok) s
         CROSS JOIN probes p CROSS JOIN dp),
       est AS (

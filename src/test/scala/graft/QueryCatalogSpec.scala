@@ -30,7 +30,8 @@ class QueryCatalogSpec extends SparkSpec {
       "q114_knn_vote_indexed", // quantizer-dependent probe (KnnVoteIndexedSpec agreement pins)
       "q132_bpe_encode", // sequential greedy merge (TrainingDataOpsSpec brute-force encoder parity)
       "q168_hard_negatives_indexed", // quantizer-dependent probe (HardNegativesIndexedSpec overlap pins)
-      "q207_semantic_dedup_indexed"), // quantizer-dependent cells (SemanticDedupIndexedSpec closure + q74 parity pins)
+      "q207_semantic_dedup_indexed", // quantizer-dependent cells (SemanticDedupIndexedSpec closure + q74 parity pins)
+      "q213_semantic_decontaminate_indexed"), // quantizer-dependent probe (one-sided drops + recall floor pinned vs the q211 exact anchor)
       "only engine-specific-hash / approximate / sequential-merge ops may omit the oracle")
   }
 
@@ -935,6 +936,47 @@ class QueryCatalogSpec extends SparkSpec {
     assert(srt.getAs[Long]("padding_tokens") <= arr.getAs[Long]("padding_tokens"),
       "sorted contiguous batching is padding-optimal for fixed batch size")
     assert(arr.getAs[Long]("padding_tokens") >= 0)
+  }
+
+  test("q213 indexed decontamination: total verdicts, one-sided drops, recall floor") {
+    val exact = SparkEntry.queries("q211_semantic_decontaminate")(spark, sf)
+      .collect().map(r => r.getAs[Long]("train_id") ->
+        (r.getAs[Long]("nearest_eval"), r.getAs[Double]("max_sim"),
+          r.getAs[Long]("dropped"))).toMap
+    val served = SparkEntry.queries("q213_semantic_decontaminate_indexed")(
+      spark, sf).collect()
+    // the verdict relation is TOTAL: same train side as the exact anchor
+    assert(served.map(_.getAs[Long]("train_id")).toSet == exact.keySet,
+      "served verdict set must cover exactly the train slice")
+    served.foreach { r =>
+      val ex = exact(r.getAs[Long]("train_id"))
+      // one-sided by construction: an indexed drop is always a true drop
+      // (probe max lower-bounds true max), and the surfaced sim never
+      // exceeds the exact max
+      if (r.getAs[Long]("dropped") == 1L) assert(ex._3 == 1L,
+        s"indexed drop not confirmed by exact anchor: $r")
+      if (!r.isNullAt(r.fieldIndex("max_sim"))) {
+        assert(r.getAs[Double]("max_sim") <= ex._2 + 1e-9,
+          s"indexed sim exceeds exact max: $r vs $ex")
+        // where the probe found the SAME neighbor, the cosine is identical
+        // (shared 6-dp portable arithmetic)
+        if (r.getAs[Long]("nearest_eval") == ex._1)
+          assert(r.getAs[Double]("max_sim") == ex._2,
+            s"same neighbor, different sim: $r vs $ex")
+      } else assert(r.getAs[Long]("dropped") == 0L,
+        "no-candidate train rows must keep dropped=0")
+    }
+    // quantizer-dependent drop recall, floor-pinned (AnnRecallSpec posture)
+    val exactDropped = exact.count(_._2._3 == 1L)
+    if (exactDropped > 0) {
+      val servedDropped = served.count(_.getAs[Long]("dropped") == 1L)
+      val recall = servedDropped.toDouble / exactDropped
+      // measured 1.00/0.91/0.93 at sf0.001/0.01/0.1; the fixture's
+      // tau=0.35 sits in the near-random similarity BULK — the worst
+      // regime for any locality method — so the floor carries margin
+      assert(recall >= 0.85,
+        s"drop recall $recall ($servedDropped/$exactDropped) below floor")
+    }
   }
 
   test("oracleSql column names appear in the Spark result (alias contract)") {
