@@ -275,7 +275,9 @@ class PlanContractSpec extends SparkSpec {
       "q210_cms_freq", // |sources| x 10-probe spine cross join (metadata-sized)
       "q211_semantic_decontaminate", // broadcast BOUNDED eval side by design (require-guarded)
       "q212_length_batching", // GlobalOrder's pinned <=32-row offset self-joins
-      "q213_semantic_decontaminate_indexed") // index probe: broadcast centroid argmax (q105 allowance)
+      "q213_semantic_decontaminate_indexed", // index probe: broadcast centroid argmax (q105 allowance)
+      "q214_bitext_margin", // broadcast BOUNDED probe slice by design (q211 allowance)
+      "q215_bitext_margin_indexed") // index probe: broadcast centroid argmax (q105 allowance)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
