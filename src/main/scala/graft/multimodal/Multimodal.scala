@@ -373,6 +373,40 @@ object Multimodal {
     * Narrow mapPartitions: bytes decode where they sit, only the
     * metadata-sized window table ever shuffles (it is ~n/80 rows per
     * clip). Non-audio rows and undecodable payloads yield no windows. */
+  /** VAD SEGMENTS over an [[audioEnergyWindows]] frame — the q216
+    * operator, shared with its spec so batch query and constructed-PCM
+    * tests run the same definition. Smoothing: one inactive window
+    * BETWEEN two active ones is bridged (hangover — sub-frame speech
+    * dips must not shatter an utterance); kept windows group into
+    * islands via the window_id − row_number() difference (consecutive
+    * kept windows share it — one keyed window, no iteration); islands
+    * with < `minActive` active windows drop (isolated clicks). All
+    * integer arithmetic on the gated flags, so boundaries hash-gate.
+    * Shapes: two media-keyed windows + one (media, grp) agg over the
+    * ~n/80-row window table; per-media partition size is bounded by
+    * clip length, and payload bytes never enter. */
+  def vadSegments(wins: DataFrame, minActive: Long = 2L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("window_id")
+    wins
+      .withColumn("kept",
+        when(col("active") === 1L ||
+          (coalesce(lag(col("active"), 1).over(w), lit(0L)) === 1L &&
+           coalesce(lead(col("active"), 1).over(w), lit(0L)) === 1L),
+          1L).otherwise(0L))
+      .filter(col("kept") === 1L)
+      .withColumn("grp", col("window_id") - row_number().over(w))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min("window_id").as("start_window"),
+        max("window_id").as("end_window"),
+        count(lit(1)).as("n_windows"),
+        sum("active").as("n_active"),
+        sum("sq_sum").as("sq_total"))
+      .filter(col("n_active") >= minActive)
+      .select("media_id", "start_window", "end_window", "n_windows",
+        "n_active", "sq_total")
+  }
+
   def audioEnergyWindows(media: Dataset[MediaRow], winLen: Int = 80,
       meanSqThreshold: Long = 333000L): Dataset[AudioWindow] = {
     require(winLen > 0, "audioEnergyWindows: winLen must be positive")

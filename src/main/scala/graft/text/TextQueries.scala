@@ -696,6 +696,69 @@ object TextQueries {
       FROM s"""),
       notes = "VAD-style audio energy segmentation over real decoded PCM: 80-sample (10 ms) windows, exact integer squared-energy sums, integer-compare activity flag; oracle re-derives every window from the generating formula — decode + window arithmetic + flag gated end-to-end; narrow mapPartitions, bytes never shuffle"),
 
+    // ── VAD segments (gaps-and-islands over q156's activity signal) ────
+    // q156 flags WINDOWS; speech-data curation consumes SEGMENTS — the
+    // maximal activity runs a clip splits into before per-segment
+    // quality gates, transcription batching or silence-trim cuts. The
+    // classic VAD smoothing applies first: a single inactive window
+    // BETWEEN two active ones is bridged (hangover — speech has
+    // sub-frame dips; dropping them would shatter one utterance into
+    // fragments), then kept windows group into islands via the
+    // window_id − row_number() difference trick (consecutive kept
+    // windows share the difference — no iterative pass, one keyed
+    // window), and runs with fewer than 2 active windows drop (the
+    // min-duration rule that kills isolated clicks). All arithmetic is
+    // exact integers on top of q156's gated flags, so segment
+    // boundaries hash-gate end-to-end: the oracle re-derives the PCM
+    // from the generating formula and applies the identical
+    // smooth→island→aggregate SQL. Shapes at 100 TB: everything is
+    // keyed by media_id — two media-keyed windows (lag/lead + islands)
+    // and one (media, grp) agg over the n/80-row window table;
+    // per-media partition size is bounded by clip length (windows per
+    // clip, not corpus rows), and the byte-sized payloads never enter.
+    QueryDef("q216_vad_segments", (s, d) => {
+      graft.multimodal.Multimodal.vadSegments(
+        graft.multimodal.Multimodal.audioEnergyWindows(
+          graft.multimodal.Multimodal.fromDocuments(s, d)).toDF())
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS id, 256 + doc_id % 128 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      w AS (
+        SELECT id, n, unnest(range(0, (n + 79) // 80)) AS w
+        FROM a),
+      s AS (
+        SELECT id, w,
+          least(w*80 + 80, n) - w*80 AS len,
+          list_sum(list_transform(range(w*80, least(w*80 + 80, n)),
+            i -> ((id*13 + i*5) % 2001 - 1000)
+               * ((id*13 + i*5) % 2001 - 1000))) AS sq
+        FROM w),
+      f AS (
+        SELECT id, w, sq,
+          CASE WHEN sq >= len * 333000 THEN 1 ELSE 0 END AS active
+        FROM s),
+      k AS (
+        SELECT id, w, sq, active,
+          CASE WHEN active = 1
+                 OR (COALESCE(lag(active) OVER mw, 0) = 1
+                     AND COALESCE(lead(active) OVER mw, 0) = 1)
+               THEN 1 ELSE 0 END AS kept
+        FROM f WINDOW mw AS (PARTITION BY id ORDER BY w)),
+      g AS (
+        SELECT id, w, sq, active,
+          w - row_number() OVER (PARTITION BY id ORDER BY w) AS grp
+        FROM k WHERE kept = 1)
+      SELECT id AS media_id,
+        CAST(min(w) AS BIGINT) AS start_window,
+        CAST(max(w) AS BIGINT) AS end_window,
+        CAST(count(*) AS BIGINT) AS n_windows,
+        CAST(SUM(active) AS BIGINT) AS n_active,
+        CAST(SUM(sq) AS BIGINT) AS sq_total
+      FROM g GROUP BY id, grp
+      HAVING SUM(active) >= 2"""),
+      notes = "VAD segmentation over q156's gated activity signal: single-gap hangover bridge (lag/lead), islands via the window_id - row_number() difference trick, min-2-active duration rule; exact integers end-to-end so segment boundaries hash-gate against the formula-derived oracle; two media-keyed windows + one keyed agg over the n/80-row window table, payload bytes never enter"),
+
     // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
     // q156's vision twin: the patch grid every patch-embedding pipeline
     // starts from. Each gray PNG decodes and splits into a 4×4 grid —
