@@ -759,6 +759,54 @@ object TextQueries {
       HAVING SUM(active) >= 2"""),
       notes = "VAD segmentation over q156's gated activity signal: single-gap hangover bridge (lag/lead), islands via the window_id - row_number() difference trick, min-2-active duration rule; exact integers end-to-end so segment boundaries hash-gate against the formula-derived oracle; two media-keyed windows + one keyed agg over the n/80-row window table, payload bytes never enter"),
 
+    // ── HTML main-content extraction (WARC→WET layer, formula-oracled) ─
+    // Web corpora arrive as MARKUP; every quality gate in this catalog
+    // assumes the extraction already happened (Common Crawl WET / C4 /
+    // RefinedWeb all start here). [[HtmlExtract]] is that layer: head +
+    // script/style removal, block-tag line splitting, per-line LINK
+    // DENSITY boilerplate rejection (the jusText rule), entity
+    // unescaping — all codegen'd string expressions in ONE narrow map,
+    // zero shuffles (the q103 multimodal posture applied to markup).
+    // The corpus has no HTML column, so the query wraps each doc in
+    // deterministic synthetic markup ([[HtmlExtract.syntheticHtml]]:
+    // nav bar, odd-doc 70%-link ad, a script whose body contains block
+    // markup as a leak detector, entity-bearing content, pure-link
+    // footer) — the buildPayload posture — and the oracle derives the
+    // EXPECTED extraction from the generating formula directly, never
+    // parsing markup: extracted content must be exactly the doc's words
+    // re-lined 10-per-block plus the unescaped entity line, and the
+    // drop count exactly the planted boilerplate. Extractor, density
+    // scoring, unescape order and line accounting all hash-gate.
+    QueryDef("q217_html_extract", (s, d) => {
+      val e = HtmlExtract.extract(
+        HtmlExtract.syntheticHtml(col("doc_id"), col("text")))
+      t(s, d, "documents").select(col("doc_id"), e.as("e"))
+        .select(col("doc_id"),
+          col("e.n_lines_kept").as("n_lines_kept"),
+          col("e.n_lines_dropped").as("n_lines_dropped"),
+          length(col("e.text")).cast("long").as("n_chars"),
+          md5(col("e.text")).as("text_md5"))
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      c AS (
+        SELECT doc_id,
+          GREATEST(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1) AS nch, ws
+        FROM w),
+      e AS (
+        SELECT doc_id, nch,
+          array_to_string(list_transform(range(0, nch),
+            i -> array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ')),
+            chr(10)) || chr(10) || 'Tom & Jerry <3 >> "ok"' AS content
+        FROM c)
+      SELECT doc_id,
+        CAST(nch + 1 AS BIGINT) AS n_lines_kept,
+        CAST(2 + doc_id % 2 AS BIGINT) AS n_lines_dropped,
+        CAST(length(content) AS BIGINT) AS n_chars,
+        md5(content) AS text_md5
+      FROM e"""),
+      notes = "WARC->WET main-content extraction: head/script/style removal, block-tag line spine, per-line link-density boilerplate rejection (jusText rule), ordered entity unescape — one narrow codegen'd map, zero shuffles; synthetic-markup fixture (buildPayload posture) lets the oracle derive expected content from the generating formula without parsing, so extractor + accounting hash-gate end-to-end"),
+
     // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
     // q156's vision twin: the patch grid every patch-embedding pipeline
     // starts from. Each gray PNG decodes and splits into a 4×4 grid —
