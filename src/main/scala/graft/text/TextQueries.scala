@@ -807,6 +807,43 @@ object TextQueries {
       FROM e"""),
       notes = "WARC->WET main-content extraction: head/script/style removal, block-tag line spine, per-line link-density boilerplate rejection (jusText rule), ordered entity unescape — one narrow codegen'd map, zero shuffles; synthetic-markup fixture (buildPayload posture) lets the oracle derive expected content from the generating formula without parsing, so extractor + accounting hash-gate end-to-end"),
 
+    // ── URL canonicalization ledger (crawl dedup step ZERO) ────────────
+    // Before any content hash runs, crawl dedup keys on a CANONICAL
+    // URL — the same page arrives under case-shifted hosts, www.
+    // prefixes, explicit default ports, tracking params, fragments and
+    // trailing slashes, and every one of those spellings must land in
+    // one ledger row or the content-level dedup pays for the miss.
+    // [[UrlOps.canonicalize]] is the conservative common-crawl rule set
+    // as pure codegen'd string expressions (one narrow map, the q217
+    // posture); the ledger is ONE keyed agg over the canonical. The
+    // fixture ([[UrlOps.syntheticUrl]]) makes the canonical a pure
+    // function of doc_id % 40 while spreading each class across four
+    // independent surface-variant axes, so the oracle derives expected
+    // ledger rows from the formula WITHOUT parsing — any missed rule
+    // splits a class and breaks the hash. Scale: narrow map + one hash
+    // agg on the canonical (the minimum possible shuffle for a ledger);
+    // at 100 TB the agg carries one row per UNIQUE canonical URL.
+    QueryDef("q218_url_canonicalize", (s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          UrlOps.canonicalize(UrlOps.syntheticUrl(col("doc_id")))
+            .as("url_canon"))
+        .groupBy("url_canon")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id,
+          'https://site' || CAST(doc_id % 40 AS VARCHAR) ||
+          CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END ||
+          '/p/' || CAST(doc_id % 20 AS VARCHAR) ||
+          '?id=' || CAST(doc_id % 10 AS VARCHAR) ||
+          '&ref=' || CAST(doc_id % 20 AS VARCHAR) AS url_canon
+        FROM documents)
+      SELECT url_canon, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MIN(doc_id) AS BIGINT) AS keeper
+      FROM c GROUP BY 1"""),
+      notes = "URL canonicalization (crawl dedup step zero): lowercase scheme/host, www + default-port + fragment strip, utm_* drop, param sort, trailing-slash strip — codegen'd string map + ONE keyed agg; the synthetic fixture spreads each canonical class over four surface-variant axes so the formula-derived oracle catches any missed rule as a split class"),
+
     // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
     // q156's vision twin: the patch grid every patch-embedding pipeline
     // starts from. Each gray PNG decodes and splits into a 4×4 grid —
