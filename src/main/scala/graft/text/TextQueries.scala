@@ -844,6 +844,57 @@ object TextQueries {
       FROM c GROUP BY 1"""),
       notes = "URL canonicalization (crawl dedup step zero): lowercase scheme/host, www + default-port + fragment strip, utm_* drop, param sort, trailing-slash strip — codegen'd string map + ONE keyed agg; the synthetic fixture spreads each canonical class over four surface-variant axes so the formula-derived oracle catches any missed rule as a split class"),
 
+    // ── Per-domain document cap (C4-style host balancing) ──────────────
+    // A raw crawl is domain-skewed by orders of magnitude; C4-lineage
+    // pipelines cap documents per registered domain so one boilerplate
+    // mill can't dominate the mix (the crawl-side sibling of q102/q164's
+    // source-level temperature — there the unit is a curated source,
+    // here the raw web host). Composes q218's operator: registered
+    // domain = host of the CANONICAL url (so surface spellings can't
+    // dodge the cap — a www./case/port variant lands on the same
+    // domain), keep the 3 earliest doc_ids per domain (deterministic
+    // total tiebreak), report kept docs with their domain rank and the
+    // domain's pre-cap pressure. Shape: narrow canonicalize map → one
+    // domain-keyed window whose rank<=3 filter gets WindowGroupLimit
+    // pushdown (map-side top-3 per domain BEFORE the shuffle, the
+    // q07/q08/q135 contract) — at 100 TB the exchange carries ~3 rows
+    // per domain per map partition, not the crawl.
+    QueryDef("q219_domain_cap", (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy("doc_id")
+      val canon = t(s, d, "documents")
+        .select(col("doc_id"),
+          UrlOps.canonicalize(UrlOps.syntheticUrl(col("doc_id")))
+            .as("url_canon"))
+        .withColumn("domain",
+          regexp_extract(col("url_canon"), "^https://([^/]+)", 1))
+      val pressure = canon.groupBy("domain")
+        .agg(count(lit(1)).as("n_crawled"))
+      canon
+        .withColumn("domain_rank", row_number().over(w).cast("long"))
+        .filter(col("domain_rank") <= 3)
+        .join(pressure, Seq("domain"))
+        .select(col("domain"), col("doc_id"), col("domain_rank"),
+          col("n_crawled"))
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id,
+          'site' || CAST(doc_id % 40 AS VARCHAR) ||
+          CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END AS domain
+        FROM documents),
+      p AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_crawled
+        FROM c GROUP BY 1),
+      r AS (
+        SELECT domain, doc_id,
+          CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+            AS BIGINT) AS domain_rank
+        FROM c)
+      SELECT r.domain, r.doc_id, r.domain_rank, p.n_crawled
+      FROM r JOIN p ON p.domain = r.domain
+      WHERE r.domain_rank <= 3"""),
+      notes = "C4-style per-domain cap over the CANONICAL host (surface spellings can't dodge it): keep 3 earliest docs per domain with pre-cap pressure; narrow canonicalize map -> one domain-keyed window with WindowGroupLimit map-side pushdown (q07 contract) + one keyed agg joined on the tiny domain table"),
+
     // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
     // q156's vision twin: the patch grid every patch-embedding pipeline
     // starts from. Each gray PNG decodes and splits into a 4×4 grid —
