@@ -2400,6 +2400,92 @@ object DedupQueries {
             coalesce(col("shared_eval_grams"), lit(0L)) >= 8L)
             .cast("long").as("dropped"))
     }, Some(decontamOracleSql),
-      notes = "q203's decontamination under a bloom-pruned gram exchange: eval grams cross as a fixed-size sketch, train grams are probed pre-shuffle by the codegen'd graft_bloom_contains, only survivors reach the exact verify semi join (which removes the <=1% false positives — no false negatives exist, so the result is q203's relation and shares its oracle verbatim); per-doc totals split into a map-side partial agg that never ships grams")
+      notes = "q203's decontamination under a bloom-pruned gram exchange: eval grams cross as a fixed-size sketch, train grams are probed pre-shuffle by the codegen'd graft_bloom_contains, only survivors reach the exact verify semi join (which removes the <=1% false positives — no false negatives exist, so the result is q203's relation and shares its oracle verbatim); per-doc totals split into a map-side partial agg that never ships grams"),
+
+    // ── Content-defined chunking (rolling-hash breakpoints) ────────────
+    // The dedup-STORAGE primitive (rsync/LBFS lineage) this catalog's
+    // document-level dedup family doesn't cover: fixed-offset chunking
+    // shatters under a single insertion (every later chunk shifts), so
+    // incremental dedup of LONG near-identical documents (versioned
+    // wikis, licenses boilerplate, log-structured corpora) cuts at
+    // positions the CONTENT chooses — wherever an 8-char rolling window
+    // hash ≡ 0 (mod 64) — and an edit only perturbs chunks that overlap
+    // it; boundaries re-synchronize at the first breakpoint after the
+    // edit (CdcChunksSpec pins exactly that re-sync on a constructed
+    // insertion). Arithmetic: the window hash is Σ code·31^j over 8
+    // chars — exact BIGINT, no modular reduction needed (max value
+    // ~3.5e12), computed per position by indexing a chars array
+    // (element_at is O(1), so a doc costs O(8n) integer ops inside ONE
+    // codegen'd HOF chain — linear, narrow, zero shuffles until the
+    // chunk table itself is consumed). Oracle recomputes the identical
+    // integer arithmetic (the q39 posture), so breakpoints, chunk
+    // extraction and hashes gate end-to-end.
+    QueryDef("q220_cdc_chunks", (s, d) =>
+      cdcChunkTable(t(s, d, "documents").select("doc_id", "text")),
+      Some("""
+      WITH d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents),
+      b AS (
+        SELECT doc_id, text, n,
+          CASE WHEN n >= 8 THEN
+            list_filter(range(0, n - 7), i ->
+              (list_sum(list_transform(range(0, 8), j ->
+                ascii(substr(text, CAST(i + j + 1 AS INT), 1)) *
+                ([1, 31, 961, 29791, 923521, 28629151, 887503681,
+                  27512614111])[CAST(j + 1 AS INT)])) % 64) = 0)
+          ELSE CAST([] AS BIGINT[]) END AS bidx
+        FROM d),
+      c AS (
+        SELECT doc_id, text, n,
+          list_filter(list_transform(bidx, i -> i + 8), x -> x < n)
+            AS cuts
+        FROM b),
+      u AS (
+        SELECT doc_id, text, n, cuts,
+          unnest(range(0, len(cuts) + 1)) AS chunk_idx
+        FROM c),
+      e AS (
+        SELECT doc_id, chunk_idx, text,
+          CASE WHEN chunk_idx = 0 THEN 0
+               ELSE cuts[CAST(chunk_idx AS INT)] END AS s,
+          CASE WHEN chunk_idx = len(cuts) THEN n
+               ELSE cuts[CAST(chunk_idx + 1 AS INT)] END AS e2
+        FROM u)
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        CAST(e2 - s AS BIGINT) AS chunk_len,
+        md5(substr(text, CAST(s + 1 AS INT), CAST(e2 - s AS INT)))
+          AS chunk_md5
+      FROM e"""),
+      notes = "content-defined chunking (rsync/LBFS): cut wherever the 8-char rolling window hash = 0 mod 64, so an edit only perturbs overlapping chunks and boundaries re-sync at the next breakpoint (spec-pinned); exact BIGINT polynomial hash (no modular reduction needed), O(8n) per doc inside one codegen'd HOF chain, narrow until the chunk table is consumed; oracle recomputes the identical integers")
   )
+
+  /** (doc_id, chunk_idx, chunk_len, chunk_md5) — the q220 operator,
+    * shared with CdcChunksSpec. `docs` must expose (doc_id, text). */
+  private[graft] def cdcChunkTable(docs: DataFrame): DataFrame = {
+    val pows = "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, " +
+      "887503681L, 27512614111L)"
+    docs
+      .withColumn("n", length(col("text")))
+      .withColumn("codes", expr("transform(split(text, ''), c -> ascii(c))"))
+      .withColumn("bidx", expr(
+        s"""CASE WHEN n >= 8 THEN
+           |  filter(sequence(0, n - 8), i ->
+           |    (aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+           |      acc + CAST(element_at(codes, i + j + 1) AS BIGINT) *
+           |        element_at($pows, j + 1)) % 64) = 0)
+           |ELSE CAST(array() AS array<int>) END""".stripMargin))
+      .withColumn("cuts",
+        expr("filter(transform(bidx, i -> i + 8), x -> x < n)"))
+      .select(col("doc_id"), col("text"), col("n"), col("cuts"),
+        explode(expr("sequence(0, size(cuts))")).as("chunk_idx"))
+      .withColumn("s", expr(
+        "CASE WHEN chunk_idx = 0 THEN 0 ELSE element_at(cuts, chunk_idx) END"))
+      .withColumn("e", expr(
+        "CASE WHEN chunk_idx = size(cuts) THEN n " +
+          "ELSE element_at(cuts, chunk_idx + 1) END"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("e") - col("s")).cast("long").as("chunk_len"),
+        md5(expr("substring(text, s + 1, e - s)")).as("chunk_md5"))
+  }
 }
