@@ -2457,35 +2457,166 @@ object DedupQueries {
         md5(substr(text, CAST(s + 1 AS INT), CAST(e2 - s AS INT)))
           AS chunk_md5
       FROM e"""),
-      notes = "content-defined chunking (rsync/LBFS): cut wherever the 8-char rolling window hash = 0 mod 64, so an edit only perturbs overlapping chunks and boundaries re-sync at the next breakpoint (spec-pinned); exact BIGINT polynomial hash (no modular reduction needed), O(8n) per doc inside one codegen'd HOF chain, narrow until the chunk table is consumed; oracle recomputes the identical integers")
+      notes = "content-defined chunking (rsync/LBFS): cut wherever the 8-char rolling window hash = 0 mod 64, so an edit only perturbs overlapping chunks and boundaries re-sync at the next breakpoint (spec-pinned); exact BIGINT polynomial hash (no modular reduction needed), O(8n) per doc inside one codegen'd HOF chain, narrow until the chunk table is consumed; oracle recomputes the identical integers"),
+
+    // ── Chunk-ledger incremental dedup (q220's consumer) ───────────────
+    // What CDC chunking is FOR: a new crawl batch arrives and most of it
+    // is re-fetches of pages the corpus already holds, lightly edited —
+    // document-level hashes miss them entirely (one changed byte, new
+    // hash) and MinHash pays a full near-dup pass. The chunk ledger
+    // answers cheaper and EXACTLY at chunk granularity: chunk the delta,
+    // semi-join its chunk hashes against the standing ledger of base
+    // chunk hashes, and a delta doc whose shared chunks cover ≥ half its
+    // bytes is a re-fetch (the q220 re-sync property guarantees an
+    // edited re-fetch shares every chunk after the first breakpoint past
+    // the edit). The fixture derives its delta inside the query (the
+    // corpus has one version): %25==0 docs re-arrive with a prefix edit
+    // (must flag mostly_dup, except single-chunk shorties — both
+    // outcomes occur), %25==7 docs re-arrive reversed (novel content,
+    // must not flag). Shape: the chunk pass is q220's narrow map; the
+    // ledger is id-sized (one md5 per unique chunk) and in production
+    // is PERSISTED and bucketed (the q70/q149/q202 standing-structure
+    // posture — here it derives inline so the oracle can see it); the
+    // only joins are chunk_md5-keyed semi + doc-keyed aggs.
+    QueryDef("q221_chunk_ledger_dedup", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val delta = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("v2 update note "), col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 25 === 7)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            reverse(col("text")).as("text")))
+      // pinned: three consumers (ledger, semi join, per-doc agg) must not
+      // re-run the chunking pass — the chunk table is the cheap artifact
+      val chunks = cdcChunkTable(docs.unionAll(delta)).localCheckpoint(true)
+      val ledger = chunks.filter(col("doc_id") < 10000000L)
+        .select("chunk_md5").distinct()
+      val dch = chunks.filter(col("doc_id") >= 10000000L)
+      val shared = dch.join(ledger, Seq("chunk_md5"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"),
+          sum("chunk_len").as("bytes_shared"))
+      dch.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("chunk_len").as("n_bytes"))
+        .join(shared, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_chunks"), col("n_bytes"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          coalesce(col("bytes_shared"), lit(0L)).as("bytes_shared"),
+          (coalesce(col("bytes_shared"), lit(0L)) * 2 >= col("n_bytes"))
+            .cast("long").as("mostly_dup"))
+    }, Some("""
+      WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, 'v2 update note ' || text
+        FROM documents WHERE doc_id % 25 = 0
+        UNION ALL
+        SELECT doc_id + 20000000, reverse(text)
+        FROM documents WHERE doc_id % 25 = 7),
+      d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM src),
+      b AS (
+        SELECT doc_id, text, n,
+          CASE WHEN n >= 8 THEN
+            list_filter(range(0, n - 7), i ->
+              (list_sum(list_transform(range(0, 8), j ->
+                ascii(substr(text, CAST(i + j + 1 AS INT), 1)) *
+                ([1, 31, 961, 29791, 923521, 28629151, 887503681,
+                  27512614111])[CAST(j + 1 AS INT)])) % 64) = 0)
+          ELSE CAST([] AS BIGINT[]) END AS bidx
+        FROM d),
+      c AS (
+        SELECT doc_id, text, n,
+          list_filter(list_transform(bidx, i -> i + 8), x -> x < n)
+            AS cuts
+        FROM b),
+      u AS (
+        SELECT doc_id, text, n, cuts,
+          unnest(range(0, len(cuts) + 1)) AS chunk_idx
+        FROM c),
+      ch AS (
+        SELECT doc_id,
+          CAST(e2 - s AS BIGINT) AS chunk_len,
+          md5(substr(text, CAST(s + 1 AS INT), CAST(e2 - s AS INT)))
+            AS chunk_md5
+        FROM (
+          SELECT doc_id, text,
+            CASE WHEN chunk_idx = 0 THEN 0
+                 ELSE cuts[CAST(chunk_idx AS INT)] END AS s,
+            CASE WHEN chunk_idx = len(cuts) THEN n
+                 ELSE cuts[CAST(chunk_idx + 1 AS INT)] END AS e2
+          FROM u)),
+      led AS (
+        SELECT DISTINCT chunk_md5 FROM ch WHERE doc_id < 10000000),
+      dch AS (
+        SELECT ch.*, CASE WHEN led.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END
+          AS shared
+        FROM ch LEFT JOIN led ON led.chunk_md5 = ch.chunk_md5
+        WHERE ch.doc_id >= 10000000)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(chunk_len) AS BIGINT) AS n_bytes,
+        CAST(SUM(shared) AS BIGINT) AS n_shared,
+        CAST(SUM(CASE WHEN shared = 1 THEN chunk_len ELSE 0 END)
+          AS BIGINT) AS bytes_shared,
+        CAST(SUM(CASE WHEN shared = 1 THEN chunk_len ELSE 0 END) * 2 >=
+          SUM(chunk_len) AS BIGINT) AS mostly_dup
+      FROM dch GROUP BY doc_id"""),
+      notes = "chunk-ledger incremental dedup (q220's consumer): delta chunk hashes semi-join the standing base ledger; a delta doc whose shared chunks cover >= half its bytes is an edited re-fetch (the re-sync property makes this exact, not approximate); fixture delta = prefix-edited re-fetches (must flag) + reversed novel docs (must not); ledger is id-sized and persisted/bucketed in production")
   )
 
   /** (doc_id, chunk_idx, chunk_len, chunk_md5) — the q220 operator,
-    * shared with CdcChunksSpec. `docs` must expose (doc_id, text). */
+    * shared with CdcChunksSpec. `docs` must expose (doc_id, text).
+    *
+    * SHAPE NOTE (measured, not theoretical): the whole per-doc pipeline
+    * (codes → breakpoints → cuts → chunk structs) lives inside ONE
+    * expression where each stage binds ONCE as a lambda variable — the
+    * single-element `transform(array(<stage>), v -> …)[1]` let-binding
+    * idiom. The chained-`withColumn` form let project-collapse inline
+    * the `codes` array INTO the per-position filter lambda, and when the
+    * composed expression fell out of whole-stage codegen (where CSE
+    * would have saved it) the interpreted path re-evaluated
+    * `split(text,'')` for EVERY position — O(n²) per doc, jstack-caught
+    * at 100× the runtime (the q197 composed-tree lesson, HOF edition).
+    * With the let-bindings the pipeline is linear even interpreted. */
   private[graft] def cdcChunkTable(docs: DataFrame): DataFrame = {
     val pows = "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, " +
       "887503681L, 27512614111L)"
+    val chunksExpr =
+      s"""element_at(transform(
+         |  array(transform(split(text, ''), ch -> ascii(ch))), codes ->
+         |  element_at(transform(
+         |    array(filter(
+         |      transform(
+         |        CASE WHEN length(text) >= 8
+         |             THEN filter(sequence(0, length(text) - 8), i ->
+         |                    (aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+         |                      (acc, j) ->
+         |                        acc + CAST(element_at(codes, i + j + 1)
+         |                                   AS BIGINT) *
+         |                          element_at($pows, j + 1)) % 64) = 0)
+         |             ELSE CAST(array() AS array<int>) END,
+         |        i -> i + 8),
+         |      x -> x < length(text))), cuts ->
+         |    transform(sequence(0, size(cuts)), k ->
+         |      struct(
+         |        CAST(k AS BIGINT) AS chunk_idx,
+         |        CAST((CASE WHEN k = size(cuts) THEN length(text)
+         |                   ELSE element_at(cuts, k + 1) END)
+         |           - (CASE WHEN k = 0 THEN 0
+         |                   ELSE element_at(cuts, k) END)
+         |          AS BIGINT) AS chunk_len,
+         |        md5(substring(text,
+         |          (CASE WHEN k = 0 THEN 0
+         |                ELSE element_at(cuts, k) END) + 1,
+         |          (CASE WHEN k = size(cuts) THEN length(text)
+         |                ELSE element_at(cuts, k + 1) END)
+         |           - (CASE WHEN k = 0 THEN 0
+         |                   ELSE element_at(cuts, k) END)))
+         |          AS chunk_md5))), 1)), 1)""".stripMargin
     docs
-      .withColumn("n", length(col("text")))
-      .withColumn("codes", expr("transform(split(text, ''), c -> ascii(c))"))
-      .withColumn("bidx", expr(
-        s"""CASE WHEN n >= 8 THEN
-           |  filter(sequence(0, n - 8), i ->
-           |    (aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
-           |      acc + CAST(element_at(codes, i + j + 1) AS BIGINT) *
-           |        element_at($pows, j + 1)) % 64) = 0)
-           |ELSE CAST(array() AS array<int>) END""".stripMargin))
-      .withColumn("cuts",
-        expr("filter(transform(bidx, i -> i + 8), x -> x < n)"))
-      .select(col("doc_id"), col("text"), col("n"), col("cuts"),
-        explode(expr("sequence(0, size(cuts))")).as("chunk_idx"))
-      .withColumn("s", expr(
-        "CASE WHEN chunk_idx = 0 THEN 0 ELSE element_at(cuts, chunk_idx) END"))
-      .withColumn("e", expr(
-        "CASE WHEN chunk_idx = size(cuts) THEN n " +
-          "ELSE element_at(cuts, chunk_idx + 1) END"))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        (col("e") - col("s")).cast("long").as("chunk_len"),
-        md5(expr("substring(text, s + 1, e - s)")).as("chunk_md5"))
+      .select(col("doc_id"), explode(expr(chunksExpr)).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx").as("chunk_idx"),
+        col("ch.chunk_len").as("chunk_len"),
+        col("ch.chunk_md5").as("chunk_md5"))
   }
 }
