@@ -895,6 +895,55 @@ object TextQueries {
       WHERE r.domain_rank <= 3"""),
       notes = "C4-style per-domain cap over the CANONICAL host (surface spellings can't dodge it): keep 3 earliest docs per domain with pre-cap pressure; narrow canonicalize map -> one domain-keyed window with WindowGroupLimit map-side pushdown (q07 contract) + one keyed agg joined on the tiny domain table"),
 
+    // ── Text repair (mojibake / control chars / whitespace) ────────────
+    // The "fix the bytes before judging the words" pass between q217's
+    // extraction and every quality gate: cp1252 mojibake (UTF-8 read as
+    // Windows-1252), zero-width + control characters that poison
+    // tokenizers, and whitespace runs that distort length-based gates.
+    // [[TextClean.clean]] is the operator (ordered: mojibake repair →
+    // control strip → whitespace collapse + trim; one narrow codegen'd
+    // map). Fixture: each doc re-arrives with a deterministic dirty
+    // suffix chosen by doc_id % 4 — a mojibake class (cafÃ©-style), a
+    // punctuation-mojibake class (â€™/â€œ/â€“), a control/zero-width
+    // class (TAB, U+200B, U+0001), and a whitespace-run class — and the
+    // oracle derives the cleaned text from the formula (trim(text) ||
+    // the KNOWN clean suffix), so every repair rule and the char
+    // accounting hash-gate. Dirty strings never appear in the oracle;
+    // only their clean targets do.
+    QueryDef("q222_text_clean", (s, d) => {
+      val suffix = when(col("doc_id") % 4 === 0,
+          lit(" cafÃ© naÃ¯ve touchÃ© Ã¼ber"))
+        .when(col("doc_id") % 4 === 1, lit(" itâ€™s â€œquoted â€“ fine"))
+        .when(col("doc_id") % 4 === 2, lit(" a\tb\u200Bc \u0001d"))
+        .otherwise(lit(" d  e   f "))
+      val dirty = concat(col("text"), suffix)
+      t(s, d, "documents").select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          length(col("dirty")).cast("long").as("n_chars_dirty"),
+          TextClean.clean(col("dirty")).as("cleaned"))
+        .select(col("doc_id"), col("n_chars_dirty"),
+          length(col("cleaned")).cast("long").as("n_chars_clean"),
+          md5(col("cleaned")).as("clean_md5"))
+    }, Some("""
+      WITH e AS (
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) +
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN 27 WHEN 1 THEN 26 WHEN 2 THEN 9
+              ELSE 10 END AS n_chars_dirty,
+          trim(text) ||
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN ' café naïve touché über'
+              WHEN 1 THEN ' it’s “quoted – fine'
+              WHEN 2 THEN ' a bc d'
+              ELSE ' d e f' END AS cleaned
+        FROM documents)
+      SELECT doc_id, n_chars_dirty,
+        CAST(length(cleaned) AS BIGINT) AS n_chars_clean,
+        md5(cleaned) AS clean_md5
+      FROM e"""),
+      notes = "text repair between extraction and quality gates: cp1252 mojibake allowlist (machine-verified round-trips), control/zero-width strip, whitespace collapse — ordered, one narrow codegen'd map; fixture appends formula-chosen dirty suffixes and the oracle derives the CLEAN result directly (dirty bytes never appear in SQL), so every rule + char accounting hash-gates"),
+
     // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
     // q156's vision twin: the patch grid every patch-embedding pipeline
     // starts from. Each gray PNG decodes and splits into a 4×4 grid —
