@@ -31,7 +31,8 @@ class QueryCatalogSpec extends SparkSpec {
       "q132_bpe_encode", // sequential greedy merge (TrainingDataOpsSpec brute-force encoder parity)
       "q168_hard_negatives_indexed", // quantizer-dependent probe (HardNegativesIndexedSpec overlap pins)
       "q207_semantic_dedup_indexed", // quantizer-dependent cells (SemanticDedupIndexedSpec closure + q74 parity pins)
-      "q213_semantic_decontaminate_indexed"), // quantizer-dependent probe (one-sided drops + recall floor pinned vs the q211 exact anchor)
+      "q213_semantic_decontaminate_indexed", // quantizer-dependent probe (one-sided drops + recall floor pinned vs the q211 exact anchor)
+      "q215_bitext_margin_indexed"), // quantizer-dependent probe (real-cosine surfacing + agreement floors pinned vs the q214 exact anchor in BitextMarginSpec)
       "only engine-specific-hash / approximate / sequential-merge ops may omit the oracle")
   }
 
