@@ -1671,9 +1671,13 @@ object SimilarityQueries {
       val cells = s.table(s"${vName}_cells")
       val emb = t(s, d, "embeddings")
       val isProbe = col("vec_id") % 50 === 0
+      // pinned: fwd feeds three consumers (frontier distinct, fa agg, the
+      // mined join) — id-sized, so the pin is cheap and the index probe
+      // runs once (the q221 fan-out rule)
       val fwd = VectorIndex.probeAgainst(cents, cells.filter(!isProbe),
           emb.filter(isProbe), nProbe = 8, topK = K)
         .select(col("query_id"), col("cand_id"), col("cos_sim"))
+        .localCheckpoint(true)
       val surfaced = fwd.select(col("cand_id").as("vec_id")).distinct()
         .join(emb, Seq("vec_id"))
       val rev = VectorIndex.probeAgainst(cents, cells.filter(isProbe),
