@@ -63,8 +63,7 @@ object WebCurate {
 
     val wDom = Window.partitionBy("domain").orderBy("page_id")
     val capped = urlKept
-      .withColumn("domain",
-        regexp_extract(col("url_canon"), "^[a-zA-Z]+://([^/]+)", 1))
+      .withColumn("domain", UrlOps.domain(col("url_canon")))
       .withColumn("__rn", row_number().over(wDom))
       .filter(col("__rn") <= maxPerDomain).drop("__rn")
     val n2 = capped.count()

@@ -717,9 +717,12 @@ object TextQueries {
     // per-media partition size is bounded by clip length (windows per
     // clip, not corpus rows), and the byte-sized payloads never enter.
     QueryDef("q216_vad_segments", (s, d) => {
+      // minActive passed explicitly: the oracle's HAVING literal below
+      // mirrors it — changing one without the other desyncs the gate
       graft.multimodal.Multimodal.vadSegments(
         graft.multimodal.Multimodal.audioEnergyWindows(
-          graft.multimodal.Multimodal.fromDocuments(s, d)).toDF())
+          graft.multimodal.Multimodal.fromDocuments(s, d)).toDF(),
+        minActive = 2L)
     }, Some("""
       WITH a AS (
         SELECT doc_id AS id, 256 + doc_id % 128 AS n
@@ -866,8 +869,7 @@ object TextQueries {
         .select(col("doc_id"),
           UrlOps.canonicalize(UrlOps.syntheticUrl(col("doc_id")))
             .as("url_canon"))
-        .withColumn("domain",
-          regexp_extract(col("url_canon"), "^https://([^/]+)", 1))
+        .withColumn("domain", UrlOps.domain(col("url_canon")))
       val pressure = canon.groupBy("domain")
         .agg(count(lit(1)).as("n_crawled"))
       canon

@@ -46,6 +46,12 @@ object UrlOps {
       when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
   }
 
+  /** Registered host of a CANONICAL url — the q219/WebCurate grouping
+    * key. Defined on canonicalize's output (scheme-prefixed, port- and
+    * www-free), so one definition serves every consumer. */
+  def domain(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[a-zA-Z]+://([^/]+)", 1)
+
   /** Deterministic messy-URL fixture for the q218 gate (the
     * syntheticHtml/buildPayload posture): the canonical target is a pure
     * function of `doc_id % 40` (domain, tld, path and both surviving
