@@ -407,6 +407,35 @@ object Multimodal {
         "n_active", "sq_total")
   }
 
+  /** Perceptual audio fingerprint — the q223 operator and the audio
+    * analog of [[imageAHash]] (chromaprint-lite): the SIGN of the
+    * energy delta between consecutive `winLen`-sample windows, packed
+    * LSB-first into a BIGINT (bit j set iff e(j+1) > e(j), strict — a
+    * flat pair is 0 on both engines). Robust to uniform gain and small
+    * noise (signs survive), brittle to time shifts by design (shifted
+    * audio is different audio at this layer; alignment is a retrieval
+    * problem). Bits cap at `maxBits` (≤ 48 keeps every bit far from the
+    * sign); n_bits carries the real count so short clips compare fairly.
+    * Shape: one keyed agg over the n/winLen window table — bytes decode
+    * in place, only (id, fp) pairs ever join. */
+  def audioFingerprints(media: Dataset[MediaRow], winLen: Int = 16,
+      maxBits: Int = 48): DataFrame = {
+    require(maxBits > 0 && maxBits <= 48, s"maxBits in (0,48]: $maxBits")
+    audioEnergyWindows(media, winLen = winLen).toDF()
+      .groupBy("media_id")
+      .agg(sort_array(collect_list(struct(col("window_id"), col("sq_sum"))))
+        .as("es"))
+      .select(col("media_id"),
+        expr(
+          s"""aggregate(sequence(0, least(size(es) - 2, ${maxBits - 1})),
+             |  CAST(0 AS BIGINT), (acc, j) ->
+             |  acc + CASE WHEN es[j + 1].sq_sum > es[j].sq_sum
+             |             THEN shiftleft(CAST(1 AS BIGINT), j)
+             |             ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+          .as("fingerprint"),
+        least(size(col("es")) - 1, lit(maxBits)).cast("long").as("n_bits"))
+  }
+
   def audioEnergyWindows(media: Dataset[MediaRow], winLen: Int = 80,
       meanSqThreshold: Long = 333000L): Dataset[AudioWindow] = {
     require(winLen > 0, "audioEnergyWindows: winLen must be positive")

@@ -762,6 +762,74 @@ object TextQueries {
       HAVING SUM(active) >= 2"""),
       notes = "VAD segmentation over q156's gated activity signal: single-gap hangover bridge (lag/lead), islands via the window_id - row_number() difference trick, min-2-active duration rule; exact integers end-to-end so segment boundaries hash-gate against the formula-derived oracle; two media-keyed windows + one keyed agg over the n/80-row window table, payload bytes never enter"),
 
+    // ── Perceptual audio fingerprint + near-dup (chromaprint-lite) ─────
+    // q170/q208 dedup images perceptually; this is the AUDIO member:
+    // re-encoded/re-gained copies of one recording survive as the same
+    // SIGN PATTERN of consecutive window-energy deltas even when no
+    // byte matches ([[graft.multimodal.Multimodal.audioFingerprints]] —
+    // strict-greater bits, exact integers, gain- and noise-robust,
+    // deliberately shift-brittle). Matching is the q170 pigeonhole:
+    // Hamming <= 1 needs one of two 24-bit blocks equal (lossless for
+    // fp bits <= 47), candidates verify by bit_count on the real
+    // fingerprints. The oracle re-derives every energy from the
+    // generating PCM formula and brute-forces ALL pairs — so the
+    // fingerprint arithmetic AND the pigeonhole's losslessness are both
+    // proven (any candidate the blocks missed would surface as an
+    // oracle-only near-dup and red the row). Fixture caveat, q208's
+    // documented class: short clips zero the high block, so block-1
+    // buckets degenerate and the candidate join leans on the verify
+    // filter — fine at fixture scale, and the production refinement for
+    // full-entropy 48-bit prints is the q36 hot-bucket observe-cap.
+    QueryDef("q223_audio_fingerprint", (s, d) => {
+      val fps = graft.multimodal.Multimodal.audioFingerprints(
+        graft.multimodal.Multimodal.fromDocuments(s, d))
+      val blocks = fps.select(col("media_id"), col("fingerprint"),
+          explode(expr("transform(sequence(0, 1), j -> struct(j AS j, " +
+            "shiftright(fingerprint, j * 24) & 16777215 AS blk))")).as("b"))
+        .select(col("media_id"), col("fingerprint"),
+          col("b.j").as("j"), col("b.blk").as("blk"))
+      val nd = blocks.as("a").join(blocks.as("b"),
+          col("a.j") === col("b.j") && col("a.blk") === col("b.blk") &&
+            col("a.media_id") =!= col("b.media_id"))
+        .select(col("a.media_id").as("media_id"),
+          col("b.media_id").as("other"),
+          col("a.fingerprint").as("fa"), col("b.fingerprint").as("fb"))
+        .distinct()
+        .filter(expr("bit_count(fa ^ fb)") <= 1)
+        .groupBy("media_id").agg(count(lit(1)).as("n_neardups"))
+      fps.join(nd, Seq("media_id"), "left_outer")
+        .select(col("media_id"), col("fingerprint"), col("n_bits"),
+          coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS id, 256 + doc_id % 128 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      f AS (
+        SELECT id,
+          list_transform(range(0, (n + 15) // 16), w ->
+            list_sum(list_transform(range(w*16, least(w*16 + 16, n)),
+              i -> ((id*13 + i*5) % 2001 - 1000)
+                 * ((id*13 + i*5) % 2001 - 1000)))) AS es
+        FROM a),
+      g AS (
+        SELECT id,
+          CAST(list_sum(list_transform(range(0, least(len(es) - 1, 48)),
+            j -> CASE WHEN es[CAST(j + 2 AS INT)] > es[CAST(j + 1 AS INT)]
+                      THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+            AS fingerprint,
+          CAST(least(len(es) - 1, 48) AS BIGINT) AS n_bits
+        FROM f),
+      nd AS (
+        SELECT a.id, CAST(COUNT(*) AS BIGINT) AS n_nd
+        FROM g a JOIN g b ON a.id <> b.id
+        WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 1
+        GROUP BY 1)
+      SELECT g.id AS media_id, g.fingerprint, g.n_bits,
+        CAST(COALESCE(nd.n_nd, 0) AS BIGINT) AS n_neardups
+      FROM g LEFT JOIN nd ON nd.id = g.id"""),
+      notes = "perceptual audio near-dup (q170's audio member): sign-of-energy-delta fingerprint over real decoded PCM (gain/noise-robust, shift-brittle by design), q170 pigeonhole blocks + bit_count verify at Hamming <= 1; oracle re-derives energies from the PCM formula and brute-forces all pairs, proving both the fingerprint arithmetic and the pigeonhole's losslessness; one keyed agg + id-sized block joins, bytes never shuffle"),
+
     // ── HTML main-content extraction (WARC→WET layer, formula-oracled) ─
     // Web corpora arrive as MARKUP; every quality gate in this catalog
     // assumes the extraction already happened (Common Crawl WET / C4 /
