@@ -9,6 +9,37 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.ExplainAudit <sfDir> [queryName...]
   */
 object ExplainAudit {
+
+  /** How many times each source parquet table is scanned in one query's
+    * PHYSICAL plan — the q182/q210 defect class detector (a corpus-scale
+    * frame consumed N times with no pin re-scans the corpus N times).
+    * Counts `FileSourceScanExec` nodes grouped by root-path basename;
+    * pinned frames (`localCheckpoint`) surface as RDD scans, not file
+    * scans, so a correctly-pinned multi-consumer plan counts ONCE.
+    * Subqueries and reused exchanges/subtrees are walked too
+    * (`ReusedExchangeExec` references an already-counted subtree and is
+    * deliberately NOT double-counted — Spark executes it once). */
+  def tableScanCounts(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.getName).toSeq
+        case _ => Seq.empty
+      }
+      // AQE nodes hide their subtree from `children` — descend explicitly
+      val hidden = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => Seq.empty
+      }
+      here ++ hidden ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .groupBy(identity).map { case (k, v) => (k, v.size) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq
@@ -24,7 +55,14 @@ object ExplainAudit {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {
-        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case Some(fn) =>
+          val df = fn(spark, sfDir)
+          df.explain("formatted")
+          tableScanCounts(df).toSeq.sortBy(-_._2).foreach { case (t, c) =>
+            val flag = if (c >= 3) "  <== MULTI-SCAN WARN (pin or pre-agg?)"
+                       else ""
+            println(s"SCAN-AUDIT: $t x$c$flag")
+          }
         case None => println(s"unknown query: $n")
       }
     }

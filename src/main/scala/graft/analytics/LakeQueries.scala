@@ -469,12 +469,19 @@ object LakeQueries {
     QueryDef("q140_triangles", (s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      // pinned: e feeds deg (twice, via the endpoint union) AND the
+      // oriented frame — unpinned, the lineitem self-join re-ran per
+      // consumer (ExplainAudit counted lineitem scanned x30 through the
+      // triangle join's three g branches; this was the bulk of the r9
+      // 2.3 -> 7.8 s driver regression, not the orientation itself).
+      // e is the support->=25 edge list — graph metadata, cheap to pin.
       val e = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_suppkey") < col("b.l_suppkey"))
         .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("w"))
         .filter(col("w") >= 25).select("u", "v")
+        .localCheckpoint(true)
       val deg = e.select(col("u").as("n"))
         .union(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -482,11 +489,15 @@ object LakeQueries {
       // ties keep (u, v) and the orientation is a strict total order
       val uLower = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
+      // pinned: g is consumed THREE times by the two-hop triangle join —
+      // pinning makes those reads free instead of re-running the
+      // orientation joins per branch
       val g = e
         .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
         .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
         .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
           when(uLower, col("v")).otherwise(col("u")).as("b"))
+        .localCheckpoint(true)
       val tri = g.as("e1")
         .join(g.as("e2"), col("e1.b") === col("e2.a"))
         .join(g.as("e3"),

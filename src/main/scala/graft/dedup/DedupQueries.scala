@@ -54,7 +54,7 @@ object DedupQueries {
     * reps), which keeps every doc connected to its cluster while cutting the
     * non-rep × non-rep quadratic tail. Buckets smaller than the cap are
     * byte-identical to the unguarded plan. */
-  private[dedup] val MaxBucketReps = 64
+  private[graft] val MaxBucketReps = 64
 
   /** q64 document-frequency cap: a 3-gram appearing in more than this many
     * TRAINING docs is excluded from the contamination join — it is
@@ -187,7 +187,7 @@ object DedupQueries {
   private val guardListenerSessions = java.util.Collections.synchronizedSet(
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
-  private def ensureGuardListener(s: SparkSession): Unit =
+  private[graft] def ensureGuardListener(s: SparkSession): Unit =
     if (guardListenerSessions.add(s)) {
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
       s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
@@ -201,6 +201,14 @@ object DedupQueries {
                 log.warn(s"q36 LSH hot-bucket guard capped $capped bucket(s), " +
                   s"skipped ${row.getLong(1)} non-rep candidate pair slots " +
                   s"(MaxBucketReps=$MaxBucketReps) — recall differs from unguarded LSH")
+            }
+            qe.observedMetrics.get("q208_ahash_guard").foreach { row =>
+              val capped = if (row.isNullAt(0)) 0L else row.getLong(0)
+              if (capped > 0L)
+                log.warn(s"q208 aHash hot-bucket guard capped $capped " +
+                  s"distinct-hash bucket(s), skipped ${row.getLong(1)} " +
+                  s"non-rep class-pair slots (MaxBucketReps=$MaxBucketReps) " +
+                  "— near-dup recall differs from the unguarded pigeonhole")
             }
             qe.observedMetrics.get("q141_setsim").foreach { row =>
               val cands = if (row.isNullAt(0)) 0L else row.getLong(0)
@@ -227,12 +235,20 @@ object DedupQueries {
     * max(c_ab, c_ba) >= tau. */
   private[graft] def containmentPairsOf(docs: DataFrame, tau: Double): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // pinned: g feeds the gram explode, the per-doc profile AND both
+    // sides of the verify join — unpinned, the tokenize+shingle+hash+
+    // sort pass re-ran per consumer (ExplainAudit: documents x12 in
+    // q95). The exploded per-doc-DISTINCT gram stream also replaces the
+    // r9 raw-shingle re-tokenize: df/n_shared/n_kept now count DISTINCT
+    // grams exactly (occurrence counting made the capped-gram prefilter
+    // bound only heuristically sound when a doc repeats a shingle —
+    // distinct counts make `n_inter <= n_shared + min(capped)` a
+    // theorem, since n_inter is a distinct-set intersection).
     val g = hashedGramsOf(docs.select("doc_id", "text"))
-    val ex = tokenized(docs)
-      .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .localCheckpoint(true)
+    val ex = g.select(col("doc_id"), explode(col("grams_h")).as("gh"))
     val keep = ex.groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df")) // one row per (doc, gram): count = df
       .filter(col("df") <= MaxGramDf).select("gh")
     val kept = ex.join(keep, "gh")
     // shared-gram COUNTS per candidate pair (q64's agg shape — one

@@ -643,8 +643,22 @@ object JpegCodec {
     // per-component plane, padded to whole blocks
     val planeW = comps.map(c => mcusX * c.hs * 8)
     val planeH = comps.map(c => mcusY * c.vs * 8)
+    // Allocation guards — dims come from the HEADER, before any entropy
+    // data is validated, so a few-hundred-byte crafted stream could
+    // otherwise declare e.g. 32000x32000 and force a multi-GB alloc on
+    // the crawl-ingest path (advisor-flagged; the old cap allowed
+    // ~4.3 GB/plane). Two bounds:
+    //  (1) the documented tens-of-megapixel decode regime: reject any
+    //      plane past 1e8 px (400 MB of ints — already generous);
+    //  (2) entropy-length sanity: every block costs >= 2 bits (1-bit DC
+    //      Huffman code minimum + 1-bit EOB), so a stream whose scan
+    //      section can't even hold 2 bits/block is structurally truncated
+    //      — reject before allocating rather than mid-decode.
     if (planeW.zip(planeH).exists { case (pw, ph) =>
-      pw.toLong * ph > Int.MaxValue / 2 }) return None
+      pw.toLong * ph > 100000000L }) return None
+    val totalBlocks =
+      mcusX.toLong * mcusY * comps.map(c => c.hs * c.vs).sum
+    if (totalBlocks * 2 > (bytes.length - sosAt).toLong * 8) return None
     val planes = Array.tabulate(comps.length)(i =>
       new Array[Int](planeW(i) * planeH(i)))
     val in = new BitReader(bytes, sosAt)

@@ -426,14 +426,20 @@ object Multimodal {
       .agg(sort_array(collect_list(struct(col("window_id"), col("sq_sum"))))
         .as("es"))
       .select(col("media_id"),
-        expr(
+        // the >=2 guard makes one-window clips well-defined (fp 0, 0
+        // bits): unguarded, sequence(0, -1) is DESCENDING in Spark
+        // ([0,-1] — not empty like the oracle's range(0,0)), a latent
+        // cross-engine divergence on a public operator (advisor-flagged;
+        // unreachable with the >=16-window fixture but guarded anyway)
+        when(size(col("es")) >= 2, expr(
           s"""aggregate(sequence(0, least(size(es) - 2, ${maxBits - 1})),
              |  CAST(0 AS BIGINT), (acc, j) ->
              |  acc + CASE WHEN es[j + 1].sq_sum > es[j].sq_sum
              |             THEN shiftleft(CAST(1 AS BIGINT), j)
-             |             ELSE CAST(0 AS BIGINT) END)""".stripMargin)
-          .as("fingerprint"),
-        least(size(col("es")) - 1, lit(maxBits)).cast("long").as("n_bits"))
+             |             ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+          .otherwise(lit(0L)).as("fingerprint"),
+        greatest(least(size(col("es")) - 1, lit(maxBits)), lit(0))
+          .cast("long").as("n_bits"))
   }
 
   def audioEnergyWindows(media: Dataset[MediaRow], winLen: Int = 80,
@@ -536,6 +542,80 @@ object Multimodal {
         ImageHash(r.media_id, bits)
       }
     }
+  }
+
+  /** Per-image near-dup counts over a (media_id, ahash) frame via the
+    * q138/q170 4×16-bit block pigeonhole at Hamming ≤ `maxHamming` —
+    * the q208 counting core, factored so the hot-bucket cap is directly
+    * spec-testable on crafted hash frames (MultimodalSpec).
+    *
+    * Scale shape: collapse to DISTINCT-HASH CLASSES first. Byte-dup and
+    * hash-dup mass becomes one weighted row, the pigeonhole join runs
+    * over |distinct| rows, and per-image counts reconstruct EXACTLY from
+    * class sizes — n_neardups(h) = (cnt(h) − 1) [same-hash others,
+    * Hamming 0] + Σ cnt(h′) over matched classes h′ ≠ h. Degeneracy
+    * (near-dup-dense corpora) HELPS instead of fanning the join out
+    * quadratically. For full-entropy corpora (distinct ~ n) the q36
+    * observe-guard caps each (block-index, block-value) bucket at `cap`
+    * distinct-hash reps: capped buckets and skipped candidate slots are
+    * observed in-flow under `observeName` (WARN-logged by the registered
+    * guard listener when it fires) — recall differs from the unguarded
+    * pigeonhole ONLY when a bucket exceeds `cap` distinct hashes, never
+    * on dup mass, which the collapse already absorbed.
+    *
+    * Observability caveat (the CAP always applies; only its METRIC is
+    * affected): AQE's post-stage re-planning can elide the
+    * CollectMetrics node from the final physical plan when the Hamming
+    * predicate constrains the pigeonhole join, leaving
+    * `observedMetrics` empty — bisected empirically in MultimodalSpec;
+    * the same plan without the bit_count filter keeps the node. The
+    * WARN is therefore best-effort under AQE (exact with AQE off, as
+    * the spec pins); SCALE.md §observability records the rule. */
+  def aHashNearDupCounts(hs: DataFrame, maxHamming: Int = 3,
+      cap: Int = graft.dedup.DedupQueries.MaxBucketReps,
+      observeName: String = "q208_ahash_guard"): DataFrame = {
+    val classes = hs.groupBy("ahash").agg(count(lit(1)).as("cnt"))
+    val blocks = classes.select(col("ahash"), col("cnt"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+          shiftrightunsigned(col("ahash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+            .as("blk"))): _*)).as("p"))
+      .select(col("ahash"), col("cnt"), col("p.j"), col("p.blk"))
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("j", "blk").orderBy("ahash")
+    val ranked = blocks.withColumn("rn", row_number().over(wBucket))
+    val observed = ranked.observe(observeName,
+      count(when(col("rn") === cap + 1, lit(1))).as("capped_buckets"),
+      coalesce(sum(when(col("rn") > cap,
+        (col("rn") - cap - 1).cast("long"))), lit(0L)).as("skipped_pairs"))
+    val reps = ranked.filter(col("rn") <= cap)
+    // undirected class pairs (lo < hi), then mirrored so each class
+    // sees its full neighbor sum — all frames here are |distinct|-sized
+    val pairs = reps.as("a").join(observed.as("b"),
+        col("a.j") === col("b.j") && col("a.blk") === col("b.blk") &&
+          col("a.ahash") =!= col("b.ahash"))
+      .select(least(col("a.ahash"), col("b.ahash")).as("lo"),
+        greatest(col("a.ahash"), col("b.ahash")).as("hi"))
+      .distinct()
+      .filter(expr("bit_count(lo ^ hi)").cast("long") <= maxHamming)
+    // mirror via ONE explode, not a union: a union would duplicate the
+    // whole pairs subtree INCLUDING the CollectMetrics node (two
+    // instances under one name — the metric double-counts and Spark's
+    // observedMetrics collection drops the duplicate-named pair
+    // entirely, so the guard goes blind)
+    val nbrSum = pairs.select(explode(array(
+        struct(col("lo").as("ahash"), col("hi").as("o")),
+        struct(col("hi").as("ahash"), col("lo").as("o")))).as("e"))
+      .select(col("e.ahash").as("ahash"), col("e.o").as("o"))
+      .join(classes.select(col("ahash").as("o"), col("cnt").as("ocnt")), "o")
+      .groupBy("ahash").agg(sum("ocnt").as("nbr"))
+    val nd = classes.join(nbrSum, Seq("ahash"), "left_outer")
+      .select(col("ahash"),
+        (col("cnt") - 1 + coalesce(col("nbr"), lit(0L))).as("n_nd"))
+    // no broadcast hint: on dup-dense corpora nd is tiny and AQE
+    // broadcasts it; at full entropy distinct ~ n and a forced
+    // broadcast would be the bug
+    hs.join(nd, Seq("ahash"))
+      .select(col("media_id"), col("ahash"), col("n_nd").as("n_neardups"))
   }
 
   /** Per-frame-pair motion energy over REAL decoded video frames — the

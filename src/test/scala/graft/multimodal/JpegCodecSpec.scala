@@ -152,6 +152,32 @@ class JpegCodecSpec extends AnyFunSuite {
     JpegCodec.decode(corrupt) // must not throw
   }
 
+  test("allocation guards: header-declared huge dims reject BEFORE allocating (crafted-stream OOM defense)") {
+    // a few-hundred-byte stream whose SOF0 declares 32000×32000 must not
+    // trigger a ~4 GB plane allocation on the crawl-ingest path: patch a
+    // real stream's SOF dims (offset: FFC0 len(2) precision(1) h(2) w(2))
+    val good = JpegCodec.encode(flatBlocks(16, 16, 1), quant = 1)
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    def withDims(h: Int, w: Int): Array[Byte] = {
+      val b = good.clone()
+      b(sofAt + 5) = ((h >> 8) & 0xff).toByte; b(sofAt + 6) = (h & 0xff).toByte
+      b(sofAt + 7) = ((w >> 8) & 0xff).toByte; b(sofAt + 8) = (w & 0xff).toByte
+      b
+    }
+    // past the documented tens-of-megapixel regime → None (plane cap)
+    assert(JpegCodec.decode(withDims(32000, 32000)).isEmpty)
+    // under the plane cap but structurally truncated: 4000×4000 needs
+    // ≥ 2 bits/block = 62.5 KB of entropy data this stream can't hold
+    assert(JpegCodec.decode(withDims(4000, 4000)).isEmpty)
+    // the patch rig itself is sound: original dims still decode
+    assert(JpegCodec.decode(withDims(16, 16)).isDefined)
+    // header parsing (metadata path) is allocation-free and still
+    // reports the declared dims — only DECODE refuses
+    assert(JpegCodec.parseHeader(withDims(32000, 32000))
+      .contains((32000, 32000, 1)))
+  }
+
   test("parseHeader reports dims for the metadata path and HeaderCodec dispatches jpeg") {
     val bytes = JpegCodec.encode(flatBlocks(24, 16, 3), quant = 1)
     assert(JpegCodec.parseHeader(bytes).contains((24, 16, 1)))

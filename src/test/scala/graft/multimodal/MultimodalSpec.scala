@@ -422,4 +422,91 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.length == fresh.size)
     assert(stats.forall(m => m.format == "jpeg" && m.n_units > 0))
   }
+
+  // ── aHash near-dup counting core (q208's class-collapse + cap) ───────
+
+  /** Scala brute force of the UNBLOCKED truth: for each image, count the
+    * others at Hamming ≤ 3. (The pigeonhole block scheme is exact for
+    * ≤ 3 flipped bits across 4 blocks — at least one block survives.) */
+  private def bruteNearDups(hs: Seq[(Long, Long)]): Map[Long, Long] =
+    hs.map { case (id, h) =>
+      id -> hs.count { case (oid, oh) =>
+        oid != id && java.lang.Long.bitCount(h ^ oh) <= 3 }.toLong
+    }.toMap
+
+  test("aHashNearDupCounts == brute force on a near-dup-dense frame (class collapse is exact)") {
+    import spark.implicits._
+    // 120 images over 9 distinct hashes: base, Hamming-1/2/3 variants
+    // (near-dups), a Hamming-4+ outlier family — heavy dup mass per class
+    val protos = Seq(0x0123456789ABCDEFL)
+    val fam = protos.flatMap(p => Seq(
+      p, p ^ 1L, p ^ (1L << 17), p ^ ((1L << 3) | (1L << 40)),
+      p ^ ((1L << 1) | (1L << 20) | (1L << 63)),
+      p ^ 0xF0L, ~p, ~p ^ 2L, 0L))
+    val rows = (0 until 120).map(i => (i.toLong, fam(i % fam.length)))
+    val got = Multimodal.aHashNearDupCounts(rows.toDF("media_id", "ahash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = bruteNearDups(rows)
+    assert(got == want,
+      s"class-collapse counts diverge from brute force: ${
+        got.toSeq.sortBy(_._1).take(5)} vs ${want.toSeq.sortBy(_._1).take(5)}")
+  }
+
+  test("aHashNearDupCounts: hot-bucket cap fires only past `cap` distinct hashes and observes the skip") {
+    import spark.implicits._
+    // full-entropy stress: N distinct hashes all agreeing on block 0
+    // (low 16 bits fixed) and mutually Hamming-far elsewhere, so block 0
+    // is the ONLY shared bucket and every pair is a candidate the cap
+    // can skip. Hamming distance between members is ≥ 4 (distinct high
+    // bits spread), so TRUE near-dup count is 0 — the cap can't change
+    // correctness here, only candidate work, which is what we observe.
+    val n = 12
+    // one-hot upper lanes: per-hash distinct in EVERY upper block (no
+    // second shared bucket) and pairwise XOR = 2 bits/lane × 3 = 6 > 3
+    val rows = (0 until n).map(i =>
+      (i.toLong, 0x5A5AL | (1L << (16 + i)) | (1L << (32 + 11 - i))
+        | (1L << (48 + 15 - i))))
+    // sanity: all share low block, all mutually far
+    for (a <- rows; b <- rows if a._1 < b._1)
+      assert(java.lang.Long.bitCount(a._2 ^ b._2) > 3)
+    val df = rows.toDF("media_id", "ahash")
+    // uncapped (cap >= n): exact, equals brute force (all zeros)
+    val uncapped = Multimodal.aHashNearDupCounts(df, cap = n,
+        observeName = "t_guard_off")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uncapped == bruteNearDups(rows))
+    // capped at 4: result STILL exact on this frame (skipped candidates
+    // were all true negatives) and the observe metric records the skip
+    val capped = Multimodal.aHashNearDupCounts(df, cap = 4,
+        observeName = "t_guard_default")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped == uncapped,
+      "cap changed counts on a frame whose skipped candidates are all true negatives")
+    // Metric assertion runs with AQE off: AQE's post-stage re-planning
+    // can elide the CollectMetrics node from the FINAL physical plan
+    // when the Hamming predicate constrains the pigeonhole join
+    // (bisected empirically: the same plan minus the bit_count filter
+    // keeps the node; with it, observedMetrics goes empty) — so the
+    // production WARN is best-effort under AQE, while the CAP itself is
+    // structural (asserted above under default config). Recorded in
+    // SCALE.md §observability.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val obsDf = Multimodal.aHashNearDupCounts(df, cap = 4,
+        observeName = "t_guard_on")
+      assert(obsDf.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        == uncapped)
+      val m = obsDf.queryExecution.observedMetrics.get("t_guard_on")
+      assert(m.isDefined, "q208-style guard metric was never observed")
+      val cappedBuckets = m.get.getLong(0)
+      val skippedPairs = m.get.getLong(1)
+      // one hot bucket (block 0) past the cap; 12 − 4 = 8 skipped reps
+      assert(cappedBuckets == 1L, s"capped_buckets = $cappedBuckets")
+      // rows rn = cap+1 .. n each contribute (rn − cap − 1) skipped
+      // rep-pair slots: Σ = (n−cap−1)(n−cap)/2
+      assert(skippedPairs == (n - 4 - 1).toLong * (n - 4) / 2,
+        s"skipped_pairs = $skippedPairs (expected the rn>cap slot count)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }

@@ -34,6 +34,26 @@ class UrlOpsSpec extends SparkSpec {
       Seq("https://a.com/x", "http://a.com/x", "https://a.com:8080/x"))
   }
 
+  test("port stripping is scheme-conditional: cross combos survive") {
+    // https://h:80 and http://h:443 are NON-default ports — distinct
+    // origins that must not merge with the portless spelling (the r9
+    // unconditional `:(443|80)$` strip merged them; advisor-flagged)
+    assert(canon("https://a.com:80/x", "http://a.com:443/x") ==
+      Seq("https://a.com:80/x", "http://a.com:443/x"))
+  }
+
+  test("domain() is port-free and query-safe") {
+    import spark.implicits._
+    val got = Seq("https://a.com:8080/x", "https://a.com/x",
+      "http://a.com:443/y", "https://b.org?id=1")
+      .toDF("u")
+      .select(UrlOps.domain(UrlOps.canonicalize(col("u"))))
+      .collect().map(_.getString(0)).toSeq
+    // a.com:8080 groups WITH a.com (no per-domain-cap dodge via port
+    // spellings); a root-path URL's query never leaks into the key
+    assert(got == Seq("a.com", "a.com", "a.com", "b.org"), got.toString)
+  }
+
   test("fragment strips; trailing slash strips except on the root path") {
     assert(canon("https://a.com/x#sec", "https://a.com/x/",
       "https://a.com/") ==
