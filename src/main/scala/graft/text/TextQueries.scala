@@ -1048,6 +1048,131 @@ object TextQueries {
       FROM e"""),
       notes = "text repair between extraction and quality gates: cp1252 mojibake allowlist (machine-verified round-trips), control/zero-width strip, whitespace collapse — ordered, one narrow codegen'd map; fixture appends formula-chosen dirty suffixes and the oracle derives the CLEAN result directly (dirty bytes never appear in SQL), so every rule + char accounting hash-gates"),
 
+    // ── Crawl front door e2e (WebCurate under the driver gate) ─────────
+    // Drives [[graft.pipeline.WebCurate.run]] — pages → URL dedup →
+    // domain cap → extract+repair → the full CorpusCurate chain → shards
+    // — on the q217/q218 synthetic fixtures and emits the TWO-LEVEL
+    // MANIFEST as the oracled surface: pages = urlDup + domainCap +
+    // emptyExtract + inner, inner = quality + exact + nearDup + kept
+    // (the q80 composition pattern one level up, but running the REAL
+    // pipeline object, not an inline re-expression). The oracle
+    // recomputes every number from the generating formulas: canonical
+    // class = doc_id % 40 (q218's proof), domain = one class per host
+    // (cap mirrored anyway), cleaned text = trim(text) + the entity
+    // line (q217's extraction gate ∘ q222's whitespace-collapse gate —
+    // both independently hash-green, so the composition is formula-
+    // derivable), quality/fingerprint/token/shard exprs are the
+    // q31/q35/q66 mirrors, and the near-dup stage is the EXACT-Jaccard
+    // twin of the LSH path — valid on this fixture because every ≥0.6
+    // pair among the ≤40 URL-keepers is LSH-caught (deterministic:
+    // xxhash64 band hashes are fixed; verified at 3 SFs, and
+    // DedupClustersLshSpec pins the parity argument for the operator).
+    // Scale: stages 1-3 are one narrow map + two WindowGroupLimit
+    // windows; the inner chain inherits CorpusCurate's audited shapes;
+    // the manifest counts are the only driver actions.
+    QueryDef("q224_web_curate_e2e", (s, d) => {
+      val pages = t(s, d, "documents").select(
+        col("doc_id").as("page_id"),
+        UrlOps.syntheticUrl(col("doc_id")).as("url"),
+        HtmlExtract.syntheticHtml(col("doc_id"), col("text")).as("html"),
+        col("source"))
+      val (_, m) = graft.pipeline.WebCurate.run(pages)
+      val c = m.curated
+      import s.implicits._
+      Seq((m.pages, m.urlDupDropped, m.domainCapDropped,
+        m.emptyExtractDropped, c.inputDocs, c.qualityDropped,
+        c.exactDupDropped, c.nearDupDropped, c.containmentDropped,
+        c.semanticDropped, c.keptDocs, c.keptTokens, c.shards))
+        .toDF("pages", "url_dup_dropped", "domain_cap_dropped",
+          "empty_extract_dropped", "input_docs", "quality_dropped",
+          "exact_dup_dropped", "near_dup_dropped", "containment_dropped",
+          "semantic_dropped", "kept_docs", "kept_tokens", "shards")
+    }, Some("""
+      WITH pages AS (
+        SELECT doc_id AS page_id, source, CAST(doc_id % 40 AS INT) AS cls,
+          trim(text) || ' Tom & Jerry <3 >> "ok"' AS ctext
+        FROM documents),
+      k1 AS (
+        SELECT * FROM pages
+        QUALIFY row_number() OVER (PARTITION BY cls ORDER BY page_id) = 1),
+      k2 AS (
+        SELECT * FROM k1
+        QUALIFY row_number() OVER (
+          PARTITION BY 'site' || CAST(cls AS VARCHAR) ||
+            CASE WHEN cls % 2 = 0 THEN '.com' ELSE '.org' END
+          ORDER BY page_id) <= 3),
+      k3 AS (SELECT * FROM k2 WHERE length(ctext) > 0),
+      q AS (
+        SELECT *,
+          (CASE WHEN length(ctext) BETWEEN 100 AND 20000 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN (CAST(len(regexp_extract_all(ctext, '\bthe\b')) AS DOUBLE)
+                 + CAST(len(regexp_extract_all(ctext, '\ba\b')) AS DOUBLE)
+                 + CAST(len(regexp_extract_all(ctext, '\band\b')) AS DOUBLE)
+                 + CAST(len(regexp_extract_all(ctext, '\bof\b')) AS DOUBLE))
+               / CAST(length(ctext) - length(replace(ctext, ' ', '')) + 1
+                      AS DOUBLE) > 0.01
+             THEN 0.5 ELSE 0.0 END) AS quality
+        FROM k3),
+      gated AS (SELECT * FROM q WHERE quality >= 1.0),
+      exact AS (
+        SELECT * FROM gated
+        QUALIFY row_number() OVER (
+          PARTITION BY md5(lower(replace(ctext, ' ', '')))
+          ORDER BY page_id) = 1),
+      g AS (
+        SELECT page_id, list_distinct(list_transform(
+          range(1, greatest(len(string_split(ctext, ' ')) - 1, 1)),
+          i -> string_split(ctext, ' ')[i] || ' ' ||
+               string_split(ctext, ' ')[i+1] || ' ' ||
+               string_split(ctext, ' ')[i+2])) AS grams
+        FROM exact),
+      drops AS (
+        SELECT DISTINCT b.page_id
+        FROM g a JOIN g b ON a.page_id < b.page_id
+        WHERE len(a.grams) + len(b.grams) > 0
+          AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.6),
+      near AS (
+        SELECT * FROM exact
+        WHERE page_id NOT IN (SELECT page_id FROM drops)),
+      tok AS (
+        SELECT *, CAST(length(ctext) - length(replace(ctext, ' ', '')) + 1
+          AS BIGINT) AS n_tokens
+        FROM near),
+      sh AS (
+        SELECT *, CAST((SUM(n_tokens) OVER (
+          PARTITION BY source ORDER BY page_id ROWS UNBOUNDED PRECEDING)
+          - 1) // 2048 AS BIGINT) AS shard_id
+        FROM tok),
+      n AS (
+        SELECT
+          (SELECT COUNT(*) FROM pages) AS pages,
+          (SELECT COUNT(*) FROM k1) AS n1,
+          (SELECT COUNT(*) FROM k2) AS n2,
+          (SELECT COUNT(*) FROM k3) AS n3,
+          (SELECT COUNT(*) FROM gated) AS n4,
+          (SELECT COUNT(*) FROM exact) AS n5,
+          (SELECT COUNT(*) FROM near) AS n6,
+          (SELECT COALESCE(SUM(n_tokens), 0) FROM sh) AS kt,
+          (SELECT COUNT(DISTINCT (source, shard_id)) FROM sh) AS shards)
+      SELECT
+        CAST(pages AS BIGINT) AS pages,
+        CAST(pages - n1 AS BIGINT) AS url_dup_dropped,
+        CAST(n1 - n2 AS BIGINT) AS domain_cap_dropped,
+        CAST(n2 - n3 AS BIGINT) AS empty_extract_dropped,
+        CAST(n3 AS BIGINT) AS input_docs,
+        CAST(n3 - n4 AS BIGINT) AS quality_dropped,
+        CAST(n4 - n5 AS BIGINT) AS exact_dup_dropped,
+        CAST(n5 - n6 AS BIGINT) AS near_dup_dropped,
+        CAST(0 AS BIGINT) AS containment_dropped,
+        CAST(0 AS BIGINT) AS semantic_dropped,
+        CAST(n6 AS BIGINT) AS kept_docs,
+        CAST(kt AS BIGINT) AS kept_tokens,
+        CAST(shards AS BIGINT) AS shards
+      FROM n"""),
+      notes = "crawl-to-shards e2e manifest gate driving pipeline/WebCurate.run: two-level partition identity (pages = urlDup + domainCap + emptyExtract + inner; inner = quality + exact + nearDup + kept) oracled from the generating formulas — q218's class proof, q217∘q222's formula-derivable cleaned text, q31/q35/q66 mirrors, and the exact-Jaccard twin of the LSH near-dup stage (deterministic parity on the ≤40-keeper fixture, verified at 3 SFs)"),
+
     // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
     // q156's vision twin: the patch grid every patch-embedding pipeline
     // starts from. Each gray PNG decodes and splits into a 4×4 grid —
