@@ -1,19 +1,21 @@
 package graft.multimodal
 
-/** Baseline-sequential JFIF (JPEG) codec — JDK-only, no media libraries,
-  * closing the one remaining declared multimodal format gap (real corpora
-  * are mostly JPEG; PNG/WAV/motion-PNG landed in rounds 7-8). Everything
-  * here is the public ITU T.81 layout: marker segments, 8-bit DQT,
-  * canonical Huffman tables from DHT BITS/HUFFVAL, run-length + magnitude
-  * entropy coding, dequant + float IDCT + level shift, replication
-  * upsampling for subsampled chroma, and the JFIF YCbCr↔RGB matrix.
+/** JFIF (JPEG) codec — JDK-only, no media libraries, closing the one
+  * remaining declared multimodal format gap (real corpora are mostly
+  * JPEG; PNG/WAV/motion-PNG landed in rounds 7-8). Everything here is
+  * the public ITU T.81 layout: marker segments, 8-bit DQT, canonical
+  * Huffman tables from DHT BITS/HUFFVAL, run-length + magnitude entropy
+  * coding, dequant + float IDCT + level shift, replication upsampling
+  * for subsampled chroma, and the JFIF YCbCr↔RGB matrix.
   *
   * Decode scope (documented, loud — the PNG/WAV "None, never garbage"
-  * contract): baseline DCT SOF0 only, 8-bit precision, 1 or 3 components,
-  * sampling factors 1-2, optional restart intervals. Progressive (SOF2),
-  * extended/lossless/hierarchical SOFs, arithmetic coding (DAC), 12-bit
-  * precision and CMYK all return None and the caller degrades to
-  * header-only metadata. Truncated or corrupt entropy data returns None.
+  * contract): baseline DCT SOF0 and progressive DCT SOF2 (spectral
+  * selection + successive approximation, Annex G — real web corpora
+  * carry a large progressive share), 8-bit precision, 1 or 3 components,
+  * sampling factors 1-2, optional restart intervals. Extended/lossless/
+  * hierarchical SOFs, arithmetic coding (DAC), 12-bit precision and
+  * CMYK all return None and the caller degrades to header-only
+  * metadata. Truncated or corrupt entropy data returns None.
   *
   * Encode exists for round-trip specs and the formula-oracled fixture
   * corpus (the q103 pattern): grayscale / RGB 4:4:4 / RGB 4:2:0 baseline
@@ -227,6 +229,35 @@ object JpegCodec {
 
   private def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** IDCT + level shift of one natural-order dequantized coefficient
+    * block into `plane` at (x0, y0) — shared by the baseline streaming
+    * path and the progressive finish pass (identical arithmetic, so the
+    * flat-block exactness argument covers both). */
+  private def idctInto(coefs: Array[Int], plane: Array[Int], pw: Int,
+      x0: Int, y0: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val f = coefs(v * 8 + u)
+            if (f != 0) s += cc(u) * cc(v) * f * Cos(x)(u) * Cos(y)(v)
+            v += 1
+          }
+          u += 1
+        }
+        plane((y0 + y) * pw + x0 + x) =
+          clamp(math.round(0.25 * s).toInt + 128)
+        x += 1
+      }
+      y += 1
+    }
+  }
 
   private def magnitude(v: Int): Int = {
     var t = 0
@@ -495,9 +526,30 @@ object JpegCodec {
     b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff
 
-  /** Width/height/components from the SOF0 segment — the header-only
-    * metadata path ([[HeaderCodec]] posture). None when the stream is not
-    * baseline sequential 8-bit. */
+  /** First SOFn marker of the stream (0xc0 baseline, 0xc2 progressive,
+    * …) — the decode-path dispatch key. None when no SOF is found before
+    * EOI/end-of-data or the marker walk breaks. */
+  private def firstSofMarker(b: Array[Byte]): Option[Int] = {
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { off += 2 }
+      else if (marker == 0xd9) return None
+      else {
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+          marker != 0xc8 && marker != 0xcc) return Some(marker)
+        val len = u16(b, off + 2)
+        if (len < 2 || off + 2 + len > b.length) return None
+        off += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Width/height/components from the SOF0/SOF2 segment — the
+    * header-only metadata path ([[HeaderCodec]] posture). None when the
+    * stream is neither baseline sequential nor progressive 8-bit. */
   def parseHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (!isJpeg(b)) return None
     var off = 2
@@ -509,7 +561,7 @@ object JpegCodec {
       else {
         val len = u16(b, off + 2)
         if (len < 2 || off + 2 + len > b.length) return None
-        if (marker == 0xc0) {
+        if (marker == 0xc0 || marker == 0xc2) {
           if (len < 8 || (b(off + 4) & 0xff) != 8) return None
           val h = u16(b, off + 5); val w = u16(b, off + 7)
           val nc = b(off + 9) & 0xff
@@ -540,11 +592,20 @@ object JpegCodec {
   private final case class Component(id: Int, hs: Int, vs: Int, qId: Int,
       var dcId: Int = 0, var acId: Int = 0)
 
-  /** Full baseline decode: grayscale stays 1 channel, color converts
-    * YCbCr->RGB (3 channels). None outside the documented scope or on
-    * corrupt/truncated data — never garbage pixels. */
+  /** Full decode — baseline sequential (SOF0) or progressive (SOF2,
+    * spectral selection + successive approximation): grayscale stays 1
+    * channel, color converts YCbCr->RGB (3 channels). None outside the
+    * documented scope or on corrupt/truncated data — never garbage
+    * pixels. */
   def decode(bytes: Array[Byte]): Option[PngImage] = {
     if (!isJpeg(bytes)) return None
+    // dispatch on the first SOF marker: 0xc0 -> the streaming baseline
+    // path below; 0xc2 -> the multi-scan progressive path
+    firstSofMarker(bytes) match {
+      case Some(0xc2) => return decodeProgressive(bytes)
+      case Some(0xc0) => () // fall through
+      case _ => return None
+    }
     var off = 2
     var width = 0; var height = 0
     var comps: Array[Component] = null
@@ -709,30 +770,8 @@ object JpegCodec {
               }
             }
             // IDCT + level shift into the component plane
-            val pw = planeW(ci)
-            val x0 = (mx * c.hs + bx) * 8
-            val y0 = (my * c.vs + by) * 8
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var s = 0.0
-                var u = 0
-                while (u < 8) {
-                  var v = 0
-                  while (v < 8) {
-                    val f = coefs(v * 8 + u)
-                    if (f != 0) s += cc(u) * cc(v) * f * Cos(x)(u) * Cos(y)(v)
-                    v += 1
-                  }
-                  u += 1
-                }
-                planes(ci)((y0 + y) * pw + x0 + x) =
-                  clamp(math.round(0.25 * s).toInt + 128)
-                x += 1
-              }
-              y += 1
-            }
+            idctInto(coefs, planes(ci), planeW(ci),
+              (mx * c.hs + bx) * 8, (my * c.vs + by) * 8)
             bx += 1
           }
           by += 1
@@ -779,5 +818,669 @@ object JpegCodec {
       }
       Some(PngImage(width, height, 3, px))
     }
+  }
+
+  // ── Progressive (SOF2) decode ────────────────────────────────────────
+  //
+  // T.81 Annex G: the image arrives as MULTIPLE SOS scans, each carrying
+  // one spectral band (Ss..Se) at one successive-approximation precision
+  // (Ah/Al). DC scans (Ss=Se=0) may interleave all components in MCU
+  // order; AC scans are single-component in that component's own block
+  // raster. First scans (Ah=0) Huffman-code shifted coefficients (DC:
+  // arithmetic shift; AC: truncate-toward-zero point transform) with
+  // EOB-run coding across blocks; refinement scans (Ah>0) append one
+  // magnitude bit per coefficient — newly-nonzero AC coefs arrive as
+  // (run,1) codes and history-nonzero coefs as inline correction bits
+  // (the G.1.2.3 protocol; the eager-ZRL ordering here mirrors how every
+  // production decoder interleaves correction bits with ZRL windows).
+  // Coefficients accumulate per block across scans; dequantize + IDCT
+  // run ONCE at the end through the same [[idctInto]] the baseline path
+  // uses, so the flat-block exactness argument carries over.
+  private def decodeProgressive(bytes: Array[Byte]): Option[PngImage] = {
+    var off = 2
+    var width = 0; var height = 0
+    var comps: Array[Component] = null
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDecoder](4)
+    val acTabs = new Array[HuffDecoder](4)
+    var restartInterval = 0
+    var hMax = 0; var vMax = 0
+    var mcusX = 0; var mcusY = 0
+    // per-component coefficient store, ZIGZAG index order per block:
+    // coef(ci)(blk*64 + k); block index = by * (mcusX*hs) + bx over the
+    // MCU-padded grid
+    var coefs: Array[Array[Int]] = null
+    var planeW: Array[Int] = null
+    var planeH: Array[Int] = null
+    var sawScan = false
+    var done = false
+    while (!done && off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val marker = bytes(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { off += 2 }
+      else if (marker == 0xd9) done = true // EOI
+      else {
+        val len = u16(bytes, off + 2)
+        if (len < 2 || off + 2 + len > bytes.length) return None
+        val seg = off + 4
+        marker match {
+          case 0xdb =>
+            var p = seg
+            while (p < off + 2 + len) {
+              val pq = (bytes(p) & 0xf0) >> 4
+              val tq = bytes(p) & 0x0f
+              if (pq != 0 || tq > 3) return None
+              if (p + 1 + 64 > off + 2 + len) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(Zigzag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xc2 =>
+            if (comps != null) return None // one frame only
+            if (len < 8 || (bytes(seg) & 0xff) != 8) return None
+            height = u16(bytes, seg + 1); width = u16(bytes, seg + 3)
+            val nc = bytes(seg + 5) & 0xff
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+            if (len < 8 + 3 * nc) return None
+            comps = Array.tabulate(nc) { i =>
+              val cOff = seg + 6 + 3 * i
+              Component(bytes(cOff) & 0xff, (bytes(cOff + 1) & 0xf0) >> 4,
+                bytes(cOff + 1) & 0x0f, bytes(cOff + 2) & 0xff)
+            }
+            if (comps.exists(c => c.hs < 1 || c.hs > 2 || c.vs < 1 ||
+              c.vs > 2 || c.qId > 3)) return None
+            hMax = comps.map(_.hs).max; vMax = comps.map(_.vs).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            planeW = comps.map(c => mcusX * c.hs * 8)
+            planeH = comps.map(c => mcusY * c.vs * 8)
+            // same allocation guards as baseline (the coefficient store
+            // is plane-sized: 64 ints per block = one int per pixel)
+            if (planeW.zip(planeH).exists { case (pw, ph) =>
+              pw.toLong * ph > 100000000L }) return None
+            val totalBlocks =
+              mcusX.toLong * mcusY * comps.map(c => c.hs * c.vs).sum
+            // a progressive stream's first DC scan costs >= 1 bit/block
+            if (totalBlocks > (bytes.length - off).toLong * 8) return None
+            coefs = Array.tabulate(comps.length)(i =>
+              new Array[Int](planeW(i) * planeH(i)))
+          case 0xc4 =>
+            var p = seg
+            while (p < off + 2 + len) {
+              val tc = (bytes(p) & 0xf0) >> 4
+              val th = bytes(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              if (p + 17 > off + 2 + len) return None
+              val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+              val n = bits.sum
+              if (n > 256 || p + 17 + n > off + 2 + len) return None
+              val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + n)
+              val dec = new HuffDecoder(bits, vals)
+              if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+              p += 17 + n
+            }
+          case 0xdd =>
+            if (len != 4) return None
+            restartInterval = u16(bytes, seg)
+          case 0xda =>
+            if (comps == null) return None
+            val ns = bytes(seg) & 0xff
+            if (ns < 1 || ns > comps.length || len < 6 + 2 * ns) return None
+            val scanComps = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = bytes(seg + 1 + 2 * i) & 0xff
+              val ciIdx = comps.indexWhere(_.id == cid)
+              if (ciIdx < 0) return None
+              scanComps(i) = ciIdx
+              comps(ciIdx).dcId = (bytes(seg + 2 + 2 * i) & 0xf0) >> 4
+              comps(ciIdx).acId = bytes(seg + 2 + 2 * i) & 0x0f
+              if (comps(ciIdx).dcId > 3 || comps(ciIdx).acId > 3) return None
+              i += 1
+            }
+            val ss = bytes(seg + 1 + 2 * ns) & 0xff
+            val se = bytes(seg + 2 + 2 * ns) & 0xff
+            val ahal = bytes(seg + 3 + 2 * ns) & 0xff
+            val ah = (ahal & 0xf0) >> 4; val al = ahal & 0x0f
+            // progressive scan-header legality (G.1.1.1.1): DC scans are
+            // exactly the (0,0) band; AC scans are single-component and
+            // never include 0. A baseline-shaped (0,63) scan is invalid.
+            if (ss == 0 && se != 0) return None
+            if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
+            if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) return None
+            val dataAt = off + 2 + len
+            val endPos = decodeProgressiveScan(bytes, dataAt, comps,
+              scanComps, ss, se, ah, al, coefs, dcTabs, acTabs,
+              restartInterval, mcusX, mcusY, width, height, hMax, vMax)
+            if (endPos < 0) return None
+            sawScan = true
+            off = endPos
+          case 0xcc => return None
+          case m if m >= 0xc0 && m <= 0xcf => return None // other SOFn
+          case _ => ()
+        }
+        if (marker != 0xda && !done) off += 2 + len
+      }
+    }
+    if (comps == null || !sawScan) return None
+    if (comps.exists(c => quant(c.qId) == null)) return None
+    // finish: dequantize (zigzag store -> natural) + IDCT every block
+    val planes = Array.tabulate(comps.length)(i =>
+      new Array[Int](planeW(i) * planeH(i)))
+    val nat = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = quant(c.qId)
+      val bw = mcusX * c.hs; val bh = mcusY * c.vs
+      var blk = 0
+      while (blk < bw * bh) {
+        val base = blk * 64
+        var k = 0
+        while (k < 64) {
+          val n = Zigzag(k)
+          nat(n) = coefs(ci)(base + k) * q(n)
+          k += 1
+        }
+        idctInto(nat, planes(ci), planeW(ci), (blk % bw) * 8, (blk / bw) * 8)
+        blk += 1
+      }
+      ci += 1
+    }
+    assemble(planes, comps, planeW, width, height, hMax, vMax)
+  }
+
+  /** One progressive scan's entropy data: returns the offset of the next
+    * marker after the scan, or -1 on any decode error. Mutates `coefs`. */
+  private def decodeProgressiveScan(bytes: Array[Byte], dataAt: Int,
+      comps: Array[Component], scanComps: Array[Int], ss: Int, se: Int,
+      ah: Int, al: Int, coefs: Array[Array[Int]],
+      dcTabs: Array[HuffDecoder], acTabs: Array[HuffDecoder],
+      restartInterval: Int, mcusX: Int, mcusY: Int, width: Int,
+      height: Int, hMax: Int, vMax: Int): Int = {
+    val in = new BitReader(bytes, dataAt)
+    val p1 = 1 << al
+    if (ss == 0) {
+      // ── DC scan (first or refinement); may be interleaved ────────────
+      val dcPred = new Array[Int](comps.length)
+      if (ah == 0 && scanComps.exists(ci => dcTabs(comps(ci).dcId) == null))
+        return -1
+      if (scanComps.length > 1) {
+        // interleaved MCU order (multi-component DC scans only — a
+        // single-component scan is ALWAYS non-interleaved per T.81, its
+        // MCU being one data unit over the cropped component raster)
+        val nMcus = mcusX * mcusY
+        var mcu = 0
+        while (mcu < nMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!in.consumeRst()) return -1
+            java.util.Arrays.fill(dcPred, 0)
+          }
+          val my = mcu / mcusX; val mx = mcu % mcusX
+          var i = 0
+          while (i < scanComps.length) {
+            val ci = scanComps(i)
+            val c = comps(ci)
+            var by = 0
+            while (by < c.vs) {
+              var bx = 0
+              while (bx < c.hs) {
+                val blk = (my * c.vs + by) * (mcusX * c.hs) + mx * c.hs + bx
+                if (!decodeDcUnit(in, comps, ci, dcTabs, dcPred, ah, al,
+                  coefs(ci), blk * 64)) return -1
+                bx += 1
+              }
+              by += 1
+            }
+            i += 1
+          }
+          mcu += 1
+        }
+      } else {
+        // non-interleaved single-component DC scan: the component's own
+        // cropped block raster
+        val ci = scanComps(0)
+        val c = comps(ci)
+        val cw = (width * c.hs + hMax - 1) / hMax
+        val chh = (height * c.vs + vMax - 1) / vMax
+        val bw = (cw + 7) / 8; val bh = (chh + 7) / 8
+        val padW = mcusX * c.hs
+        var u = 0
+        while (u < bw * bh) {
+          if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+            if (!in.consumeRst()) return -1
+            java.util.Arrays.fill(dcPred, 0)
+          }
+          val blk = (u / bw) * padW + (u % bw)
+          if (!decodeDcUnit(in, comps, ci, dcTabs, dcPred, ah, al,
+            coefs(ci), blk * 64)) return -1
+          u += 1
+        }
+      }
+    } else {
+      // ── AC scan (single component) ───────────────────────────────────
+      val ci = scanComps(0)
+      val c = comps(ci)
+      if (ah == 0 && acTabs(c.acId) == null) return -1
+      if (ah != 0 && acTabs(c.acId) == null) return -1
+      val tab = acTabs(c.acId)
+      val cw = (width * c.hs + hMax - 1) / hMax
+      val chh = (height * c.vs + vMax - 1) / vMax
+      val bw = (cw + 7) / 8; val bh = (chh + 7) / 8
+      val padW = mcusX * c.hs
+      val cf = coefs(ci)
+      var eobrun = 0
+      var u = 0
+      while (u < bw * bh) {
+        if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+          if (!in.consumeRst()) return -1
+          eobrun = 0
+        }
+        val base = ((u / bw) * padW + (u % bw)) * 64
+        if (ah == 0) {
+          // first AC scan: EOB-run coding of point-transformed coefs
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var stop = false
+            while (k <= se && !stop) {
+              val rs = tab.decode(in)
+              if (rs < 0) return -1
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) {
+                    val eb = in.receive(r)
+                    if (eb == Int.MinValue) return -1
+                    eobrun += eb
+                  }
+                  stop = true
+                }
+              } else {
+                k += r
+                if (k > se) return -1
+                val vb = in.receive(s)
+                if (vb == Int.MinValue) return -1
+                cf(base + k) = extend(vb, s) * p1
+                k += 1
+              }
+            }
+          }
+        } else {
+          // AC refinement: correction bits + newly-nonzero (run,1) codes
+          var k = ss
+          if (eobrun == 0) {
+            var stop = false
+            while (k <= se && !stop) {
+              val rs = tab.decode(in)
+              if (rs < 0) return -1
+              var r = rs >> 4; val s = rs & 0x0f
+              var newVal = 0
+              if (s != 0) {
+                if (s != 1) return -1
+                val sb = in.readBit()
+                if (sb < 0) return -1
+                newVal = if (sb == 1) p1 else -p1
+              } else if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) {
+                  val eb = in.receive(r)
+                  if (eb == Int.MinValue) return -1
+                  eobrun += eb
+                }
+                stop = true
+              }
+              if (!stop) {
+                // advance over r still-zero coefs, correcting nonzeros
+                var placed = false
+                while (k <= se && !placed) {
+                  if (cf(base + k) != 0) {
+                    if (!refineAcBit(in, cf, base + k, p1)) return -1
+                    k += 1
+                  } else if (r == 0) {
+                    if (newVal != 0) { cf(base + k) = newVal }
+                    k += 1
+                    placed = true
+                  } else { r -= 1; k += 1 }
+                }
+                if (!placed && newVal != 0) return -1 // ran off the band
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // EOB region: correction bits only, through band end
+            while (k <= se) {
+              if (cf(base + k) != 0) {
+                if (!refineAcBit(in, cf, base + k, p1)) return -1
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        u += 1
+      }
+    }
+    // locate the next marker after this scan's entropy data
+    var p = in.pos
+    while (p + 1 < bytes.length) {
+      if ((bytes(p) & 0xff) == 0xff) {
+        val m = bytes(p + 1) & 0xff
+        if (m != 0x00 && !(m >= 0xd0 && m <= 0xd7)) return p
+      }
+      p += 1
+    }
+    -1 // no trailing marker (EOI missing): structurally truncated
+  }
+
+  /** One DC data unit of a progressive DC scan (first or refinement). */
+  private def decodeDcUnit(in: BitReader, comps: Array[Component], ci: Int,
+      dcTabs: Array[HuffDecoder], dcPred: Array[Int], ah: Int, al: Int,
+      cf: Array[Int], at: Int): Boolean = {
+    if (ah == 0) {
+      val t = dcTabs(comps(ci).dcId).decode(in)
+      if (t < 0 || t > 15) return false
+      val diffBits = if (t == 0) 0 else in.receive(t)
+      if (diffBits == Int.MinValue) return false
+      dcPred(ci) += extend(diffBits, t)
+      cf(at) = dcPred(ci) << al
+    } else {
+      val b = in.readBit()
+      if (b < 0) return false
+      if (b == 1) cf(at) |= (1 << al) // two's-complement bit append
+    }
+    true
+  }
+
+  /** One AC refinement correction bit: increase |coef| by 1<<al if set
+    * and that bit is not already present. */
+  private def refineAcBit(in: BitReader, cf: Array[Int], at: Int,
+      p1: Int): Boolean = {
+    val b = in.readBit()
+    if (b < 0) return false
+    if (b == 1 && (math.abs(cf(at)) & p1) == 0)
+      cf(at) += (if (cf(at) >= 0) p1 else -p1)
+    true
+  }
+
+  /** Shared raster assembly (gray passthrough / YCbCr->RGB with
+    * per-component sampling-ratio indexing) — the baseline decode's tail,
+    * reused by the progressive finish. */
+  private def assemble(planes: Array[Array[Int]], comps: Array[Component],
+      planeW: Array[Int], width: Int, height: Int, hMax: Int,
+      vMax: Int): Option[PngImage] = {
+    if (comps.length == 1) {
+      val px = new Array[Byte](width * height)
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { px(y * width + x) = planes(0)(y * pw + x).toByte; x += 1 }
+        y += 1
+      }
+      Some(PngImage(width, height, 1, px))
+    } else {
+      val px = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = planes(0)((y * comps(0).vs / vMax) * planeW(0) +
+            (x * comps(0).hs / hMax))
+          val cb = planes(1)((y * comps(1).vs / vMax) * planeW(1) +
+            (x * comps(1).hs / hMax))
+          val cr = planes(2)((y * comps(2).vs / vMax) * planeW(2) +
+            (x * comps(2).hs / hMax))
+          val i = (y * width + x) * 3
+          px(i) = clamp(math.round(yy + 1.402 * (cr - 128)).toInt).toByte
+          px(i + 1) = clamp(math.round(yy - 0.344136 * (cb - 128) -
+            0.714136 * (cr - 128)).toInt).toByte
+          px(i + 2) = clamp(math.round(yy + 1.772 * (cb - 128)).toInt).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(PngImage(width, height, 3, px))
+    }
+  }
+
+  // ── Progressive (SOF2) encoder ───────────────────────────────────────
+  //
+  // 4:4:4, four-phase scan script exercising every progressive decode
+  // path: (1) interleaved DC first scan at Al=1; (2) interleaved DC
+  // refinement (raw bits); per component (3) a full-band AC first scan
+  // at Al=1 (EOB-run coding) and (4) its AC refinement at Al=0
+  // (newly-nonzero codes + correction bits, the G.1.2.3 protocol with
+  // libjpeg's eager-ZRL bit-buffer ordering). Lossless relative to the
+  // baseline encoder at the same quant: the scans transmit exactly the
+  // same quantized coefficients, bit by bit.
+  def encodeProgressive(img: PngImage, quant: Int = 1): Array[Byte] = {
+    require(quant >= 1 && quant <= 255, s"quant $quant outside 1..255")
+    val planes = toPlanes(img)
+    val nComp = planes.length
+    val w = img.width; val h = img.height
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val nBlocks = bw * bh
+    // all coefficients up front, zigzag order per block
+    val coefZ = Array.tabulate(nComp) { ci =>
+      val arr = new Array[Int](nBlocks * 64)
+      var blk = 0
+      while (blk < nBlocks) {
+        val nat = fdctQuant(blockOf(planes(ci), w, h, blk % bw, blk / bw), quant)
+        var k = 0
+        while (k < 64) { arr(blk * 64 + k) = nat(Zigzag(k)); k += 1 }
+        blk += 1
+      }
+      arr
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    out.write(segment(0xe0, "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1,
+      0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0)))
+    val qtab = Array.fill(64)(quant)
+    out.write(segment(0xdb, Array[Byte](0x00) ++ qtab.map(_.toByte)))
+    if (nComp == 3)
+      out.write(segment(0xdb, Array[Byte](0x01) ++ qtab.map(_.toByte)))
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8); sof.write(be16(h)); sof.write(be16(w)); sof.write(nComp)
+    var ci = 0
+    while (ci < nComp) {
+      sof.write(ci + 1); sof.write(0x11); sof.write(if (ci == 0) 0 else 1)
+      ci += 1
+    }
+    out.write(segment(0xc2, sof.toByteArray)) // SOF2
+    out.write(segment(0xc4, dhtPayload(0, 0, DcLumaBits, DcLumaVals)))
+    out.write(segment(0xc4, dhtPayload(1, 0, AcLumaBits, AcLumaVals)))
+    if (nComp == 3) {
+      out.write(segment(0xc4, dhtPayload(0, 1, DcChromaBits, DcChromaVals)))
+      out.write(segment(0xc4, dhtPayload(1, 1, AcChromaBits, AcChromaVals)))
+    }
+    val dcEnc = Array.tabulate(nComp)(i =>
+      if (i == 0) buildEncodeTable(DcLumaBits, DcLumaVals)
+      else buildEncodeTable(DcChromaBits, DcChromaVals))
+    val acEnc = Array.tabulate(nComp)(i =>
+      if (i == 0) buildEncodeTable(AcLumaBits, AcLumaVals)
+      else buildEncodeTable(AcChromaBits, AcChromaVals))
+    def sosHeader(scs: Seq[Int], ss: Int, se: Int, ah: Int,
+        al: Int): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(scs.length)
+      scs.foreach { c =>
+        b.write(c + 1)
+        b.write((if (c == 0) 0x00 else 0x11))
+      }
+      b.write(ss); b.write(se); b.write((ah << 4) | al)
+      segment(0xda, b.toByteArray)
+    }
+    def scan(body: BitWriter => Unit, scs: Seq[Int], ss: Int, se: Int,
+        ah: Int, al: Int): Unit = {
+      out.write(sosHeader(scs, ss, se, ah, al))
+      val ent = new java.io.ByteArrayOutputStream()
+      val bwr = new BitWriter(ent)
+      body(bwr)
+      bwr.flush()
+      out.write(ent.toByteArray)
+    }
+    val all = 0 until nComp
+    // (1) DC first, Al=1, interleaved
+    scan({ bwr =>
+      val pred = new Array[Int](nComp)
+      var blk = 0
+      while (blk < nBlocks) {
+        var c = 0
+        while (c < nComp) {
+          val sv = coefZ(c)(blk * 64) >> 1 // arithmetic point transform
+          val diff = sv - pred(c); pred(c) = sv
+          val t = magnitude(diff)
+          val (h0, l0) = dcEnc(c)(t)
+          bwr.write(h0, l0)
+          if (t > 0) bwr.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          c += 1
+        }
+        blk += 1
+      }
+    }, all, 0, 0, 0, 1)
+    // (2) DC refinement, Ah=1 Al=0: raw bit per block, interleaved
+    scan({ bwr =>
+      var blk = 0
+      while (blk < nBlocks) {
+        var c = 0
+        while (c < nComp) {
+          bwr.write(coefZ(c)(blk * 64) & 1, 1)
+          c += 1
+        }
+        blk += 1
+      }
+    }, all, 0, 0, 1, 0)
+    // (3) AC first per component, Al=1 (truncate-toward-zero transform)
+    all.foreach { c =>
+      scan({ bwr =>
+        val tab = acEnc(c)
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+          val (hc, lc) = tab(r << 4)
+          bwr.write(hc, lc)
+          if (r > 0) bwr.write(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        var blk = 0
+        while (blk < nBlocks) {
+          val base = blk * 64
+          var lastNz = 0
+          var k = 1
+          while (k < 64) {
+            if (coefZ(c)(base + k) / 2 != 0) lastNz = k
+            k += 1
+          }
+          if (lastNz == 0) {
+            // flush immediately: the Annex-K AC tables define only EOB0
+            // (0x00) and ZRL (0xf0) among the s=0 symbols, so runs stay
+            // length 1 (the decoder still handles general EOBn streams)
+            eobrun += 1
+            flushEob()
+          } else {
+            flushEob()
+            var run = 0
+            k = 1
+            while (k <= lastNz) {
+              val v = coefZ(c)(base + k) / 2 // trunc toward zero
+              if (v == 0) run += 1
+              else {
+                while (run > 15) {
+                  val (hz, lz) = tab(0xf0); bwr.write(hz, lz); run -= 16
+                }
+                val s = magnitude(v)
+                val (hv, lv) = tab((run << 4) | s)
+                bwr.write(hv, lv)
+                bwr.write(if (v < 0) v + (1 << s) - 1 else v, s)
+                run = 0
+              }
+              k += 1
+            }
+            if (lastNz < 63) { eobrun += 1; flushEob() }
+          }
+          blk += 1
+        }
+        flushEob()
+      }, Seq(c), 1, 63, 0, 1)
+    }
+    // (4) AC refinement per component, Ah=1 Al=0
+    all.foreach { c =>
+      scan({ bwr =>
+        val tab = acEnc(c)
+        var eobrun = 0
+        val be = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flushEob(): Unit = if (eobrun > 0 || be.nonEmpty) {
+          if (eobrun == 0) { // bits pending without a run cannot happen
+            // (bits only buffer into BE alongside an eobrun increment)
+          }
+          if (eobrun > 0) {
+            val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+            val (hc, lc) = tab(r << 4)
+            bwr.write(hc, lc)
+            if (r > 0) bwr.write(eobrun - (1 << r), r)
+            eobrun = 0
+          }
+          be.foreach(b => bwr.write(b, 1))
+          be.clear()
+        }
+        var blk = 0
+        while (blk < nBlocks) {
+          val base = blk * 64
+          // EOB = last k whose point-transformed magnitude is exactly 1
+          // (i.e. newly nonzero in this refinement)
+          var eob = 0
+          var k = 1
+          while (k < 64) {
+            if (math.abs(coefZ(c)(base + k)) == 1) eob = k
+            k += 1
+          }
+          var run = 0
+          val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+          k = 1
+          while (k < 64) {
+            val v = coefZ(c)(base + k)
+            val a = math.abs(v)
+            if (a == 0) run += 1
+            else {
+              // eager ZRL split (libjpeg ordering): emitted at EVERY
+              // nonzero so buffered correction bits stay window-local
+              while (run > 15 && k <= eob) {
+                flushEob()
+                val (hz, lz) = tab(0xf0); bwr.write(hz, lz); run -= 16
+                br.foreach(b => bwr.write(b, 1)); br.clear()
+              }
+              if (a > 1) br += (a & 1)
+              else {
+                flushEob()
+                val (hv, lv) = tab((run << 4) | 1)
+                bwr.write(hv, lv)
+                bwr.write(if (v > 0) 1 else 0, 1)
+                br.foreach(b => bwr.write(b, 1)); br.clear()
+                run = 0
+              }
+            }
+            k += 1
+          }
+          if (run > 0 || br.nonEmpty) {
+            // EOB0-per-block for the same Annex-K reason as the first
+            // scan; BE bits drain right after the EOB code, matching the
+            // decoder's current-block tail pass
+            eobrun += 1
+            be ++= br
+            flushEob()
+          }
+          blk += 1
+        }
+        flushEob()
+      }, Seq(c), 1, 63, 1, 0)
+    }
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
   }
 }

@@ -285,7 +285,7 @@ object Multimodal {
   private def jpegDims(id: Long): (Int, Int) =
     ((16 + (id % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
 
-  private def buildJpegPayload(id: Long): Array[Byte] = {
+  private def jpegPixels(id: Long): PngCodec.PngImage = {
     val (w, h) = jpegDims(id)
     val px = new Array[Byte](w * h)
     var i = 0
@@ -294,7 +294,24 @@ object Multimodal {
       px(i) = ((id * 37 + (by * (w / 8) + bx) * 29) % 256).toByte
       i += 1
     }
-    JpegCodec.encode(PngCodec.PngImage(w, h, 1, px), quant = 1)
+    PngCodec.PngImage(w, h, 1, px)
+  }
+
+  private def buildJpegPayload(id: Long): Array[Byte] =
+    JpegCodec.encode(jpegPixels(id), quant = 1)
+
+  /** PROGRESSIVE (SOF2) twin of [[jpegFromDocuments]]: the identical
+    * flat-block pixel formula encoded through the multi-scan successive-
+    * approximation script — so the q225 gate proves the progressive
+    * decode path (DC first/refine, AC first/refine, EOB runs) against
+    * the SAME formula oracle as q206, bit-exactly. */
+  def jpegProgressiveFromDocuments(spark: SparkSession,
+      sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "image",
+        JpegCodec.encodeProgressive(jpegPixels(id), quant = 1))))
   }
 
   /** JPEG media table over the documents corpus ids — the q206 gate input:

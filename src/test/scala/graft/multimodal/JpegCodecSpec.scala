@@ -138,18 +138,78 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(Array.emptyByteArray).isEmpty)
     // truncated: cut inside the entropy-coded data
     assert(JpegCodec.decode(good.take(good.length / 2)).isEmpty)
-    // progressive: rewrite the SOF0 marker byte (FFC0 -> FFC2)
+    // a BASELINE stream with its SOF0 marker rewritten to SOF2 claims to
+    // be progressive but carries a (0,63) full-band scan header — illegal
+    // for progressive (DC scans are exactly the (0,0) band), so the
+    // progressive path must refuse it rather than misread baseline
+    // entropy data. parseHeader (metadata-only) now reports dims for
+    // real SOF2 streams, including this crafted one.
     val prog = good.clone()
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
-    assert(JpegCodec.decode(prog).isEmpty, "progressive must be rejected")
-    assert(JpegCodec.parseHeader(prog).isEmpty)
+    assert(JpegCodec.decode(prog).isEmpty,
+      "baseline-shaped scan header under SOF2 must be rejected")
+    assert(JpegCodec.parseHeader(prog).contains((16, 16, 1)))
     // corrupt entropy data: flip bytes mid-stream until a failure mode
     // (either None or a decode that still terminates — never a crash)
     val corrupt = good.clone()
     for (i <- good.length - 20 until good.length - 2) corrupt(i) = 0x55
     JpegCodec.decode(corrupt) // must not throw
+  }
+
+  // ── Progressive (SOF2) ───────────────────────────────────────────────
+
+  test("progressive flat-block grayscale decodes BIT-EXACTLY at quant=1 (extends the q206 contract)") {
+    for ((w, h) <- Seq((16, 16), (24, 16), (19, 13))) {
+      val img = flatBlocks(w, h, seed = w + h)
+      val bytes = JpegCodec.encodeProgressive(img, quant = 1)
+      // it really is a progressive stream, not a baseline fallback
+      val sofAt = bytes.indices.find(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2)
+      assert(sofAt.isDefined, "encodeProgressive must emit SOF2")
+      val d = JpegCodec.decode(bytes)
+      assert(d.isDefined, s"progressive decode failed for ${w}x$h")
+      assert(d.get.width == w && d.get.height == h && d.get.channels == 1)
+      assert(java.util.Arrays.equals(d.get.pixels, img.pixels),
+        s"progressive flat-block decode not bit-exact at ${w}x$h")
+    }
+  }
+
+  test("progressive == baseline decode for the SAME image at the same quant (identical coefficients)") {
+    // the scan script transmits exactly the quantized coefficient table,
+    // so progressive and baseline decodes must agree pixel-for-pixel —
+    // on gradients (full AC content: EOBRUN, ZRL, newly-nonzero and
+    // correction-bit paths all exercised) and in color
+    for (quant <- Seq(1, 4); ch <- Seq(1, 3)) {
+      val img = gradient(21, 17, ch, seed = quant * 7 + ch)
+      val base = JpegCodec.decode(JpegCodec.encode(img, quant))
+      val prog = JpegCodec.decode(JpegCodec.encodeProgressive(img, quant))
+      assert(base.isDefined && prog.isDefined, s"quant=$quant ch=$ch")
+      assert(java.util.Arrays.equals(base.get.pixels, prog.get.pixels),
+        s"progressive decode diverges from baseline at quant=$quant ch=$ch")
+    }
+  }
+
+  test("progressive gradient round-trips with small bounded error (lossy, never unbounded)") {
+    val img = gradient(24, 24, 1, seed = 9)
+    val d = JpegCodec.decode(JpegCodec.encodeProgressive(img, quant = 1))
+    assert(d.isDefined)
+    assert(maxAbsDiff(d.get.pixels, img.pixels) <= 2)
+  }
+
+  test("progressive rejects truncation and scan-header abuse with None, never garbage") {
+    val good = JpegCodec.encodeProgressive(flatBlocks(16, 16, 3), quant = 1)
+    assert(JpegCodec.decode(good).isDefined)
+    // cut inside a scan's entropy data
+    assert(JpegCodec.decode(good.take(good.length / 2)).isEmpty)
+    // cut just before EOI: the last scan's trailing marker is gone
+    assert(JpegCodec.decode(good.dropRight(2)).isEmpty)
+    // parseHeader reports dims for the metadata path
+    assert(JpegCodec.parseHeader(good).contains((16, 16, 1)))
+    // header dispatcher sees it as an image too
+    assert(HeaderCodec.decode("image", good).exists(m =>
+      m.format == "jpeg" && m.width == 16 && m.height == 16))
   }
 
   test("allocation guards: header-declared huge dims reject BEFORE allocating (crafted-stream OOM defense)") {
