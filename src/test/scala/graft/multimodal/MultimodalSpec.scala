@@ -423,6 +423,27 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.forall(m => m.format == "jpeg" && m.n_units > 0))
   }
 
+  test("imageAHash is container-invariant across baseline and progressive JPEG (the q208 leg accepts SOF2 ingest)") {
+    import spark.implicits._
+    // identical pixels through three containers: PNG, baseline JPEG and
+    // progressive JPEG at quant=1 — the perceptual hash sees DECODED
+    // pixels, so a crawl mixing progressive streams lands in the same
+    // dedup classes as its baseline re-encodes
+    val img = PngCodec.PngImage(16, 16, 1, Array.tabulate(256) { i =>
+      val bx = (i % 16) / 8; val by = i / 16 / 8
+      ((37 + (by * 2 + bx) * 29) % 256).toByte
+    })
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", PngCodec.encode(img, 2)),
+      Multimodal.MediaRow(2L, "image", JpegCodec.encode(img, quant = 1)),
+      Multimodal.MediaRow(3L, "image", JpegCodec.encodeProgressive(img, quant = 1)))
+    val hs = Multimodal.imageAHash(rows.toDS()).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L), "all three containers must decode")
+    assert(hs.values.toSet.size == 1,
+      s"perceptual hash varies with container encoding: $hs")
+  }
+
   // ── aHash near-dup counting core (q208's class-collapse + cap) ───────
 
   /** Scala brute force of the UNBLOCKED truth: for each image, count the
