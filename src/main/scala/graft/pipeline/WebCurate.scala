@@ -52,27 +52,43 @@ object WebCurate {
       minQuality: Double = 1.0, minJ: Double = 0.6,
       shardTokens: Long = 2048L): (DataFrame, WebManifest) = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive: $maxPerDomain")
-    val n0 = pages.count()
+    // The crawl is scanned exactly TWICE, however many manifest counts
+    // are taken (the q182/q210 single-pass discipline applied to the
+    // pipeline object itself — the r10 bench caught the per-count
+    // lineage re-runs): pass 1 is one aggregate giving n0 AND n1 (URL
+    // keepers = one per distinct canonical, so n1 is a countDistinct,
+    // no window needed); pass 2 materializes the pinned POST-EXTRACT
+    // text-only frame (html dropped before the pin, so the pin holds
+    // curated-scale text, never crawl-scale markup) from which n2/n3
+    // and every CorpusCurate stage re-derive for free.
+    val canon = pages.withColumn("url_canon",
+      UrlOps.canonicalize(col("url")))
+    val head = canon.agg(count(lit(1)).as("n0"),
+      countDistinct(col("url_canon")).as("n1")).collect()(0)
+    val n0 = head.getLong(0)
+    val n1 = head.getLong(1)
 
     val wUrl = Window.partitionBy("url_canon").orderBy("page_id")
-    val urlKept = pages
-      .withColumn("url_canon", UrlOps.canonicalize(col("url")))
+    val urlKept = canon
       .withColumn("__rn", row_number().over(wUrl))
       .filter(col("__rn") === 1).drop("__rn")
-    val n1 = urlKept.count()
 
     val wDom = Window.partitionBy("domain").orderBy("page_id")
     val capped = urlKept
       .withColumn("domain", UrlOps.domain(col("url_canon")))
       .withColumn("__rn", row_number().over(wDom))
       .filter(col("__rn") <= maxPerDomain).drop("__rn")
-    val n2 = capped.count()
 
-    val texts = capped
+    // unfiltered extract output pinned ONCE: n2 (pre-filter) and n3
+    // (post-filter) both read the pin; at 100 TB swap the
+    // localCheckpoint for a zone write (the Runner staging posture)
+    val texts0 = capped
       .withColumn("text",
         TextClean.clean(HtmlExtract.extract(col("html")).getField("text")))
-      .filter(length(col("text")) > 0)
       .drop("html") // bytes stop here
+      .localCheckpoint(true)
+    val n2 = texts0.count()
+    val texts = texts0.filter(length(col("text")) > 0)
     val n3 = texts.count()
 
     val (curated, inner) = CorpusCurate.run(
