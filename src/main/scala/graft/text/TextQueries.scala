@@ -1205,6 +1205,203 @@ object TextQueries {
       FROM n"""),
       notes = "crawl-to-shards e2e manifest gate driving pipeline/WebCurate.run: two-level partition identity (pages = urlDup + domainCap + emptyExtract + inner; inner = quality + exact + nearDup + kept) oracled from the generating formulas — q218's class proof, q217∘q222's formula-derivable cleaned text, q31/q35/q66 mirrors, and the exact-Jaccard twin of the LSH near-dup stage (deterministic parity on the ≤40-keeper fixture, verified at 3 SFs)"),
 
+    // ── C4-style global line dedup (keep-first, reassemble) ────────────
+    // The famous C4 cleaning rule no document-level dedup subsumes:
+    // any LINE occurring more than once in the whole corpus keeps only
+    // its FIRST occurrence (corpus position order) and later occurrences
+    // are cut OUT OF THEIR DOCUMENTS, which then reassemble from the
+    // surviving lines — the weapon against boilerplate mass that rides
+    // inside otherwise-unique pages (cookie banners, nav footers,
+    // license headers). Lines here are the 10-token blocks of the q217
+    // spine (the corpus has no newlines; the block rule is the shared
+    // line-forming convention). Keep rule: rank over the line's md5,
+    // ordered (doc_id, line_idx) — deterministic first occurrence.
+    // Shapes at 100 TB: one (line_md5)-keyed window whose rank==1
+    // filter gets WindowGroupLimit map-side pushdown (q07 contract:
+    // per-key top-1 leaves each map partition, not the corpus), then
+    // one doc-keyed reassembly agg; line strings cross the exchange
+    // once, bounded by surviving-line mass. Docs losing EVERY line
+    // (exact dups of an earlier doc, block-aligned) still emit a row —
+    // the left join keeps the audit total.
+    QueryDef("q226_line_dedup", (s, d) => {
+      val ws = filter(split(col("text"), " "),
+        (x: org.apache.spark.sql.Column) => length(x) > lit(0))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"),
+          greatest(ceil(size(col("ws")) / lit(10.0)), lit(1L))
+            .cast("int").as("n_lines"), col("ws"))
+      val lines = docs.select(col("doc_id"), col("n_lines"),
+          posexplode(expr(
+            "transform(sequence(0, n_lines - 1), i -> " +
+              "concat_ws(' ', slice(ws, i * 10 + 1, 10)))")))
+        .select(col("doc_id"), col("n_lines"),
+          col("pos").as("line_idx"), col("col").as("line"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("line")))
+        .orderBy(col("doc_id").asc, col("line_idx").asc)
+      val kept = lines.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr("transform(" +
+            "sort_array(collect_list(struct(line_idx, line))), p -> p.line)"),
+            "\n").as("clean_text"))
+      docs.select("doc_id", "n_lines")
+        .join(rebuilt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          GREATEST(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1) AS n_lines, ws
+        FROM w),
+      l AS (
+        SELECT doc_id, n_lines,
+          unnest(range(0, n_lines)) AS line_idx,
+          list_transform(range(0, n_lines),
+            i -> array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' '))
+            AS ls
+        FROM c),
+      x AS (
+        SELECT doc_id, n_lines, line_idx,
+          ls[CAST(line_idx + 1 AS INT)] AS line
+        FROM l),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(line)
+          ORDER BY doc_id, line_idx) AS rn
+        FROM x),
+      k AS (
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_kept,
+          string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+        FROM r WHERE rn = 1 GROUP BY doc_id)
+      SELECT c.doc_id, CAST(c.n_lines AS BIGINT) AS n_lines,
+        COALESCE(k.n_kept, 0) AS n_kept,
+        md5(COALESCE(k.clean_text, '')) AS clean_md5
+      FROM c LEFT JOIN k ON k.doc_id = c.doc_id"""),
+      notes = "C4-style global line dedup: any line occurring twice in the corpus keeps only its first occurrence (md5-keyed rank over (doc_id, line_idx)) and documents reassemble from survivors; one WindowGroupLimit-pushed window + one doc-keyed rebuild agg, full-loss docs kept by the left join"),
+
+    // ── Per-domain boilerplate line strip (cross-page templates) ───────
+    // q226's sibling with the OTHER cleaning semantics: a line appearing
+    // on ≥ 3 DISTINCT pages of the SAME domain is template boilerplate
+    // (cookie banner, nav footer, license header) and is stripped from
+    // EVERY page — no keep-first; boilerplate has no first legitimate
+    // home. This is the cross-page cleaning jusText's per-page link
+    // density cannot do (a plain-text footer has zero links) and global
+    // line dedup does wrong (it would keep one copy). Domains come from
+    // the q218 canonical host; the fixture plants a domain-specific
+    // 10-token banner as line 0 of every page, so the rule fires for
+    // every domain while the shifted original lines stay unique. Shapes
+    // at 100 TB: ONE corpus pass into a (domain, line_md5) keyed agg
+    // whose groups carry their occurrence structs (flag computed
+    // in-group, occurrences explode back, doc rebuild groups ALL rows —
+    // no base rejoin, since the banner makes every doc lineful); the
+    // trade vs a 2-pass freq-table join is a page-count-sized hot group
+    // for a mega-domain's banner — at that regime switch to the 2-pass
+    // md5-only freq join (one extra cheap narrow scan), the documented
+    // alternative the ratchet would then record.
+    QueryDef("q227_boilerplate_lines", (s, d) => {
+      val banner = concat(lit("site"), (col("doc_id") % 40).cast("string"),
+        lit(" cookie banner privacy terms notice follow us on social "))
+      val ws = filter(split(concat(banner, col("text")), " "),
+        (x: org.apache.spark.sql.Column) => length(x) > lit(0))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("site"), (col("doc_id") % 40).cast("string"),
+            when(col("doc_id") % 2 === 0, ".com").otherwise(".org"))
+            .as("domain"),
+          ws.as("ws"))
+        .select(col("doc_id"), col("domain"),
+          greatest(ceil(size(col("ws")) / lit(10.0)), lit(1L))
+            .cast("int").as("n_lines"), col("ws"))
+      val lines = docs.select(col("doc_id"), col("domain"), col("n_lines"),
+          posexplode(expr(
+            "transform(sequence(0, n_lines - 1), i -> " +
+              "concat_ws(' ', slice(ws, i * 10 + 1, 10)))")))
+        .select(col("doc_id"), col("domain"), col("n_lines"),
+          col("pos").as("line_idx"), col("col").as("line"),
+          md5(col("line")).as("lmd5"))
+      // single corpus pass (the ratchet caught the 3-scan first cut):
+      // the frequency table and the strip both derive from ONE
+      // (domain, lmd5)-grouped frame carrying its occurrence structs —
+      // the boilerplate flag is computed in-group, occurrences explode
+      // back out, and the doc rebuild groups ALL rows (not just kept),
+      // so full-strip docs keep their audit row without a base rejoin
+      // (every doc has >= 1 line — the banner — so no doc is lineless).
+      val grouped = lines.groupBy("domain", "lmd5")
+        .agg(countDistinct(col("doc_id")).as("n_pages"),
+          collect_list(struct(col("doc_id"), col("n_lines"),
+            col("line_idx"), col("line"))).as("occs"))
+      val marked = grouped
+        .select((col("n_pages") >= 3).as("boiler"), explode(col("occs")).as("o"))
+        .select(col("o.doc_id").as("doc_id"), col("o.n_lines").as("n_lines"),
+          col("o.line_idx").as("line_idx"), col("o.line").as("line"),
+          col("boiler"))
+      marked.groupBy("doc_id", "n_lines")
+        .agg(coalesce(sum(when(col("boiler"), 1L)), lit(0L))
+            .as("n_stripped"),
+          array_join(expr("transform(sort_array(collect_list(" +
+            "CASE WHEN NOT boiler THEN struct(line_idx, line) END)), " +
+            "p -> p.line)"), "\n").as("clean_text"))
+        .select(col("doc_id"),
+          concat(lit("site"), (col("doc_id") % 40).cast("string"),
+            when(col("doc_id") % 2 === 0, ".com").otherwise(".org"))
+            .as("domain"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_stripped"),
+          md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+          'site' || CAST(doc_id % 40 AS VARCHAR) ||
+            CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END AS domain,
+          list_filter(string_split(
+            'site' || CAST(doc_id % 40 AS VARCHAR) ||
+            ' cookie banner privacy terms notice follow us on social ' ||
+            text, ' '), t -> len(t) > 0) AS ws
+        FROM documents),
+      c AS (
+        SELECT doc_id, domain,
+          GREATEST(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1) AS n_lines, ws
+        FROM base),
+      l AS (
+        SELECT doc_id, domain, n_lines,
+          unnest(range(0, n_lines)) AS line_idx,
+          list_transform(range(0, n_lines),
+            i -> array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' '))
+            AS ls
+        FROM c),
+      x AS (
+        SELECT doc_id, domain, n_lines, line_idx,
+          ls[CAST(line_idx + 1 AS INT)] AS line
+        FROM l),
+      f AS (
+        SELECT domain, md5(line) AS lmd5
+        FROM x GROUP BY 1, 2
+        HAVING COUNT(DISTINCT doc_id) >= 3),
+      m AS (
+        SELECT x.*, CASE WHEN f.lmd5 IS NOT NULL THEN 1 END AS boiler
+        FROM x LEFT JOIN f
+          ON f.domain = x.domain AND f.lmd5 = md5(x.line)),
+      k AS (
+        SELECT doc_id,
+          CAST(COALESCE(SUM(CASE WHEN boiler IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_stripped,
+          string_agg(CASE WHEN boiler IS NULL THEN line END, chr(10)
+            ORDER BY line_idx) AS clean_text
+        FROM m GROUP BY doc_id)
+      SELECT c.doc_id, c.domain, CAST(c.n_lines AS BIGINT) AS n_lines,
+        COALESCE(k.n_stripped, 0) AS n_stripped,
+        md5(COALESCE(k.clean_text, '')) AS clean_md5
+      FROM c LEFT JOIN k ON k.doc_id = c.doc_id"""),
+      notes = "per-domain boilerplate strip: lines on >=3 distinct pages of one canonical domain are template mass and die EVERYWHERE (no keep-first) — the cross-page cleaning per-page link density can't see; one (domain,line_md5) keyed agg + one co-keyed join + doc rebuild; fixture plants a domain banner as line 0 so every domain fires while shifted original lines stay unique"),
+
     // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
     // q156's vision twin: the patch grid every patch-embedding pipeline
     // starts from. Each gray PNG decodes and splits into a 4×4 grid —
