@@ -1400,7 +1400,61 @@ object TextQueries {
         COALESCE(k.n_stripped, 0) AS n_stripped,
         md5(COALESCE(k.clean_text, '')) AS clean_md5
       FROM c LEFT JOIN k ON k.doc_id = c.doc_id"""),
-      notes = "per-domain boilerplate strip: lines on >=3 distinct pages of one canonical domain are template mass and die EVERYWHERE (no keep-first) — the cross-page cleaning per-page link density can't see; one (domain,line_md5) keyed agg + one co-keyed join + doc rebuild; fixture plants a domain banner as line 0 so every domain fires while shifted original lines stay unique"),
+      notes = "per-domain boilerplate strip: lines on >=3 distinct pages of one canonical domain are template mass and die EVERYWHERE (no keep-first) — the cross-page cleaning per-page link density can't see; ONE corpus pass into a (domain,line_md5) grouped frame carrying occurrence structs (flag in-group, no base rejoin); fixture plants a domain banner as line 0 so every domain fires while shifted original lines stay unique"),
+
+    // ── Domain-level quality gate (site reputation, RefinedWeb-style) ──
+    // Page-level gates (q31) judge each page alone; crawl pipelines ALSO
+    // gate whole DOMAINS — a site whose pages average low quality is a
+    // content farm, and even its individually-passing pages are suspect
+    // (the blocklist/UT1 idea, derived from the corpus itself instead of
+    // a curated list). Rule: a domain survives iff its mean page quality
+    // ≥ 0.9 — evaluated in EXACT INTEGERS (scores are halves: keep ⟺
+    // 5·Σ(2·score) ≥ 9·n_pages), the DetMath no-float-gate discipline,
+    // so the knife-edge domains (mean exactly 0.9 exists at 12.5
+    // pages/domain SFs) decide identically on both engines. Output is
+    // the per-PAGE decision surface (page quality + its domain verdict —
+    // what the next pipeline stage consumes). Shapes at 100 TB: narrow
+    // quality map → one domain-keyed agg (two ints per domain) → join
+    // back on domain (domain table is web-scale-tiny; AQE broadcasts
+    // it). Threshold calibrated so both outcomes occur at all 3 SFs.
+    QueryDef("q228_domain_quality", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("site"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 2 === 0, ".com").otherwise(".org"))
+          .as("domain"),
+        TextSignals.qualityScore(col("text")).as("quality_score"))
+      val dom = docs.groupBy("domain").agg(
+        count(lit(1)).as("n_pages"),
+        sum((col("quality_score") * 2).cast("long")).as("sum_halves"))
+      docs.join(dom, Seq("domain"))
+        .select(col("doc_id"), col("domain"), col("quality_score"),
+          col("n_pages"),
+          (col("sum_halves") * 5 >= col("n_pages") * 9).cast("long")
+            .as("domain_kept"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id,
+          'site' || CAST(doc_id % 40 AS VARCHAR) ||
+            CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END AS domain,
+          (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+                 + CAST(len(regexp_extract_all(text, '\ba\b')) AS DOUBLE)
+                 + CAST(len(regexp_extract_all(text, '\band\b')) AS DOUBLE)
+                 + CAST(len(regexp_extract_all(text, '\bof\b')) AS DOUBLE))
+               / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS DOUBLE) > 0.01
+             THEN 0.5 ELSE 0.0 END) AS quality_score
+        FROM documents),
+      dom AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages,
+          CAST(SUM(CAST(quality_score * 2 AS BIGINT)) AS BIGINT)
+            AS sum_halves
+        FROM q GROUP BY domain)
+      SELECT q.doc_id, q.domain, q.quality_score, dom.n_pages,
+        CAST(CASE WHEN dom.sum_halves * 5 >= dom.n_pages * 9
+                  THEN 1 ELSE 0 END AS BIGINT) AS domain_kept
+      FROM q JOIN dom ON dom.domain = q.domain"""),
+      notes = "domain-level quality gate (site reputation): a domain survives iff mean page quality >= 0.9, decided in exact integers (5*sum_halves >= 9*n_pages — scores are halves, the no-float-gate rule); narrow quality map + one domain agg + broadcast-able join back; both outcomes at all 3 SFs"),
 
     // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
     // q156's vision twin: the patch grid every patch-embedding pipeline
