@@ -1456,6 +1456,110 @@ object TextQueries {
       FROM q JOIN dom ON dom.domain = q.domain"""),
       notes = "domain-level quality gate (site reputation): a domain survives iff mean page quality >= 0.9, decided in exact integers (5*sum_halves >= 9*n_pages — scores are halves, the no-float-gate rule); narrow quality map + one domain agg + broadcast-able join back; both outcomes at all 3 SFs"),
 
+    // ── Resharding churn audit (mod vs rendezvous hashing) ─────────────
+    // When a corpus growing past its layout re-shards 16 → 20, the
+    // assignment function decides how much data MOVES: modulo hashing
+    // reassigns ~80% of documents (stay ⟺ h%80 < 16, a 20% survival),
+    // while rendezvous/HRW hashing (doc goes to the shard whose
+    // md5(doc:shard) is LARGEST) moves exactly the docs whose best NEW
+    // shard beats their best old one — expected (k2−k1)/k2 = 20% — the
+    // consistent-hashing economics every storage layer re-learns. Both
+    // verdicts are exact md5 arithmetic (the q210 idiom), so the audit
+    // hash-gates: mod via the top-15-hex-digit integer, HRW via
+    // lexicographic max over the per-shard md5 strings (the new shards
+    // win ⟺ max over 16..19 > max over 0..15 — no argmax needed).
+    // Shapes: narrow 36-md5 map per doc + one source-keyed agg; nothing
+    // but the 5-column audit row ever shuffles.
+    QueryDef("q229_reshard_churn", (s, d) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long")
+      def hrwMax(lo: Int, hi: Int) = array_max(expr(
+        s"transform(sequence($lo, $hi), j -> " +
+          "md5(concat(cast(doc_id AS string), ':', cast(j AS string))))"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          (h % 16 =!= h % 20).cast("long").as("moved_mod"),
+          (hrwMax(16, 19) > hrwMax(0, 15)).cast("long").as("moved_hrw"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("moved_mod").as("n_moved_mod"),
+          sum("moved_hrw").as("n_moved_hrw"))
+        .select(col("source"), col("n_docs"), col("n_moved_mod"),
+          col("n_moved_hrw"),
+          round(col("n_moved_mod").cast("double") / col("n_docs"), 6)
+            .as("mod_churn"),
+          round(col("n_moved_hrw").cast("double") / col("n_docs"), 6)
+            .as("hrw_churn"))
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id, source,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS hv,
+          list_max(list_transform(range(0, 16), j ->
+            md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))))
+            AS old_best,
+          list_max(list_transform(range(16, 20), j ->
+            md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))))
+            AS new_best
+        FROM documents),
+      m AS (
+        SELECT source,
+          CASE WHEN hv % 16 <> hv % 20 THEN 1 ELSE 0 END AS moved_mod,
+          CASE WHEN new_best > old_best THEN 1 ELSE 0 END AS moved_hrw
+        FROM h)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(moved_mod) AS BIGINT) AS n_moved_mod,
+        CAST(SUM(moved_hrw) AS BIGINT) AS n_moved_hrw,
+        round(CAST(SUM(moved_mod) AS DOUBLE) / COUNT(*), 6) AS mod_churn,
+        round(CAST(SUM(moved_hrw) AS DOUBLE) / COUNT(*), 6) AS hrw_churn
+      FROM m GROUP BY source"""),
+      notes = "resharding churn audit 16 -> 20 shards: modulo hashing moves ~80% of docs, rendezvous/HRW moves ~(k2-k1)/k2 = 20% (new shards win iff their best md5 beats the old best — lexicographic max, no argmax) — exact md5 arithmetic on both engines; narrow map + one source agg; measured 0.794 vs 0.207 at sf0.1, the consistent-hashing economics exactly"),
+
+    // ── Temporal split leakage audit (train/eval entity overlap) ───────
+    // A time-based train/eval split (train < day D, eval ≥ D) is only as
+    // clean as its ENTITY overlap: a user active on both sides leaks
+    // behavioral identity into eval — the membership-contamination
+    // cousin of q64's n-gram leakage, over the events stream instead of
+    // text. Per user: exact train/eval event counts around the fixed
+    // split day (2024-01-22 = epoch day 19744; micros arithmetic uses
+    // the q98 floor-division idiom so pre-1970 rows can't skew a day),
+    // activity span, and the leak verdict — the surface a split
+    // validator consumes to either drop leaking users from eval or move
+    // their whole history to one side (GroupKFold's temporal sibling).
+    // Shapes: narrow timestamp map + ONE user-keyed agg; at 100 TB the
+    // exchange carries 5 longs per user.
+    QueryDef("q230_split_leakage", (s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("us",
+          expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("day",
+          expr("us div 86400000000 - (CASE WHEN us % 86400000000 < 0 THEN 1 ELSE 0 END)"))
+      val splitDay = 19744L
+      ev.groupBy("user_id").agg(
+        count(when(col("day") < splitDay, 1)).as("n_train"),
+        count(when(col("day") >= splitDay, 1)).as("n_eval"),
+        min("day").as("first_day"), max("day").as("last_day"))
+        .select(col("user_id"), col("n_train"), col("n_eval"),
+          col("first_day"), col("last_day"),
+          (col("n_train") > 0 && col("n_eval") > 0).cast("long")
+            .as("leaking"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id,
+          CAST(epoch_ns(ts) // 1000 // 86400000000 AS BIGINT) AS day
+        FROM events),
+      a AS (
+        SELECT user_id,
+          CAST(COUNT(*) FILTER (day < 19744) AS BIGINT) AS n_train,
+          CAST(COUNT(*) FILTER (day >= 19744) AS BIGINT) AS n_eval,
+          MIN(day) AS first_day, MAX(day) AS last_day
+        FROM e GROUP BY user_id)
+      SELECT user_id, n_train, n_eval, first_day, last_day,
+        CAST(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END
+          AS BIGINT) AS leaking
+      FROM a"""),
+      notes = "temporal train/eval split leakage: per-user exact event counts either side of the fixed split day + activity span + leak verdict (a user active on both sides contaminates a time-based eval) — q64's membership cousin over the events stream; narrow map + one user-keyed agg"),
+
     // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
     // q156's vision twin: the patch grid every patch-embedding pipeline
     // starts from. Each gray PNG decodes and splits into a 4×4 grid —
