@@ -1560,6 +1560,63 @@ object TextQueries {
       FROM a"""),
       notes = "temporal train/eval split leakage: per-user exact event counts either side of the fixed split day + activity span + leak verdict (a user active on both sides contaminates a time-based eval) — q64's membership cousin over the events stream; narrow map + one user-keyed agg"),
 
+    // ── Training-step provenance (loss-spike forensics) ────────────────
+    // When the loss spikes at optimizer step s, the first question is
+    // WHAT DATA WAS IN THAT BATCH — answerable exactly because the whole
+    // pipeline is deterministic: q94's 512-token blocks feed batches of
+    // 32 sequences, so step = block div 32, and this index maps every
+    // step to its exact document set (slice count, distinct docs, id
+    // range, distinct-id checksum — enough to pull the offending docs
+    // and diff a step against its neighbors without storing per-step
+    // copies). Same lineage as q94 (two-pass global offsets + bounded
+    // block-span explode), one step-keyed agg on top; at 100 TB the
+    // index is steps-sized (corpus tokens / 16384), the thing you WANT
+    // persisted beside every training run.
+    QueryDef("q231_step_provenance", (s, d) => {
+      val B = 512L
+      val seqsPerStep = 32L
+      val toks = filter(split(col("text"), " "),
+        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      graft.operators.GlobalOrder
+        .withRunningTotals(docs, Seq(col("doc_id")), col("n_tokens"))
+        .withColumn("block_id",
+          explode(sequence(expr(s"tstart div $B"), expr(s"(tend - 1) div $B"))))
+        .withColumn("step", expr(s"block_id div $seqsPerStep"))
+        .groupBy("step")
+        .agg(countDistinct(col("block_id")).as("n_seqs"),
+          count(lit(1)).as("n_doc_slices"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+          sum_distinct(col("doc_id")).as("doc_id_sum"))
+    }, Some("""
+      WITH dtok AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+            AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tend
+        FROM dtok WHERE n_tokens > 0),
+      x AS (
+        SELECT doc_id, tend, tend - n_tokens AS tstart,
+          unnest(generate_series((tend - n_tokens) // 512, (tend - 1) // 512))
+            AS block_id
+        FROM c)
+      SELECT CAST(block_id // 32 AS BIGINT) AS step,
+        CAST(COUNT(DISTINCT block_id) AS BIGINT) AS n_seqs,
+        CAST(COUNT(*) AS BIGINT) AS n_doc_slices,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+        CAST(SUM(DISTINCT doc_id) AS BIGINT) AS doc_id_sum
+      FROM x GROUP BY 1"""),
+      notes = "loss-spike forensics index: optimizer step -> exact document set (q94's deterministic 512-token blocks batched 32/step; slice count, distinct docs, id range, distinct-id checksum) — the steps-sized provenance table to persist beside every training run; q94 lineage + one step-keyed agg"),
+
     // ── Image patch extraction (ViT-style, REAL pixels, formula-oracled) ─
     // q156's vision twin: the patch grid every patch-embedding pipeline
     // starts from. Each gray PNG decodes and splits into a 4×4 grid —

@@ -244,6 +244,7 @@ class PlanContractSpec extends SparkSpec {
       "q124_mmr_rerank", // q40-style guarded broadcast candidate generation
       // GlobalOrder's ≤32-row pinned offset self-join (pid' < pid):
       "q89_global_ids", "q94_sequence_pack",
+      "q231_step_provenance", // q94's lineage (same GlobalOrder offsets)
       "q144_equidepth_bins", // GlobalOrder offsets + 1-row count cross join
       "q147_model_eval", "q148_calibration", // GlobalOrder ranks (q144 shape)
       "q150_prf_bm25", // q86's 1-row corpus-stat broadcasts, both passes
@@ -561,6 +562,7 @@ class PlanContractSpec extends SparkSpec {
       "q74_semantic_dedup" -> 3, "q77_unigram_lm" -> 4,
       "q83_negative_pairs" -> 4, "q88_hybrid_rrf" -> 6,
       "q89_global_ids" -> 3, "q94_sequence_pack" -> 3,
+      "q231_step_provenance" -> 3, // q94's adjudicated two-pass lineage
       "q98_funnel" -> 3, "q99_ref_integrity" -> 6)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
