@@ -58,10 +58,48 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prebuild failed: ${e.getMessage}")
     }
+    // Untimed TIMED-SF materialization: the warm-up loop above runs at
+    // sf0.001, so before this existed the alphabetically-first timed query
+    // absorbed the whole run's cold parquet/page-cache read for the real
+    // corpus (q01 measured 9.6 s driver vs 1.3 s quiet-box in r10 — a
+    // phantom regression three rounds running). One pass over every table
+    // in sfDir moves that one-time cost out of the first timed slot.
+    // (SPARK_GRAFT_WARMREAD=0 is dev-only: reproduces the pre-fix bench
+    // for A/B adjudication of the r10 q01/q149 inflation.)
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMREAD", "1") != "0")
+      new java.io.File(sfDir).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          try spark.read.parquet(f.getPath)
+            .write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+        }
+    // Between-query pin sweep (default OFF; SPARK_GRAFT_SWEEP=1 enables
+    // for A/B). Kept as the experimental knob that ADJUDICATED the r10
+    // q149 accumulation hypothesis: per-query storage snapshots
+    // (SPARK_GRAFT_MEMLOG) showed the catalog's eager
+    // `localCheckpoint(true)` pins do NOT accumulate across the run —
+    // Spark's ContextCleaner GC-unpersists each query's dead blocks as
+    // soon as its frames go out of scope (pinned=0-1, memMB~0 at every
+    // probe) — and the explicit sweep measured net-NEGATIVE (~29 s
+    // slower full-run r11: synchronous block-removal RPCs + a WARN per
+    // checkpointed RDD, buying storage that was already free). See
+    // BASELINE.md round-11 adjudication.
+    val sweep = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "0") == "1"
+    val memlog = sys.env.getOrElse("SPARK_GRAFT_MEMLOG", "0") == "1"
+    def sweepPins(): Unit = if (sweep) {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    sweepPins() // the warm-up + prebuild loops leave pins of their own
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Dev-only: reversed-order run for the accumulation experiment (if a
+    // late-run query speeds up when run early, in-run state is the cause).
+    val ordered = if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse"))
+      ordered0.reverse else ordered0
+    ordered.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Catalyst prune computed projections out of the measure).
@@ -74,6 +112,12 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      if (memlog) {
+        val info = spark.sparkContext.getRDDStorageInfo
+        System.err.println(f"[memlog] $name pinned=${info.length}%d " +
+          f"memMB=${info.map(_.memSize).sum / 1e6}%.1f")
+      }
+      sweepPins()
     }
     // TWO-ARTIFACT CONTRACT (see README). The driver keeps only the LAST
     // ~2000 chars of stdout; at 208 queries the full per-query map grew to

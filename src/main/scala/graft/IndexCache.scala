@@ -237,6 +237,39 @@ object IndexCache {
     s"$root/media"
   }
 
+  /** Root for the persisted WARC fixture files (q235's raw-archive input). */
+  def warcFixtureRoot(sfDir: String): String =
+    new java.io.File(s"target/graft_idx/${key(sfDir)}/warc_fixture").getAbsolutePath
+
+  /** Ensure the WARC fixture archive exists: the q224 synthesis pages
+    * serialized into one ISO 28500 file per source
+    * ([[graft.io.WarcIO.writePages]]), stamped against the documents
+    * corpus like the JPEG fixture — so q235 times the READ+parse path a
+    * crawl ingest pays, not the fixture serialization. */
+  def ensureWarcFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = warcFixtureRoot(sfDir)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_STAMP")
+    val stamp = s"$nDocs:${contentStamp(s"$sfDir/documents.parquet")}:warc1"
+    val fresh = java.nio.file.Files.isRegularFile(marker) &&
+      scala.util.Try(
+        java.nio.file.Files.readString(marker).trim == stamp)
+        .getOrElse(false)
+    if (!fresh) {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val pages = docs.select(
+        col("doc_id").as("page_id"),
+        graft.text.UrlOps.syntheticUrl(col("doc_id")).as("url"),
+        graft.text.HtmlExtract.syntheticHtml(col("doc_id"), col("text"))
+          .as("html"),
+        col("source"))
+      graft.io.WarcIO.writePages(pages, root)
+      java.nio.file.Files.writeString(marker, stamp)
+    }
+    root
+  }
+
   /** Delete a managed-table directory orphaned by a dead session (the
     * catalog entry lives in memory; the files live in the shared
     * `spark.sql.warehouse.dir`). No-op when the location is absent. */

@@ -1,0 +1,211 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500 / WARC/1.0) container reader + writer — the crawl
+  * interchange format, completing the web front door from RAW ARCHIVE
+  * BYTES: WARC files → [[WarcIO.readPages]] → (page_id, url, html,
+  * source) → [[graft.pipeline.WebCurate.run]].
+  *
+  * Record layout (public spec): `WARC/1.0\r\n`, named header fields
+  * (`Name: value\r\n` each), `\r\n`, exactly `Content-Length` payload
+  * bytes, `\r\n\r\n` separator. A `response` record's payload is an HTTP
+  * response (status line, headers, blank line, entity body). Files open
+  * with a `warcinfo` record describing the capture (we carry the crawl
+  * SOURCE label there, one collection per file — the Common-Crawl
+  * convention of segment-scoped metadata).
+  *
+  * Page identity: readers need stable doc ids. `WARC-Record-ID` is "a
+  * globally unique identifier assigned to the record" (any URI scheme),
+  * so the writer mints `<urn:graft:page:N>` from the page id and the
+  *reader recovers N — exactly how production pipelines derive doc ids
+  * from record ids (parse when structured, hash when not; non-URN ids
+  * here fall back to a 63-bit xxhash of the id string, documented).
+  *
+  * Scale posture: one WARC file = one indivisible parse unit (records
+  * are sequential within a file; real crawls shard into many ~1 GB
+  * files, so file-level parallelism IS the parallelism — the
+  * binaryFile source distributes files across partitions and bytes
+  * never shuffle; only the extracted page rows do). Gzip-member-per-
+  * record (the .warc.gz transport form) is out of scope offline and
+  * documented here rather than half-built. */
+object WarcIO {
+
+  final case class WarcRecord(headers: Seq[(String, String)],
+      body: Array[Byte]) {
+    def header(name: String): Option[String] =
+      headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      }
+  }
+
+  private val Crlf = "\r\n"
+
+  // ── writer ───────────────────────────────────────────────────────────
+
+  /** Render one record: version line, headers (Content-Length appended),
+    * blank line, body, record separator. */
+  def render(rec: WarcRecord): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0").append(Crlf)
+    rec.headers.foreach { case (k, v) =>
+      require(!k.contains(":") && !(k + v).exists(c => c == '\r' || c == '\n'),
+        s"malformed WARC header: $k")
+      head.append(k).append(": ").append(v).append(Crlf)
+    }
+    head.append("Content-Length: ").append(rec.body.length).append(Crlf)
+    head.append(Crlf)
+    val hb = head.toString.getBytes("UTF-8")
+    val out = new Array[Byte](hb.length + rec.body.length + 4)
+    System.arraycopy(hb, 0, out, 0, hb.length)
+    System.arraycopy(rec.body, 0, out, hb.length, rec.body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** One WARC file's bytes: a `warcinfo` record naming the collection
+    * (source label) followed by one `response` record per page. */
+  def renderFile(source: String,
+      pages: Iterator[(Long, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(render(WarcRecord(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:warcinfo:$source>",
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft${Crlf}collection: $source$Crlf".getBytes("UTF-8"))))
+    pages.foreach { case (pageId, url, html) =>
+      val entity = html.getBytes("UTF-8")
+      val http = (s"HTTP/1.1 200 OK${Crlf}Content-Type: text/html$Crlf" +
+        s"Content-Length: ${entity.length}$Crlf$Crlf").getBytes("UTF-8")
+      out.write(render(WarcRecord(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:page:$pageId>",
+        "WARC-Target-URI" -> url,
+        "Content-Type" -> "application/http; msgtype=response"),
+        http ++ entity)))
+    }
+    out.toByteArray
+  }
+
+  // ── parser ───────────────────────────────────────────────────────────
+
+  /** Parse every record in a WARC file. Strict: a malformed version
+    * line, header, or truncated body aborts with None (the codec
+    * "None, never garbage" posture — a half-parsed crawl file must
+    * surface as a unit, not as silently-missing tail records). */
+  def parseRecords(bytes: Array[Byte]): Option[Seq[WarcRecord]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var off = 0
+    def lineEnd(from: Int): Int = { // index of the \r in the next CRLF
+      var i = from
+      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n'))
+        i += 1
+      if (i + 1 < bytes.length) i else -1
+    }
+    while (off < bytes.length) {
+      val ve = lineEnd(off)
+      if (ve < 0) return None
+      if (new String(bytes, off, ve - off, "UTF-8") != "WARC/1.0") return None
+      var p = ve + 2
+      val headers = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var blank = false
+      while (!blank) {
+        val he = lineEnd(p)
+        if (he < 0) return None
+        if (he == p) { blank = true; p += 2 }
+        else {
+          val line = new String(bytes, p, he - p, "UTF-8")
+          val c = line.indexOf(':')
+          if (c <= 0) return None
+          headers += ((line.substring(0, c).trim, line.substring(c + 1).trim))
+          p = he + 2
+        }
+      }
+      val len = headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("Content-Length") => v
+      }.flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(return None)
+      if (len < 0 || p + len + 4 > bytes.length) return None
+      val body = java.util.Arrays.copyOfRange(bytes, p, p + len)
+      p += len
+      if (!(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
+        bytes(p + 2) == '\r' && bytes(p + 3) == '\n')) return None
+      out += WarcRecord(
+        headers.filterNot(_._1.equalsIgnoreCase("Content-Length")).toSeq, body)
+      off = p + 4
+    }
+    Some(out.toSeq)
+  }
+
+  /** HTTP entity body of a response payload (bytes after the first
+    * CRLFCRLF); None when no header/body split exists. */
+  def httpBody(payload: Array[Byte]): Option[Array[Byte]] = {
+    var i = 0
+    while (i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n')
+        return Some(java.util.Arrays.copyOfRange(payload, i + 4, payload.length))
+      i += 1
+    }
+    None
+  }
+
+  private val PageUrn = "<urn:graft:page:(\\d+)>".r
+
+  /** Crawl pages from a directory of WARC files, in WebCurate's input
+    * shape (page_id, url, html, source). Each file parses inside its own
+    * task (binaryFile rows distribute across partitions; bytes never
+    * shuffle); the file's warcinfo collection field becomes `source`.
+    * Strict per file: an unparseable file fails the job loudly rather
+    * than dropping records — crawl-side quarantining belongs to the
+    * transport layer, not a silent reader. */
+  def readPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.warc")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val recs = parseRecords(bytes).getOrElse(
+          throw new IllegalArgumentException(s"unparseable WARC file: $path"))
+        val source = recs.headOption
+          .filter(_.header("WARC-Type").contains("warcinfo"))
+          .flatMap(r => new String(r.body, "UTF-8").linesIterator
+            .collectFirst { case l if l.startsWith("collection: ") =>
+              l.stripPrefix("collection: ") })
+          .getOrElse("unknown")
+        recs.iterator
+          .filter(_.header("WARC-Type").contains("response"))
+          .map { r =>
+            val id = r.header("WARC-Record-ID") match {
+              case Some(PageUrn(n)) => n.toLong
+              case other => // non-URN ids: stable 63-bit hash (documented)
+                scala.util.hashing.MurmurHash3
+                  .stringHash(other.getOrElse("")).toLong & Long.MaxValue
+            }
+            val html = httpBody(r.body)
+              .map(new String(_, "UTF-8")).getOrElse("")
+            (id, r.header("WARC-Target-URI").getOrElse(""), html, source)
+          }.toSeq
+      }
+      .toDF("page_id", "url", "html", "source")
+  }
+
+  /** Serialize a (page_id, url, html, source) frame into one WARC file
+    * per source under `dir` — the fixture writer for the q235 gate and
+    * the round-trip specs (at 100 TB the writer shards each source into
+    * many files; one per source keeps the fixture deterministic). */
+  def writePages(pages: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import pages.sparkSession.implicits._
+    pages.select("page_id", "url", "html", "source")
+      .as[(Long, String, String, String)]
+      .collect() // fixture-scale writer (the reader is the scale path)
+      .groupBy(_._4)
+      .foreach { case (source, rows) =>
+        val bytes = renderFile(source,
+          rows.sortBy(_._1).iterator.map(r => (r._1, r._2, r._3)))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"$source.warc"), bytes)
+      }
+  }
+}

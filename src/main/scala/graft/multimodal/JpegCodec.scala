@@ -853,6 +853,16 @@ object JpegCodec {
     var planeW: Array[Int] = null
     var planeH: Array[Int] = null
     var sawScan = false
+    // per-component: a DC FIRST scan (Ss=0, Ah=0) has covered it. T.81's
+    // scan-script rule (G.1.1.1.1 / libjpeg's "first scan must be DC"):
+    // a component's DC band must be delivered before any of its AC scans
+    // and before the frame can finish — otherwise a crafted stream with
+    // AC-only scans would decode from partially-populated coefficients
+    // instead of honouring the "None, never garbage" contract. (DC
+    // REFINEMENT completion to Al=0 is deliberately not required:
+    // truncated progressive scripts are legal prefixes and libjpeg
+    // renders them at coarser precision.)
+    var dcSeen: Array[Boolean] = null
     var done = false
     while (!done && off + 4 <= bytes.length) {
       if ((bytes(off) & 0xff) != 0xff) return None
@@ -906,6 +916,7 @@ object JpegCodec {
             if (totalBlocks > (bytes.length - off).toLong * 8) return None
             coefs = Array.tabulate(comps.length)(i =>
               new Array[Int](planeW(i) * planeH(i)))
+            dcSeen = new Array[Boolean](comps.length)
           case 0xc4 =>
             var p = seg
             while (p < off + 2 + len) {
@@ -950,11 +961,16 @@ object JpegCodec {
             if (ss == 0 && se != 0) return None
             if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
             if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) return None
+            // scan-script ordering: every component in an AC scan or a DC
+            // REFINEMENT scan must already have its DC first scan
+            if ((ss > 0 || ah > 0) && scanComps.exists(!dcSeen(_)))
+              return None
             val dataAt = off + 2 + len
             val endPos = decodeProgressiveScan(bytes, dataAt, comps,
               scanComps, ss, se, ah, al, coefs, dcTabs, acTabs,
               restartInterval, mcusX, mcusY, width, height, hMax, vMax)
             if (endPos < 0) return None
+            if (ss == 0 && ah == 0) scanComps.foreach(dcSeen(_) = true)
             sawScan = true
             off = endPos
           case 0xcc => return None
@@ -965,6 +981,7 @@ object JpegCodec {
       }
     }
     if (comps == null || !sawScan) return None
+    if (dcSeen.exists(!_)) return None // no component may finish DC-less
     if (comps.exists(c => quant(c.qId) == null)) return None
     // finish: dequantize (zigzag store -> natural) + IDCT every block
     val planes = Array.tabulate(comps.length)(i =>

@@ -82,6 +82,7 @@ object Multimodal {
     * both formats with identical downstream arithmetic. */
   def decodeImage(bytes: Array[Byte]): Option[PngCodec.PngImage] =
     if (HeaderCodec.isPng(bytes)) PngCodec.decode(bytes)
+    else if (GifCodec.isGif(bytes)) GifCodec.decode(bytes)
     else JpegCodec.decode(bytes)
 
   /** Split a motion-PNG stream into its PNG frames (signature-delimited).
@@ -300,6 +301,34 @@ object Multimodal {
   private def buildJpegPayload(id: Long): Array[Byte] =
     JpegCodec.encode(jpegPixels(id), quant = 1)
 
+  // ── GIF fixture corpus (the q234 oracle contract) ────────────────────
+  // GIF is LOSSLESS, so unlike the JPEG fixtures no flat-block
+  // construction is needed: every PIXEL carries its own formula value
+  //   w = 16 + (id%3)*8, h = 16 + (id%2)*8, pixel i: (id*37 + i*29) % 256
+  // encoded through the identity 256-gray palette (r=g=b=v), LZW and all,
+  // and the decoder must reproduce each RGB byte exactly for the stats to
+  // match DuckDB evaluating the same closed form. Per-pixel (not
+  // per-block) values also exercise LZW's dictionary growth through every
+  // code width, which a flat fixture would not.
+
+  /** GIF89a media table over the documents corpus ids — the q234 gate
+    * input (real LZW streams; one interlaced in four via id % 4 == 0 so
+    * the 4-pass row order sits under the same gate). */
+  def gifFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = jpegDims(id) // the shared dims formula
+        val px = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) { px(i) = ((id * 37 + i * 29) % 256).toByte; i += 1 }
+        val img = PngCodec.PngImage(w, h, 1, px)
+        MediaRow(id, "image",
+          GifCodec.encode(img, interlace = id % 4 == 0).get)
+      })
+  }
+
   /** PROGRESSIVE (SOF2) twin of [[jpegFromDocuments]]: the identical
     * flat-block pixel formula encoded through the multi-scan successive-
     * approximation script — so the q225 gate proves the progressive
@@ -359,6 +388,8 @@ object Multimodal {
           val (frames, fmt) =
             if (pngFrames.nonEmpty)
               (pngFrames, if (r.kind == "video") "png-seq" else "png")
+            else if (GifCodec.isGif(r.content))
+              (GifCodec.frames(r.content).getOrElse(Seq.empty), "gif")
             else (JpegCodec.decode(r.content).toSeq, "jpeg")
           if (frames.isEmpty)
             MediaStats(r.media_id, r.kind, "bin", 0L, 0L, 0L, 0L, 0L, 0L)

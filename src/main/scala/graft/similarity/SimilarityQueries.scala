@@ -174,6 +174,60 @@ object SimilarityQueries {
     (1 to iters).foldLeft(init)((c, _) => lloydStep(all, c))
   }
 
+  /** DuckDB CTE fragment unrolling the persisted IVF index's TRAINING —
+    * the same deterministic two-step Lloyd (k=20, lowest-id seeds
+    * `vec_id < 20`, micro-unit mean arithmetic) that [[trainedCentroids]]
+    * runs and `VectorIndex.build` persists, proven bit-comparable by the
+    * q104 gate. Ends in `c2l(cent_id, ce)` — the stored centroids — and
+    * `asg(vec_id, e, cell)` — the stored cells table. Callers open with
+    * `WITH`, splice this, and compose probe stages on top (q104 single-
+    * query RRF, q114 multi-query vote). No `$` inside: safe to splice
+    * into s-interpolated oracle strings. */
+  private val IvfIndexSql: String = """
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c0 AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 20),
+      d1 AS (
+        SELECT v.vec_id, c0.cent_id,
+          list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c0.ce)
+            + list_dot_product(c0.ce, c0.ce) AS d2
+        FROM v CROSS JOIN c0),
+      m1 AS (
+        SELECT vec_id, cent_id AS cluster FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      z1 AS (
+        SELECT m1.cluster, unnest(list_zip(v.e, range(len(v.e)))) AS z
+        FROM v JOIN m1 USING (vec_id)),
+      c1 AS (
+        SELECT cluster, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+          ROUND(CAST(SUM(CAST(ROUND(struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
+            / (1000000.0 * COUNT(*)), 6) AS cv
+        FROM z1 GROUP BY cluster, pos),
+      c1l AS (SELECT cluster AS cent_id, list(cv ORDER BY pos) AS ce
+              FROM c1 GROUP BY cluster),
+      d2i AS (
+        SELECT v.vec_id, c1l.cent_id,
+          list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c1l.ce)
+            + list_dot_product(c1l.ce, c1l.ce) AS d2
+        FROM v CROSS JOIN c1l),
+      m2 AS (
+        SELECT vec_id, cent_id AS cluster FROM d2i
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      z2 AS (
+        SELECT m2.cluster, unnest(list_zip(v.e, range(len(v.e)))) AS z
+        FROM v JOIN m2 USING (vec_id)),
+      c2 AS (
+        SELECT cluster, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+          ROUND(CAST(SUM(CAST(ROUND(struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
+            / (1000000.0 * COUNT(*)), 6) AS cv
+        FROM z2 GROUP BY cluster, pos),
+      c2l AS (SELECT cluster AS cent_id, list(cv ORDER BY pos) AS ce
+              FROM c2 GROUP BY cluster),
+      asg AS (
+        SELECT v.vec_id, v.e, c2l.cent_id AS cell
+        FROM v CROSS JOIN c2l
+        QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY list_dot_product(v.e, c2l.ce) DESC, c2l.cent_id ASC) = 1),"""
+
   /** Driver-held centroids as a (cent_id, cv) frame for the broadcast side
     * of [[ivfAssign]] — a k-row local relation, never a scan. */
   private[similarity] def centroidFrame(s: SparkSession, cents: Seq[(Long, Seq[Double])]): DataFrame = {
@@ -956,49 +1010,7 @@ object SimilarityQueries {
             AS r_lex
         FROM scored
         QUALIFY row_number() OVER (ORDER BY s DESC, doc_id ASC) <= 100),
-      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      c0 AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 20),
-      d1 AS (
-        SELECT v.vec_id, c0.cent_id,
-          list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c0.ce)
-            + list_dot_product(c0.ce, c0.ce) AS d2
-        FROM v CROSS JOIN c0),
-      m1 AS (
-        SELECT vec_id, cent_id AS cluster FROM d1
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
-      z1 AS (
-        SELECT m1.cluster, unnest(list_zip(v.e, range(len(v.e)))) AS z
-        FROM v JOIN m1 USING (vec_id)),
-      c1 AS (
-        SELECT cluster, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
-          ROUND(CAST(SUM(CAST(ROUND(struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
-            / (1000000.0 * COUNT(*)), 6) AS cv
-        FROM z1 GROUP BY cluster, pos),
-      c1l AS (SELECT cluster AS cent_id, list(cv ORDER BY pos) AS ce
-              FROM c1 GROUP BY cluster),
-      d2i AS (
-        SELECT v.vec_id, c1l.cent_id,
-          list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c1l.ce)
-            + list_dot_product(c1l.ce, c1l.ce) AS d2
-        FROM v CROSS JOIN c1l),
-      m2 AS (
-        SELECT vec_id, cent_id AS cluster FROM d2i
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
-      z2 AS (
-        SELECT m2.cluster, unnest(list_zip(v.e, range(len(v.e)))) AS z
-        FROM v JOIN m2 USING (vec_id)),
-      c2 AS (
-        SELECT cluster, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
-          ROUND(CAST(SUM(CAST(ROUND(struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
-            / (1000000.0 * COUNT(*)), 6) AS cv
-        FROM z2 GROUP BY cluster, pos),
-      c2l AS (SELECT cluster AS cent_id, list(cv ORDER BY pos) AS ce
-              FROM c2 GROUP BY cluster),
-      asg AS (
-        SELECT v.vec_id, v.e, c2l.cent_id AS cell
-        FROM v CROSS JOIN c2l
-        QUALIFY row_number() OVER (PARTITION BY v.vec_id
-          ORDER BY list_dot_product(v.e, c2l.ce) DESC, c2l.cent_id ASC) = 1),
+${IvfIndexSql}
       qv AS (SELECT e FROM v WHERE vec_id = 0),
       pc AS (
         SELECT c2l.cent_id AS cell FROM c2l CROSS JOIN qv
@@ -1101,11 +1113,55 @@ object SimilarityQueries {
     // cosine order. The vote/verdict stage is [[labelVote]] — shared with
     // q113, so any divergence is exactly IVF recall, never vote logic
     // (KnnVoteIndexedSpec pins agreement and the perfect-recall subset).
-    // Rows-only for q42b's reason: probed cells depend on the trained
-    // quantizer. All windows query-partitioned over ≤10 candidate rows.
+    // HASH-GATED since round 11 (was rows-only "for q42b's reason"): the
+    // q104 gate already proved the persisted index's Lloyd training +
+    // argmax-dot assignment unrolls bit-comparably in DuckDB, and the
+    // shared [[IvfIndexSql]] fragment makes the multi-query probe just
+    // one more query-partitioned window on top — so the oracle replays
+    // training, assignment, the nProbe=10/top-10 probe, the train-only
+    // re-rank to top-5, and the vote, approximation and all. All windows
+    // query-partitioned over ≤10 candidate rows.
     QueryDef("q114_knn_vote_indexed", (s, d) =>
-      labelVote(knnIndexedTop(s, d), labelsOf(s, d)), None,
-      notes = "q113 served from the persisted IVF index (probe top-10 -> train-only top-5 -> shared vote stage): the label-audit scale path; rows-only (quantizer-dependent), neighbor recall + conditional verdict parity spec-pinned"),
+      labelVote(knnIndexedTop(s, d), labelsOf(s, d)), Some(s"""
+      WITH ${IvfIndexSql}
+      lab AS (SELECT vec_id, label FROM embeddings),
+      qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+      pc AS (
+        SELECT qv.query_id, qv.qe, c2l.cent_id AS cell FROM c2l CROSS JOIN qv
+        QUALIFY row_number() OVER (PARTITION BY qv.query_id
+          ORDER BY list_dot_product(qv.qe, c2l.ce) DESC, c2l.cent_id ASC) <= 10),
+      cand AS (
+        SELECT pc.query_id, asg.vec_id AS cand_id,
+          round(list_dot_product(pc.qe, asg.e) /
+            (sqrt(list_dot_product(pc.qe, pc.qe))
+              * sqrt(list_dot_product(asg.e, asg.e))), 6) AS cos_sim
+        FROM pc JOIN asg USING (cell)
+        WHERE asg.vec_id <> pc.query_id),
+      top10 AS (
+        SELECT query_id, cand_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, cand_id ASC) AS rnk
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id ASC) <= 10),
+      top5 AS (
+        SELECT query_id, cand_id FROM top10
+        WHERE cand_id % 50 <> 0
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rnk ASC) <= 5),
+      votes AS (
+        SELECT t.query_id, lab.label AS cand_label,
+          CAST(count(*) AS BIGINT) AS n_votes
+        FROM top5 t JOIN lab ON lab.vec_id = t.cand_id
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT query_id, cand_label AS pred_label, n_votes FROM votes
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY n_votes DESC, cand_label ASC) = 1)
+      SELECT p.query_id, lab.label AS true_label, p.pred_label, p.n_votes,
+        CAST(CASE WHEN p.pred_label = lab.label THEN 1 ELSE 0 END AS BIGINT)
+          AS is_correct
+      FROM pred p JOIN lab ON lab.vec_id = p.query_id"""),
+      notes = "q113 served from the persisted IVF index (probe top-10 -> train-only top-5 -> shared vote stage): the label-audit scale path; fully hash-gated since r11 — the oracle unrolls the q104-proven Lloyd training + multi-query probe; neighbor recall + verdict parity additionally spec-pinned"),
 
     // ── MMR diversified re-rank (retrieval post-processing) ────────────
     // Maximal marginal relevance over each query's top-8 cosine

@@ -72,11 +72,11 @@ object StreamingChunkLedger {
     // must run once (q221's pinning rule; chunks are hash+length rows)
     val chunks = graft.dedup.DedupQueries.cdcChunkTable(
       batch.select("doc_id", "text")).localCheckpoint(true)
-    val p = new org.apache.hadoop.fs.Path(ledgerPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger =
-      if (fs.exists(p)) spark.read.parquet(ledgerPath)
-      else chunks.select("chunk_md5").limit(0)
+    // explicit schema via LedgerIO: an exists-but-fileless ledger dir
+    // (crash between mkdir and the first part-file commit) must read as
+    // empty, not wedge every restart on schema inference
+    val ledger = LedgerIO.readOrEmpty(spark, ledgerPath,
+      chunks.select("chunk_md5").schema)
     val firstSeen = chunks.groupBy("chunk_md5")
       .agg(min("doc_id").as("first_doc"))
     val occ = chunks

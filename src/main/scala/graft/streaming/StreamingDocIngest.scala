@@ -137,9 +137,9 @@ object StreamingDocIngest {
     val sigs = DedupQueries.signaturesOf(docs)
     // one persisted row per signature-bearing doc: signature + gram set
     val sigRows = sigs.join(grams.select("doc_id", "grams_h", "n_grams"), "doc_id")
-    val p = new org.apache.hadoop.fs.Path(sigPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = if (fs.exists(p)) spark.read.parquet(sigPath) else sigRows.limit(0)
+    // explicit schema via LedgerIO: exists-but-fileless sigPath (crash
+    // between mkdir and first part-file commit) reads as empty, no wedge
+    val base = LedgerIO.readOrEmpty(spark, sigPath, sigRows.schema)
 
     val innerDrops = DedupQueries.verifyJaccard(
       DedupQueries.lshCandidatePairs(sigs), grams, minJ).select("doc_b")

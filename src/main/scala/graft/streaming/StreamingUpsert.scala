@@ -51,15 +51,10 @@ object StreamingUpsert {
   /** The base table, or an empty frame with the batch's schema before the
     * first commit (dest not yet written). */
   private def baseOrEmpty(spark: SparkSession, dest: String,
-      batch: DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dest)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      // select in batch-column order so unionByName sees aligned schemas
-      spark.read.parquet(dest).select(
-        batch.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        batch.schema)
-  }
+      batch: DataFrame): DataFrame =
+    // LedgerIO reads with the batch's explicit schema (already in batch-
+    // column order, so unionByName sees aligned schemas) — a missing OR
+    // exists-but-fileless dest degrades to empty instead of wedging
+    // restarts on schema inference
+    LedgerIO.readOrEmpty(spark, dest, batch.schema)
 }

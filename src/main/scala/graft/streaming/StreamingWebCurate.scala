@@ -57,11 +57,11 @@ object StreamingWebCurate {
   private[streaming] def curateBatch(batch: DataFrame, outRoot: String,
       maxPerDomain: Long, minQuality: Double, minJ: Double): Unit = {
     val spark = batch.sparkSession
-    def readOrEmpty(path: String, like: DataFrame): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.parquet(path) else like.limit(0)
-    }
+    // explicit schema via LedgerIO: an exists-but-fileless ledger dir
+    // (crash between mkdir and the first part-file commit) must read as
+    // empty, not wedge every restart on schema inference
+    def readOrEmpty(path: String, like: DataFrame): DataFrame =
+      LedgerIO.readOrEmpty(spark, path, like.schema)
 
     // 1. URL dedup: earliest page per canonical class within the batch,
     //    minus every class already banked

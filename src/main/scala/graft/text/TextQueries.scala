@@ -182,6 +182,94 @@ object TextQueries {
     merges.toSeq
   }
 
+  // q224/q235 share ONE oracle: the manifest is a pure function
+  // of the page synthesis, and q235 feeds WebCurate the SAME pages
+  // routed through the WARC container — identical numbers by design.
+  private[text] val webCurateManifestOracle: String = """
+      WITH pages AS (
+        SELECT doc_id AS page_id, source, CAST(doc_id % 40 AS INT) AS cls,
+          trim(text) || ' Tom & Jerry <3 >> "ok"' AS ctext
+        FROM documents),
+      k1 AS (
+        SELECT * FROM pages
+        QUALIFY row_number() OVER (PARTITION BY cls ORDER BY page_id) = 1),
+      k2 AS (
+        SELECT * FROM k1
+        QUALIFY row_number() OVER (
+          PARTITION BY 'site' || CAST(cls AS VARCHAR) ||
+            CASE WHEN cls % 2 = 0 THEN '.com' ELSE '.org' END
+          ORDER BY page_id) <= 3),
+      k3 AS (SELECT * FROM k2 WHERE length(ctext) > 0),
+      q AS (
+        SELECT *,
+          (CASE WHEN length(ctext) BETWEEN 100 AND 20000 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN (CAST(len(regexp_extract_all(ctext, '\bthe\b')) AS DOUBLE)
+                 + CAST(len(regexp_extract_all(ctext, '\ba\b')) AS DOUBLE)
+                 + CAST(len(regexp_extract_all(ctext, '\band\b')) AS DOUBLE)
+                 + CAST(len(regexp_extract_all(ctext, '\bof\b')) AS DOUBLE))
+               / CAST(length(ctext) - length(replace(ctext, ' ', '')) + 1
+                      AS DOUBLE) > 0.01
+             THEN 0.5 ELSE 0.0 END) AS quality
+        FROM k3),
+      gated AS (SELECT * FROM q WHERE quality >= 1.0),
+      exact AS (
+        SELECT * FROM gated
+        QUALIFY row_number() OVER (
+          PARTITION BY md5(lower(replace(ctext, ' ', '')))
+          ORDER BY page_id) = 1),
+      g AS (
+        SELECT page_id, list_distinct(list_transform(
+          range(1, greatest(len(string_split(ctext, ' ')) - 1, 1)),
+          i -> string_split(ctext, ' ')[i] || ' ' ||
+               string_split(ctext, ' ')[i+1] || ' ' ||
+               string_split(ctext, ' ')[i+2])) AS grams
+        FROM exact),
+      drops AS (
+        SELECT DISTINCT b.page_id
+        FROM g a JOIN g b ON a.page_id < b.page_id
+        WHERE len(a.grams) + len(b.grams) > 0
+          AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.6),
+      near AS (
+        SELECT * FROM exact
+        WHERE page_id NOT IN (SELECT page_id FROM drops)),
+      tok AS (
+        SELECT *, CAST(length(ctext) - length(replace(ctext, ' ', '')) + 1
+          AS BIGINT) AS n_tokens
+        FROM near),
+      sh AS (
+        SELECT *, CAST((SUM(n_tokens) OVER (
+          PARTITION BY source ORDER BY page_id ROWS UNBOUNDED PRECEDING)
+          - 1) // 2048 AS BIGINT) AS shard_id
+        FROM tok),
+      n AS (
+        SELECT
+          (SELECT COUNT(*) FROM pages) AS pages,
+          (SELECT COUNT(*) FROM k1) AS n1,
+          (SELECT COUNT(*) FROM k2) AS n2,
+          (SELECT COUNT(*) FROM k3) AS n3,
+          (SELECT COUNT(*) FROM gated) AS n4,
+          (SELECT COUNT(*) FROM exact) AS n5,
+          (SELECT COUNT(*) FROM near) AS n6,
+          (SELECT COALESCE(SUM(n_tokens), 0) FROM sh) AS kt,
+          (SELECT COUNT(DISTINCT (source, shard_id)) FROM sh) AS shards)
+      SELECT
+        CAST(pages AS BIGINT) AS pages,
+        CAST(pages - n1 AS BIGINT) AS url_dup_dropped,
+        CAST(n1 - n2 AS BIGINT) AS domain_cap_dropped,
+        CAST(n2 - n3 AS BIGINT) AS empty_extract_dropped,
+        CAST(n3 AS BIGINT) AS input_docs,
+        CAST(n3 - n4 AS BIGINT) AS quality_dropped,
+        CAST(n4 - n5 AS BIGINT) AS exact_dup_dropped,
+        CAST(n5 - n6 AS BIGINT) AS near_dup_dropped,
+        CAST(0 AS BIGINT) AS containment_dropped,
+        CAST(0 AS BIGINT) AS semantic_dropped,
+        CAST(n6 AS BIGINT) AS kept_docs,
+        CAST(kt AS BIGINT) AS kept_tokens,
+        CAST(shards AS BIGINT) AS shards
+      FROM n"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Token counting + basic stats ───────────────────────────────────
@@ -643,6 +731,42 @@ object TextQueries {
         CAST(0 AS BIGINT) AS duration_ms
       FROM d"""),
       notes = "progressive (SOF2) JPEG decode — spectral selection + successive approximation (DC first/refine, AC first/refine, EOB runs) — gated bit-exactly on decoded pixel statistics vs the SAME generating formula as q206; closes the r9-declared progressive scope gap"),
+
+    // ── GIF89a decode (LZW — the last large web-image format) ──────────
+    // After JPEG baseline+progressive and PNG, GIF is the biggest
+    // remaining web-image share (the r10 verdict's ranked gap #6).
+    // [[graft.multimodal.GifCodec]] is a full GIF89a decoder from the
+    // public spec: marker/block walk, global+local color tables,
+    // variable-width LSB-first LZW with CLEAR/EOI and the deferred-clear
+    // frozen dictionary, 4-pass interlace, multi-image streams. GIF is
+    // LOSSLESS, so the gate needs no flat-block trick: every PIXEL is
+    // (id*37 + i*29) % 256 through the identity gray palette, one image
+    // in four interlaced, and DuckDB evaluates the same per-pixel closed
+    // form — a decoder that mis-walked LZW code widths, palette indexing
+    // or the interlace row order cannot match (LZW state is sequential:
+    // one wrong code corrupts the rest of the image). GifCodecSpec pins
+    // byte-exact encode→decode round-trips (incl. interlace, KwKwK,
+    // dictionary-growth boundaries) and the None contract on corrupt
+    // streams. Scale: the q103/q206 posture — one narrow mapPartitions,
+    // bytes never shuffle.
+    QueryDef("q234_gif_decode", (s, d) => {
+      graft.multimodal.Multimodal.decodedStats(
+        graft.multimodal.Multimodal.gifFromDocuments(s, d)).toDF()
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, 16 + (doc_id % 2) * 8 AS h
+        FROM documents)
+      SELECT doc_id AS media_id, 'image' AS kind, 'gif' AS format,
+        CAST(3 * w * h AS BIGINT) AS n_units,
+        CAST(3 * list_sum(list_transform(range(w * h),
+          i -> (doc_id*37 + i*29) % 256)) AS BIGINT) AS unit_sum,
+        CAST(3 * list_sum(list_transform(range(w * h),
+          i -> ((doc_id*37 + i*29) % 256) * ((doc_id*37 + i*29) % 256)))
+          AS BIGINT) AS unit_sumsq,
+        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(0 AS BIGINT) AS duration_ms
+      FROM d"""),
+      notes = "real GIF89a decode (JDK-only variable-width LZW + palettes + interlace) gated bit-exactly on decoded RGB statistics vs the per-pixel generating formula — lossless, so no flat-block construction needed"),
 
     // ── JPEG perceptual dedup (codec composed with the dedup leg) ──────
     // q206 proves the decode; this proves the new codec COMPOSES with a
@@ -1119,91 +1243,40 @@ object TextQueries {
           "empty_extract_dropped", "input_docs", "quality_dropped",
           "exact_dup_dropped", "near_dup_dropped", "containment_dropped",
           "semantic_dropped", "kept_docs", "kept_tokens", "shards")
-    }, Some("""
-      WITH pages AS (
-        SELECT doc_id AS page_id, source, CAST(doc_id % 40 AS INT) AS cls,
-          trim(text) || ' Tom & Jerry <3 >> "ok"' AS ctext
-        FROM documents),
-      k1 AS (
-        SELECT * FROM pages
-        QUALIFY row_number() OVER (PARTITION BY cls ORDER BY page_id) = 1),
-      k2 AS (
-        SELECT * FROM k1
-        QUALIFY row_number() OVER (
-          PARTITION BY 'site' || CAST(cls AS VARCHAR) ||
-            CASE WHEN cls % 2 = 0 THEN '.com' ELSE '.org' END
-          ORDER BY page_id) <= 3),
-      k3 AS (SELECT * FROM k2 WHERE length(ctext) > 0),
-      q AS (
-        SELECT *,
-          (CASE WHEN length(ctext) BETWEEN 100 AND 20000 THEN 0.5 ELSE 0.0 END
-           + CASE WHEN (CAST(len(regexp_extract_all(ctext, '\bthe\b')) AS DOUBLE)
-                 + CAST(len(regexp_extract_all(ctext, '\ba\b')) AS DOUBLE)
-                 + CAST(len(regexp_extract_all(ctext, '\band\b')) AS DOUBLE)
-                 + CAST(len(regexp_extract_all(ctext, '\bof\b')) AS DOUBLE))
-               / CAST(length(ctext) - length(replace(ctext, ' ', '')) + 1
-                      AS DOUBLE) > 0.01
-             THEN 0.5 ELSE 0.0 END) AS quality
-        FROM k3),
-      gated AS (SELECT * FROM q WHERE quality >= 1.0),
-      exact AS (
-        SELECT * FROM gated
-        QUALIFY row_number() OVER (
-          PARTITION BY md5(lower(replace(ctext, ' ', '')))
-          ORDER BY page_id) = 1),
-      g AS (
-        SELECT page_id, list_distinct(list_transform(
-          range(1, greatest(len(string_split(ctext, ' ')) - 1, 1)),
-          i -> string_split(ctext, ' ')[i] || ' ' ||
-               string_split(ctext, ' ')[i+1] || ' ' ||
-               string_split(ctext, ' ')[i+2])) AS grams
-        FROM exact),
-      drops AS (
-        SELECT DISTINCT b.page_id
-        FROM g a JOIN g b ON a.page_id < b.page_id
-        WHERE len(a.grams) + len(b.grams) > 0
-          AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-            >= 0.6),
-      near AS (
-        SELECT * FROM exact
-        WHERE page_id NOT IN (SELECT page_id FROM drops)),
-      tok AS (
-        SELECT *, CAST(length(ctext) - length(replace(ctext, ' ', '')) + 1
-          AS BIGINT) AS n_tokens
-        FROM near),
-      sh AS (
-        SELECT *, CAST((SUM(n_tokens) OVER (
-          PARTITION BY source ORDER BY page_id ROWS UNBOUNDED PRECEDING)
-          - 1) // 2048 AS BIGINT) AS shard_id
-        FROM tok),
-      n AS (
-        SELECT
-          (SELECT COUNT(*) FROM pages) AS pages,
-          (SELECT COUNT(*) FROM k1) AS n1,
-          (SELECT COUNT(*) FROM k2) AS n2,
-          (SELECT COUNT(*) FROM k3) AS n3,
-          (SELECT COUNT(*) FROM gated) AS n4,
-          (SELECT COUNT(*) FROM exact) AS n5,
-          (SELECT COUNT(*) FROM near) AS n6,
-          (SELECT COALESCE(SUM(n_tokens), 0) FROM sh) AS kt,
-          (SELECT COUNT(DISTINCT (source, shard_id)) FROM sh) AS shards)
-      SELECT
-        CAST(pages AS BIGINT) AS pages,
-        CAST(pages - n1 AS BIGINT) AS url_dup_dropped,
-        CAST(n1 - n2 AS BIGINT) AS domain_cap_dropped,
-        CAST(n2 - n3 AS BIGINT) AS empty_extract_dropped,
-        CAST(n3 AS BIGINT) AS input_docs,
-        CAST(n3 - n4 AS BIGINT) AS quality_dropped,
-        CAST(n4 - n5 AS BIGINT) AS exact_dup_dropped,
-        CAST(n5 - n6 AS BIGINT) AS near_dup_dropped,
-        CAST(0 AS BIGINT) AS containment_dropped,
-        CAST(0 AS BIGINT) AS semantic_dropped,
-        CAST(n6 AS BIGINT) AS kept_docs,
-        CAST(kt AS BIGINT) AS kept_tokens,
-        CAST(shards AS BIGINT) AS shards
-      FROM n"""),
+    }, Some(webCurateManifestOracle),
       notes = "crawl-to-shards e2e manifest gate driving pipeline/WebCurate.run: two-level partition identity (pages = urlDup + domainCap + emptyExtract + inner; inner = quality + exact + nearDup + kept) oracled from the generating formulas — q218's class proof, q217∘q222's formula-derivable cleaned text, q31/q35/q66 mirrors, and the exact-Jaccard twin of the LSH near-dup stage (deterministic parity on the ≤40-keeper fixture, verified at 3 SFs)"),
+
+    // ── WARC front door: raw archive bytes → the SAME crawl manifest ───
+    // Completes the crawl path from the actual interchange format (ISO
+    // 28500): the q224 synthesis pages, serialized once per corpus into
+    // real WARC files ([[graft.IndexCache.ensureWarcFixture]] — warcinfo
+    // + HTTP response records, one file per source collection), are read
+    // back through [[graft.io.WarcIO.readPages]] (binaryFile source →
+    // per-file record parse → HTTP-entity extraction → page rows) and
+    // driven through the IDENTICAL WebCurate.run. The oracle is q224's
+    // verbatim ([[webCurateManifestOracle]]): if the container reader
+    // drops, duplicates, reorders-with-effect, or corrupts ONE record —
+    // a wrong Content-Length walk, a missed CRLFCRLF boundary, a
+    // mis-parsed record id — some manifest count moves and the hash
+    // gate goes red. WarcIOSpec additionally pins record-level
+    // round-trips and the strict None-on-malformed posture. Scale: one
+    // WARC file = one parse task (file-level parallelism, the crawl
+    // sharding contract); bytes never shuffle.
+    QueryDef("q235_warc_front_door", (s, d) => {
+      val dir = graft.IndexCache.ensureWarcFixture(s, d)
+      val (_, m) = graft.pipeline.WebCurate.run(graft.io.WarcIO.readPages(s, dir))
+      val c = m.curated
+      import s.implicits._
+      Seq((m.pages, m.urlDupDropped, m.domainCapDropped,
+        m.emptyExtractDropped, c.inputDocs, c.qualityDropped,
+        c.exactDupDropped, c.nearDupDropped, c.containmentDropped,
+        c.semanticDropped, c.keptDocs, c.keptTokens, c.shards))
+        .toDF("pages", "url_dup_dropped", "domain_cap_dropped",
+          "empty_extract_dropped", "input_docs", "quality_dropped",
+          "exact_dup_dropped", "near_dup_dropped", "containment_dropped",
+          "semantic_dropped", "kept_docs", "kept_tokens", "shards")
+    }, Some(webCurateManifestOracle),
+      notes = "raw WARC archive -> record parse -> HTTP entity -> WebCurate.run, hash-gated on q224's manifest oracle verbatim: any reader defect moves a count; file-level parallelism, bytes never shuffle"),
 
     // ── C4-style global line dedup (keep-first, reassemble) ────────────
     // The famous C4 cleaning rule no document-level dedup subsumes:
@@ -2558,6 +2631,39 @@ object TextQueries {
         .orderBy("source")
     }, None,
       notes = "mergeable KLL quantile rollup: per-(source,lang) accumulate -> per-source union -> p50/p90/p99; rows-only (KLL compaction randomized), exactness/error pinned by KllSketchSpec"),
+
+    // ── q108's EXACT-percentile twin (hash-gated) ──────────────────────
+    // The q40-gates-q41 relationship applied to the quantile rollup: the
+    // same grain and statistic (per-source p50/p90/p99 of n_chars,
+    // n_parts = contributing (source,lang) partitions, n_docs) computed
+    // with Spark's exact interpolating `percentile` and gated against
+    // DuckDB's quantile_cont — the q48-proven cross-engine idiom
+    // (integral inputs, so the a + f·(b−a) interpolation is IEEE-exact).
+    // This is the GATE, not the scale path: exact percentile holds a
+    // per-group value multiset (memory ∝ distinct values) and rescans
+    // raw rows for every new rollup grain, which is precisely why q108
+    // ships KLL blobs at 100 TB. Keeping both rows green pins the sketch
+    // against the truth it approximates (KllSketchSpec additionally
+    // bounds the rank error between them).
+    QueryDef("q108b_quantile_exact", (s, d) =>
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(countDistinct(col("lang")).as("n_parts"),
+          count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("q"))
+        .select(col("source"), col("n_parts"), col("n_docs"),
+          col("q").getItem(0).as("p50_chars"),
+          col("q").getItem(1).as("p90_chars"),
+          col("q").getItem(2).as("p99_chars"))
+        .orderBy("source"), Some("""
+      SELECT source,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_parts,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        quantile_cont(n_chars, 0.5) AS p50_chars,
+        quantile_cont(n_chars, 0.9) AS p90_chars,
+        quantile_cont(n_chars, 0.99) AS p99_chars
+      FROM documents GROUP BY source"""),
+      notes = "exact interpolated per-source p50/p90/p99 of n_chars — q108's hash-gated exactness twin (the q40-vs-q41 relationship); the KLL rollup remains the 100 TB path"),
 
     // ── Deterministic train/val/test split manifest ────────────────────
     // The split step every training pipeline runs before anything else.

@@ -564,7 +564,19 @@ class PlanContractSpec extends SparkSpec {
       "q89_global_ids" -> 3, "q94_sequence_pack" -> 3,
       "q231_step_provenance" -> 3, // q94's adjudicated two-pass lineage
       "q98_funnel" -> 3, "q99_ref_integrity" -> 6)
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // Driver-action builder queries are SKIPPED, not ratcheted: their
+    // builders execute a whole eager pipeline (driver actions +
+    // localCheckpoint pins) and return a frame whose physical plan is a
+    // local/RDD relation with ZERO file scans — the ratchet would pay the
+    // full pipeline runtime to inspect a plan it is structurally blind
+    // to. Each carries its own scan contract instead: q224/q80 are pinned
+    // by WebCurateSpec's scanned-exactly-twice contract and
+    // CorpusCurateSpec; q208's corpus encode/decode passes are pinned by
+    // JpegCodecSpec + the observe-guard.
+    val driverActionBuilders = Set(
+      "q80_curation_pipeline", "q208_jpeg_ahash", "q224_web_curate_e2e")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(kv => driverActionBuilders(kv._1)).flatMap {
       case (name, fn) =>
         val counts = graft.ExplainAudit.tableScanCounts(fn(spark, sf))
         val worst = if (counts.isEmpty) 0 else counts.values.max

@@ -198,6 +198,66 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxAbsDiff(d.get.pixels, img.pixels) <= 2)
   }
 
+  /** (sosStart, entropyEnd) span of every scan: SOS header + entropy data
+    * up to the next true marker (FF followed by neither 00-stuffing nor
+    * an RSTn). Used to splice scans out of a stream. */
+  private def scanSpans(b: Array[Byte]): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var off = 2
+    var stop = false
+    while (!stop && off + 4 <= b.length) {
+      val m = b(off + 1) & 0xff
+      if ((b(off) & 0xff) != 0xff || m == 0xd9) stop = true
+      else {
+        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if (m == 0xda) {
+          var p = off + 2 + len
+          var end = -1
+          while (end < 0 && p + 1 < b.length) {
+            if ((b(p) & 0xff) == 0xff) {
+              val n = b(p + 1) & 0xff
+              if (n != 0 && !(n >= 0xd0 && n <= 0xd7)) end = p else p += 2
+            } else p += 1
+          }
+          if (end < 0) end = b.length
+          spans += ((off, end))
+          off = end
+        } else off += 2 + len
+      }
+    }
+    spans.toSeq
+  }
+
+  private def splice(b: Array[Byte], drop: Seq[(Int, Int)]): Array[Byte] = {
+    val keep = Array.fill(b.length)(true)
+    drop.foreach { case (s, e) => (s until e).foreach(keep(_) = false) }
+    b.indices.filter(keep).map(b).toArray
+  }
+
+  test("progressive scan script without a DC scan is rejected (T.81 G.1.1.1.1 / libjpeg first-scan-must-be-DC)") {
+    // splice the DC first scan AND DC refinement out of a 4-scan
+    // grayscale progressive stream, leaving AC-only scans: decoding the
+    // partially-populated coefficient store would be garbage, so the
+    // codec must return None (the 'None, never garbage' contract)
+    val img = gradient(24, 16, 1, seed = 3)
+    val bytes = JpegCodec.encodeProgressive(img, quant = 1)
+    val spans = scanSpans(bytes)
+    assert(spans.length == 4, s"expected 4 scans, got ${spans.length}")
+    val acOnly = splice(bytes, spans.take(2))
+    assert(JpegCodec.decode(acOnly).isEmpty,
+      "AC-only progressive scan script must be rejected")
+    // dropping only the AC scans (DC-only prefix) must still DECODE: a
+    // truncated progressive script is a legal prefix (coarse image)
+    val dcOnly = splice(bytes, spans.drop(2))
+    assert(JpegCodec.decode(dcOnly).isDefined,
+      "DC-only truncated script is a legal progressive prefix")
+    // dropping just the DC REFINEMENT keeps the required DC first scan:
+    // decodes at coarser DC precision, must not be rejected
+    val noRefine = splice(bytes, Seq(spans(1)))
+    assert(JpegCodec.decode(noRefine).isDefined,
+      "missing DC refinement is a legal truncation, not a rejection")
+  }
+
   test("progressive rejects truncation and scan-header abuse with None, never garbage") {
     val good = JpegCodec.encodeProgressive(flatBlocks(16, 16, 3), quant = 1)
     assert(JpegCodec.decode(good).isDefined)

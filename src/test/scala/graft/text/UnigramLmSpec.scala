@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Brute-force parity for the unigram-LM trainer (the q75 discipline):
+  * an INDEPENDENT plain-Scala Viterbi + EM loop with the same integer
+  * micro-unit arithmetic and tie-breaks re-derives the q233 trainer's
+  * E-step counts and final vocab, and the q232 seed selection, from the
+  * collected sf0.001 words. Any drift in the `aggregate`-HOF DP (bounds,
+  * tie order, map probing) fails here before the driver gate runs. */
+class UnigramLmSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ── independent reimplementation (no shared helpers) ────────────────
+
+  /** Longest-piece-wins-on-tie Viterbi, positions ascending, candidates
+    * longest-first with strict-> replacement — mirrors
+    * [[UnigramLm.viterbiExpr]] by CONTRACT, not by code. */
+  private def viterbiBrute(word: String,
+      vocab: Map[String, Long]): Seq[String] = {
+    val L = word.length
+    val best = new Array[(Long, List[String])](L + 1)
+    best(0) = (0L, Nil)
+    for (i <- 1 to L) {
+      var cur: (Long, List[String]) = null
+      for (pl <- math.min(UnigramLm.MaxPieceLen, i) to 1 by -1) {
+        vocab.get(word.substring(i - pl, i)).foreach { lp =>
+          if (best(i - pl) != null) {
+            val cand = (best(i - pl)._1 + lp,
+              best(i - pl)._2 :+ word.substring(i - pl, i))
+            if (cur == null || cand._1 > cur._1) cur = cand
+          }
+        }
+      }
+      best(i) = cur
+    }
+    if (best(L) == null) Seq.empty else best(L)._2
+  }
+
+  private def bruteCounts(words: Seq[(String, Long)],
+      vocab: Map[String, Long]): Map[String, Long] =
+    words.flatMap { case (w, c) => viterbiBrute(w, vocab).map(_ -> c) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+
+  private def bruteLp(kept: Seq[String],
+      uses: Map[String, Long]): Map[String, Long] = {
+    val total = kept.map(p => uses.getOrElse(p, 0L) + 1L).sum
+    kept.map { p =>
+      p -> Math.round(
+        StrictMath.log((uses.getOrElse(p, 0L) + 1L).toDouble / total) * 1e6)
+    }.toMap
+  }
+
+  private lazy val words: Seq[(String, Long)] =
+    UnigramLm.wordCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  private lazy val seedVocab: Map[String, Long] = {
+    val alphabet = words.flatMap { case (w, c) => w.map(ch => ch.toString -> c) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val pieces = words.flatMap { case (w, c) =>
+      (for {
+        st <- 0 until w.length
+        pl <- 2 to UnigramLm.MaxPieceLen
+        if st + pl <= w.length
+      } yield w.substring(st, st + pl)).map(_ -> c)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val top = pieces.toSeq
+      .sortBy { case (p, n) => (-n * p.length, p) }
+      .take(UnigramLm.SeedSize).toMap
+    bruteLp((alphabet ++ top).keys.toSeq.sorted, alphabet ++ top)
+  }
+
+  test("q232 seed selection matches the brute-force substring census") {
+    val got = UnigramLm.seedFrame(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val pieces = words.flatMap { case (w, c) =>
+      (for {
+        st <- 0 until w.length
+        pl <- 2 to UnigramLm.MaxPieceLen
+        if st + pl <= w.length
+      } yield w.substring(st, st + pl)).map(_ -> c)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val want = pieces.toSeq
+      .map { case (p, n) => (p, n, n * p.length) }
+      .sortBy { case (p, _, sc) => (-sc, p) }
+      .take(UnigramLm.SeedSize)
+    assert(got == want)
+  }
+
+  test("Viterbi HOF E-step == brute-force DP on the corpus seed vocab") {
+    val wc = UnigramLm.wordCounts(spark, sf)
+    assert(UnigramLm.eStep(wc, seedVocab) == bruteCounts(words, seedVocab))
+  }
+
+  test("equal-score segmentations break to the LONGEST piece, deterministically") {
+    import spark.implicits._
+    // lp(ab) == lp(a)+lp(b): every segmentation of "abab" scores the
+    // same, so the DP's candidate order (longest piece first, strict >
+    // replacement) decides — [ab, ab], never [a, b, ...] mixtures
+    val vocab = Map("a" -> -10L, "b" -> -10L, "ab" -> -20L)
+    val wc = Seq(("abab", 3L)).toDF("word", "cnt")
+    assert(UnigramLm.eStep(wc, vocab) == Map("ab" -> 6L))
+    assert(viterbiBrute("abab", vocab) == Seq("ab", "ab"))
+  }
+
+  test("chars-only coverage: a word with no multi-char pieces segments to chars") {
+    import spark.implicits._
+    val vocab = Map("x" -> -5L, "y" -> -7L)
+    val wc = Seq(("xyx", 2L)).toDF("word", "cnt")
+    assert(UnigramLm.eStep(wc, vocab) == Map("x" -> 4L, "y" -> 2L))
+  }
+
+  test("q233 trainer end-to-end == brute-force EM loop (rounds, prune set, final vocab)") {
+    val rounds = 3
+    var vocab = seedVocab
+    var uses = Map.empty[String, Long]
+    (1 to rounds).foreach { r =>
+      uses = bruteCounts(words, vocab)
+      val multi = vocab.keys.filter(_.length > 1).toSeq
+      val keep: Set[String] =
+        if (r == rounds) multi.toSet
+        else multi.sortBy(p => (-uses.getOrElse(p, 0L), p))
+          .take(math.ceil(multi.size * UnigramLm.KeepFraction).toInt).toSet
+      val kept = vocab.keys.filter(p => p.length == 1 || keep(p)).toSeq.sorted
+      vocab = bruteLp(kept, uses)
+    }
+    val want = vocab.keys.toSeq
+      .map(p => (p, uses.getOrElse(p, 0L), vocab(p)))
+      .sortBy { case (p, u, _) => (-u, p) }
+    val got = UnigramLm.train(spark, sf, rounds)
+    assert(got == want)
+  }
+
+  test("trainer output is bounded, non-empty, and covers the alphabet") {
+    val out = UnigramLm.train(spark, sf, 2)
+    val alphabet = words.flatMap(_._1.toSeq).map(_.toString).toSet
+    assert(out.nonEmpty && out.size <= UnigramLm.SeedSize + alphabet.size + 1)
+    assert(alphabet.subsetOf(out.map(_._1).toSet),
+      "single-char coverage must survive every prune")
+  }
+}
