@@ -26,9 +26,13 @@ class QueryCatalogSpec extends SparkSpec {
       "q82_hll_sketch_rollup", "q92_heavy_hitters",
       "q105_ann_indexed", // == q42b probe (VectorIndexSpec parity + AnnRecallSpec floor)
       "q107_lsh_canonical", // q62 composition (LshCanonicalSpec refinement/recall/parity)
-      "q108_quantile_rollup", // KLL blobs engine-specific (KllSketchSpec exact/merge/error pins)
-      "q114_knn_vote_indexed", // quantizer-dependent probe (KnnVoteIndexedSpec agreement pins)
+      "q108_quantile_rollup", // KLL blobs engine-specific (KllSketchSpec exact/merge/error pins; q108b is its hash-gated exact twin)
+      // q114_knn_vote_indexed LEFT this set in r11: its oracle now unrolls
+      // the persisted index's Lloyd training + multi-query probe (q104's
+      // proven composition), so the quantizer dependence is replayed, not
+      // excused.
       "q132_bpe_encode", // sequential greedy merge (TrainingDataOpsSpec brute-force encoder parity)
+      "q233_unigram_train", // sequential Viterbi DP per word (UnigramLmSpec brute-force EM parity; q232 seed selection is hash-gated)
       "q168_hard_negatives_indexed", // quantizer-dependent probe (HardNegativesIndexedSpec overlap pins)
       "q207_semantic_dedup_indexed", // quantizer-dependent cells (SemanticDedupIndexedSpec closure + q74 parity pins)
       "q213_semantic_decontaminate_indexed", // quantizer-dependent probe (one-sided drops + recall floor pinned vs the q211 exact anchor)

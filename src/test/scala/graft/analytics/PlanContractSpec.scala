@@ -574,7 +574,9 @@ class PlanContractSpec extends SparkSpec {
     // CorpusCurateSpec; q208's corpus encode/decode passes are pinned by
     // JpegCodecSpec + the observe-guard.
     val driverActionBuilders = Set(
-      "q80_curation_pipeline", "q208_jpeg_ahash", "q224_web_curate_e2e")
+      "q80_curation_pipeline", "q208_jpeg_ahash", "q224_web_curate_e2e",
+      "q233_unigram_train", // 3 EM rounds of driver-held-vocab training
+      "q235_warc_front_door") // runs the whole WebCurate pipeline
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => driverActionBuilders(kv._1)).flatMap {
       case (name, fn) =>
