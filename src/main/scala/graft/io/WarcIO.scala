@@ -161,7 +161,11 @@ object WarcIO {
     * transport layer, not a silent reader. */
   def readPages(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.warc")
+    // pathGlobFilter, not a /*.warc path glob: the glob form resolves
+    // through a fallback that logs a spurious FileNotFoundException
+    // stack per session before succeeding (observed r11 bench noise)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
