@@ -228,6 +228,50 @@ object SimilarityQueries {
         QUALIFY row_number() OVER (PARTITION BY v.vec_id
           ORDER BY list_dot_product(v.e, c2l.ce) DESC, c2l.cent_id ASC) = 1),"""
 
+  /** DuckDB fragment mirroring `VectorIndex.probeAgainst`'s CELL-SELECTION
+    * stage over [[IvfIndexSql]]'s `c2l`: each query row of `$qcte`
+    * (query_id, qe) keeps its `$nProbe` nearest cells by (dot desc,
+    * cent_id asc). Emits the `$pcName` CTE (query_id, qe, cell). */
+  private def probeCellsSql(qcte: String, pcName: String, nProbe: Int): String =
+    s"""      $pcName AS (
+       |        SELECT $qcte.query_id, $qcte.qe, c2l.cent_id AS cell
+       |        FROM c2l CROSS JOIN $qcte
+       |        QUALIFY row_number() OVER (PARTITION BY $qcte.query_id
+       |          ORDER BY list_dot_product($qcte.qe, c2l.ce) DESC,
+       |            c2l.cent_id ASC) <= $nProbe),""".stripMargin
+
+  /** DuckDB fragment mirroring the CANDIDATE-SCORING stage: probed cells
+    * join the `asg` cells table, self excluded, 6-dp portable cosine.
+    * `$candFilter` restricts the candidate slice (e.g. " AND asg.vec_id
+    * % 50 <> 0"); emits the `$candName` CTE (query_id, cand_id, cos_sim). */
+  private def probeCandSql(pcName: String, candName: String,
+      candFilter: String = ""): String =
+    s"""      $candName AS (
+       |        SELECT $pcName.query_id, asg.vec_id AS cand_id,
+       |          round(list_dot_product($pcName.qe, asg.e) /
+       |            (sqrt(list_dot_product($pcName.qe, $pcName.qe))
+       |              * sqrt(list_dot_product(asg.e, asg.e))), 6) AS cos_sim
+       |        FROM $pcName JOIN asg USING (cell)
+       |        WHERE asg.vec_id <> $pcName.query_id$candFilter),""".stripMargin
+
+  /** Shared oracle for q42b (inline train+probe) and q105 (the same probe
+    * against the PERSISTED index — probe == inline is VectorIndexSpec's
+    * pinned contract, so one oracle hash-gates both): queries vec_id<10,
+    * nProbe=6, top-5 by (cos desc, cand asc). */
+  private lazy val ivfProbeOracle: String = s"""
+      WITH ${IvfIndexSql}
+      qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+${probeCellsSql("qv", "pc", 6)}
+${probeCandSql("pc", "cand")}
+      ranked AS (
+        SELECT query_id, cand_id,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank,
+          cos_sim
+        FROM cand)
+      SELECT query_id, cand_id, rank, cos_sim FROM ranked
+      WHERE rank <= 5"""
+
   /** Driver-held centroids as a (cent_id, cv) frame for the broadcast side
     * of [[ivfAssign]] — a k-row local relation, never a scan. */
   private[similarity] def centroidFrame(s: SparkSession, cents: Seq[(Long, Seq[Double])]): DataFrame = {
@@ -419,8 +463,12 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(wRank).cast("long"))
         .filter(col("rank") <= 5)
         .select("query_id", "cand_id", "rank", "cos_sim")
-    }, None,
-      notes = "IVF coarse-quantized ANN (assign via broadcast-centroid argmax, 2-cell probe); rows-only (approximate)"),
+    }, Some(ivfProbeOracle),
+      // HASH-GATED since r11 (was rows-only "approximate by design"):
+      // approximate ≠ non-deterministic — the oracle unrolls the SAME
+      // Lloyd training + argmax assignment + nProbe=6 probe (the q104/
+      // q114-proven composition), so the approximation itself is gated.
+      notes = "IVF coarse-quantized ANN (Lloyd-trained k=20 quantizer, broadcast-centroid argmax assign, nProbe=6 probe); fully hash-gated since r11 — the oracle replays training + probe, approximation and all"),
 
     // ── Cosine near-dup pairs, SCALE PATH (LSH-fed) ────────────────────
     // The embedding mirror of q62's composed dedup pipeline: multi-table
@@ -776,8 +824,21 @@ object SimilarityQueries {
         .select("vec_id", "v", "norm", "cell")
       assigned.join(dominatedIn(assigned, 0.35), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cell"))
-    }, None,
-      notes = "q74 served from the persisted bucketed IVF cells (SemDeDup at serving: exchange-free within-cell candidate join over the standing index, keep-earliest survivors); rows-only (quantizer-dependent), parity + closure spec-pinned"),
+    }, Some(s"""
+      WITH ${IvfIndexSql}
+      pairs AS (
+        SELECT b.vec_id AS id_b
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e))
+            * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35)
+      SELECT vec_id, cell FROM asg
+      WHERE vec_id NOT IN (SELECT id_b FROM pairs)"""),
+      // HASH-GATED since r11: q74's oracle shape over the PERSISTED
+      // quantizer's cells (IvfIndexSql = the 2-iter training the index
+      // stores, where q74 trains 1 iter inline) — the stored cell
+      // assignment and the keep-earliest rule both replayed.
+      notes = "q74 served from the persisted bucketed IVF cells (SemDeDup at serving: exchange-free within-cell candidate join over the standing index, keep-earliest survivors); fully hash-gated since r11 (oracle unrolls the stored quantizer); parity + closure additionally spec-pinned"),
 
     // ── Top principal component via power iteration (embedding analysis) ─
     // The q71 pattern applied to PCA: per-doc projection scores onto the
@@ -1054,8 +1115,12 @@ ${IvfIndexSql}
       val queries = t(s, d, "embeddings").filter(col("vec_id") < 10)
         .select("vec_id", "embedding")
       VectorIndex.probe(s, vName, queries, nProbe = 6, topK = 5)
-    }, None,
-      notes = "IVF probe against the persisted index (build amortized via IndexCache): the production ANN serving path; recall + parity spec-gated"),
+    }, Some(ivfProbeOracle),
+      // HASH-GATED since r11: probe == inline q42b is VectorIndexSpec's
+      // pinned contract, so the SHARED ivfProbeOracle gates the stored
+      // layout too — a stale or mis-bucketed index now fails the driver
+      // gate, not just the spec.
+      notes = "IVF probe against the persisted index (build amortized via IndexCache): the production ANN serving path; fully hash-gated since r11 via the shared q42b oracle (probe == inline, VectorIndexSpec), recall floor additionally spec-gated"),
 
     // ── kNN label vote (label-noise / label-quality audit) ─────────────
     // (labelVote — the shared vote/verdict stage — sits below the defs;
@@ -1459,8 +1524,34 @@ ${IvfIndexSql}
         .filter(col("rank") <= 3)
         .select("query_id", "q_label", "rank", "cand_id", "cand_label",
           "cos_sim")
-    }, None,
-      notes = "q162 served from the persisted IVF index (probe top-10 -> drop held-out -> label filter -> top-3 re-rank, stages shared with q162): the hard-negative mining scale path; rows-only (quantizer-dependent), overlap floor + perfect-recall-subset spec-pinned"),
+    }, Some(s"""
+      WITH ${IvfIndexSql}
+      lab AS (SELECT vec_id, label FROM embeddings),
+      qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+${probeCellsSql("qv", "pc", 10)}
+${probeCandSql("pc", "cand")}
+      top10 AS (
+        SELECT query_id, cand_id, cos_sim FROM cand
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id ASC) <= 10),
+      filt AS (
+        SELECT t.query_id, ql.label AS q_label, t.cand_id,
+          cl.label AS cand_label, t.cos_sim
+        FROM top10 t
+        JOIN lab ql ON ql.vec_id = t.query_id
+        JOIN lab cl ON cl.vec_id = t.cand_id
+        WHERE t.cand_id % 50 <> 0 AND ql.label <> cl.label)
+      SELECT query_id, q_label,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank,
+        cand_id, cand_label, cos_sim
+      FROM filt
+      QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, cand_id ASC) <= 3"""),
+      // HASH-GATED since r11 via the shared IvfIndexSql unroll: probe
+      // top-10 -> drop held-out -> label filter -> top-3 re-rank, every
+      // stage replayed (the q114 promotion applied to mining).
+      notes = "q162 served from the persisted IVF index (probe top-10 -> drop held-out -> label filter -> top-3 re-rank, stages shared with q162): the hard-negative mining scale path; fully hash-gated since r11 (oracle unrolls training + probe); overlap floor additionally spec-pinned"),
 
     // ── Semantic (embedding-space) decontamination ─────────────────────
     // q64/q203/q209 decontaminate on LITERAL n-gram overlap, which a
@@ -1583,8 +1674,42 @@ ${IvfIndexSql}
           col("cos_sim").as("max_sim"),
           coalesce((col("cos_sim") >= 0.35).cast("long"), lit(0L))
             .as("dropped"))
-    }, None,
-      notes = "q211 served from the persisted IVF index for unbounded eval sets (the standing cells table filtered per slice IS a slice index under the frozen quantizer): BIDIRECTIONAL probe — train->eval top-1 unioned with eval->train threshold range search (a miss needs both directions to mis-cell the pair; hot eval items surface ALL tau-near train docs, no top-k truncation); indexed drops are ALWAYS true drops (surfaced sims are real cosines — no false discards), drop recall 1.00/0.91/0.93 measured at the 3 SFs, floor-pinned 0.85 (fixture tau sits in the sim bulk — the adversarial regime); verdict total via left join; rows-only (quantizer-dependent)"),
+    }, Some(s"""
+      WITH ${IvfIndexSql}
+      ev AS (SELECT vec_id FROM v
+             WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '0a'),
+      tq AS (SELECT vec_id AS query_id, e AS qe FROM v
+             WHERE vec_id NOT IN (SELECT vec_id FROM ev)),
+${probeCellsSql("tq", "tpc", 8)}
+${probeCandSql("tpc", "tcand",
+        " AND asg.vec_id IN (SELECT vec_id FROM ev)")}
+      fwd AS (
+        SELECT query_id AS train_id, cand_id AS eval_id, cos_sim
+        FROM tcand
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id ASC) <= 1),
+      eq AS (SELECT vec_id AS query_id, e AS qe FROM v
+             WHERE vec_id IN (SELECT vec_id FROM ev)),
+${probeCellsSql("eq", "epc", 8)}
+${probeCandSql("epc", "ecand",
+        " AND asg.vec_id NOT IN (SELECT vec_id FROM ev)")}
+      rev AS (
+        SELECT cand_id AS train_id, query_id AS eval_id, cos_sim
+        FROM ecand WHERE cos_sim >= 0.35),
+      best AS (
+        SELECT train_id, eval_id, cos_sim
+        FROM (SELECT * FROM fwd UNION ALL SELECT * FROM rev)
+        QUALIFY row_number() OVER (PARTITION BY train_id
+          ORDER BY cos_sim DESC, eval_id ASC) = 1)
+      SELECT t.query_id AS train_id, b.eval_id AS nearest_eval,
+        b.cos_sim AS max_sim,
+        COALESCE(CAST(b.cos_sim >= 0.35 AS BIGINT), 0) AS dropped
+      FROM tq t LEFT JOIN best b ON b.train_id = t.query_id"""),
+      // HASH-GATED since r11: both probe directions (train->eval top-1,
+      // eval->train threshold range search) replayed over the unrolled
+      // stored quantizer — the q114 promotion applied to the
+      // decontamination serving path.
+      notes = "q211 served from the persisted IVF index for unbounded eval sets (the standing cells table filtered per slice IS a slice index under the frozen quantizer): BIDIRECTIONAL probe — train->eval top-1 unioned with eval->train threshold range search (a miss needs both directions to mis-cell the pair; hot eval items surface ALL tau-near train docs, no top-k truncation); indexed drops are ALWAYS true drops (surfaced sims are real cosines — no false discards), drop recall 1.00/0.91/0.93 measured at the 3 SFs, floor-pinned 0.85 (fixture tau sits in the sim bulk — the adversarial regime); verdict total via left join; fully hash-gated since r11 (oracle unrolls training + both probe directions); recall floors additionally spec-pinned"),
 
     // ── Margin-based bitext / pair mining (Artetxe-Schwenk) ────────────
     // Parallel-pair mining for translation / paraphrase / retrieval
@@ -1770,8 +1895,55 @@ ${IvfIndexSql}
           col("cos_sim"), col("margin"),
           coalesce((col("margin") >= 1.05).cast("long"), lit(0L))
             .as("accepted"))
-    }, None,
-      notes = "q214 served from the persisted IVF index for unbounded probe sets: forward probe surfaces each probe's top-4 candidate neighborhood (fa + argmax in one pass), then ONLY the surfaced candidates (the mining frontier, <= 4·|probes| ids) reverse-probe the probe slice for fb — the corpus never moves or self-joins; surfaced cosines are real cosines, fa averages over the surfaced count so sparse cells can't inflate margins; relation total via left join; rows-only (quantizer-dependent), match/accept agreement vs the q214 anchor floor-pinned in BitextMarginSpec (measured 0.60/1.00 at sf0.01 — the argmax is the recall-fragile readout under near-random fixture sims, the accept verdict is threshold-stable)")
+    }, Some(s"""
+      WITH ${IvfIndexSql}
+      pq AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+${probeCellsSql("pq", "ppc", 8)}
+${probeCandSql("ppc", "pcand", " AND asg.vec_id % 50 <> 0")}
+      fwd AS (
+        SELECT query_id, cand_id, cos_sim FROM pcand
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id ASC) <= 4),
+      sq AS (SELECT DISTINCT cand_id AS vec_id FROM fwd),
+      sqe AS (SELECT sq.vec_id AS query_id, v.e AS qe
+              FROM sq JOIN v ON v.vec_id = sq.vec_id),
+${probeCellsSql("sqe", "spc", 8)}
+${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
+      rev AS (
+        SELECT query_id AS cand_id, cos_sim FROM (
+          SELECT query_id, cand_id, cos_sim FROM scand
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, cand_id ASC) <= 4)),
+      fa AS (SELECT query_id, SUM(CAST(cos_sim AS DECIMAL(18,6))) AS fa_num,
+               CAST(COUNT(*) AS BIGINT) AS fa_cnt
+             FROM fwd GROUP BY 1),
+      fb AS (SELECT cand_id, SUM(CAST(cos_sim AS DECIMAL(18,6))) AS fb_num,
+               CAST(COUNT(*) AS BIGINT) AS fb_cnt
+             FROM rev GROUP BY 1),
+      m AS (
+        SELECT f.query_id, f.cand_id, f.cos_sim,
+          CASE WHEN (CAST(fa.fa_num AS DOUBLE) / CAST(fa.fa_cnt AS DOUBLE)
+                     + CAST(fb.fb_num AS DOUBLE) / CAST(fb.fb_cnt AS DOUBLE))
+                    / 2.0 > 0
+            THEN round(f.cos_sim /
+              ((CAST(fa.fa_num AS DOUBLE) / CAST(fa.fa_cnt AS DOUBLE)
+                + CAST(fb.fb_num AS DOUBLE) / CAST(fb.fb_cnt AS DOUBLE))
+               / 2.0), 6)
+          END AS margin
+        FROM fwd f JOIN fa ON fa.query_id = f.query_id
+        JOIN fb ON fb.cand_id = f.cand_id),
+      mined AS (
+        SELECT query_id, cand_id, cos_sim, margin FROM m
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY margin DESC NULLS LAST, cand_id ASC) = 1)
+      SELECT p.query_id, mined.cand_id AS match_id, mined.cos_sim,
+        mined.margin,
+        COALESCE(CAST(mined.margin >= 1.05 AS BIGINT), 0) AS accepted
+      FROM pq p LEFT JOIN mined ON mined.query_id = p.query_id"""),
+      // HASH-GATED since r11: forward probe, the surfaced-frontier
+      // reverse probe, both DECIMAL neighborhood means and the margin
+      // argmax all replayed over the unrolled stored quantizer.
+      notes = "q214 served from the persisted IVF index for unbounded probe sets: forward probe surfaces each probe's top-4 candidate neighborhood (fa + argmax in one pass), then ONLY the surfaced candidates (the mining frontier, <= 4·|probes| ids) reverse-probe the probe slice for fb — the corpus never moves or self-joins; surfaced cosines are real cosines, fa averages over the surfaced count so sparse cells can't inflate margins; relation total via left join; fully hash-gated since r11 (oracle unrolls training + both probe passes + the DECIMAL margin algebra); match/accept agreement vs the q214 anchor additionally floor-pinned in BitextMarginSpec (measured 0.60/1.00 at sf0.01 — the argmax is the recall-fragile readout under near-random fixture sims, the accept verdict is threshold-stable)")
   )
 
   private[similarity] def labelsOf(s: SparkSession, d: String): DataFrame =

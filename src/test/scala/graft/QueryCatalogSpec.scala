@@ -20,24 +20,21 @@ class QueryCatalogSpec extends SparkSpec {
 
   test("oracle coverage: every SQL-expressible query declares an oracle") {
     val noOracle = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    // The ENTIRE "quantizer-dependent" class LEFT this set in r11: the
+    // q104-proven Lloyd-training unroll (shared IvfIndexSql CTE bank)
+    // now replays training + probe in every IVF oracle — q42b, q105,
+    // q114, q168, q207, q213, q215 are all hash-gated, approximation
+    // and all. What remains is engine-specific randomness (sketch
+    // registers, xxhash64 banding) and sequential driver-held loops.
     assert(noOracle == Set("q29_approx_distinct", "q36_minhash_lsh",
-      "q37_simhash", "q41_ann_lsh", "q42b_ann_ivf", "q62_dup_clusters_lsh",
+      "q37_simhash", "q41_ann_lsh", "q62_dup_clusters_lsh",
       "q68_cosine_pairs_lsh", "q75_bpe_train", "q78_bpe_batch",
       "q82_hll_sketch_rollup", "q92_heavy_hitters",
-      "q105_ann_indexed", // == q42b probe (VectorIndexSpec parity + AnnRecallSpec floor)
-      "q107_lsh_canonical", // q62 composition (LshCanonicalSpec refinement/recall/parity)
+      "q107_lsh_canonical", // q62 composition (LshCanonicalSpec refinement/recall/parity; q107b is its hash-gated md5 twin)
       "q108_quantile_rollup", // KLL blobs engine-specific (KllSketchSpec exact/merge/error pins; q108b is its hash-gated exact twin)
-      // q114_knn_vote_indexed LEFT this set in r11: its oracle now unrolls
-      // the persisted index's Lloyd training + multi-query probe (q104's
-      // proven composition), so the quantizer dependence is replayed, not
-      // excused.
       "q132_bpe_encode", // sequential greedy merge (TrainingDataOpsSpec brute-force encoder parity)
-      "q233_unigram_train", // sequential Viterbi DP per word (UnigramLmSpec brute-force EM parity; q232 seed selection is hash-gated)
-      "q168_hard_negatives_indexed", // quantizer-dependent probe (HardNegativesIndexedSpec overlap pins)
-      "q207_semantic_dedup_indexed", // quantizer-dependent cells (SemanticDedupIndexedSpec closure + q74 parity pins)
-      "q213_semantic_decontaminate_indexed", // quantizer-dependent probe (one-sided drops + recall floor pinned vs the q211 exact anchor)
-      "q215_bitext_margin_indexed"), // quantizer-dependent probe (real-cosine surfacing + agreement floors pinned vs the q214 exact anchor in BitextMarginSpec)
-      "only engine-specific-hash / approximate / sequential-merge ops may omit the oracle")
+      "q233_unigram_train"), // sequential Viterbi DP per word (UnigramLmSpec brute-force EM parity; q232 seed selection is hash-gated)
+      "only engine-specific-hash / sequential-merge ops may omit the oracle")
   }
 
   test("q17_distinct returns the 6 known flag/status combos") {
