@@ -194,10 +194,40 @@ object WarcIO {
       .toDF("page_id", "url", "html", "source")
   }
 
+  /** DISTRIBUTED WARC writer — the 100 TB path: pages repartition by
+    * source (all of a source's pages land in one task), each task
+    * renders its sources' records and streams them to
+    * `dir/<source>-p<partition>.warc` through the Hadoop FileSystem API
+    * (local/HDFS/S3 alike) — page bytes never pass through the driver.
+    * File contents are deterministic (pages sorted by page_id within a
+    * source); file NAMES carry the partition id, and the reader's
+    * per-file warcinfo contract makes multi-file sources compose. A real
+    * deployment would additionally split giant sources into ~1 GB
+    * rolling segments inside the loop — the seam is this per-source
+    * iterator. */
+  def writePagesDistributed(pages: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import pages.sparkSession.implicits._
+    pages.select("page_id", "url", "html", "source")
+      .as[(Long, String, String, String)]
+      .repartition(col("source"))
+      .foreachPartition { (it: Iterator[(Long, String, String, String)]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.toSeq.groupBy(_._4).foreach { case (source, rows) =>
+          val bytes = renderFile(source,
+            rows.sortBy(_._1).iterator.map(r => (r._1, r._2, r._3)))
+          val p = new org.apache.hadoop.fs.Path(dir, s"$source-p$pid.warc")
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+  }
+
   /** Serialize a (page_id, url, html, source) frame into one WARC file
     * per source under `dir` — the fixture writer for the q235 gate and
-    * the round-trip specs (at 100 TB the writer shards each source into
-    * many files; one per source keeps the fixture deterministic). */
+    * the round-trip specs ([[writePagesDistributed]] is the scale path;
+    * one file per source keeps the fixture byte-deterministic). */
   def writePages(pages: DataFrame, dir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     import pages.sparkSession.implicits._

@@ -219,5 +219,53 @@ object UnigramLm {
         import s.implicits._
         train(s, d, 3).toDF("piece", "n_uses", "lp_micro")
       }, None,
-        notes = "SentencePiece-style unigram-LM trainer: hard-EM (Viterbi) E-steps as one distinct-word scan + piece hash-agg each, driver-held bounded vocab, 25% prune rounds; rows-only (sequential DP), brute-force spec parity"))
+        notes = "SentencePiece-style unigram-LM trainer: hard-EM (Viterbi) E-steps as one distinct-word scan + piece hash-agg each, driver-held bounded vocab, 25% prune rounds; rows-only (sequential DP), brute-force spec parity"),
+
+      // ── The APPLY half (q132's role for the unigram family) ─────────
+      // Train once (driver-held vocab), then Viterbi-encode every
+      // document under the FINAL log-probs and surface the per-doc
+      // tokenization accounting a corpus owner reads: word/piece counts
+      // and fertility (pieces per word — the standard tokenizer-quality
+      // readout, q178's metric under the other trainer family). The
+      // encode pass segments each DISTINCT word once and joins the
+      // bounded (word, n_pieces) table back to per-doc occurrences —
+      // at 100 TB the corpus pays one explode + one word-keyed join,
+      // never a per-occurrence DP. Words beyond MaxWordLen are counted
+      // as skipped (their chars may be outside the trained alphabet;
+      // the trainer applied the same cap). Left join keeps empty docs.
+      QueryDef("q236_unigram_encode", (s, d) => {
+        val vocab = train(s, d, 3).map { case (p, _, lp) => p -> lp }.toMap
+        val wordPieces = wordCounts(s, d)
+          .withColumn("__v", typedLit(vocab))
+          .select(col("word"),
+            size(expr(viterbiExpr)).cast("long").as("n_pieces"))
+        val words = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+        val perDoc = words
+          .join(wordPieces, Seq("word"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words_all"),
+            sum(when(col("n_pieces").isNull, 1L).otherwise(0L))
+              .as("n_skipped"),
+            coalesce(sum("n_pieces"), lit(0L)).as("n_pieces"))
+        t(s, d, "documents").select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_words_all") - col("n_skipped"), lit(0L))
+              .as("n_words"),
+            coalesce(col("n_skipped"), lit(0L)).as("n_skipped"),
+            coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+            // integer-first micro rounding (determinism hygiene even
+            // though rows-only: no float knife edge run-to-run)
+            // ANSI-safe: an all-skipped doc divides by zero -> guard it
+            coalesce(
+              when(col("n_words_all") - col("n_skipped") > 0,
+                round(col("n_pieces") * lit(1e6) /
+                    (col("n_words_all") - col("n_skipped")))
+                  .cast("long") / lit(1e6))
+                .otherwise(lit(0.0)),
+              lit(0.0)).as("fertility"))
+      }, None,
+        notes = "unigram-LM encoder (the q132 role for the SentencePiece family): Viterbi-segment each DISTINCT word once under the trained vocab, join counts back per doc — word/piece/skipped counts + fertility; rows-only (vocab from the sequential trainer), brute-force encode parity in UnigramLmSpec"))
 }

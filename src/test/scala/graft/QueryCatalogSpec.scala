@@ -33,7 +33,8 @@ class QueryCatalogSpec extends SparkSpec {
       "q107_lsh_canonical", // q62 composition (LshCanonicalSpec refinement/recall/parity; q107b is its hash-gated md5 twin)
       "q108_quantile_rollup", // KLL blobs engine-specific (KllSketchSpec exact/merge/error pins; q108b is its hash-gated exact twin)
       "q132_bpe_encode", // sequential greedy merge (TrainingDataOpsSpec brute-force encoder parity)
-      "q233_unigram_train"), // sequential Viterbi DP per word (UnigramLmSpec brute-force EM parity; q232 seed selection is hash-gated)
+      "q233_unigram_train", // sequential Viterbi DP per word (UnigramLmSpec brute-force EM parity; q232 seed selection is hash-gated)
+      "q236_unigram_encode"), // applies q233's sequentially-trained vocab (UnigramLmSpec brute-force encode parity)
       "only engine-specific-hash / sequential-merge ops may omit the oracle")
   }
 

@@ -563,6 +563,10 @@ class PlanContractSpec extends SparkSpec {
       "q83_negative_pairs" -> 4, "q88_hybrid_rrf" -> 6,
       "q89_global_ids" -> 3, "q94_sequence_pack" -> 3,
       "q231_step_provenance" -> 3, // q94's adjudicated two-pass lineage
+      // narrow word-explode passes: distinct-word segmentation table,
+      // per-doc occurrences, and the per-doc-contract base join — each a
+      // cheap projection scan, none a re-derived expensive transform
+      "q236_unigram_encode" -> 3,
       "q98_funnel" -> 3, "q99_ref_integrity" -> 6)
     // Driver-action builder queries are SKIPPED, not ratcheted: their
     // builders execute a whole eager pipeline (driver actions +

@@ -135,6 +135,43 @@ class UnigramLmSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q236 encoder == brute-force per-doc Viterbi accounting") {
+    // train with the brute loop (proven == train() above), then encode
+    // every doc by brute Viterbi and compare the per-doc stats
+    val rounds = 3
+    var vocab = seedVocab
+    var uses = Map.empty[String, Long]
+    (1 to rounds).foreach { r =>
+      uses = bruteCounts(words, vocab)
+      val multi = vocab.keys.filter(_.length > 1).toSeq
+      val keep: Set[String] =
+        if (r == rounds) multi.toSet
+        else multi.sortBy(p => (-uses.getOrElse(p, 0L), p))
+          .take(math.ceil(multi.size * UnigramLm.KeepFraction).toInt).toSet
+      vocab = bruteLp(
+        vocab.keys.filter(p => p.length == 1 || keep(p)).toSeq.sorted, uses)
+    }
+    val pieceCount: Map[String, Long] =
+      words.map { case (w, _) => w -> viterbiBrute(w, vocab).size.toLong }.toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = docs.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val (ok, skipped) = ws.partition(_.length <= UnigramLm.MaxWordLen)
+      val pieces = ok.map(pieceCount).sum
+      val fert = if (ok.nonEmpty)
+        Math.round(pieces * 1e6 / ok.length) / 1e6 else 0.0
+      (id, ok.length.toLong, skipped.length.toLong, pieces, fert)
+    }.sortBy(_._1).toSeq
+    val got = graft.QueryCatalog.all.find(_.name == "q236_unigram_encode").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
   test("trainer output is bounded, non-empty, and covers the alphabet") {
     val out = UnigramLm.train(spark, sf, 2)
     val alphabet = words.flatMap(_._1.toSeq).map(_.toString).toSet
