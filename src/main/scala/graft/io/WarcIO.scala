@@ -160,12 +160,21 @@ object WarcIO {
     * than dropping records — crawl-side quarantining belongs to the
     * transport layer, not a silent reader. */
   def readPages(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     // pathGlobFilter, not a /*.warc path glob: the glob form resolves
     // through a fallback that logs a spurious FileNotFoundException
     // stack per session before succeeding (observed r11 bench noise)
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc").load(dir)
+    pagesOfWarcRows(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc").load(dir))
+  }
+
+  /** The per-file parse over any (path, content) binaryFile frame —
+    * shared by the batch [[readPages]] and the streaming
+    * [[graft.streaming.StreamingWarcIngest]] (batch≡stream parity by
+    * shared definition). */
+  def pagesOfWarcRows(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

@@ -53,7 +53,8 @@ class PlanContractSpec extends SparkSpec {
     Seq("q30_text_stats", "q33_fingerprint", "q60_redact",
       "q65_repetition", "q67_quantize_embeddings", "q84_doc_chunks",
       "q131_gopher_gates", "q134_media_resize", "q206_jpeg_decode",
-      "q217_html_extract", "q220_cdc_chunks", "q222_text_clean").foreach { q =>
+      "q217_html_extract", "q220_cdc_chunks", "q222_text_clean",
+      "q234_gif_decode").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
     }
