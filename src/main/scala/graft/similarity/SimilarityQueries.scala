@@ -425,7 +425,90 @@ ${probeCandSql("pc", "cand")}
         .filter(col("rank") <= 5)
         .select("query_id", "cand_id", "rank", "cos_sim")
     }, None,
-      notes = "multi-table sign-LSH ANN (k=4 bits x L=16 tables) — shuffles by (table,bucket), never the cross product; rows-only (approximate by design)"),
+      notes = "multi-table sign-LSH ANN (k=4 bits x L=16 tables) — shuffles by (table,bucket), never the cross product; rows-only (plane literals engine-side; q41b is its hash-gated md5 twin, AnnRecallSpec its recall floor)"),
+
+    // ── Sign-LSH ANN, fully HASH-GATED (md5-portable twin) ─────────────
+    // q41's promotion by the q68b recipe, completing the LSH twin set
+    // (q36b/q37b/q68b/q107b — ANN top-k was the last untwinned member):
+    // the SAME k=4 × L=16 table geometry, but every hyperplane component
+    // derives from md5 (h(t:b:i) % 2001 − 1000), so both engines build
+    // the identical bank, make identical sign decisions, collide the
+    // identical candidate sets, and the exact verify + top-5 rank is the
+    // q39/q40-portable arithmetic. q41 keeps engine-side planes as the
+    // production form; this twin retires the trust-me row.
+    QueryDef("q41b_ann_lsh_md5", (s, d) => {
+      val Dim = 64
+      val v = vecs(s, d)
+      v.select(size(col("v")).as("dd")).take(1).foreach { r =>
+        require(r.getInt(0) == Dim,
+          s"q41b md5 plane bank is built for $Dim-dim embeddings but the " +
+            s"fixture has ${r.getInt(0)} dims (the q68b guard)")
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(key: String): Long = {
+        val hex = md.digest(key.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val planes = for (tb <- 0 until 16; b <- 0 until 4) yield
+        (tb, b, 1L << b,
+          (0 until Dim).map(i => (h(s"$tb:$b:$i") % 2001 - 1000).toDouble))
+      import s.implicits._
+      val planesDf = planes.toDF("table_id", "bit", "weight", "harr")
+      val bits = v.join(broadcast(planesDf))
+        .withColumn("dd", expr("graft_dot(v, harr)"))
+        .groupBy(col("vec_id"), col("table_id"))
+        .agg(sum(when(col("dd") >= 0, col("weight")).otherwise(0L))
+          .as("bucket"))
+      val q = bits.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "query_id")
+      val c = bits.withColumnRenamed("vec_id", "cand_id")
+      val cand = q.join(c, Seq("table_id", "bucket"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id").distinct()
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("cand_id").asc)
+      cand
+        .join(v.toDF("query_id", "qv", "qn"), Seq("query_id"))
+        .join(v.toDF("cand_id", "cv", "cn"), Seq("cand_id"))
+        .withColumn("cos_sim", cosine("qv", "cv", "qn", "cn"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "cand_id", "rank", "cos_sim")
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      planes AS (
+        SELECT t, b,
+          list_transform(range(0, 64), i ->
+            CAST(CAST('0x' || substr(md5(t || ':' || b || ':' || i), 1, 15)
+              AS BIGINT) % 2001 - 1000 AS DOUBLE)) AS harr
+        FROM range(0, 16) r1(t), range(0, 4) r2(b)),
+      bits AS (
+        SELECT v.vec_id, p.t,
+          SUM(CASE WHEN list_dot_product(v.e, p.harr) >= 0
+            THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+        FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.t),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        FROM bits q JOIN bits c ON c.t = q.t AND c.bucket = q.bucket
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      scored AS (
+        SELECT cd.query_id, cd.cand_id,
+          round(list_dot_product(va.e, vb.e) /
+            (sqrt(list_dot_product(va.e, va.e)) *
+             sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos_sim
+        FROM cand cd
+        JOIN v va ON va.vec_id = cd.query_id
+        JOIN v vb ON vb.vec_id = cd.cand_id)
+      SELECT query_id, cand_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank,
+        cos_sim
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, cand_id ASC) <= 5"""),
+      notes = "q41's sign-LSH ANN promoted to a full hash gate via the q68b md5-derived plane bank (identical 16x4x64 bank both engines, identical sign/candidate sets, q39-portable verify + top-5 rank) — the last LSH-family row without its own hash-gated twin"),
 
     // ── IVF-style ANN: coarse quantize to centroid cells, probe nearest cells ──
     QueryDef("q42b_ann_ivf", (s, d) => {

@@ -274,6 +274,7 @@ class PlanContractSpec extends SparkSpec {
       "q199_kaplan_meier", // bounded day<day prefix self-joins (offsets pattern) + 1-row total
       "q204_curriculum", // q77's broadcast 1-row corpus-count cross join
       "q68b_cosine_pairs_lsh_md5", // broadcast 36-row md5 hyperplane bank
+      "q41b_ann_lsh_md5", // broadcast 64-row md5 hyperplane bank (q68b shape)
       "q201_rfm", // GlobalOrder offsets + broadcast 1-row count cross join (q144 shape)
       "q210_cms_freq", // |sources| x 10-probe spine cross join (metadata-sized)
       "q211_semantic_decontaminate", // broadcast BOUNDED eval side by design (require-guarded)
@@ -558,7 +559,9 @@ class PlanContractSpec extends SparkSpec {
       "q213_semantic_decontaminate_indexed" -> 3,
       "q215_bitext_margin_indexed" -> 4, "q223_audio_fingerprint" -> 3,
       "q36_minhash_lsh" -> 6, "q36b_minhash_lsh_md5" -> 6,
-      "q41_ann_lsh" -> 4, "q64_contamination" -> 4,
+      "q41_ann_lsh" -> 4,
+      "q41b_ann_lsh_md5" -> 4, // q41's shape verbatim (md5 bank twin)
+      "q64_contamination" -> 4,
       "q68_cosine_pairs_lsh" -> 4, "q68b_cosine_pairs_lsh_md5" -> 4,
       "q74_semantic_dedup" -> 3, "q77_unigram_lm" -> 4,
       "q83_negative_pairs" -> 4, "q88_hybrid_rrf" -> 6,
