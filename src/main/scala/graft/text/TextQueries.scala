@@ -2794,6 +2794,119 @@ object TextQueries {
       FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
       notes = "per-doc mean conditional bigram log-prob (KenLM-style perplexity gate, one order up from q77): pair + left-context aggs, micro-unit exact per-doc sums"),
 
+    // ── Kneser-Ney smoothed bigram LM (the production n-gram smoothing) ─
+    // q111 scores with MLE conditionals — the real CCNet-style gate runs
+    // a SMOOTHED model (KenLM's default is modified Kneser-Ney): KN
+    // discounts every observed bigram by D and redistributes the mass to
+    // a CONTINUATION unigram (how many distinct contexts a word follows
+    // — "Francisco" is frequent but only ever follows "San", so its
+    // continuation prob is tiny, exactly what MLE gets wrong):
+    //   P(w|v) = (c(v,w) − D)/c(v) + D·N1+(v,·)/c(v) · N1+(·,w)/N1+(·,·)
+    // with the standard count-of-counts discount D = n1/(n1 + 2·n2).
+    // CROSS-ENGINE EXACTNESS is the whole trick here: D is rational
+    // (p/q with p = n1, q = n1+2n2 integers), so multiplying through by
+    // q·c(v)·NB makes P an EXACT INTEGER RATIO
+    //   P = [(q·c(v,w) − p)·NB + p·N1v·N1w] / (q·c(v)·NB)
+    // (positive for every OBSERVED bigram since p < q ≤ q·c(v,w)), and
+    // ln P = detLnRatio(num, den) — the q77/q111 bit-portable idiom, no
+    // float smoothing arithmetic anywhere. The degenerate q = 0 corpus
+    // (no count-1/2 bigrams) falls back to MLE via the same ratio form.
+    // Magnitudes: num ≤ q·c·NB — BIGINT-safe to ~corpus 1e6 bigram types
+    // × 1e6 counts; the 100 TB form scales the ratio to DOUBLE with a
+    // documented ULP posture (or DECIMAL), noted here rather than
+    // half-built. Shapes: ONE corpus bigram pass into the pinned
+    // vocab²-bounded (v, w, cvw) frame — cv/N1v/N1w/NB/n1/n2 ALL derive
+    // from the pin (the q182/q210 single-pass rule); one more corpus
+    // pass scores per-doc occurrences; micro-unit integer per-doc sums.
+    QueryDef("q237_kneser_ney", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toksCol = filter(split(col("text"), " "),
+        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+      def bigrams = docs.select(col("doc_id"), toksCol.as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """transform(
+            |  filter(sequence(1, greatest(size(tk) - 1, 1)),
+            |    i -> i < size(tk)),
+            |  i -> struct(element_at(tk, i) AS w1,
+            |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // pinned: the bigram-type table feeds FIVE consumers (cv, N1v,
+      // N1w, the globals, the per-doc join) — one corpus pair pass
+      val cvw = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cvw"))
+        .localCheckpoint(true)
+      val cv = cvw.groupBy("w1")
+        .agg(sum("cvw").as("cv"), count(lit(1)).as("n1v"))
+      val n1wDf = cvw.groupBy("w2").agg(count(lit(1)).as("n1w"))
+      val gl = cvw.agg(count(lit(1)).as("nb"),
+        sum(when(col("cvw") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("cvw") === 2, 1L).otherwise(0L)).as("n2"))
+      val qq = col("n1") + lit(2L) * col("n2")
+      val terms = bigrams
+        .join(cvw, Seq("w1", "w2"))
+        .join(cv, Seq("w1"))
+        .join(n1wDf, Seq("w2"))
+        .crossJoin(broadcast(gl))
+        .withColumn("num", when(qq === 0L, col("cvw")).otherwise(
+          (qq * col("cvw") - col("n1")) * col("nb")
+            + col("n1") * col("n1v") * col("n1w")))
+        .withColumn("den", when(qq === 0L, col("cv"))
+          .otherwise(qq * col("cv") * col("nb")))
+        .withColumn("lp",
+          round(DetMath.detLnRatio(col("num"), col("den")) * 1e6)
+            .cast("long"))
+      val perdoc = terms.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+      docs.select(col("doc_id"))
+        .join(perdoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(round(col("s").cast("double") / col("n_bigrams"))
+            .cast("long") / lit(1e6), lit(0.0)).as("kn_score"))
+    }, Some(s"""
+      WITH tkt AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0)
+          AS tk
+        FROM documents),
+      bx AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, greatest(len(tk), 1)),
+              i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+          FROM tkt)),
+      cvw AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cvw
+              FROM bx GROUP BY 1, 2),
+      cv AS (SELECT w1, CAST(SUM(cvw) AS BIGINT) AS cv,
+               CAST(COUNT(*) AS BIGINT) AS n1v
+             FROM cvw GROUP BY 1),
+      n1wt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w
+               FROM cvw GROUP BY 1),
+      gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(COUNT(*) FILTER (WHERE cvw.cvw = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE cvw.cvw = 2) AS BIGINT) AS n2
+             FROM cvw),
+      terms AS (
+        SELECT bx.doc_id,
+          CASE WHEN (gl.n1 + 2 * gl.n2) = 0 THEN cvw.cvw
+               ELSE ((gl.n1 + 2 * gl.n2) * cvw.cvw - gl.n1) * gl.nb
+                    + gl.n1 * cv.n1v * n1wt.n1w END AS num,
+          CASE WHEN (gl.n1 + 2 * gl.n2) = 0 THEN cv.cv
+               ELSE (gl.n1 + 2 * gl.n2) * cv.cv * gl.nb END AS den
+        FROM bx JOIN cvw USING (w1, w2) JOIN cv USING (w1)
+        JOIN n1wt USING (w2) CROSS JOIN gl),
+      perdoc AS (
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          SUM(CAST(ROUND((${DetMathSql.lnLong("num")} -
+            ${DetMathSql.lnLong("den")}) * 1000000)
+            AS BIGINT)) AS s
+        FROM terms GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        COALESCE(CAST(ROUND(CAST(p.s AS DOUBLE) / p.n_bigrams) AS BIGINT)
+          / 1000000.0, 0.0) AS kn_score
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
+      notes = "Kneser-Ney smoothed bigram LM score (KenLM's smoothing family, the production upgrade of q111's MLE): count-of-counts discount D = n1/(n1+2n2), continuation-unigram backoff, ALL arithmetic as exact integer ratios so ln P is the portable detLnRatio — fully hash-gated; one pinned bigram-type pass + one scoring pass"),
+
     // ── Segment-level cross-doc dedup (CCNet/C4 boilerplate removal) ───
     // The sub-document dedup pass every web-corpus pipeline runs BEFORE
     // doc-level near-dedup: split each doc into fixed 8-token segments

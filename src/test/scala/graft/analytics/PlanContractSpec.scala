@@ -273,6 +273,7 @@ class PlanContractSpec extends SparkSpec {
       "q197_temperature", // 6-row grid x 1-row argmin composition join
       "q199_kaplan_meier", // bounded day<day prefix self-joins (offsets pattern) + 1-row total
       "q204_curriculum", // q77's broadcast 1-row corpus-count cross join
+      "q237_kneser_ney", // broadcast 1-row count-of-counts globals cross join
       "q68b_cosine_pairs_lsh_md5", // broadcast 36-row md5 hyperplane bank
       "q41b_ann_lsh_md5", // broadcast 64-row md5 hyperplane bank (q68b shape)
       "q201_rfm", // GlobalOrder offsets + broadcast 1-row count cross join (q144 shape)
@@ -571,6 +572,9 @@ class PlanContractSpec extends SparkSpec {
       // per-doc occurrences, and the per-doc-contract base join — each a
       // cheap projection scan, none a re-derived expensive transform
       "q236_unigram_encode" -> 3,
+      // one pinned bigram-type pass + the per-doc scoring pass + the
+      // per-doc-contract base join (the q111/q77 family shape)
+      "q237_kneser_ney" -> 3,
       "q98_funnel" -> 3, "q99_ref_integrity" -> 6)
     // Driver-action builder queries are SKIPPED, not ratcheted: their
     // builders execute a whole eager pipeline (driver actions +
