@@ -9,6 +9,7 @@ object CatalogDoc {
   private val families = Seq(
     "analytics/Relational.scala" -> graft.analytics.Relational.defs,
     "text/TextQueries.scala" -> graft.text.TextQueries.defs,
+    "text/UnigramLm.scala" -> graft.text.UnigramLm.defs,
     "dedup/DedupQueries.scala" -> graft.dedup.DedupQueries.defs,
     "similarity/SimilarityQueries.scala" -> graft.similarity.SimilarityQueries.defs,
     "analytics/GoldQueries.scala" -> graft.analytics.GoldQueries.defs,
