@@ -572,9 +572,8 @@ class PlanContractSpec extends SparkSpec {
       // per-doc occurrences, and the per-doc-contract base join — each a
       // cheap projection scan, none a re-derived expensive transform
       "q236_unigram_encode" -> 3,
-      // one pinned bigram-type pass + the per-doc scoring pass + the
-      // per-doc-contract base join (the q111/q77 family shape)
-      "q237_kneser_ney" -> 3,
+      // (q237_kneser_ney measures x2 — inside the default allowance:
+      // the pinned bigram-type pass + per-doc scoring)
       "q98_funnel" -> 3, "q99_ref_integrity" -> 6)
     // Driver-action builder queries are SKIPPED, not ratcheted: their
     // builders execute a whole eager pipeline (driver actions +
