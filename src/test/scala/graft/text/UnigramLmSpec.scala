@@ -172,6 +172,35 @@ class UnigramLmSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: random words/vocabs — HOF DP == brute DP (200 cases, seeded)") {
+    // deterministic pseudo-random stress over the DP's edge shapes:
+    // tie-heavy log-probs (small value set), piece lengths 1..4 racing,
+    // repeated chars (KwKwK-ish words), and words at the length cap
+    import spark.implicits._
+    val rng = new scala.util.Random(0xC0FFEE)
+    val alpha = "abcd"
+    val cases = (1 to 200).map { i =>
+      val len = 1 + rng.nextInt(UnigramLm.MaxWordLen)
+      val word = Seq.fill(len)(alpha(rng.nextInt(alpha.length))).mkString
+      // vocab: every char + a few random substrings, lp from a SMALL set
+      // so equal-score ties are common (the tie-break is the risk)
+      val pieces = alpha.map(_.toString).toSet ++
+        Seq.fill(6) {
+          val st = rng.nextInt(word.length)
+          val pl = 2 + rng.nextInt(UnigramLm.MaxPieceLen - 1)
+          word.substring(st, math.min(st + pl, word.length))
+        }.filter(_.length >= 2)
+      val vocab = pieces.map(p => p -> (-(1 + rng.nextInt(4)) * 10L)).toMap
+      (i.toLong, word, vocab)
+    }
+    cases.foreach { case (id, word, vocab) =>
+      val wc = Seq((word, 1L)).toDF("word", "cnt")
+      val got = UnigramLm.eStep(wc, vocab)
+      val want = bruteCounts(Seq(word -> 1L), vocab)
+      assert(got == want, s"case $id word=$word vocab=$vocab")
+    }
+  }
+
   test("trainer output is bounded, non-empty, and covers the alphabet") {
     val out = UnigramLm.train(spark, sf, 2)
     val alphabet = words.flatMap(_._1.toSeq).map(_.toString).toSet
