@@ -2026,7 +2026,152 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
       // HASH-GATED since r11: forward probe, the surfaced-frontier
       // reverse probe, both DECIMAL neighborhood means and the margin
       // argmax all replayed over the unrolled stored quantizer.
-      notes = "q214 served from the persisted IVF index for unbounded probe sets: forward probe surfaces each probe's top-4 candidate neighborhood (fa + argmax in one pass), then ONLY the surfaced candidates (the mining frontier, <= 4·|probes| ids) reverse-probe the probe slice for fb — the corpus never moves or self-joins; surfaced cosines are real cosines, fa averages over the surfaced count so sparse cells can't inflate margins; relation total via left join; fully hash-gated since r11 (oracle unrolls training + both probe passes + the DECIMAL margin algebra); match/accept agreement vs the q214 anchor additionally floor-pinned in BitextMarginSpec (measured 0.60/1.00 at sf0.01 — the argmax is the recall-fragile readout under near-random fixture sims, the accept verdict is threshold-stable)")
+      notes = "q214 served from the persisted IVF index for unbounded probe sets: forward probe surfaces each probe's top-4 candidate neighborhood (fa + argmax in one pass), then ONLY the surfaced candidates (the mining frontier, <= 4·|probes| ids) reverse-probe the probe slice for fb — the corpus never moves or self-joins; surfaced cosines are real cosines, fa averages over the surfaced count so sparse cells can't inflate margins; relation total via left join; fully hash-gated since r11 (oracle unrolls training + both probe passes + the DECIMAL margin algebra); match/accept agreement vs the q214 anchor additionally floor-pinned in BitextMarginSpec (measured 0.60/1.00 at sf0.01 — the argmax is the recall-fragile readout under near-random fixture sims, the accept verdict is threshold-stable)"),
+
+    // ── Product quantization + ADC probe (the compressed-ANN memory path)
+    // IVF (q42b) bounds WHICH vectors a query reads; PQ bounds HOW MUCH
+    // each vector costs: split every 64-dim vector into M=8 contiguous
+    // 8-dim subspaces, Lloyd-train a K=16 codebook PER SUBSPACE (init =
+    // the 16 lowest vec_ids' subvectors, one exact micro-unit Lloyd step
+    // — the q71/q42b training contract), and store each vector as 8
+    // codeword ids — 8 small ints standing in for 64 floats, the
+    // Jégou-style PQ code. Probing is ADC (asymmetric distance
+    // computation): the query precomputes its 8×16 subspace-distance
+    // table against the CODEBOOK (128 rows — broadcast metadata), and a
+    // candidate's approximate ||q−x||² is the SUM of 8 table lookups
+    // keyed by its code. At 100 TB this is the memory-side half of
+    // IVF-PQ: compose with q42b's cells to bound candidates, and the
+    // ADC scan reads 8 bytes per candidate instead of 256 — the codes
+    // table is the index, the codebook is a broadcast literal, and the
+    // per-query work is one broadcast-join + sum over candidate codes
+    // (map-side partial per (query, cand)). Here the kernel scans all
+    // codes (PQ's brute-over-compressed form; q40 is the uncompressed
+    // exact anchor for recall).
+    //
+    // TRAINING IS SUBSPACE-PARALLEL, so the whole trainer is ONE
+    // dataflow with m as a row dimension — no per-subspace unrolling
+    // anywhere (contrast IvfIndexSql's per-iteration unroll): explode
+    // (vec, m) → assign to cb0 by raw-double d2 (graft_dot forms,
+    // lowest-cid ties — bit-identical to list_dot_product, the proven
+    // q42b contract) → exact micro-unit per-(m, cid, pos) means →
+    // re-assign = codes. ADC terms round to integer micro-units per
+    // (query, m, cid) BEFORE the 8-term sum, so summation order cannot
+    // drift (the q56/q77 discipline). Fully hash-gated: the oracle
+    // replays training, encoding, and the ADC probe, approximation and
+    // all; PqAdcSpec additionally pins recall vs the q40 exact anchor.
+    QueryDef("q239_pq_adc", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val v = t(s, d, "embeddings")
+        .select(col("vec_id"), asDouble("embedding").as("e"))
+      val sub = v
+        .select(col("vec_id"), col("e"),
+          explode(sequence(lit(0), lit(7))).as("m"))
+        .withColumn("sv", expr("slice(e, m * 8 + 1, 8)")).drop("e")
+      val cb0 = sub.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").as("cid"), col("sv").as("ce"))
+      // assignment by raw-double d2 with (d2 asc, cid asc) ties — the
+      // same arithmetic DuckDB evaluates, so no rounding needed here
+      def assign(cb: DataFrame): DataFrame = {
+        val wr = Window.partitionBy("vec_id", "m")
+          .orderBy(col("d2").asc, col("cid").asc)
+        sub.join(broadcast(cb), Seq("m"))
+          .withColumn("d2", expr(
+            "graft_dot(sv, sv) - 2 * graft_dot(sv, ce) + graft_dot(ce, ce)"))
+          .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+          .select("vec_id", "m", "cid")
+      }
+      val cb1 = sub.join(assign(cb0), Seq("vec_id", "m"))
+        .select(col("m"), col("cid"), posexplode(col("sv")))
+        .groupBy("m", "cid", "pos")
+        .agg(round(sum(round(col("col") * 1e6).cast("long")).cast("double")
+          / (lit(1e6) * count(lit(1))), 6).as("cv"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+          .as("ce"))
+      val codes = assign(cb1)
+      val q = sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
+      val adc = q.join(broadcast(cb1), Seq("m"))
+        .withColumn("md2", round(expr(
+          "(graft_dot(qv, qv) - 2 * graft_dot(qv, ce) + graft_dot(ce, ce))")
+          * lit(1e6)).cast("long"))
+        .select("query_id", "m", "cid", "md2")
+      val cand = codes.join(broadcast(adc), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum("md2").as("md2s"))
+      // ADC SHORTLIST (top-50) → EXACT re-rank → top-5: the production
+      // composition — PQ's 8-byte scan picks the shortlist, then the 50
+      // original vectors per query (the only full vectors read) get
+      // exact distances. Near-random embeddings are PQ's adversarial
+      // regime (distances concentrate, quantization noise ~ the gaps);
+      // the re-rank is what makes the surfaced top-5 trustworthy there.
+      val ws = Window.partitionBy("query_id")
+        .orderBy(col("md2s").asc, col("vec_id").asc)
+      val short = cand.withColumn("srank", row_number().over(ws))
+        .filter(col("srank") <= 50).select("query_id", "vec_id")
+      val qv = v.toDF("query_id", "qe")
+      val wk = Window.partitionBy("query_id")
+        .orderBy(col("d2m").asc, col("vec_id").asc)
+      short.join(v, Seq("vec_id")).join(qv, Seq("query_id"))
+        .withColumn("d2m", round(expr(
+          "(graft_dot(e, e) - 2 * graft_dot(qe, e) + graft_dot(qe, qe))")
+          * lit(1e6)).cast("long"))
+        .withColumn("rank", row_number().over(wk).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"),
+          (col("d2m").cast("double") / lit(1e6)).as("l2_d2"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sub AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
+              FROM v, (SELECT unnest(range(0, 8)) AS m)),
+      cb0 AS (SELECT m, vec_id AS cid, sv AS ce FROM sub WHERE vec_id < 16),
+      d0 AS (SELECT s.vec_id, s.m, c.cid,
+              list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.ce)
+                + list_dot_product(c.ce, c.ce) AS d2
+             FROM sub s JOIN cb0 c USING (m)),
+      a0 AS (SELECT vec_id, m, cid FROM d0
+             QUALIFY row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY d2, cid) = 1),
+      z AS (SELECT a0.m, a0.cid, unnest(list_zip(s.sv, range(len(s.sv)))) AS z
+            FROM sub s JOIN a0 USING (vec_id, m)),
+      c1 AS (SELECT m, cid, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+              ROUND(CAST(SUM(CAST(ROUND(struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
+                / (1000000.0 * COUNT(*)), 6) AS cv
+             FROM z GROUP BY 1, 2, 3),
+      cb1 AS (SELECT m, cid, list(cv ORDER BY pos) AS ce FROM c1 GROUP BY 1, 2),
+      d1 AS (SELECT s.vec_id, s.m, c.cid,
+              list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.ce)
+                + list_dot_product(c.ce, c.ce) AS d2
+             FROM sub s JOIN cb1 c USING (m)),
+      codes AS (SELECT vec_id, m, cid FROM d1
+                QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d2, cid) = 1),
+      q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < 10),
+      adc AS (SELECT q.query_id, c.m, c.cid,
+               CAST(ROUND((list_dot_product(q.qv, q.qv)
+                 - 2 * list_dot_product(q.qv, c.ce)
+                 + list_dot_product(c.ce, c.ce)) * 1000000) AS BIGINT) AS md2
+              FROM q JOIN cb1 c USING (m)),
+      cand AS (SELECT a.query_id, c.vec_id AS cand_id, SUM(a.md2) AS md2s
+               FROM codes c JOIN adc a ON a.m = c.m AND a.cid = c.cid
+               WHERE c.vec_id <> a.query_id
+               GROUP BY 1, 2),
+      short AS (SELECT query_id, cand_id FROM cand
+                QUALIFY row_number() OVER (PARTITION BY query_id
+                  ORDER BY md2s ASC, cand_id ASC) <= 50),
+      rr AS (SELECT s.query_id, s.cand_id,
+               CAST(ROUND((list_dot_product(cv.e, cv.e)
+                 - 2 * list_dot_product(qv.e, cv.e)
+                 + list_dot_product(qv.e, qv.e)) * 1000000) AS BIGINT) AS d2m
+             FROM short s JOIN v cv ON cv.vec_id = s.cand_id
+             JOIN v qv ON qv.vec_id = s.query_id)
+      SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY d2m ASC, cand_id ASC) AS BIGINT) AS rank,
+        cand_id, CAST(d2m AS DOUBLE) / 1000000.0 AS l2_d2
+      FROM rr
+      QUALIFY rank <= 5"""),
+      notes = "product quantization + ADC shortlist + exact re-rank (Jegou PQ: M=8 subspaces, K=16 Lloyd-trained codewords each, codes = 8 ids per vector; query precomputes the 8x16 micro-unit distance table, candidates cost 8 lookups; ADC top-50 shortlist re-ranked by exact L2 -> top-5): the compressed-ANN memory path composing with q42b's IVF cells at scale; fully hash-gated (oracle replays subspace-parallel training + encode + ADC + re-rank), recall vs the exact anchor spec-pinned (0.66-0.88 measured on the near-random fixture, PQ's adversarial regime)")
   )
 
   private[similarity] def labelsOf(s: SparkSession, d: String): DataFrame =

@@ -153,6 +153,167 @@ object TextQueries {
          |    THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStrLit(a + b)}))
          |    ELSE concat(acc, array(x)) END)""".stripMargin
 
+  // ── Relational BPE oracle (the r11 "training unroll" for the tokenizer
+  // family, the IvfIndexSql trick applied to BPE). The greedy sequential
+  // merge IS SQL-expressible once the corpus lives in ROW form
+  // (doc, pos, tok): for one merge pair (a, b), a position i matches iff
+  // tok(i)=a ∧ tok(i+1)=b, and greedy left-to-right reduces to a PARITY
+  // rule — a match is APPLIED iff the maximal chain of consecutive match
+  // positions ending at i has odd length (for a ≠ b chains have length 1,
+  // so every match applies; for a == b this is exactly "pair off runs of
+  // a left-to-right"). Chain length = pos − (last non-match pos before
+  // it), a running-max window. A position is CONSUMED iff its predecessor
+  // applied (lag). One caveat keeps this exact: an empty-string b would
+  // let Spark's aggregate-fold absorb RUNS of b (ab = a re-matches),
+  // which the parity rule does not model — but symbols are split-on-' '
+  // tokens and their concatenations, and the corpus has no empty tokens
+  // (no doubled spaces / empty texts in any SF; the top pair of a round
+  // could otherwise not be ('x','') anyway at any realistic frequency).
+  // Validated against the brute-force greedy replica at all three SFs.
+  /** The parity-rule merge application for round `r` (a/c CTE pair) —
+    * shared by the BPE and WordPiece oracles, which differ only in how
+    * `top{r}` SELECTS the merge pair. */
+  private def bpeOracleMergeSql(r: Int): String =
+    s"""a$r AS (SELECT doc, pos, tok, nxt, ism,
+       |    ism AND (pos - coalesce(max(CASE WHEN NOT ism THEN pos END)
+       |      OVER (PARTITION BY doc ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0))
+       |      % 2 = 1 AS applied
+       |  FROM (SELECT *, (nxt IS NOT NULL AND tok = (SELECT a FROM top$r)
+       |                   AND nxt = (SELECT b FROM top$r)) AS ism FROM p$r)),
+       |c$r AS (SELECT doc,
+       |    row_number() OVER (PARTITION BY doc ORDER BY pos) AS pos,
+       |    CASE WHEN applied THEN tok || nxt ELSE tok END AS tok
+       |  FROM (SELECT *, coalesce(lag(applied)
+       |          OVER (PARTITION BY doc ORDER BY pos), false) AS consumed
+       |        FROM a$r)
+       |  WHERE NOT consumed)""".stripMargin
+
+  private def bpeOracleRoundSql(r: Int): String = {
+    val prev = if (r == 1) "t0" else s"c${r - 1}"
+    s"""p$r AS (SELECT doc, pos, tok,
+       |  lead(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt FROM $prev),
+       |top$r AS (SELECT tok AS a, nxt AS b, tok || ' ' || nxt AS pair,
+       |    count(*) AS n
+       |  FROM p$r WHERE nxt IS NOT NULL
+       |  GROUP BY 1,2,3 ORDER BY n DESC, pair ASC LIMIT 1),
+       |${bpeOracleMergeSql(r)}""".stripMargin
+  }
+
+  /** WordPiece round: selection maximizes the likelihood score
+    * n(ab) / (n(a)·n(b)) over pairs with support ≥ 2. The score is ONE
+    * IEEE double division of two exactly-representable integers
+    * (counts and their product stay far below 2^53), so it is
+    * bit-identical cross-engine; ties break on pair asc. */
+  private def wpOracleRoundSql(r: Int): String = {
+    val prev = if (r == 1) "t0" else s"c${r - 1}"
+    s"""p$r AS (SELECT doc, pos, tok,
+       |  lead(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt FROM $prev),
+       |uc$r AS (SELECT tok, count(*) AS c FROM $prev GROUP BY tok),
+       |top$r AS (
+       |  SELECT p.tok AS a, p.nxt AS b, p.tok || ' ' || p.nxt AS pair,
+       |    count(*) AS n, any_value(ua.c) AS ca, any_value(ub.c) AS cb
+       |  FROM p$r p JOIN uc$r ua ON ua.tok = p.tok
+       |              JOIN uc$r ub ON ub.tok = p.nxt
+       |  WHERE p.nxt IS NOT NULL
+       |  GROUP BY 1,2,3 HAVING count(*) >= 2
+       |  ORDER BY CAST(n AS DOUBLE) / CAST(ca * cb AS DOUBLE) DESC,
+       |    pair ASC LIMIT 1),
+       |${bpeOracleMergeSql(r)}""".stripMargin
+  }
+
+  private[text] val q238OracleSql: String =
+    s"""WITH $bpeOracleT0,
+       |${wpOracleRoundSql(1)},
+       |${wpOracleRoundSql(2)},
+       |${wpOracleRoundSql(3)}
+       |SELECT CAST(1 AS BIGINT) AS step, pair, CAST(n AS BIGINT) AS n_pair,
+       |  CAST(ca AS BIGINT) AS n_left, CAST(cb AS BIGINT) AS n_right FROM top1
+       |UNION ALL SELECT 2, pair, n, ca, cb FROM top2
+       |UNION ALL SELECT 3, pair, n, ca, cb FROM top3""".stripMargin
+
+  /** Row-form corpus CTE shared by every BPE oracle. A `def`, not a
+    * `val`: q238OracleSql interpolates it from ABOVE this point in the
+    * object body, and a val would still be null there at init time. */
+  private def bpeOracleT0: String =
+    """t0 AS (
+      |  SELECT doc_id AS doc,
+      |    unnest(string_split(text, ' ')) AS tok,
+      |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      |  FROM documents)""".stripMargin
+
+  private[text] val q75OracleSql: String =
+    s"""WITH $bpeOracleT0,
+       |${bpeOracleRoundSql(1)},
+       |${bpeOracleRoundSql(2)},
+       |${bpeOracleRoundSql(3)}
+       |SELECT CAST(1 AS BIGINT) AS step, pair, CAST(n AS BIGINT) AS n FROM top1
+       |UNION ALL SELECT CAST(2 AS BIGINT), pair, CAST(n AS BIGINT) FROM top2
+       |UNION ALL SELECT CAST(3 AS BIGINT), pair, CAST(n AS BIGINT) FROM top3""".stripMargin
+
+  private[text] val q132OracleSql: String =
+    s"""WITH $bpeOracleT0,
+       |${bpeOracleRoundSql(1)},
+       |${bpeOracleRoundSql(2)},
+       |${bpeOracleRoundSql(3)},
+       |raw AS (SELECT doc, count(*) AS n_raw FROM t0 GROUP BY doc),
+       |enc AS (SELECT doc, count(*) AS n_bpe FROM c3 GROUP BY doc)
+       |SELECT r.doc AS doc_id, CAST(r.n_raw AS BIGINT) AS n_tokens_raw,
+       |  CAST(e.n_bpe AS BIGINT) AS n_tokens_bpe,
+       |  CAST(r.n_raw - e.n_bpe AS BIGINT) AS n_merges_applied
+       |FROM raw r JOIN enc e ON e.doc = r.doc""".stripMargin
+
+  /** q78's oracle: the greedy PAIRWISE-DISJOINT top-8 selection over the
+    * top-64 candidates is a 64-step fold over a tiny ordered list — a
+    * recursive CTE carrying the used-symbol set; the one-scan batch
+    * application is the same row-form lag/lead rule (no parity needed:
+    * disjointness + a ≠ b make chaining impossible). */
+  private[text] val q78OracleSql: String =
+    s"""WITH RECURSIVE $bpeOracleT0,
+       |p0 AS (SELECT doc, pos, tok,
+       |  lead(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt FROM t0),
+       |cand AS (
+       |  SELECT tok AS a, nxt AS b, tok || ' ' || nxt AS pair, count(*) AS n,
+       |    row_number() OVER (ORDER BY count(*) DESC, tok || ' ' || nxt ASC) AS rid
+       |  FROM p0 WHERE nxt IS NOT NULL GROUP BY 1,2,3
+       |  QUALIFY rid <= 64),
+       |sel AS (
+       |  SELECT 0 AS rid, CAST([] AS VARCHAR[]) AS used,
+       |         CAST([] AS VARCHAR[]) AS ta, CAST([] AS VARCHAR[]) AS tb
+       |  UNION ALL
+       |  SELECT c.rid,
+       |    CASE WHEN len(s.ta) < 8 AND c.a <> c.b AND c.b <> ''
+       |              AND NOT list_contains(s.used, c.a)
+       |              AND NOT list_contains(s.used, c.b)
+       |         THEN list_append(list_append(s.used, c.a), c.b) ELSE s.used END,
+       |    CASE WHEN len(s.ta) < 8 AND c.a <> c.b AND c.b <> ''
+       |              AND NOT list_contains(s.used, c.a)
+       |              AND NOT list_contains(s.used, c.b)
+       |         THEN list_append(s.ta, c.a) ELSE s.ta END,
+       |    CASE WHEN len(s.ta) < 8 AND c.a <> c.b AND c.b <> ''
+       |              AND NOT list_contains(s.used, c.a)
+       |              AND NOT list_contains(s.used, c.b)
+       |         THEN list_append(s.tb, c.b) ELSE s.tb END
+       |  FROM sel s JOIN cand c ON c.rid = s.rid + 1),
+       |fin AS (SELECT ta, tb FROM sel ORDER BY rid DESC LIMIT 1),
+       |mg AS (SELECT unnest(ta) AS a, unnest(tb) AS b FROM fin),
+       |j AS (SELECT p.doc, p.pos, p.tok, p.nxt,
+       |        coalesce(mg.b = p.nxt, false) AS ism
+       |      FROM p0 p LEFT JOIN mg ON mg.a = p.tok),
+       |k AS (SELECT doc, pos,
+       |        CASE WHEN ism THEN tok || nxt ELSE tok END AS tok,
+       |        coalesce(lag(ism) OVER (PARTITION BY doc ORDER BY pos),
+       |          false) AS consumed
+       |      FROM j),
+       |c1 AS (SELECT doc,
+       |    row_number() OVER (PARTITION BY doc ORDER BY pos) AS pos, tok
+       |  FROM k WHERE NOT consumed),
+       |p1 AS (SELECT doc, pos, tok,
+       |  lead(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt FROM c1)
+       |SELECT tok || ' ' || nxt AS pair, CAST(count(*) AS BIGINT) AS n
+       |FROM p1 WHERE nxt IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
   /** The q75 training loop: `rounds` greedy merges, each chosen by
     * (count desc, pair asc) over the CURRENT corpus and applied
     * corpus-wide before the next recount. Returns (step, "a b", count)
@@ -174,6 +335,54 @@ object TextQueries {
         merges += ((step.toLong, pair, top(0).getLong(1)))
         // symbols never contain spaces (split on ' ', merges concatenate),
         // so the first space is the pair separator
+        val i = pair.indexOf(' ')
+        cur = cur.withColumn("tk",
+          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The q238 WordPiece training loop: like [[trainBpeMerges]] but each
+    * round adopts the pair maximizing the LIKELIHOOD score
+    * n(ab) / (n(a)·n(b)) among pairs with support ≥ `minCount` — the
+    * Schuster–Nakajima selection rule (merge the pair whose fusion most
+    * increases corpus likelihood under a unigram LM), vs BPE's raw
+    * frequency. Greedy application is identical ([[bpeMergeExpr]]).
+    * Exactness: the score is one IEEE division of exact integers
+    * (counts < 2^53), bit-identical cross-engine; ties break on pair
+    * asc. Each round costs one narrow scan feeding a pair-keyed AND a
+    * token-keyed hash-agg (both map-side partialed) + two vocab-sized
+    * joins + a 1-row TakeOrderedAndProject collect — driver-held
+    * bounded state, nothing corpus-sized ever collects. */
+  private def trainWordPieceMerges(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int,
+      minCount: Long): Seq[(Long, String, Long, Long, Long)] = {
+    var cur = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+    var exhausted = false
+    for (step <- 1 to rounds if !exhausted) {
+      val pairs = cur.select(explode(expr(bpePairsOfTk)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+      val uni = cur.select(explode(col("tk")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val top = pairs
+        .withColumn("a", element_at(split(col("pair"), " "), 1))
+        .withColumn("b", element_at(split(col("pair"), " "), 2))
+        .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "ca"), Seq("a"))
+        .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "cb"), Seq("b"))
+        .withColumn("score",
+          col("n").cast("double") / (col("ca") * col("cb")).cast("double"))
+        .orderBy(col("score").desc, col("pair").asc).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        val pair = r.getAs[String]("pair")
+        merges += ((step.toLong, pair, r.getAs[Long]("n"),
+          r.getAs[Long]("ca"), r.getAs[Long]("cb")))
         val i = pair.indexOf(' ')
         cur = cur.withColumn("tk",
           expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
@@ -1884,14 +2093,17 @@ object TextQueries {
     // the producer projection alone because the column is non-cheap and
     // multiply referenced).
     //
-    // Rows-only: SQL list ops cannot express the greedy sequential merge,
-    // so there is no DuckDB twin; TrainingDataOpsSpec pins all three
-    // rounds (chosen pair AND count) against a brute-force Scala recount.
+    // HASH-GATED since r11 (was rows-only): the training loop unrolls
+    // into pure SQL the same way IvfIndexSql unrolled Lloyd training —
+    // row-form corpus + per-round (lead → top-1 → parity-rule merge)
+    // CTE blocks (q75OracleSql; correctness argument on
+    // bpeOracleRoundSql). TrainingDataOpsSpec additionally pins all
+    // three rounds against a brute-force Scala recount.
     QueryDef("q75_bpe_train", (s, d) => {
       import s.implicits._
       trainBpeMerges(s, d, 3).toDF("step", "pair", "n")
-    }, None,
-      notes = "BPE training loop: 3 rounds of count -> greedy merge -> recount, driver-held merge table; rows-only (sequential merge not SQL-expressible)"),
+    }, Some(q75OracleSql),
+      notes = "BPE training loop: 3 rounds of count -> greedy merge -> recount, driver-held merge table; hash-gated via the relational training unroll (row-form parity-rule merges)"),
 
     // ── Batched BPE (the production-trainer scan shape) ────────────────
     // q75 is the semantics-exact one-merge-per-scan loop; THIS is what a
@@ -1908,9 +2120,12 @@ object TextQueries {
     // Per round the cluster pays ONE narrow scan + one pair-keyed hash-agg
     // shuffle for 8 merges instead of 8 of each. Output is the
     // post-batch top-20 recount: it pins BOTH the selection and the
-    // application (either going wrong changes the counts). Rows-only —
-    // the greedy disjoint selection is driver logic with no SQL twin;
-    // TrainingDataOpsSpec pins it against a brute-force Scala replica.
+    // application (either going wrong changes the counts). HASH-GATED
+    // since r11 (was rows-only): the greedy disjoint selection is a
+    // 64-step fold over an ORDERED BOUNDED list — a recursive CTE
+    // carrying the used-symbol set (q78OracleSql) — and the one-scan
+    // batch application is the row-form lag/lead rule; TrainingDataOpsSpec
+    // additionally pins it against a brute-force Scala replica.
     QueryDef("q78_bpe_batch", (s, d) => {
       val base = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
       def pairCounts(df: org.apache.spark.sql.DataFrame) = df
@@ -1944,8 +2159,8 @@ object TextQueries {
           .withColumn("tk", expr(batchMergeExpr)).drop("__m")
       pairCounts(merged)
         .orderBy(col("n").desc, col("pair").asc).limit(20)
-    }, None,
-      notes = "batched BPE: top-8 symbol-disjoint merges applied in one scan (map-literal lookup); output = post-batch top-20 recount; rows-only (greedy selection is driver logic)"),
+    }, Some(q78OracleSql),
+      notes = "batched BPE: top-8 symbol-disjoint merges applied in one scan (map-literal lookup); output = post-batch top-20 recount; hash-gated (recursive-CTE greedy selection + row-form batch merge)"),
 
     // ── Unigram LM quality score (CCNet-style perplexity proxy) ────────
     // Per-doc mean log-probability under the corpus's own unigram model —
@@ -2907,6 +3122,30 @@ object TextQueries {
       FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
       notes = "Kneser-Ney smoothed bigram LM score (KenLM's smoothing family, the production upgrade of q111's MLE): count-of-counts discount D = n1/(n1+2n2), continuation-unigram backoff, ALL arithmetic as exact integer ratios so ln P is the portable detLnRatio — fully hash-gated; one pinned bigram-type pass + one scoring pass"),
 
+    // ── WordPiece trainer (the THIRD production tokenizer family) ──────
+    // BPE (q75) merges the most FREQUENT pair; unigram-LM (q233) prunes
+    // an over-complete vocab by EM; WordPiece — BERT's tokenizer — sits
+    // between them: merge the pair maximizing the LIKELIHOOD gain
+    // n(ab)/(n(a)·n(b)) (fusing ab helps most when the pair co-occurs
+    // far above its unigram-independence expectation — PMI by another
+    // name), with the standard min-support floor (n ≥ 2) that keeps
+    // hapax noise out of the vocab. Application is the same greedy
+    // left-to-right merge as BPE, so the whole q75 machinery reuses:
+    // per round ONE narrow scan feeds a pair-keyed and a token-keyed
+    // hash-agg, two vocab-sized score joins, and a 1-row collect.
+    // HASH-GATED: selection + application unroll into the q75-style
+    // row-form relational oracle (wpOracleRoundSql) — the score is one
+    // IEEE division of exact integers, bit-identical cross-engine.
+    // Output pins selection AND arithmetic: (step, pair, n_pair,
+    // n_left, n_right) per round; TrainingDataOpsSpec adds a
+    // brute-force Scala parity pin.
+    QueryDef("q238_wordpiece_train", (s, d) => {
+      import s.implicits._
+      trainWordPieceMerges(s, d, 3, 2L)
+        .toDF("step", "pair", "n_pair", "n_left", "n_right")
+    }, Some(q238OracleSql),
+      notes = "WordPiece training loop (BERT's tokenizer): 3 rounds of likelihood-scored merge n(ab)/(n(a)n(b)) with min-support 2, greedy BPE-style application; hash-gated via the relational training unroll"),
+
     // ── Segment-level cross-doc dedup (CCNet/C4 boilerplate removal) ───
     // The sub-document dedup pass every web-corpus pipeline runs BEFORE
     // doc-level near-dedup: split each doc into fixed 8-token segments
@@ -3050,9 +3289,10 @@ object TextQueries {
     // pays, with q78's disjoint-batch map-literal as the fewer-scans
     // production variant. Output: per-doc raw vs encoded token counts +
     // merges applied (raw - encoded), the tokenizer-compression audit.
-    // Rows-only: the sequential greedy merge has no SQL twin;
-    // TrainingDataOpsSpec pins per-doc counts against a brute-force
-    // Scala encoder driven by the SAME (spec-replicated) merge table.
+    // HASH-GATED since r11 (was rows-only): q132OracleSql inlines the
+    // q75 training unroll and counts the round-3 row-form corpus per
+    // doc; TrainingDataOpsSpec additionally pins per-doc counts against
+    // a brute-force Scala encoder driven by the SAME merge table.
     QueryDef("q132_bpe_encode", (s, d) => {
       val merges = trainBpeMerges(s, d, 3)
       val base = t(s, d, "documents")
@@ -3066,8 +3306,8 @@ object TextQueries {
       encoded.select(col("doc_id"), col("n_tokens_raw"),
         size(col("tk")).cast("long").as("n_tokens_bpe"),
         (col("n_tokens_raw") - size(col("tk"))).as("n_merges_applied"))
-    }, None,
-      notes = "BPE encode: q75's trained merges applied in order to every doc (M chained O(L) narrow scans, zero shuffles post-train); per-doc raw/encoded token counts; rows-only (sequential merge), spec-pinned vs a brute-force Scala encoder"),
+    }, Some(q132OracleSql),
+      notes = "BPE encode: q75's trained merges applied in order to every doc (M chained O(L) narrow scans, zero shuffles post-train); per-doc raw/encoded token counts; hash-gated via the inlined training unroll"),
 
     // ── Weighted sampling without replacement (Efraimidis–Spirakis) ────
     // Reproducible SIZE-BIASED sampling: per source, the top-5 documents

@@ -24,18 +24,21 @@ class QueryCatalogSpec extends SparkSpec {
     // q104-proven Lloyd-training unroll (shared IvfIndexSql CTE bank)
     // now replays training + probe in every IVF oracle — q42b, q105,
     // q114, q168, q207, q213, q215 are all hash-gated, approximation
-    // and all. What remains is engine-specific randomness (sketch
-    // registers, xxhash64 banding) and sequential driver-held loops.
+    // and all. The BPE trainer family (q75/q78/q132) left too: the
+    // greedy merge is SQL-expressible in row form (the parity rule,
+    // bpeOracleRoundSql) and the disjoint batch selection is a
+    // recursive-CTE fold. What remains is engine-specific randomness
+    // (sketch registers, xxhash64 banding) and the genuinely
+    // sequential Viterbi/EM loops.
     assert(noOracle == Set("q29_approx_distinct", "q36_minhash_lsh",
       "q37_simhash", "q41_ann_lsh", "q62_dup_clusters_lsh",
-      "q68_cosine_pairs_lsh", "q75_bpe_train", "q78_bpe_batch",
+      "q68_cosine_pairs_lsh",
       "q82_hll_sketch_rollup", "q92_heavy_hitters",
       "q107_lsh_canonical", // q62 composition (LshCanonicalSpec refinement/recall/parity; q107b is its hash-gated md5 twin)
       "q108_quantile_rollup", // KLL blobs engine-specific (KllSketchSpec exact/merge/error pins; q108b is its hash-gated exact twin)
-      "q132_bpe_encode", // sequential greedy merge (TrainingDataOpsSpec brute-force encoder parity)
       "q233_unigram_train", // sequential Viterbi DP per word (UnigramLmSpec brute-force EM parity; q232 seed selection is hash-gated)
       "q236_unigram_encode"), // applies q233's sequentially-trained vocab (UnigramLmSpec brute-force encode parity)
-      "only engine-specific-hash / sequential-merge ops may omit the oracle")
+      "only engine-specific-hash / sequential-loop ops may omit the oracle")
   }
 
   test("q17_distinct returns the 6 known flag/status combos") {

@@ -53,6 +53,49 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q238 merge table matches a brute-force WordPiece train loop") {
+    // identical greedy application to q75; only the SELECTION differs —
+    // likelihood score n(ab)/(n(a)·n(b)) with min-support 2, score as a
+    // single IEEE division of exact integers, ties on pair asc
+    def applyMerge(v: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    var seqs = graft.analytics.Ops.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).split(" ", -1).toVector).toVector
+    val expected = (1 to 3).map { step =>
+      val pc = new scala.collection.mutable.HashMap[String, Long]()
+      val uc = new scala.collection.mutable.HashMap[String, Long]()
+      for (sq <- seqs) {
+        for (t <- sq) uc.update(t, uc.getOrElse(t, 0L) + 1L)
+        for (i <- 0 until sq.length - 1) {
+          val p = sq(i) + " " + sq(i + 1)
+          pc.update(p, pc.getOrElse(p, 0L) + 1L)
+        }
+      }
+      val (pair, n) = pc.toSeq.filter(_._2 >= 2L).minBy { case (p, c) =>
+        val sp = p.indexOf(' ')
+        val score = c.toDouble /
+          (uc(p.substring(0, sp)) * uc(p.substring(sp + 1))).toDouble
+        (-score, p)
+      }
+      val sp = pair.indexOf(' ')
+      val (ca, cb) = (uc(pair.substring(0, sp)), uc(pair.substring(sp + 1)))
+      seqs = seqs.map(applyMerge(_, pair.substring(0, sp), pair.substring(sp + 1)))
+      (step.toLong, pair, n, ca, cb)
+    }
+
+    val got = graft.SparkEntry.queries("q238_wordpiece_train")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
   test("q78 post-batch recount matches a brute-force batched-BPE replica") {
     val seqs = graft.analytics.Ops.t(spark, sf, "documents")
       .select("text").collect().map(_.getString(0).split(" ", -1).toVector)
