@@ -592,6 +592,63 @@ object Multimodal {
     }
   }
 
+  /** 8×8 DCT-II basis at 1e6 integer scale: B(u)(x) = round(c(u) ·
+    * cos(π(2x+1)u/16) · 1e6) with c(0) = √(1/8), c(u>0) = 1/2.
+    * StrictMath (fdlibm bit-specified) so the constants are identical on
+    * every JVM; the q241 oracle string interpolates THIS array, so both
+    * engines share the same integer basis by construction. */
+  private[graft] val DctBasisMicro: Array[Array[Long]] =
+    Array.tabulate(8, 8) { (u, x) =>
+      val c = if (u == 0) StrictMath.sqrt(1.0 / 8.0) else 0.5
+      StrictMath.round(
+        c * StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 16.0) * 1e6)
+    }
+
+  /** pHash — the DCT upgrade of [[imageAHash]]: resample to 8×8 (same
+    * nearest-neighbor path, so the two hashes share their input grid),
+    * 2D DCT-II in EXACT integer arithmetic (pixel · basis · basis sums;
+    * |term| ≤ 255·5e5·5e5 ≈ 6.4e13, ×64 terms ≈ 4e15 — BIGINT-safe), then
+    * bit k = AC coefficient k greater than the 63-AC lower median (the
+    * 32nd order statistic of an odd count — an EXACT integer-arithmetic
+    * choice, no mean in sight). DC is excluded, which is what buys pHash
+    * its brightness invariance: a constant luma shift moves ONLY the DC
+    * coefficient, so re-exposed variants of one image collide where
+    * byte hashes (q33) and even aHash's mean threshold can drift. 63
+    * bits live in positions 0..62 — no sign-bit handling anywhere. */
+  def imagePHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    val bas = DctBasisMicro
+    media.filter(_.kind == "image").flatMap { r =>
+      decodeImage(r.content).map { img =>
+        val rs = PngCodec.resize(img, 8, 8)
+        val p = Array.tabulate(64)(i => (rs.pixels(i * rs.channels) & 0xff).toLong)
+        val co = new Array[Long](64)
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var ssum = 0L; var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                ssum += p(y * 8 + x) * bas(u)(x) * bas(v)(y); x += 1
+              }
+              y += 1
+            }
+            co(v * 8 + u) = ssum; u += 1
+          }
+          v += 1
+        }
+        val ac = java.util.Arrays.copyOfRange(co, 1, 64)
+        val sorted = ac.clone(); java.util.Arrays.sort(sorted)
+        val med = sorted(31)
+        var bits = 0L; var k = 0
+        while (k < 63) { if (ac(k) > med) bits |= (1L << k); k += 1 }
+        ImageHash(r.media_id, bits)
+      }
+    }
+  }
+
   /** Per-image near-dup counts over a (media_id, ahash) frame via the
     * q138/q170 4×16-bit block pigeonhole at Hamming ≤ `maxHamming` —
     * the q208 counting core, factored so the hot-bucket cap is directly

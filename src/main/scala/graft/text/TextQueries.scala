@@ -314,6 +314,104 @@ object TextQueries {
        |FROM p1 WHERE nxt IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
+  /** q237's per-doc Kneser-Ney scoring frame (doc_id, n_bigrams,
+    * kn_score) — factored so q242 can gate on the same model without
+    * re-stating it. See q237's scaladoc for the exact-integer-ratio
+    * smoothing algebra and the pinned single-bigram-pass shape. */
+  private def knScoredDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+    val toksCol = filter(split(col("text"), " "),
+      (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
+    def bigrams = docs.select(col("doc_id"), toksCol.as("tk"))
+      .select(col("doc_id"), explode(expr(
+        """transform(
+          |  filter(sequence(1, greatest(size(tk) - 1, 1)),
+          |    i -> i < size(tk)),
+          |  i -> struct(element_at(tk, i) AS w1,
+          |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // pinned: the bigram-type table feeds FIVE consumers (cv, N1v,
+    // N1w, the globals, the per-doc join) — one corpus pair pass
+    val cvw = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cvw"))
+      .localCheckpoint(true)
+    val cv = cvw.groupBy("w1")
+      .agg(sum("cvw").as("cv"), count(lit(1)).as("n1v"))
+    val n1wDf = cvw.groupBy("w2").agg(count(lit(1)).as("n1w"))
+    val gl = cvw.agg(count(lit(1)).as("nb"),
+      sum(when(col("cvw") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cvw") === 2, 1L).otherwise(0L)).as("n2"))
+    val qq = col("n1") + lit(2L) * col("n2")
+    val terms = bigrams
+      .join(cvw, Seq("w1", "w2"))
+      .join(cv, Seq("w1"))
+      .join(n1wDf, Seq("w2"))
+      .crossJoin(broadcast(gl))
+      .withColumn("num", when(qq === 0L, col("cvw")).otherwise(
+        (qq * col("cvw") - col("n1")) * col("nb")
+          + col("n1") * col("n1v") * col("n1w")))
+      .withColumn("den", when(qq === 0L, col("cv"))
+        .otherwise(qq * col("cv") * col("nb")))
+      .withColumn("lp",
+        round(DetMath.detLnRatio(col("num"), col("den")) * 1e6)
+          .cast("long"))
+    val perdoc = terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+    docs.select(col("doc_id"))
+      .join(perdoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("s").cast("double") / col("n_bigrams"))
+          .cast("long") / lit(1e6), lit(0.0)).as("kn_score"))
+  }
+
+  /** DuckDB CTE bank ending in `scored(doc_id, n_bigrams, kn_score)` —
+    * the q237 model + per-doc scoring, shared by the q237 and q242
+    * oracles. A def (interpolated from both above and below). */
+  private def knOracleCore: String = s"""tkt AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0)
+          AS tk
+        FROM documents),
+      bx AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, greatest(len(tk), 1)),
+              i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+          FROM tkt)),
+      cvw AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cvw
+              FROM bx GROUP BY 1, 2),
+      cv AS (SELECT w1, CAST(SUM(cvw) AS BIGINT) AS cv,
+               CAST(COUNT(*) AS BIGINT) AS n1v
+             FROM cvw GROUP BY 1),
+      n1wt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w
+               FROM cvw GROUP BY 1),
+      gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(COUNT(*) FILTER (WHERE cvw.cvw = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE cvw.cvw = 2) AS BIGINT) AS n2
+             FROM cvw),
+      terms AS (
+        SELECT bx.doc_id,
+          CASE WHEN (gl.n1 + 2 * gl.n2) = 0 THEN cvw.cvw
+               ELSE ((gl.n1 + 2 * gl.n2) * cvw.cvw - gl.n1) * gl.nb
+                    + gl.n1 * cv.n1v * n1wt.n1w END AS num,
+          CASE WHEN (gl.n1 + 2 * gl.n2) = 0 THEN cv.cv
+               ELSE (gl.n1 + 2 * gl.n2) * cv.cv * gl.nb END AS den
+        FROM bx JOIN cvw USING (w1, w2) JOIN cv USING (w1)
+        JOIN n1wt USING (w2) CROSS JOIN gl),
+      perdoc AS (
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          SUM(CAST(ROUND((${DetMathSql.lnLong("num")} -
+            ${DetMathSql.lnLong("den")}) * 1000000)
+            AS BIGINT)) AS s
+        FROM terms GROUP BY 1),
+      scored AS (
+        SELECT d.doc_id,
+          COALESCE(p.n_bigrams, 0) AS n_bigrams,
+          COALESCE(CAST(ROUND(CAST(p.s AS DOUBLE) / p.n_bigrams) AS BIGINT)
+            / 1000000.0, 0.0) AS kn_score
+        FROM documents d LEFT JOIN perdoc p USING (doc_id))"""
+
   /** The q75 training loop: `rounds` greedy merges, each chosen by
     * (count desc, pair asc) over the CURRENT corpus and applied
     * corpus-wide before the next recount. Returns (step, "a b", count)
@@ -3033,93 +3131,9 @@ object TextQueries {
     // vocab²-bounded (v, w, cvw) frame — cv/N1v/N1w/NB/n1/n2 ALL derive
     // from the pin (the q182/q210 single-pass rule); one more corpus
     // pass scores per-doc occurrences; micro-unit integer per-doc sums.
-    QueryDef("q237_kneser_ney", (s, d) => {
-      val docs = t(s, d, "documents")
-      val toksCol = filter(split(col("text"), " "),
-        (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
-      def bigrams = docs.select(col("doc_id"), toksCol.as("tk"))
-        .select(col("doc_id"), explode(expr(
-          """transform(
-            |  filter(sequence(1, greatest(size(tk) - 1, 1)),
-            |    i -> i < size(tk)),
-            |  i -> struct(element_at(tk, i) AS w1,
-            |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      // pinned: the bigram-type table feeds FIVE consumers (cv, N1v,
-      // N1w, the globals, the per-doc join) — one corpus pair pass
-      val cvw = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cvw"))
-        .localCheckpoint(true)
-      val cv = cvw.groupBy("w1")
-        .agg(sum("cvw").as("cv"), count(lit(1)).as("n1v"))
-      val n1wDf = cvw.groupBy("w2").agg(count(lit(1)).as("n1w"))
-      val gl = cvw.agg(count(lit(1)).as("nb"),
-        sum(when(col("cvw") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("cvw") === 2, 1L).otherwise(0L)).as("n2"))
-      val qq = col("n1") + lit(2L) * col("n2")
-      val terms = bigrams
-        .join(cvw, Seq("w1", "w2"))
-        .join(cv, Seq("w1"))
-        .join(n1wDf, Seq("w2"))
-        .crossJoin(broadcast(gl))
-        .withColumn("num", when(qq === 0L, col("cvw")).otherwise(
-          (qq * col("cvw") - col("n1")) * col("nb")
-            + col("n1") * col("n1v") * col("n1w")))
-        .withColumn("den", when(qq === 0L, col("cv"))
-          .otherwise(qq * col("cv") * col("nb")))
-        .withColumn("lp",
-          round(DetMath.detLnRatio(col("num"), col("den")) * 1e6)
-            .cast("long"))
-      val perdoc = terms.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
-      docs.select(col("doc_id"))
-        .join(perdoc, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(round(col("s").cast("double") / col("n_bigrams"))
-            .cast("long") / lit(1e6), lit(0.0)).as("kn_score"))
-    }, Some(s"""
-      WITH tkt AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0)
-          AS tk
-        FROM documents),
-      bx AS (
-        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
-          SELECT doc_id,
-            unnest(list_transform(range(1, greatest(len(tk), 1)),
-              i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
-          FROM tkt)),
-      cvw AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cvw
-              FROM bx GROUP BY 1, 2),
-      cv AS (SELECT w1, CAST(SUM(cvw) AS BIGINT) AS cv,
-               CAST(COUNT(*) AS BIGINT) AS n1v
-             FROM cvw GROUP BY 1),
-      n1wt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w
-               FROM cvw GROUP BY 1),
-      gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
-               CAST(COUNT(*) FILTER (WHERE cvw.cvw = 1) AS BIGINT) AS n1,
-               CAST(COUNT(*) FILTER (WHERE cvw.cvw = 2) AS BIGINT) AS n2
-             FROM cvw),
-      terms AS (
-        SELECT bx.doc_id,
-          CASE WHEN (gl.n1 + 2 * gl.n2) = 0 THEN cvw.cvw
-               ELSE ((gl.n1 + 2 * gl.n2) * cvw.cvw - gl.n1) * gl.nb
-                    + gl.n1 * cv.n1v * n1wt.n1w END AS num,
-          CASE WHEN (gl.n1 + 2 * gl.n2) = 0 THEN cv.cv
-               ELSE (gl.n1 + 2 * gl.n2) * cv.cv * gl.nb END AS den
-        FROM bx JOIN cvw USING (w1, w2) JOIN cv USING (w1)
-        JOIN n1wt USING (w2) CROSS JOIN gl),
-      perdoc AS (
-        SELECT doc_id,
-          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-          SUM(CAST(ROUND((${DetMathSql.lnLong("num")} -
-            ${DetMathSql.lnLong("den")}) * 1000000)
-            AS BIGINT)) AS s
-        FROM terms GROUP BY 1)
-      SELECT d.doc_id,
-        COALESCE(p.n_bigrams, 0) AS n_bigrams,
-        COALESCE(CAST(ROUND(CAST(p.s AS DOUBLE) / p.n_bigrams) AS BIGINT)
-          / 1000000.0, 0.0) AS kn_score
-      FROM documents d LEFT JOIN perdoc p USING (doc_id)"""),
+    QueryDef("q237_kneser_ney", (s, d) => knScoredDocs(s, d), Some(s"""
+      WITH $knOracleCore
+      SELECT doc_id, n_bigrams, kn_score FROM scored"""),
       notes = "Kneser-Ney smoothed bigram LM score (KenLM's smoothing family, the production upgrade of q111's MLE): count-of-counts discount D = n1/(n1+2n2), continuation-unigram backoff, ALL arithmetic as exact integer ratios so ln P is the portable detLnRatio — fully hash-gated; one pinned bigram-type pass + one scoring pass"),
 
     // ── WordPiece trainer (the THIRD production tokenizer family) ──────
@@ -3145,6 +3159,94 @@ object TextQueries {
         .toDF("step", "pair", "n_pair", "n_left", "n_right")
     }, Some(q238OracleSql),
       notes = "WordPiece training loop (BERT's tokenizer): 3 rounds of likelihood-scored merge n(ab)/(n(a)n(b)) with min-support 2, greedy BPE-style application; hash-gated via the relational training unroll"),
+
+    // ── robots.txt politeness gate (RFC 9309, the crawl front door's
+    // step MINUS-ONE) ───────────────────────────────────────────────────
+    // Before q218 canonicalizes or q219 caps, a lawful crawler must
+    // evaluate the Robots Exclusion Protocol against every frontier
+    // URL. This is the REP decision kernel: per URL pick the applicable
+    // user-agent GROUP (exact agent name beats the `*` group — the
+    // fixture publishes a `graftbot` group on .com domains only, so
+    // both selections exercise), collect every Allow/Disallow rule
+    // whose pattern matches the path (prefix by default, `*` any-span,
+    // `$` end-anchor — compiled to anchored regexes with IDENTICAL
+    // Java/RE2 semantics on this alphabet), and obey the MOST SPECIFIC
+    // match: longest pattern wins, Allow wins length ties, no match ⇒
+    // allowed. The 8-rule fixture covers every branch: longest-match
+    // override (/p/12 allowed inside the /p/1 block), wildcard
+    // (/p/*7), anchor beating wildcard on tie (/p/7$ vs /p/*7),
+    // anchor non-match (/p/3$ blocks only /p/3, not /p/13), `*`-group
+    // full block with carve-outs (/p/2, /p/1*5), and the no-match
+    // default. Matching is PATH-only (the canonical query string is
+    // not consulted — documented simplification; RFC 9309 leaves
+    // query handling to implementations). Shape at 100 TB: the rule
+    // table is per-domain bounded metadata (broadcast literal here),
+    // the match is a narrow regex map over the frontier, the winner a
+    // doc-keyed window over ≤|rules| matches — no corpus-sized state.
+    QueryDef("q240_robots_gate", (s, d) => {
+      val rules = Seq(
+        // (ua, verb, pattern, specificity = pattern length, regex)
+        ("graftbot", "disallow", "/p/1", 4L, "^/p/1"),
+        ("graftbot", "allow", "/p/12", 5L, "^/p/12"),
+        ("graftbot", "disallow", "/p/*7", 5L, "^/p/.*7"),
+        ("graftbot", "allow", "/p/7$", 5L, "^/p/7$"),
+        ("graftbot", "disallow", "/p/3$", 5L, "^/p/3$"),
+        ("*", "disallow", "/p/", 3L, "^/p/"),
+        ("*", "allow", "/p/2", 4L, "^/p/2"),
+        ("*", "allow", "/p/1*5", 6L, "^/p/1.*5"))
+      val rdf = s.createDataFrame(rules)
+        .toDF("rua", "verb", "pat", "plen", "rx")
+      val urls = t(s, d, "documents")
+        .select(col("doc_id"),
+          UrlOps.canonicalize(UrlOps.syntheticUrl(col("doc_id"))).as("u"))
+        .withColumn("domain", UrlOps.domain(col("u")))
+        .withColumn("path",
+          regexp_extract(col("u"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1))
+        .withColumn("ua", when(col("domain").endsWith(".com"),
+          lit("graftbot")).otherwise(lit("*")))
+        .drop("u")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("plen").desc, col("verb").asc, col("pat").asc)
+      val winner = urls.join(broadcast(rdf), col("ua") === col("rua"))
+        .filter(expr("path rlike rx"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("verb"), col("pat"))
+      urls.join(winner, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("path"),
+          when(col("verb").isNull || col("verb") === "allow", 1L)
+            .otherwise(0L).as("allowed"),
+          coalesce(concat(col("verb"), lit(" "), col("pat")),
+            lit("default")).as("rule"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+          'site' || CAST(doc_id % 40 AS VARCHAR) ||
+            CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END AS domain,
+          '/p/' || CAST(doc_id % 20 AS VARCHAR) AS path
+        FROM documents),
+      r(ua, verb, pat, plen, rx) AS (VALUES
+        ('graftbot', 'disallow', '/p/1', 4, '^/p/1'),
+        ('graftbot', 'allow', '/p/12', 5, '^/p/12'),
+        ('graftbot', 'disallow', '/p/*7', 5, '^/p/.*7'),
+        ('graftbot', 'allow', '/p/7$', 5, '^/p/7$'),
+        ('graftbot', 'disallow', '/p/3$', 5, '^/p/3$'),
+        ('*', 'disallow', '/p/', 3, '^/p/'),
+        ('*', 'allow', '/p/2', 4, '^/p/2'),
+        ('*', 'allow', '/p/1*5', 6, '^/p/1.*5')),
+      m AS (
+        SELECT u.doc_id, r.verb, r.pat, r.plen
+        FROM u JOIN r ON r.ua = CASE WHEN u.domain LIKE '%.com'
+                                     THEN 'graftbot' ELSE '*' END
+        WHERE regexp_matches(u.path, r.rx)),
+      w AS (SELECT doc_id, verb, pat FROM m
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+              ORDER BY plen DESC, verb ASC, pat ASC) = 1)
+      SELECT u.doc_id, u.path,
+        CAST(CASE WHEN w.verb IS NULL OR w.verb = 'allow' THEN 1 ELSE 0 END
+          AS BIGINT) AS allowed,
+        COALESCE(w.verb || ' ' || w.pat, 'default') AS rule
+      FROM u LEFT JOIN w USING (doc_id)"""),
+      notes = "robots.txt politeness gate (RFC 9309 decision kernel): exact-agent group beats *, longest matching pattern wins, Allow wins ties, no match = allowed; prefix/wildcard/$-anchor patterns as anchored regexes; fixture exercises every branch incl. anchor-beats-wildcard ties and *-group carve-outs; broadcast rule table + narrow regex map + doc-keyed winner window"),
 
     // ── Segment-level cross-doc dedup (CCNet/C4 boilerplate removal) ───
     // The sub-document dedup pass every web-corpus pipeline runs BEFORE
@@ -4103,6 +4205,118 @@ object TextQueries {
       FROM sig a JOIN sig b ON a.id < b.id
       WHERE bit_count(xor(a.sh, b.sh)) <= 3"""),
       notes = "perceptual image near-dup via aHash (real decode -> 8x8 resample -> integer mean-compare bits) + q138's 4x16-bit block pigeonhole join, Hamming <= 3; oracle re-derives hashes from the generating pixel formula through the resample mapping and brute-forces pairs — decode, resize, hash, and blocking losslessness under one gate"),
+
+    // ── Perceptual image dedup, DCT edition (pHash) ────────────────────
+    // q170's aHash thresholds raw resampled pixels against their mean —
+    // cheap, but any LOCAL exposure/gradient change flips bits. pHash
+    // (the production perceptual hash) moves to FREQUENCY space first:
+    // 8×8 resample → 2D DCT-II → bit k = AC coefficient k vs the 63-AC
+    // lower median, DC excluded. A constant brightness shift lands
+    // ENTIRELY in the discarded DC coefficient, and the median (not
+    // mean) threshold is outlier-immune — so re-exposed/re-encoded
+    // variants collide at Hamming ≈ 0 where aHash drifts. EXACTNESS is
+    // the engineering here: the DCT runs in pure BIGINT arithmetic
+    // against a 1e6-scaled basis table ([[Multimodal.DctBasisMicro]],
+    // StrictMath constants interpolated VERBATIM into this oracle
+    // string, so both engines share one basis by construction), and the
+    // median is the 32nd order statistic — integers end to end, no
+    // cross-engine float anywhere. Pairing reuses q170's Manku 4×16-bit
+    // block pigeonhole (lossless for Hamming ≤ 3) + bit_count verify;
+    // the oracle re-derives each hash from the generating pixel formula
+    // through the resample mapping and the SAME integer DCT, then
+    // brute-forces pairs n² — decode, resample, transform, median,
+    // hash, and blocking losslessness under one gate. Scale: identical
+    // posture to q170 — 8 bytes/image, 4 block-keyed equi probes.
+    QueryDef("q241_image_phash", (s, d) => {
+      val hs = graft.multimodal.Multimodal.imagePHash(
+        graft.multimodal.Multimodal.fromDocuments(s, d)).toDF()
+        .withColumnRenamed("ahash", "phash")
+      val blocks = hs.select(col("media_id"), col("phash"),
+          explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+            shiftrightunsigned(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+              .as("blk"))): _*)).as("p"))
+        .select(col("media_id"), col("phash"), col("p.j"), col("p.blk"))
+      blocks.as("a").join(blocks.as("b"),
+          col("a.j") === col("b.j") && col("a.blk") === col("b.blk") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"),
+          col("b.media_id").as("media_b"),
+          col("a.phash").as("ha"), col("b.phash").as("hb"))
+        .distinct()
+        .select(col("media_a"), col("media_b"),
+          expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+    }, Some(s"""
+      WITH im AS (
+        SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (
+        SELECT id, list_transform(range(64),
+          i -> (id*31 + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 7)
+               % 256) AS p
+        FROM im),
+      bas AS (SELECT [${graft.multimodal.Multimodal.DctBasisMicro
+        .flatten.mkString(",")}] AS b),
+      co AS (
+        SELECT id, (v*8 + u) AS idx,
+          SUM(p[(y*8+x)+1] * b[(u*8+x)+1] * b[(v*8+y)+1]) AS c
+        FROM px, bas, range(8) tu(u), range(8) tv(v),
+             range(8) tx(x), range(8) ty(y)
+        GROUP BY 1, 2),
+      med AS (SELECT id, c AS m FROM (
+        SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY c, idx)
+          AS rn
+        FROM co WHERE idx >= 1) WHERE rn = 32),
+      sig AS (SELECT co.id, CAST(SUM(CASE WHEN co.c > med.m
+              THEN CAST(1 AS BIGINT) << CAST(co.idx - 1 AS INT)
+              ELSE 0 END) AS BIGINT) AS ph
+            FROM co JOIN med USING (id) WHERE co.idx >= 1 GROUP BY 1)
+      SELECT a.id AS media_a, b.id AS media_b,
+        CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.id < b.id
+      WHERE bit_count(xor(a.ph, b.ph)) <= 3"""),
+      notes = "pHash perceptual near-dup (DCT upgrade of q170's aHash): 8x8 resample -> exact-BIGINT 2D DCT-II against the shared StrictMath 1e6 basis -> 63-AC-median sign bits (DC excluded = brightness invariance) + the 4x16-bit pigeonhole join at Hamming <= 3; oracle re-derives hashes from the pixel formula through the SAME integer transform and brute-forces pairs"),
+
+    // ── CCNet head/middle/tail perplexity bucketing (the q237 GATE) ────
+    // q237 trains the Kneser-Ney model and scores; THIS is what CCNet
+    // actually ships: rank the corpus by LM score and cut it into
+    // equal-depth head / middle / tail thirds, keeping head+middle for
+    // training (tail = the improbable-token junk the model flags).
+    // DISTRIBUTION-RELATIVE, like q73: absolute perplexity thresholds
+    // break every time the corpus mix shifts; tertiles don't. The
+    // global rank uses [[graft.operators.GlobalOrder]] (range partition
+    // + local numbering + broadcast offsets — the q89/q144 machinery),
+    // NOT a single-partition ntile window, so the rank scales; bucket
+    // is then pure integer arithmetic ((gid−1)·3 div n) shared verbatim
+    // with the oracle. Ties are impossible in the sort key ((kn_score
+    // desc, doc_id) is total), so the cut is deterministic on both
+    // engines. Per-bucket audit columns (count, score band) make the
+    // gate's behavior reviewable at a glance; `keep` marks head+middle.
+    QueryDef("q242_kn_perplexity_gate", (s, d) => {
+      val scored = knScoredDocs(s, d)
+      val ranked = graft.operators.GlobalOrder.withRowNumbers(
+        scored, Seq(col("kn_score").desc, col("doc_id").asc), out = "gid")
+      ranked
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+        .withColumn("bucket", expr("(gid - 1) * 3 div n + 1"))
+        .select(col("doc_id"), col("n_bigrams"), col("kn_score"),
+          when(col("bucket") === 1, "head").when(col("bucket") === 2,
+            "middle").otherwise("tail").as("bucket"),
+          (col("bucket") <= 2).cast("long").as("keep"))
+    }, Some(s"""
+      WITH $knOracleCore,
+      r AS (
+        SELECT doc_id, n_bigrams, kn_score,
+          row_number() OVER (ORDER BY kn_score DESC, doc_id ASC) AS gid,
+          (SELECT COUNT(*) FROM scored) AS n
+        FROM scored)
+      SELECT doc_id, n_bigrams, kn_score,
+        CASE (gid - 1) * 3 // n + 1 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+          ELSE 'tail' END AS bucket,
+        CAST(CASE WHEN (gid - 1) * 3 // n + 1 <= 2 THEN 1 ELSE 0 END
+          AS BIGINT) AS keep
+      FROM r"""),
+      notes = "CCNet-style head/middle/tail perplexity bucketing over q237's Kneser-Ney scores: exact equal-depth tertiles via GlobalOrder ranks (no single-partition window) + integer bucket arithmetic shared with the oracle; keep = head+middle — the distribution-relative LM quality gate"),
 
     // ── Image-text pair curation (CLIP-style multimodal manifest) ──────
     // The multimodal JOIN every contrastive vision-language pipeline

@@ -90,6 +90,30 @@ class MultimodalSpec extends SparkSpec {
 
   // ── WAV codec round-trips ────────────────────────────────────────────
 
+  test("pHash is invariant to global brightness shifts where content changes flip it") {
+    import graft.multimodal.{Multimodal, PngCodec}
+    import spark.implicits._
+    // an 8x8 gray image (identity resample), a +40-luma shifted copy
+    // (no mod-256 wrap: base stays <= 200), and a content-edited copy
+    def png(shift: Int, edit: Boolean): Array[Byte] = {
+      val px = Array.tabulate(64) { i =>
+        val base = (i * 3 + (i % 8) * 5) % 200
+        val v = if (edit && i % 7 == 0) 255 - base else base + shift
+        v.toByte
+      }
+      PngCodec.encode(PngCodec.PngImage(8, 8, 1, px))
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png(0, edit = false)),
+      Multimodal.MediaRow(2L, "image", png(40, edit = false)),
+      Multimodal.MediaRow(3L, "image", png(0, edit = true)))
+    val hs = Multimodal.imagePHash(spark.createDataset(rows))
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    assert(hs(1L) == hs(2L),
+      "a pure brightness shift must not move any AC coefficient")
+    assert(hs(1L) != hs(3L), "content edits must flip pHash bits")
+  }
+
   test("WAV PCM16 encode/decode round-trips samples and metadata exactly") {
     val samples = Array.tabulate(300)(i => ((i * 13) % 2001 - 1000).toShort)
     val bytes = WavCodec.encode(samples, 8000)
