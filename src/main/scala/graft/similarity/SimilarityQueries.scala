@@ -2061,8 +2061,14 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
     // all; PqAdcSpec additionally pins recall vs the q40 exact anchor.
     QueryDef("q239_pq_adc", (s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // PINNED: v feeds the subspace explode (itself consumed by init,
+      // two assignment passes, the codebook agg and the query slice) AND
+      // the exact re-rank's two vector joins — unpinned, the ratchet
+      // measured embeddings scanned x10 (the q140/q210 defect class).
+      // One corpus read; every consumer reads the pin.
       val v = t(s, d, "embeddings")
         .select(col("vec_id"), asDouble("embedding").as("e"))
+        .localCheckpoint(true)
       val sub = v
         .select(col("vec_id"), col("e"),
           explode(sequence(lit(0), lit(7))).as("m"))
@@ -2080,6 +2086,8 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
           .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
           .select("vec_id", "m", "cid")
       }
+      // trained codebook: 128 rows of bounded metadata, consumed by both
+      // the encode pass and the ADC table — pinned so neither re-trains
       val cb1 = sub.join(assign(cb0), Seq("vec_id", "m"))
         .select(col("m"), col("cid"), posexplode(col("sv")))
         .groupBy("m", "cid", "pos")
@@ -2088,6 +2096,7 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
         .groupBy("m", "cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
           .as("ce"))
+        .localCheckpoint(true)
       val codes = assign(cb1)
       val q = sub.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))

@@ -4293,7 +4293,11 @@ object TextQueries {
     // engines. Per-bucket audit columns (count, score band) make the
     // gate's behavior reviewable at a glance; `keep` marks head+middle.
     QueryDef("q242_kn_perplexity_gate", (s, d) => {
-      val scored = knScoredDocs(s, d)
+      // PINNED: the scored frame feeds GlobalOrder's two passes, the
+      // 1-row count and the output projection — unpinned, the ratchet
+      // measured documents scanned x7 (each consumer re-deriving the
+      // whole KN scoring). One scoring pass; consumers read the pin.
+      val scored = knScoredDocs(s, d).localCheckpoint(true)
       val ranked = graft.operators.GlobalOrder.withRowNumbers(
         scored, Seq(col("kn_score").desc, col("doc_id").asc), out = "gid")
       ranked
