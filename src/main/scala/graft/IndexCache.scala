@@ -106,6 +106,35 @@ object IndexCache {
     (pRoot, vName)
   }
 
+  def pqIndexName(sfDir: String): String = s"graft_pq_${key(sfDir)}"
+
+  /** Ensure the persisted PQ index (codebook + codes tables) exists and
+    * is current for `sfDir`; returns its table-name prefix. Same
+    * content-fingerprint freshness discipline as the IVF index. */
+  def ensurePq(spark: SparkSession, sfDir: String): String = synchronized {
+    val name = pqIndexName(sfDir)
+    val stamp = contentStamp(s"$sfDir/embeddings.parquet").toString
+    val marker = java.nio.file.Paths.get(
+      s"target/graft_idx/${key(sfDir)}", "_GRAFT_PQ_STAMP")
+    val fresh = java.nio.file.Files.isRegularFile(marker) &&
+      scala.util.Try(
+        java.nio.file.Files.readString(marker).trim == stamp)
+        .getOrElse(false)
+    if (!fresh || !spark.catalog.tableExists(s"${name}_codebook") ||
+        !spark.catalog.tableExists(s"${name}_codes")) {
+      Seq(s"${name}_codebook", s"${name}_codes").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        dropStaleLocation(spark, t)
+      }
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      graft.similarity.PqIndex.build(emb, name)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, stamp): Unit
+    }
+    name
+  }
+
   def zlayoutRoot(sfDir: String): String =
     new java.io.File(s"target/graft_idx/${key(sfDir)}/zlayout").getAbsolutePath
 

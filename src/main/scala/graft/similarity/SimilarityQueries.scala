@@ -2069,68 +2069,41 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
       val v = t(s, d, "embeddings")
         .select(col("vec_id"), asDouble("embedding").as("e"))
         .localCheckpoint(true)
-      val sub = v
-        .select(col("vec_id"), col("e"),
-          explode(sequence(lit(0), lit(7))).as("m"))
-        .withColumn("sv", expr("slice(e, m * 8 + 1, 8)")).drop("e")
-      val cb0 = sub.filter(col("vec_id") < 16)
-        .select(col("m"), col("vec_id").as("cid"), col("sv").as("ce"))
-      // assignment by raw-double d2 with (d2 asc, cid asc) ties — the
-      // same arithmetic DuckDB evaluates, so no rounding needed here
-      def assign(cb: DataFrame): DataFrame = {
-        val wr = Window.partitionBy("vec_id", "m")
-          .orderBy(col("d2").asc, col("cid").asc)
-        sub.join(broadcast(cb), Seq("m"))
-          .withColumn("d2", expr(
-            "graft_dot(sv, sv) - 2 * graft_dot(sv, ce) + graft_dot(ce, ce)"))
-          .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
-          .select("vec_id", "m", "cid")
-      }
-      // trained codebook: 128 rows of bounded metadata, consumed by both
-      // the encode pass and the ADC table — pinned so neither re-trains
-      val cb1 = sub.join(assign(cb0), Seq("vec_id", "m"))
-        .select(col("m"), col("cid"), posexplode(col("sv")))
-        .groupBy("m", "cid", "pos")
-        .agg(round(sum(round(col("col") * 1e6).cast("long")).cast("double")
-          / (lit(1e6) * count(lit(1))), 6).as("cv"))
-        .groupBy("m", "cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
-          .as("ce"))
-        .localCheckpoint(true)
-      val codes = assign(cb1)
-      val q = sub.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
-      val adc = q.join(broadcast(cb1), Seq("m"))
-        .withColumn("md2", round(expr(
-          "(graft_dot(qv, qv) - 2 * graft_dot(qv, ce) + graft_dot(ce, ce))")
-          * lit(1e6)).cast("long"))
-        .select("query_id", "m", "cid", "md2")
-      val cand = codes.join(broadcast(adc), Seq("m", "cid"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(sum("md2").as("md2s"))
-      // ADC SHORTLIST (top-50) → EXACT re-rank → top-5: the production
-      // composition — PQ's 8-byte scan picks the shortlist, then the 50
-      // original vectors per query (the only full vectors read) get
-      // exact distances. Near-random embeddings are PQ's adversarial
-      // regime (distances concentrate, quantization noise ~ the gaps);
-      // the re-rank is what makes the surfaced top-5 trustworthy there.
-      val ws = Window.partitionBy("query_id")
-        .orderBy(col("md2s").asc, col("vec_id").asc)
-      val short = cand.withColumn("srank", row_number().over(ws))
-        .filter(col("srank") <= 50).select("query_id", "vec_id")
-      val qv = v.toDF("query_id", "qe")
-      val wk = Window.partitionBy("query_id")
-        .orderBy(col("d2m").asc, col("vec_id").asc)
-      short.join(v, Seq("vec_id")).join(qv, Seq("query_id"))
-        .withColumn("d2m", round(expr(
-          "(graft_dot(e, e) - 2 * graft_dot(qe, e) + graft_dot(qe, qe))")
-          * lit(1e6)).cast("long"))
-        .withColumn("rank", row_number().over(wk).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"),
-          (col("d2m").cast("double") / lit(1e6)).as("l2_d2"))
-    }, Some("""
+      val sub = pqSubspaces(v)
+      val cb1 = pqTrainCodebook(sub)
+      val codes = pqAssign(sub, cb1)
+      pqAdcShortlistRerank(codes, cb1, v)
+    }, Some(pqAdcOracle),
+      notes = "product quantization + ADC shortlist + exact re-rank (Jegou PQ: M=8 subspaces, K=16 Lloyd-trained codewords each, codes = 8 ids per vector; query precomputes the 8x16 micro-unit distance table, candidates cost 8 lookups; ADC top-50 shortlist re-ranked by exact L2 -> top-5): the compressed-ANN memory path composing with q42b's IVF cells at scale; fully hash-gated (oracle replays subspace-parallel training + encode + ADC + re-rank), recall vs the exact anchor spec-pinned (0.66-0.88 measured on the near-random fixture, PQ's adversarial regime)"),
+
+    // ── PQ probe against the PERSISTED index (the serving path) ────────
+    // q239 trains + encodes + probes inline; THIS is what a serving
+    // system runs: [[PqIndex.build]] persisted the 128-row codebook and
+    // the one-row-per-vector compressed codes table (amortized via
+    // IndexCache, the q105 pattern), and the probe explodes the stored
+    // codes, broadcasts the query's ADC table, shortlists and exactly
+    // re-ranks — the IDENTICAL [[pqAdcShortlistRerank]] stage as the
+    // inline query, so probe == inline is STRUCTURAL (and doubles
+    // round-trip parquet bit-exactly, so the stored codebook reproduces
+    // the trainer's arithmetic). The shared oracle therefore gates the
+    // stored layout too: a stale or corrupted index fails the driver
+    // gate, not just PqIndexSpec's parity pin.
+    QueryDef("q243_pq_served", (s, d) => {
+      val name = graft.IndexCache.ensurePq(s, d)
+      PqIndex.probe(s, name, t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+    }, Some(pqAdcOracle),
+      notes = "PQ probe against the persisted codebook + compressed codes tables (build amortized via IndexCache): the compressed-ANN serving path; probe == inline q239 is structural (shared pqAdcShortlistRerank stage) so the shared oracle hash-gates the stored layout; parity + freshness additionally spec-pinned"),
+
+  )
+
+  /** Shared oracle for q239 (inline train+encode+probe) and q243 (the
+    * same probe against the PERSISTED PQ index — probe == inline is
+    * structural via the shared pqAdcShortlistRerank stage, so one
+    * oracle hash-gates both, the q42b/q105 relationship): replays
+    * subspace-parallel training, encoding, the micro-unit ADC table,
+    * the top-50 shortlist and the exact re-rank. */
+  private def pqAdcOracle: String = """
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       sub AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
               FROM v, (SELECT unnest(range(0, 8)) AS m)),
@@ -2179,9 +2152,7 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
           ORDER BY d2m ASC, cand_id ASC) AS BIGINT) AS rank,
         cand_id, CAST(d2m AS DOUBLE) / 1000000.0 AS l2_d2
       FROM rr
-      QUALIFY rank <= 5"""),
-      notes = "product quantization + ADC shortlist + exact re-rank (Jegou PQ: M=8 subspaces, K=16 Lloyd-trained codewords each, codes = 8 ids per vector; query precomputes the 8x16 micro-unit distance table, candidates cost 8 lookups; ADC top-50 shortlist re-ranked by exact L2 -> top-5): the compressed-ANN memory path composing with q42b's IVF cells at scale; fully hash-gated (oracle replays subspace-parallel training + encode + ADC + re-rank), recall vs the exact anchor spec-pinned (0.66-0.88 measured on the near-random fixture, PQ's adversarial regime)")
-  )
+      QUALIFY rank <= 5"""
 
   private[similarity] def labelsOf(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").select(col("vec_id"), col("label"))
@@ -2222,6 +2193,86 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
     probed.withColumn("rn", row_number().over(wr))
       .filter(col("rn") <= 5)
       .select("query_id", "cand_id")
+  }
+
+  // ── Shared PQ stages (q239 inline / q243 served via PqIndex) ─────────
+
+  /** (vec_id, m, sv): the M=8 contiguous 8-dim subspace view of a pinned
+    * (vec_id, e) frame — narrow explode, recomputed per consumer but
+    * always reading the caller's pin. */
+  private[similarity] def pqSubspaces(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), col("e"),
+        explode(sequence(lit(0), lit(7))).as("m"))
+      .withColumn("sv", expr("slice(e, m * 8 + 1, 8)")).drop("e")
+
+  /** Nearest-codeword assignment per (vec_id, m) by raw-double d2 with
+    * (d2 asc, cid asc) ties — the same arithmetic DuckDB evaluates, so
+    * no rounding is needed here (the proven q42b assignment contract). */
+  private[similarity] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val wr = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("cid").asc)
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", expr(
+        "graft_dot(sv, sv) - 2 * graft_dot(sv, ce) + graft_dot(ce, ce)"))
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+      .select("vec_id", "m", "cid")
+  }
+
+  /** One exact micro-unit Lloyd step per subspace from the 16-lowest-id
+    * init — returns the trained (m, cid, ce) codebook, PINNED (128 rows
+    * of bounded metadata consumed by both the encode pass and the ADC
+    * table; unpinned each consumer re-trains). */
+  private[similarity] def pqTrainCodebook(sub: DataFrame): DataFrame = {
+    val cb0 = sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("ce"))
+    sub.join(pqAssign(sub, cb0), Seq("vec_id", "m"))
+      .select(col("m"), col("cid"), posexplode(col("sv")))
+      .groupBy("m", "cid", "pos")
+      .agg(round(sum(round(col("col") * 1e6).cast("long")).cast("double")
+        / (lit(1e6) * count(lit(1))), 6).as("cv"))
+      .groupBy("m", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+        .as("ce"))
+      .localCheckpoint(true)
+  }
+
+  /** ADC SHORTLIST (top-50) → EXACT re-rank → top-5 for the vec_id < 10
+    * query batch: the production composition — PQ's 8-byte scan picks
+    * the shortlist, then the ≤50 original vectors per query (the only
+    * full vectors read) get exact distances. Near-random embeddings are
+    * PQ's adversarial regime (distances concentrate, quantization noise
+    * ~ the gaps); the re-rank is what makes the surfaced top-5
+    * trustworthy there. `codes` may come from the inline trainer (q239)
+    * or the persisted index (q243) — the stage is identical, which is
+    * what makes probe == inline structural. */
+  private[similarity] def pqAdcShortlistRerank(codes: DataFrame,
+      cb: DataFrame, v: DataFrame): DataFrame = {
+    val q = pqSubspaces(v.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
+    val adc = q.join(broadcast(cb), Seq("m"))
+      .withColumn("md2", round(expr(
+        "(graft_dot(qv, qv) - 2 * graft_dot(qv, ce) + graft_dot(ce, ce))")
+        * lit(1e6)).cast("long"))
+      .select("query_id", "m", "cid", "md2")
+    val cand = codes.join(broadcast(adc), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("md2").as("md2s"))
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("md2s").asc, col("vec_id").asc)
+    val short = cand.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= 50).select("query_id", "vec_id")
+    val qv = v.toDF("query_id", "qe")
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("d2m").asc, col("vec_id").asc)
+    short.join(v, Seq("vec_id")).join(qv, Seq("query_id"))
+      .withColumn("d2m", round(expr(
+        "(graft_dot(e, e) - 2 * graft_dot(qe, e) + graft_dot(qe, qe))")
+        * lit(1e6)).cast("long"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"),
+        (col("d2m").cast("double") / lit(1e6)).as("l2_d2"))
   }
 
   /** Shared kNN vote/verdict stage (q113 exact / q114 indexed): majority
