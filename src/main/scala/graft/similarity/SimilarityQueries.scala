@@ -2095,7 +2095,116 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
     }, Some(pqAdcOracle),
       notes = "PQ probe against the persisted codebook + compressed codes tables (build amortized via IndexCache): the compressed-ANN serving path; probe == inline q239 is structural (shared pqAdcShortlistRerank stage) so the shared oracle hash-gates the stored layout; parity + freshness additionally spec-pinned"),
 
+    // ── IVF-PQ: the full production ANN composition ────────────────────
+    // q42b bounds WHICH vectors a query reads (trained cells, nProbe=6);
+    // q239/q243 bound HOW MUCH each candidate costs (8-byte codes, ADC
+    // lookups). THIS runs both against the two PERSISTED indexes — the
+    // Jégou IVFADC layout every production vector store ships: cell
+    // selection from the stored IVF centroids (the pinned probeCells
+    // stage), candidate ids from the bucketed cells table (exchange-free
+    // co-located read), ADC scoring of ONLY those candidates via the
+    // stored PQ codes + the broadcast query table, top-50 shortlist,
+    // exact re-rank. Per query the cluster touches ~nProbe/k of the
+    // corpus and reads 8 bytes per touched candidate — multiplicative
+    // savings, and full vectors only for the ≤50 shortlisted ids. Every
+    // stage is a pinned contract from its parent query (probeCells =
+    // q42b/q105, ADC/shortlist/re-rank = q239/q243), so the composed
+    // oracle — IvfIndexSql + the renamed PQ banks, both trainings
+    // replayed — hash-gates the whole thing, approximations stacked and
+    // all. IvfPqSpec pins subset-of-q239 recall (the IVF restriction can
+    // only remove candidates, never invent them).
+    QueryDef("q244_ivfpq", (s, d) => {
+      val (_, vName) = graft.IndexCache.ensure(s, d)
+      val pqName = graft.IndexCache.ensurePq(s, d)
+      graft.functions.GraftFunctions.register(s)
+      val corpus = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val v = corpus.select(col("vec_id"), asDouble("embedding").as("e"))
+        .localCheckpoint(true)
+      val candIds = VectorIndex.probeCells(s.table(s"${vName}_centroids"),
+          corpus.filter(col("vec_id") < 10), nProbe = 6)
+        .select("query_id", "cell")
+        .join(s.table(s"${vName}_cells").select(col("vec_id"), col("cell")),
+          Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+      val codesLong = s.table(s"${pqName}_codes")
+        .select(col("vec_id"), posexplode(col("code")))
+        .select(col("vec_id"), col("pos").cast("int").as("m"),
+          col("col").cast("bigint").as("cid"))
+      val cand = candIds.join(codesLong, Seq("vec_id"))
+        .join(broadcast(pqAdcTable(s.table(s"${pqName}_codebook"), v)),
+          Seq("query_id", "m", "cid"))
+        .groupBy("query_id", "vec_id").agg(sum("md2").as("md2s"))
+      pqRerank(pqShortlist(cand), v)
+    }, Some(ivfPqOracle),
+      notes = "IVF-PQ (the Jegou IVFADC production composition over BOTH persisted indexes): stored-centroid cell selection bounds candidates (nProbe=6, exchange-free bucketed cells read), stored 8-byte PQ codes + broadcast ADC table score only those candidates, top-50 shortlist, exact re-rank top-5; fully hash-gated — the composed oracle replays both trainings, the probe, the ADC and the re-rank; subset-of-q239 recall spec-pinned")
   )
+
+  /** q244's composed oracle: the IvfIndexSql training+cells bank, the
+    * q42b cell-selection stage, and the PQ training/encode/ADC banks
+    * (CTEs renamed p* to avoid collisions), candidates restricted to the
+    * probed cells — both approximations replayed, then the exact
+    * re-rank. */
+  private lazy val ivfPqOracle: String = s"""
+      WITH ${IvfIndexSql}
+      qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+${probeCellsSql("qv", "pc", 6)}
+      candi AS (
+        SELECT pc.query_id, asg.vec_id
+        FROM pc JOIN asg USING (cell)
+        WHERE asg.vec_id <> pc.query_id),
+      psub AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
+               FROM v, (SELECT unnest(range(0, 8)) AS m)),
+      pcb0 AS (SELECT m, vec_id AS cid, sv AS ce FROM psub WHERE vec_id < 16),
+      pd0 AS (SELECT s.vec_id, s.m, c.cid,
+               list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.ce)
+                 + list_dot_product(c.ce, c.ce) AS d2
+              FROM psub s JOIN pcb0 c USING (m)),
+      pa0 AS (SELECT vec_id, m, cid FROM pd0
+              QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                ORDER BY d2, cid) = 1),
+      pz AS (SELECT pa0.m, pa0.cid, unnest(list_zip(s.sv, range(len(s.sv)))) AS z
+             FROM psub s JOIN pa0 USING (vec_id, m)),
+      pc1m AS (SELECT m, cid, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+                ROUND(CAST(SUM(CAST(ROUND(struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
+                  / (1000000.0 * COUNT(*)), 6) AS cv
+              FROM pz GROUP BY 1, 2, 3),
+      pcb1 AS (SELECT m, cid, list(cv ORDER BY pos) AS ce FROM pc1m GROUP BY 1, 2),
+      pd1 AS (SELECT s.vec_id, s.m, c.cid,
+               list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.ce)
+                 + list_dot_product(c.ce, c.ce) AS d2
+              FROM psub s JOIN pcb1 c USING (m)),
+      pcodes AS (SELECT vec_id, m, cid FROM pd1
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY d2, cid) = 1),
+      padc AS (SELECT q.query_id, c.m, c.cid,
+                CAST(ROUND((list_dot_product(q.qsv, q.qsv)
+                  - 2 * list_dot_product(q.qsv, c.ce)
+                  + list_dot_product(c.ce, c.ce)) * 1000000) AS BIGINT) AS md2
+               FROM (SELECT vec_id AS query_id, m, sv AS qsv
+                     FROM psub WHERE vec_id < 10) q
+               JOIN pcb1 c USING (m)),
+      pcand AS (SELECT ci.query_id, ci.vec_id AS cand_id, SUM(padc.md2) AS md2s
+                FROM candi ci
+                JOIN pcodes pco ON pco.vec_id = ci.vec_id
+                JOIN padc ON padc.query_id = ci.query_id
+                  AND padc.m = pco.m AND padc.cid = pco.cid
+                GROUP BY 1, 2),
+      pshort AS (SELECT query_id, cand_id FROM pcand
+                 QUALIFY row_number() OVER (PARTITION BY query_id
+                   ORDER BY md2s ASC, cand_id ASC) <= 50),
+      prr AS (SELECT sh.query_id, sh.cand_id,
+               CAST(ROUND((list_dot_product(cv.e, cv.e)
+                 - 2 * list_dot_product(qe2.e, cv.e)
+                 + list_dot_product(qe2.e, qe2.e)) * 1000000) AS BIGINT) AS d2m
+              FROM pshort sh JOIN v cv ON cv.vec_id = sh.cand_id
+              JOIN v qe2 ON qe2.vec_id = sh.query_id)
+      SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY d2m ASC, cand_id ASC) AS BIGINT) AS rank,
+        cand_id, CAST(d2m AS DOUBLE) / 1000000.0 AS l2_d2
+      FROM prr
+      QUALIFY rank <= 5"""
 
   /** Shared oracle for q239 (inline train+encode+probe) and q243 (the
     * same probe against the PERSISTED PQ index — probe == inline is
@@ -2247,21 +2356,37 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
     * what makes probe == inline structural. */
   private[similarity] def pqAdcShortlistRerank(codes: DataFrame,
       cb: DataFrame, v: DataFrame): DataFrame = {
-    val q = pqSubspaces(v.filter(col("vec_id") < 10))
+    val cand = codes.join(broadcast(pqAdcTable(cb, v)), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("md2").as("md2s"))
+    pqRerank(pqShortlist(cand), v)
+  }
+
+  /** The query batch's precomputed ADC table: (query_id, m, cid, md2) —
+    * 8×16 micro-unit subspace distances per query against the codebook.
+    * Bounded metadata (|queries|·128 rows), always broadcast. */
+  private[similarity] def pqAdcTable(cb: DataFrame, v: DataFrame): DataFrame =
+    pqSubspaces(v.filter(col("vec_id") < 10))
       .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
-    val adc = q.join(broadcast(cb), Seq("m"))
+      .join(broadcast(cb), Seq("m"))
       .withColumn("md2", round(expr(
         "(graft_dot(qv, qv) - 2 * graft_dot(qv, ce) + graft_dot(ce, ce))")
         * lit(1e6)).cast("long"))
       .select("query_id", "m", "cid", "md2")
-    val cand = codes.join(broadcast(adc), Seq("m", "cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum("md2").as("md2s"))
+
+  /** Top-50 ADC shortlist per query from a scored (query_id, vec_id,
+    * md2s) candidate frame. */
+  private[similarity] def pqShortlist(cand: DataFrame): DataFrame = {
     val ws = Window.partitionBy("query_id")
       .orderBy(col("md2s").asc, col("vec_id").asc)
-    val short = cand.withColumn("srank", row_number().over(ws))
+    cand.withColumn("srank", row_number().over(ws))
       .filter(col("srank") <= 50).select("query_id", "vec_id")
+  }
+
+  /** Exact-L2 re-rank of a (query_id, vec_id) shortlist → top-5: the
+    * only stage reading full vectors, and only for shortlisted ids. */
+  private[similarity] def pqRerank(short: DataFrame, v: DataFrame): DataFrame = {
     val qv = v.toDF("query_id", "qe")
     val wk = Window.partitionBy("query_id")
       .orderBy(col("d2m").asc, col("vec_id").asc)

@@ -80,16 +80,25 @@ object VectorIndex {
     * the bucketed scan without disturbing its exchange-free co-location.
     * `cents` must be metadata-sized (it is broadcast); `cells` needs the
     * stored layout's (vec_id, v, norm, cell). */
-  def probeAgainst(cents: DataFrame, cellsFrame: DataFrame, queries: DataFrame,
-      nProbe: Int = 6, topK: Int = 5): DataFrame = {
+  /** The cell-selection stage alone: each query's `nProbe` nearest cells
+    * by (dot desc, cent_id asc) — (query_id, qv, qn, cell). Factored so
+    * compositions (q244's IVF-PQ) can bound candidates by cell without
+    * paying the full-vector scoring stage. */
+  def probeCells(cents: DataFrame, queries: DataFrame,
+      nProbe: Int): DataFrame = {
     val q = withNorm(queries, "qv", "qn").withColumnRenamed("vec_id", "query_id")
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("dot").desc, col("cent_id").asc)
-    val probes = q.join(broadcast(cents))
+    q.join(broadcast(cents))
       .withColumn("dot", expr("graft_dot(qv, cv)"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+  }
+
+  def probeAgainst(cents: DataFrame, cellsFrame: DataFrame, queries: DataFrame,
+      nProbe: Int = 6, topK: Int = 5): DataFrame = {
+    val probes = probeCells(cents, queries, nProbe)
     val cells = cellsFrame.select(col("vec_id").as("cand_id"),
       col("v").as("cv"), col("norm").as("cn"), col("cell"))
     val wRank = Window.partitionBy("query_id")

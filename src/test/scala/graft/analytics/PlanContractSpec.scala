@@ -284,7 +284,8 @@ class PlanContractSpec extends SparkSpec {
       "q214_bitext_margin", // broadcast BOUNDED probe slice by design (q211 allowance)
       "q215_bitext_margin_indexed", // index probe: broadcast centroid argmax (q105 allowance)
       "q239_pq_adc", // broadcast 128-row codebook/ADC-table joins (pinned metadata)
-      "q242_kn_perplexity_gate") // GlobalOrder offsets + 1-row count cross join (q144 shape)
+      "q242_kn_perplexity_gate", // GlobalOrder offsets + 1-row count cross join (q144 shape)
+      "q244_ivfpq") // index probe: broadcast centroid argmax (q105 allowance)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
