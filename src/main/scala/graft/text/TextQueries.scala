@@ -461,6 +461,15 @@ object TextQueries {
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
     var exhausted = false
     for (step <- 1 to rounds if !exhausted) {
+      // PINNED per round: unlike q75 (ONE consumer per round), each
+      // round here feeds TWO aggregations (pair counts + unigram
+      // counts), and bpeMergeExpr's higher-order lambdas run
+      // INTERPRETED and are never CSE'd — unpinned, round r's two
+      // consumers each re-evaluate the whole chained merge lineage of
+      // rounds 1..r-1, which the closing bench measured as 209 s at
+      // sf0.1 (vs q75's 0.5 s). Three token-array materializations
+      // buy back the exponential recompute.
+      cur = cur.localCheckpoint(true)
       val pairs = cur.select(explode(expr(bpePairsOfTk)).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .filter(col("n") >= minCount)
