@@ -129,16 +129,22 @@ object UnigramLm {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Laplace-smoothed micro-unit log-probs over the kept pieces:
-    * lp = round(ln((uses+1) / Σ(uses+1)) · 1e6). Smoothing keeps pruned-
-    * to-zero survivors finite; StrictMath.log is bit-stable across JVMs
-    * (rows-only query, so cross-ENGINE parity is not required — only
-    * run-to-run and spec-vs-brute-force parity). */
+    * lp = round((detLn(uses+1) − detLn(Σ(uses+1))) · 1e6). HASH-GATED
+    * since the r11 continuation, so the arithmetic must be bit-portable
+    * CROSS-ENGINE: ln is [[graft.functions.DetMath.lnLong]] (the same
+    * operation tree DetMathSql.lnLong emits for the oracle — a single
+    * StrictMath.log of the quotient would carry libm-vs-fdlibm ULP
+    * slack), and rounding is HALF-AWAY-FROM-ZERO to match DuckDB's
+    * ROUND on the negative lp values (Math.round is half-up toward +∞,
+    * which differs on an exact negative .5 boundary). */
   private[text] def smoothedLp(kept: Seq[String],
       uses: Map[String, Long]): Map[String, Long] = {
     val total = kept.map(p => uses.getOrElse(p, 0L) + 1L).sum
     kept.map { p =>
       val u = uses.getOrElse(p, 0L) + 1L
-      p -> Math.round(StrictMath.log(u.toDouble / total) * 1e6)
+      val v = (graft.functions.DetMath.lnLong(u)
+        - graft.functions.DetMath.lnLong(total)) * 1e6
+      p -> (math.floor(math.abs(v) + 0.5) * math.signum(v)).toLong
     }.toMap
   }
 
@@ -177,6 +183,174 @@ object UnigramLm {
       .map(p => (p, uses.getOrElse(p, 0L), vocab(p)))
       .sortBy { case (p, u, _) => (-u, p) }
   }
+
+  // ── Relational EM unroll (the r11-continuation oracle for q233/q236:
+  // the IvfIndexSql/BPE-unroll trick applied to the LAST sequential
+  // family). The per-word Viterbi DP becomes a RECURSIVE CTE: the
+  // forward pass slides a 4-wide best-score window (b1..b4 = best[i−3..
+  // i]) over word positions with the 4 candidate pieces fetched by
+  // LEFT JOINs against the vocab CTE (GREATEST of the NULL-guarded
+  // sums — longest-piece-wins falls out in the BACKTRACK, which picks
+  // the LONGEST pl achieving best[i], provably equal to the forward's
+  // longest-first strictly-better rule on integer scores); the
+  // backtrack is a second recursion over a precomputed per-(word, i)
+  // `choice` table. Every cross-stage CTE is MATERIALIZED — without the
+  // hint DuckDB re-evaluates the whole upstream chain once per
+  // recursion ITERATION (measured >250 s; with hints 0.9-3.1 s at the
+  // three SFs). Validated piece-for-piece against the plain-Scala
+  // replica at all three SFs before wiring.
+
+  private def lnSql(x: String): String = graft.functions.DetMathSql.lnLong(x)
+
+  /** One E-step: fw/bests/choice/bt/emit/usage CTEs for round `r` under
+    * vocab CTE `voc` (piece, lp). */
+  private def oracleViterbiBank(r: Int, voc: String): String =
+    s"""fw$r AS (
+       |  SELECT word, 0 AS i, CAST(NULL AS BIGINT) AS b1,
+       |         CAST(NULL AS BIGINT) AS b2, CAST(NULL AS BIGINT) AS b3,
+       |         CAST(0 AS BIGINT) AS b4
+       |  FROM wcx
+       |  UNION ALL
+       |  SELECT f.word, f.i + 1, f.b2, f.b3, f.b4,
+       |    greatest(
+       |      CASE WHEN f.b4 IS NOT NULL THEN f.b4 + v1.lp END,
+       |      CASE WHEN f.i >= 1 AND f.b3 IS NOT NULL THEN f.b3 + v2.lp END,
+       |      CASE WHEN f.i >= 2 AND f.b2 IS NOT NULL THEN f.b2 + v3.lp END,
+       |      CASE WHEN f.i >= 3 AND f.b1 IS NOT NULL THEN f.b1 + v4.lp END)
+       |  FROM fw$r f
+       |  LEFT JOIN $voc v1 ON v1.piece = substring(f.word, f.i + 1, 1)
+       |  LEFT JOIN $voc v2 ON v2.piece = substring(f.word, f.i, 2)
+       |  LEFT JOIN $voc v3 ON v3.piece = substring(f.word, f.i - 1, 3)
+       |  LEFT JOIN $voc v4 ON v4.piece = substring(f.word, f.i - 2, 4)
+       |  WHERE f.i < len(f.word)),
+       |bests$r AS MATERIALIZED (SELECT word, i, b4 AS best FROM fw$r),
+       |choice$r AS MATERIALIZED (
+       |  SELECT word, i, piece FROM (
+       |    SELECT bc.word, bc.i,
+       |      substring(bc.word, CAST(bc.i - pls.pl + 1 AS INT),
+       |        CAST(pls.pl AS INT)) AS piece,
+       |      row_number() OVER (PARTITION BY bc.word, bc.i
+       |        ORDER BY pls.pl DESC) AS rn
+       |    FROM bests$r bc
+       |    CROSS JOIN (SELECT unnest([4, 3, 2, 1]) AS pl) pls
+       |    JOIN bests$r bp ON bp.word = bc.word AND bp.i = bc.i - pls.pl
+       |    JOIN $voc v ON v.piece =
+       |      substring(bc.word, CAST(bc.i - pls.pl + 1 AS INT),
+       |        CAST(pls.pl AS INT))
+       |    WHERE bc.i >= 1 AND bp.best IS NOT NULL
+       |      AND bp.best + v.lp = bc.best)
+       |  WHERE rn = 1),
+       |bt$r AS (
+       |  SELECT word, CAST(len(word) AS BIGINT) AS i FROM wcx
+       |  UNION ALL
+       |  SELECT b.word, b.i - len(c.piece)
+       |  FROM bt$r b JOIN choice$r c ON c.word = b.word AND c.i = b.i
+       |  WHERE b.i > 0),
+       |emit$r AS (
+       |  SELECT b.word, c.piece FROM bt$r b
+       |  JOIN choice$r c ON c.word = b.word AND c.i = b.i
+       |  WHERE b.i > 0),
+       |usage$r AS MATERIALIZED (
+       |  SELECT e.piece, CAST(SUM(w.cnt) AS BIGINT) AS n
+       |  FROM emit$r e JOIN wcx w USING (word) GROUP BY 1)""".stripMargin
+
+  /** One prune + M-step: multi/keep/kept/ku/tot/kus/v CTEs for round `r`
+    * over the previous vocab `vocPrev` and this round's `usage$r`. */
+  private def oracleMStepBank(r: Int, vocPrev: String,
+      prune: Boolean): String = {
+    val ksel =
+      if (prune) s"(SELECT CAST(CEIL(COUNT(*) * 0.75) AS BIGINT) FROM multi$r)"
+      else s"(SELECT COUNT(*) FROM multi$r)"
+    s"""multi$r AS (SELECT piece FROM $vocPrev WHERE len(piece) > 1),
+       |keep$r AS (
+       |  SELECT piece FROM (
+       |    SELECT m.piece, COALESCE(u.n, 0) AS n
+       |    FROM multi$r m LEFT JOIN usage$r u USING (piece))
+       |  QUALIFY row_number() OVER (ORDER BY n DESC, piece ASC) <= $ksel),
+       |kept$r AS (
+       |  SELECT piece FROM $vocPrev WHERE len(piece) = 1
+       |  UNION ALL SELECT piece FROM keep$r),
+       |ku$r AS (
+       |  SELECT k.piece, COALESCE(u.n, 0) + 1 AS u1
+       |  FROM kept$r k LEFT JOIN usage$r u USING (piece)),
+       |tot$r AS (SELECT CAST(SUM(u1) AS BIGINT) AS t FROM ku$r),
+       |kus$r AS (SELECT piece, u1, (SELECT t FROM tot$r) AS t FROM ku$r),
+       |v$r AS MATERIALIZED (
+       |  SELECT piece, CAST(ROUND((${lnSql("u1")} - ${lnSql("t")})
+       |    * 1000000) AS BIGINT) AS lp
+       |  FROM kus$r)""".stripMargin
+  }
+
+  /** Shared head: word counts, alphabet + seed census, the initial
+    * smoothed vocab v0, and the three unrolled EM rounds ending in
+    * v3/usage3. Opened with WITH RECURSIVE by the callers. */
+  private def oracleTrainCore: String =
+    s"""wcx AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '),
+       |      x -> len(x) > 0 AND len(x) <= $MaxWordLen)) AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |alpha AS (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS u FROM (
+       |    SELECT cnt, unnest(list_transform(range(1, len(word) + 1),
+       |      i -> substr(word, CAST(i AS INT), 1))) AS piece FROM wcx)
+       |  GROUP BY piece),
+       |spieces AS (
+       |  SELECT cnt, unnest(flatten(list_transform(range(1, len(word) + 1),
+       |    st -> list_filter(list_transform([${(2 to MaxPieceLen).mkString(", ")}],
+       |      pl -> CASE WHEN st + pl - 1 <= len(word)
+       |                 THEN substr(word, CAST(st AS INT), CAST(pl AS INT)) END),
+       |      x -> x IS NOT NULL)))) AS piece
+       |  FROM wcx),
+       |seeds AS (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS u
+       |  FROM spieces GROUP BY piece
+       |  ORDER BY SUM(cnt) * len(piece) DESC, piece ASC LIMIT $SeedSize),
+       |v0u AS (SELECT piece, u + 1 AS u1 FROM alpha
+       |        UNION ALL SELECT piece, u + 1 FROM seeds),
+       |tot0 AS (SELECT CAST(SUM(u1) AS BIGINT) AS t FROM v0u),
+       |v0s AS (SELECT piece, u1, (SELECT t FROM tot0) AS t FROM v0u),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, CAST(ROUND((${lnSql("u1")} - ${lnSql("t")})
+       |    * 1000000) AS BIGINT) AS lp FROM v0s),
+       |${oracleViterbiBank(1, "v0")},
+       |${oracleMStepBank(1, "v0", prune = true)},
+       |${oracleViterbiBank(2, "v1")},
+       |${oracleMStepBank(2, "v1", prune = true)},
+       |${oracleViterbiBank(3, "v2")},
+       |${oracleMStepBank(3, "v2", prune = false)}""".stripMargin
+
+  private[text] def q233OracleSql: String =
+    s"""WITH RECURSIVE ${oracleTrainCore}
+       |SELECT v3.piece, COALESCE(u.n, 0) AS n_uses, v3.lp AS lp_micro
+       |FROM v3 LEFT JOIN usage3 u USING (piece)""".stripMargin
+
+  private[text] def q236OracleSql: String =
+    s"""WITH RECURSIVE ${oracleTrainCore},
+       |${oracleViterbiBank(4, "v3")},
+       |wp AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+       |  FROM emit4 GROUP BY word),
+       |dwords AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |    x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words_all,
+       |    CAST(SUM(CASE WHEN wp.n_pieces IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_skipped,
+       |    CAST(COALESCE(SUM(wp.n_pieces), 0) AS BIGINT) AS n_pieces
+       |  FROM dwords d LEFT JOIN wp USING (word) GROUP BY 1)
+       |SELECT doc.doc_id,
+       |  COALESCE(p.n_words_all - p.n_skipped, 0) AS n_words,
+       |  COALESCE(p.n_skipped, 0) AS n_skipped,
+       |  COALESCE(p.n_pieces, 0) AS n_pieces,
+       |  COALESCE(CASE WHEN p.n_words_all - p.n_skipped > 0
+       |    THEN CAST(ROUND(p.n_pieces * 1000000.0 /
+       |      (p.n_words_all - p.n_skipped)) AS BIGINT) / 1000000.0
+       |    ELSE 0.0 END, 0.0) AS fertility
+       |FROM documents doc LEFT JOIN perdoc p USING (doc_id)""".stripMargin
 
   val defs: Seq[QueryDef] =
     Seq(
@@ -218,8 +392,8 @@ object UnigramLm {
       QueryDef("q233_unigram_train", (s, d) => {
         import s.implicits._
         train(s, d, 3).toDF("piece", "n_uses", "lp_micro")
-      }, None,
-        notes = "SentencePiece-style unigram-LM trainer: hard-EM (Viterbi) E-steps as one distinct-word scan + piece hash-agg each, driver-held bounded vocab, 25% prune rounds; rows-only (sequential DP), brute-force spec parity"),
+      }, Some(q233OracleSql),
+        notes = "SentencePiece-style unigram-LM trainer: hard-EM (Viterbi) E-steps as one distinct-word scan + piece hash-agg each, driver-held bounded vocab, 25% prune rounds; HASH-GATED since the r11 continuation — the recursive-CTE EM unroll replays seed, all three Viterbi E-steps, prunes and DetMath M-steps (was rows-only); brute-force spec parity kept"),
 
       // ── The APPLY half (q132's role for the unigram family) ─────────
       // Train once (driver-held vocab), then Viterbi-encode every
@@ -266,6 +440,6 @@ object UnigramLm {
                   .cast("long") / lit(1e6))
                 .otherwise(lit(0.0)),
               lit(0.0)).as("fertility"))
-      }, None,
-        notes = "unigram-LM encoder (the q132 role for the SentencePiece family): Viterbi-segment each DISTINCT word once under the trained vocab, join counts back per doc — word/piece/skipped counts + fertility; rows-only (vocab from the sequential trainer), brute-force encode parity in UnigramLmSpec"))
+      }, Some(q236OracleSql),
+        notes = "unigram-LM encoder (the q132 role for the SentencePiece family): Viterbi-segment each DISTINCT word once under the trained vocab, join counts back per doc — word/piece/skipped counts + fertility; HASH-GATED since the r11 continuation (the q233 EM unroll + a fourth Viterbi bank under the final vocab); brute-force encode parity kept in UnigramLmSpec"))
 }

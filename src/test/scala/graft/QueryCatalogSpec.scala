@@ -27,18 +27,19 @@ class QueryCatalogSpec extends SparkSpec {
     // and all. The BPE trainer family (q75/q78/q132) left too: the
     // greedy merge is SQL-expressible in row form (the parity rule,
     // bpeOracleRoundSql) and the disjoint batch selection is a
-    // recursive-CTE fold. What remains is engine-specific randomness
-    // (sketch registers, xxhash64 banding) and the genuinely
-    // sequential Viterbi/EM loops.
+    // recursive-CTE fold. And the LAST sequential exemption fell in the
+    // r11 continuation: q233/q236's per-word Viterbi DP is a recursive
+    // CTE (sliding 4-best forward + backtrack), so the whole EM trainer
+    // unrolls (UnigramLm.q233OracleSql). What remains is EXCLUSIVELY
+    // engine-specific randomness: sketch register blobs and xxhash64
+    // banding arms, every one twinned or exactness-spec'd.
     assert(noOracle == Set("q29_approx_distinct", "q36_minhash_lsh",
       "q37_simhash", "q41_ann_lsh", "q62_dup_clusters_lsh",
       "q68_cosine_pairs_lsh",
       "q82_hll_sketch_rollup", "q92_heavy_hitters",
       "q107_lsh_canonical", // q62 composition (LshCanonicalSpec refinement/recall/parity; q107b is its hash-gated md5 twin)
-      "q108_quantile_rollup", // KLL blobs engine-specific (KllSketchSpec exact/merge/error pins; q108b is its hash-gated exact twin)
-      "q233_unigram_train", // sequential Viterbi DP per word (UnigramLmSpec brute-force EM parity; q232 seed selection is hash-gated)
-      "q236_unigram_encode"), // applies q233's sequentially-trained vocab (UnigramLmSpec brute-force encode parity)
-      "only engine-specific-hash / sequential-loop ops may omit the oracle")
+      "q108_quantile_rollup"), // KLL blobs engine-specific (KllSketchSpec exact/merge/error pins; q108b is its hash-gated exact twin)
+      "only engine-specific-hash ops may omit the oracle")
   }
 
   test("q17_distinct returns the 6 known flag/status combos") {

@@ -47,10 +47,14 @@ class UnigramLmSpec extends SparkSpec {
 
   private def bruteLp(kept: Seq[String],
       uses: Map[String, Long]): Map[String, Long] = {
+    // mirrors the r11-continuation DetMath switch: lnLong difference +
+    // half-away-from-zero rounding (cross-engine portable, see
+    // UnigramLm.smoothedLp)
     val total = kept.map(p => uses.getOrElse(p, 0L) + 1L).sum
     kept.map { p =>
-      p -> Math.round(
-        StrictMath.log((uses.getOrElse(p, 0L) + 1L).toDouble / total) * 1e6)
+      val v = (graft.functions.DetMath.lnLong(uses.getOrElse(p, 0L) + 1L)
+        - graft.functions.DetMath.lnLong(total)) * 1e6
+      p -> (math.floor(math.abs(v) + 0.5) * math.signum(v)).toLong
     }.toMap
   }
 
