@@ -1,0 +1,65 @@
+package graft
+
+/** Self-adjudication helpers for [[Bench]] — r11's verdict cycle (and
+  * r10's, and r09's) was spent proving driver-box contention innocent by
+  * judge rerun, because the bench artifact carried no signal that could
+  * distinguish "this query regressed" from "the box was busy during this
+  * window". These helpers make the artifact carry that signal itself:
+  *
+  *  1. a COMMITTED REFERENCE map (`bench_ref.json`, the builder's closing
+  *     full-map artifact) parsed by [[parseRefMap]];
+  *  2. a FLAG predicate ([[flagged]]): measured > 3× the committed
+  *     reference (floored at 0.15 s — the documented scheduler-overhead
+  *     band where ratios are noise) and > 0.5 s absolute (re-timing a
+  *     0.3 s row buys nothing);
+  *  3. Bench re-times every flagged query at END of run and emits
+  *     `retimed: {id: [first, retime]}` plus `retimed_total` (the total
+  *     with re-times substituted) — a contended window shows pairs like
+  *     [15.2, 0.4]; a real regression shows [15.2, 15.0];
+  *  4. an interleaved CONTROL HEARTBEAT (one fixed cheap query re-timed
+  *     every [[HeartbeatEvery]] timed queries) emitted as `ambient:
+  *     [..]` — ambient contention inflates the control in the SAME
+  *     window it inflates the victims, so the poisoned window is visible
+  *     in the JSON without any rerun.
+  *
+  * Kept outside Bench.main so the pure pieces are unit-testable
+  * (BenchAdjSpec) without a Spark session. */
+object BenchAdj {
+
+  /** Re-time the control query once every this many timed queries. */
+  val HeartbeatEvery = 25
+
+  /** Flag threshold: measured > RetimeFactor × max(ref, RefFloor). */
+  val RetimeFactor = 3.0
+  /** Sub-floor reference values are scheduler noise, not a baseline. */
+  val RefFloor = 0.15
+  /** Never re-time rows measuring under this many seconds. */
+  val AbsFloor = 0.5
+
+  /** Short id ("q107b") of a full catalog name ("q107b_lsh_canonical_md5"). */
+  def shortId(name: String): String = name.takeWhile(_ != '_')
+
+  /** Parse the committed reference artifact's per-query map. The format
+    * is Bench's own full-map line, so a targeted scan is exact: q-shaped
+    * keys with numeric values ("metric"/"value"/"sf"/"failed" can't
+    * match). Returns the map plus the artifact's "sf" field (re-time
+    * comparisons are only valid at the SAME scale factor). */
+  def parseRefMap(json: String): (Map[String, Double], Option[String]) = {
+    val qv = "\"(q\\d+[a-z]*)\":([0-9]+(?:\\.[0-9]+)?)".r
+    val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
+    (qv.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap, sf)
+  }
+
+  /** Full names of timed queries whose first-pass time exceeds the flag
+    * threshold vs the reference (keyed by short id). Queries absent from
+    * the reference (new this round) are never flagged — the ambient
+    * series is their contention signal. */
+  def flagged(timings: Seq[(String, Double)],
+      ref: Map[String, Double]): Seq[String] =
+    timings.collect {
+      case (name, v)
+        if v > AbsFloor && ref.get(shortId(name))
+          .exists(r => v > RetimeFactor * math.max(r, RefFloor)) => name
+    }
+}

@@ -299,6 +299,41 @@ object IndexCache {
     root
   }
 
+  /** Root for the persisted `.warc.gz` fixture (q245's compressed-archive
+    * input — the Common Crawl transport form of [[warcFixtureRoot]]). */
+  def warcGzFixtureRoot(sfDir: String): String =
+    new java.io.File(s"target/graft_idx/${key(sfDir)}/warc_gz_fixture")
+      .getAbsolutePath
+
+  /** Ensure the `.warc.gz` fixture archive exists: the SAME q224
+    * synthesis pages as [[ensureWarcFixture]], serialized through
+    * [[graft.io.WarcIO.writePages]] with gzip-member-per-record transport
+    * — so q245 times decompress+parse, the cost a real Common Crawl
+    * ingest pays per file. */
+  def ensureWarcGzFixture(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = warcGzFixtureRoot(sfDir)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_STAMP")
+    val stamp = s"$nDocs:${contentStamp(s"$sfDir/documents.parquet")}:warcgz1"
+    val fresh = java.nio.file.Files.isRegularFile(marker) &&
+      scala.util.Try(
+        java.nio.file.Files.readString(marker).trim == stamp)
+        .getOrElse(false)
+    if (!fresh) {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val pages = docs.select(
+        col("doc_id").as("page_id"),
+        graft.text.UrlOps.syntheticUrl(col("doc_id")).as("url"),
+        graft.text.HtmlExtract.syntheticHtml(col("doc_id"), col("text"))
+          .as("html"),
+        col("source"))
+      graft.io.WarcIO.writePages(pages, root, gzip = true)
+      java.nio.file.Files.writeString(marker, stamp)
+    }
+    root
+  }
+
   /** Delete a managed-table directory orphaned by a dead session (the
     * catalog entry lives in memory; the files live in the shared
     * `spark.sql.warehouse.dir`). No-op when the location is absent. */

@@ -469,7 +469,157 @@ object DedupQueries {
       .union(normPairs(q("q151_winnowing"), "winnowing"))
   }
 
+  // ── ExactSubstr span dedup (Lee et al. 2022, r12) ─────────────────────
+  // The EXACT top of the dedup family's exactness ladder: a position p of
+  // doc D is DUPLICATED iff some 50-token window containing p occurs
+  // earlier in the corpus ((doc, pos) lexicographic) — the span-granular
+  // semantics document-level dedup (q35) and approximate span methods
+  // (q151 winnowing, q220 CDC) only approximate. Spark NEVER materializes
+  // the 50-grams; the oracle pays that brute form (the q139/q141
+  // discipline).
+  //
+  // CANDIDATE BOUND (pigeonhole): any 50-window of D contains a fully
+  // 25-ALIGNED block (start ≡ 1 mod 25), and that block matches SOME
+  // 25-window of the earlier occurrence at the span's alignment offset δ
+  // — so joining D's ALIGNED 25-windows (1/25 of positions) against ALL
+  // 25-windows on the source side covers every true span. 25-window
+  // hashes for every position come from ONE windowed pass via a modular
+  // ROLLING HASH (no 25× string blowup): with prefix weights w(pos) =
+  // r^pos mod p (p = 2³¹−1, products stay < 2⁶² — ANSI-safe), the
+  // 25-term windowed SUM of h·w is position-free after multiplying by
+  // r^{−pos} mod p (broadcast power table, one row per token position).
+  // Hash equality only PROPOSES (doc, src, δ) alignments — collisions
+  // add candidates, never results.
+  //
+  // VERIFICATION is exact and relational: per candidate alignment, join
+  // the two token streams at offset δ, flag equality, and find maximal
+  // equal runs with the gaps-and-islands rank; runs ≥ 50 mark their D
+  // positions covered (every position of a ≥50 run lies in some
+  // 50-window inside it, so run-coverage ≡ window-coverage exactly).
+  // Windows partition by (doc, src, δ) — many small groups, no
+  // single-partition window. Self-alignments (src = doc, δ > 0) handle
+  // repeated spans WITHIN a doc; the earlier copy survives, exactly as
+  // the first-occurrence rule dictates. ExactSubstrSpec pins adversarial
+  // forms (overlap, periodic text, within-doc repeats) against a brute
+  // Scala replica.
+  //
+  // 100 TB: the aligned×all join shuffles (hash, doc, pos) triples; a
+  // corpus-hot 25-gram (boilerplate) inflates its bucket — the
+  // production mitigation is the q36 hot-bucket rep cap applied to the
+  // source side (documented knob, exactness-off), or suffix-array
+  // sharding; the fixture corpus needs neither.
+  private val SpanLen = 50
+  private val BlockLen = 25
+  private val HashP = 2147483647L // 2^31 - 1
+  private val HashR = 1000003L
+
+  private def modpow(b: Long, e: Long, m: Long): Long = {
+    var r = 1L; var bb = b % m; var ee = e
+    while (ee > 0) {
+      if ((ee & 1) == 1) r = r * bb % m
+      bb = bb * bb % m; ee >>= 1
+    }
+    r
+  }
+
+  private[dedup] def exactSubstrDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val toks = docs
+      .select(col("doc_id"), posexplode(filter(split(col("text"), " "),
+        (w: org.apache.spark.sql.Column) => length(w) > lit(0))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").as("tok"))
+    // bounded driver state: one max-length scalar sizes the power table
+    val maxLen = docs.select(max(size(filter(split(col("text"), " "),
+        (w: org.apache.spark.sql.Column) => length(w) > lit(0)))))
+      .collect()(0).getInt(0).toLong max 1L
+    val rInv = modpow(HashR, HashP - 2, HashP)
+    val powRows = (1L to maxLen).scanLeft((0L, 1L, 1L)) {
+      case ((_, rp, ri), i) => (i, rp * HashR % HashP, ri * rInv % HashP)
+    }.tail
+    import s.implicits._
+    val powers = broadcast(powRows.toDF("pos", "rp", "ri"))
+    val hashed = toks.join(powers, Seq("pos"))
+      .withColumn("hw", pmod(xxhash64(col("tok")), lit(HashP)) * col("rp")
+        % lit(HashP))
+    val wWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, BlockLen - 1)
+    val nWin = Window.partitionBy("doc_id")
+    val h25 = hashed
+      .withColumn("g", sum(col("hw")).over(wWin)) // ≤ 25·2³¹ < 2³⁶
+      .withColumn("n", count(lit(1)).over(nWin))
+      .filter(col("pos") <= col("n") - lit(BlockLen - 1))
+      .select(col("doc_id"), col("pos"),
+        (pmod(col("g"), lit(HashP)) * col("ri") % lit(HashP)).as("h"))
+      .localCheckpoint(true) // feeds BOTH join sides — one hashing pass
+    val cand = h25.filter(pmod(col("pos") - 1, lit(BlockLen)) === 0)
+      .select(col("doc_id"), col("pos").as("dpos"), col("h"))
+      .join(h25.select(col("doc_id").as("src_id"),
+        col("pos").as("spos"), col("h")), Seq("h"))
+      .filter(col("src_id") < col("doc_id") ||
+        (col("src_id") === col("doc_id") && col("spos") < col("dpos")))
+      .select(col("doc_id"), col("src_id"),
+        (col("dpos") - col("spos")).as("delta"))
+      .distinct()
+    // exact verification: token streams joined at offset δ, equal runs
+    val dt = cand.join(toks, Seq("doc_id"))
+      .withColumn("mpos", col("pos") - col("delta"))
+    val st = toks.select(col("doc_id").as("src_id"),
+      col("pos").as("mpos"), col("tok").as("stok"))
+    val eq = dt.join(st, Seq("src_id", "mpos"))
+      .filter(col("tok") === col("stok"))
+    val runWin = Window.partitionBy("doc_id", "src_id", "delta")
+      .orderBy("pos")
+    val runs = eq
+      .withColumn("isl", col("pos") - row_number().over(runWin))
+      .groupBy("doc_id", "src_id", "delta", "isl")
+      .agg(min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("hi") - col("lo") >= lit(SpanLen - 1))
+    val cov = runs
+      .select(col("doc_id"), explode(sequence(col("lo"), col("hi"))).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("nd"))
+    docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "),
+          (w: org.apache.spark.sql.Column) => length(w) > lit(0)))
+          .cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_tokens"),
+        (col("n_tokens") - coalesce(col("nd"), lit(0L))).as("n_kept_tokens"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ── ExactSubstr span dedup (see exactSubstrDedup block scaladoc) ───
+    QueryDef("q249_exact_substr", (s, d) => exactSubstrDedup(s, d), Some("""
+      WITH tkt AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+          w -> len(w) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, s.pos AS pos, s.gram AS gram FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 48),
+            i -> struct_pack(pos := i,
+              gram := array_to_string(tk[i:i+49], ' ')))) AS s
+          FROM tkt WHERE len(tk) >= 50)),
+      f AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM g),
+      cov AS (
+        SELECT DISTINCT doc_id, upos FROM (
+          SELECT doc_id, unnest(range(pos, pos + 50)) AS upos
+          FROM f WHERE rn > 1)),
+      cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+             FROM cov GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        COALESCE(cv.nd, 0) AS n_dup_tokens,
+        CAST(len(t.tk) AS BIGINT) - COALESCE(cv.nd, 0) AS n_kept_tokens
+      FROM tkt t LEFT JOIN cv USING (doc_id)"""),
+      notes = "ExactSubstr span dedup (Lee et al.): a position is duplicated iff a 50-token window containing it occurs earlier in the corpus — EXACT semantics via pigeonhole aligned-25-block candidates (rolling-hash windows, one pass) + relational equal-run verification; oracle pays the brute all-50-grams form"),
 
     // ── Exact dedup: hash-groupBy fingerprint clusters ─────────────────
     QueryDef("q35_dedup_exact", (s, d) => {

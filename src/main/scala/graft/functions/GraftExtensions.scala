@@ -147,5 +147,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_theta_estimate(blob) takes one blob")
         ThetaEstimate(exprs(0))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_nfc(s) takes one STRING")
+        NfcNormalize(exprs(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[NfkcNormalize].getName, "graft_nfkc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_nfkc(s) takes one STRING")
+        NfkcNormalize(exprs(0))
+      }))
   }
 }

@@ -218,6 +218,14 @@ object GraftFunctions {
     "graft_theta_estimate" -> { exprs =>
       require(exprs.length == 1, "graft_theta_estimate(blob) takes one blob")
       ThetaEstimate(exprs(0))
+    },
+    "graft_nfc" -> { exprs =>
+      require(exprs.length == 1, "graft_nfc(s) takes one STRING")
+      NfcNormalize(exprs(0))
+    },
+    "graft_nfkc" -> { exprs =>
+      require(exprs.length == 1, "graft_nfkc(s) takes one STRING")
+      NfkcNormalize(exprs(0))
     })
 
   /** Extract a foldable INT parameter (e.g. a sketch's k) at plan time. */

@@ -27,9 +27,19 @@ import org.apache.spark.sql.functions._
   * are sequential within a file; real crawls shard into many ~1 GB
   * files, so file-level parallelism IS the parallelism — the
   * binaryFile source distributes files across partitions and bytes
-  * never shuffle; only the extracted page rows do). Gzip-member-per-
-  * record (the .warc.gz transport form) is out of scope offline and
-  * documented here rather than half-built. */
+  * never shuffle; only the extracted page rows do).
+  *
+  * `.warc.gz` transport (r12): Common Crawl ships WARC as CONCATENATED
+  * GZIP MEMBERS, ONE RECORD PER MEMBER (the WARC spec's annex D form —
+  * member boundaries give readers random access to records without
+  * decompressing the file). The writer ([[renderFileGz]]) emits exactly
+  * that layout via JDK `GZIPOutputStream` (one member per record, spec-
+  * pinned byte-identical to independently gzipping each record); the
+  * reader ([[gunzipAll]]) uses JDK `GZIPInputStream`, which walks
+  * concatenated members natively, then parses the joined stream with the
+  * same strict [[parseRecords]]. [[pagesOfWarcRows]] sniffs the 2-byte
+  * gzip magic per file, so batch, streaming, and mixed plain/gz
+  * directories all share one decode path. */
 object WarcIO {
 
   final case class WarcRecord(headers: Seq[(String, String)],
@@ -84,6 +94,68 @@ object WarcIO {
         "WARC-Target-URI" -> url,
         "Content-Type" -> "application/http; msgtype=response"),
         http ++ entity)))
+    }
+    out.toByteArray
+  }
+
+  // ── gzip transport (.warc.gz: one gzip member per record) ───────────
+
+  /** One gzip member holding `bytes`. JDK `GZIPOutputStream` writes no
+    * MTIME/FNAME (header fields zeroed), so output is deterministic for
+    * a given input on a given JDK — the fixture stamp's requirement. */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    try { gz.write(bytes); gz.finish() } finally gz.close()
+    bos.toByteArray
+  }
+
+  /** Decompress ALL concatenated gzip members — `GZIPInputStream` reads
+    * through member boundaries natively (it is the documented JDK
+    * behavior multi-member `.warc.gz` relies on). Strict: a truncated or
+    * corrupt member throws (the "None, never garbage" posture surfaces
+    * at the caller as an unparseable file). */
+  def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.isEmpty) return bytes // zero members ⇒ zero bytes
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    out.toByteArray
+  }
+
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte
+
+  /** One `.warc.gz` file's bytes: [[renderFile]]'s records, each record
+    * its own gzip member, members concatenated — the Common Crawl
+    * transport layout. Layout is spec-pinned (WarcGzSpec): the output
+    * equals gzipping each rendered record independently, so a
+    * range-reader seeking to a member boundary decompresses exactly one
+    * record. */
+  def renderFileGz(source: String,
+      pages: Iterator[(Long, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // reuse renderFile's record framing by re-rendering per record
+    out.write(gzipMember(render(WarcRecord(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:warcinfo:$source>",
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft${Crlf}collection: $source$Crlf".getBytes("UTF-8")))))
+    pages.foreach { case (pageId, url, html) =>
+      val entity = html.getBytes("UTF-8")
+      val http = (s"HTTP/1.1 200 OK${Crlf}Content-Type: text/html$Crlf" +
+        s"Content-Length: ${entity.length}$Crlf$Crlf").getBytes("UTF-8")
+      out.write(gzipMember(render(WarcRecord(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:page:$pageId>",
+        "WARC-Target-URI" -> url,
+        "Content-Type" -> "application/http; msgtype=response"),
+        http ++ entity))))
     }
     out.toByteArray
   }
@@ -167,6 +239,15 @@ object WarcIO {
       .option("pathGlobFilter", "*.warc").load(dir))
   }
 
+  /** Crawl pages from a directory of `.warc.gz` files (gzip-member-per-
+    * record, the Common Crawl transport) — same shape, same strictness,
+    * same file-level parallelism as [[readPages]]; decompression happens
+    * inside each file's parse task (compressed bytes never shuffle, and
+    * the decompressed form never materializes outside the task). */
+  def readPagesGz(spark: SparkSession, dir: String): DataFrame =
+    pagesOfWarcRows(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(dir))
+
   /** The per-file parse over any (path, content) binaryFile frame —
     * shared by the batch [[readPages]] and the streaming
     * [[graft.streaming.StreamingWarcIngest]] (batch≡stream parity by
@@ -177,7 +258,11 @@ object WarcIO {
     files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
+      .flatMap { case (path, raw) =>
+        // transport sniff: gzip magic ⇒ concatenated-member decompress
+        // (the .warc.gz form); plain bytes parse directly. Per-file, so
+        // mixed directories and both batch/stream callers share the path.
+        val bytes = if (isGzip(raw)) gunzipAll(raw) else raw
         val recs = parseRecords(bytes).getOrElse(
           throw new IllegalArgumentException(s"unparseable WARC file: $path"))
         val source = recs.headOption
@@ -214,7 +299,8 @@ object WarcIO {
     * deployment would additionally split giant sources into ~1 GB
     * rolling segments inside the loop — the seam is this per-source
     * iterator. */
-  def writePagesDistributed(pages: DataFrame, dir: String): Unit = {
+  def writePagesDistributed(pages: DataFrame, dir: String,
+      gzip: Boolean = false): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     import pages.sparkSession.implicits._
     pages.select("page_id", "url", "html", "source")
@@ -223,9 +309,11 @@ object WarcIO {
       .foreachPartition { (it: Iterator[(Long, String, String, String)]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         it.toSeq.groupBy(_._4).foreach { case (source, rows) =>
-          val bytes = renderFile(source,
-            rows.sortBy(_._1).iterator.map(r => (r._1, r._2, r._3)))
-          val p = new org.apache.hadoop.fs.Path(dir, s"$source-p$pid.warc")
+          val sorted = rows.sortBy(_._1).iterator.map(r => (r._1, r._2, r._3))
+          val bytes = if (gzip) renderFileGz(source, sorted)
+            else renderFile(source, sorted)
+          val ext = if (gzip) "warc.gz" else "warc"
+          val p = new org.apache.hadoop.fs.Path(dir, s"$source-p$pid.$ext")
           val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
           val out = fs.create(p, true)
           try out.write(bytes) finally out.close()
@@ -237,7 +325,7 @@ object WarcIO {
     * per source under `dir` — the fixture writer for the q235 gate and
     * the round-trip specs ([[writePagesDistributed]] is the scale path;
     * one file per source keeps the fixture byte-deterministic). */
-  def writePages(pages: DataFrame, dir: String): Unit = {
+  def writePages(pages: DataFrame, dir: String, gzip: Boolean = false): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     import pages.sparkSession.implicits._
     pages.select("page_id", "url", "html", "source")
@@ -245,10 +333,12 @@ object WarcIO {
       .collect() // fixture-scale writer (the reader is the scale path)
       .groupBy(_._4)
       .foreach { case (source, rows) =>
-        val bytes = renderFile(source,
-          rows.sortBy(_._1).iterator.map(r => (r._1, r._2, r._3)))
+        val sorted = rows.sortBy(_._1).iterator.map(r => (r._1, r._2, r._3))
+        val bytes = if (gzip) renderFileGz(source, sorted)
+          else renderFile(source, sorted)
+        val ext = if (gzip) "warc.gz" else "warc"
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, s"$source.warc"), bytes)
+          java.nio.file.Paths.get(dir, s"$source.$ext"), bytes)
       }
   }
 }

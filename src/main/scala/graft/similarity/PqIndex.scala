@@ -30,6 +30,15 @@ object PqIndex {
       SimilarityQueries.asDouble("embedding").as("e"))
   }
 
+  /** (vec_id, code) rows: every vector of `sub` encoded against `cb` —
+    * shared by [[build]] (fresh codebook) and [[append]] (frozen stored
+    * codebook), so the two paths cannot drift. */
+  private def encodeCodes(sub: DataFrame, cb: DataFrame): DataFrame =
+    SimilarityQueries.pqAssign(sub, cb)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), x -> cast(x.cid AS int))")
+        .as("code"))
+
   /** Train the per-subspace codebooks over `emb` (vec_id, embedding),
     * encode every vector, persist both tables. Same parameters as q239
     * (M=8, K=16, one exact micro-unit Lloyd step, lowest-16 init). */
@@ -38,11 +47,25 @@ object PqIndex {
     val sub = SimilarityQueries.pqSubspaces(v)
     val cb = SimilarityQueries.pqTrainCodebook(sub)
     cb.write.mode("overwrite").saveAsTable(s"${name}_codebook")
-    SimilarityQueries.pqAssign(sub, cb)
-      .groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), x -> cast(x.cid AS int))")
-        .as("code"))
-      .write.mode("overwrite").saveAsTable(s"${name}_codes")
+    encodeCodes(sub, cb).write.mode("overwrite").saveAsTable(s"${name}_codes")
+  }
+
+  /** Absorb a delta of NEW vectors without retraining (r12, VERDICT
+    * punch #8 — the maintenance parity with [[VectorIndex.append]]):
+    * each delta vector is ENCODED against the STORED, frozen codebook —
+    * the standard PQ serving contract between scheduled retrains
+    * (codewords move only at an explicit [[build]], so ADC tables built
+    * from the stored codebook stay valid for old AND new codes) — and
+    * appended to the codes table. Delta-proportional cost: one
+    * broadcast-codebook subspace argmin over the NEW vectors + one
+    * 8-bytes-per-vector append. IncrementalIndexSpec pins
+    * codes-after-append == base ∪ frozen-codebook encode of the delta,
+    * and that probes surface delta candidates immediately. */
+  def append(s: SparkSession, name: String, emb: DataFrame): Unit = {
+    val v = vecs(emb).localCheckpoint(true)
+    val sub = SimilarityQueries.pqSubspaces(v)
+    encodeCodes(sub, s.table(s"${name}_codebook"))
+      .write.mode("append").saveAsTable(s"${name}_codes")
   }
 
   /** ADC shortlist + exact re-rank against the stored layout for the

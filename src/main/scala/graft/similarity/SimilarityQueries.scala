@@ -308,12 +308,20 @@ ${probeCandSql("pc", "cand")}
     * Exact cosine runs WITHIN CELLS ONLY (candidate volume Σ cell², never
     * n²) — the SemDeDup shape shared by q74 and the curation pipeline. */
   private[graft] def dominatedIn(assigned: DataFrame, tau: Double): DataFrame =
+    semanticPairsIn(assigned, tau)
+      .select(col("id_b").as("vec_id")).distinct()
+
+  /** The within-cell cosine PAIRS behind [[dominatedIn]] — factored out
+    * (r12) so compositions needing the edges themselves (q250's
+    * cross-modal pair dedup) share one definition with the q74 rule. */
+  private[graft] def semanticPairsIn(assigned: DataFrame,
+      tau: Double): DataFrame =
     assigned.toDF("id_a", "va", "na", "cell")
       .join(assigned.toDF("id_b", "vb", "nb", "cell"), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", cosine("va", "vb", "na", "nb"))
       .filter(col("cos_sim") >= tau)
-      .select(col("id_b").as("vec_id")).distinct()
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
 
   /** The q104 dataflow, parameterized so the fidelity spec can drive the
     * approximation knobs: RRF (k=60) fusion of a PostingsIndex.probe
@@ -2138,7 +2146,130 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
         .groupBy("query_id", "vec_id").agg(sum("md2").as("md2s"))
       pqRerank(pqShortlist(cand), v)
     }, Some(ivfPqOracle),
-      notes = "IVF-PQ (the Jegou IVFADC production composition over BOTH persisted indexes): stored-centroid cell selection bounds candidates (nProbe=6, exchange-free bucketed cells read), stored 8-byte PQ codes + broadcast ADC table score only those candidates, top-50 shortlist, exact re-rank top-5; fully hash-gated — the composed oracle replays both trainings, the probe, the ADC and the re-rank; subset-of-q239 recall spec-pinned")
+      notes = "IVF-PQ (the Jegou IVFADC production composition over BOTH persisted indexes): stored-centroid cell selection bounds candidates (nProbe=6, exchange-free bucketed cells read), stored 8-byte PQ codes + broadcast ADC table score only those candidates, top-50 shortlist, exact re-rank top-5; fully hash-gated — the composed oracle replays both trainings, the probe, the ADC and the re-rank; subset-of-q239 recall spec-pinned"),
+
+    // ── Cross-modal PAIR near-dup (CLIP-curation step after q171) ──────
+    // The dedup a contrastive vision-language pipeline runs over its
+    // (image, caption) PAIRS: a pair is a near-duplicate of an EARLIER
+    // pair iff BOTH modalities match — the image at pHash Hamming ≤ 3
+    // (q241's bank: real decode → integer DCT → median sign bits +
+    // Manku 4×16-bit pigeonhole join) AND the caption embedding at
+    // within-cell cosine ≥ 0.35 under q74's Lloyd-trained cells
+    // ([[semanticPairsIn]], the SemDeDup rule verbatim). Same image with
+    // a NEW caption — or same caption on a NEW image — is a distinct
+    // training pair and survives; only both-modality duplicates drop
+    // (keep-earliest, q74's rule). Output is the per-pair manifest
+    // (witness count + keep), so the kept set is reviewable. Composed
+    // ENTIRELY from the two hash-gated banks; the oracle replays both
+    // (pixel-formula pHash brute pairs ∩ trained-cell cosine pairs).
+    // Scale: each side keeps its own candidate bound (block pigeonhole /
+    // IVF cells); the composition joins two edge lists on (a, b) — edge-
+    // sized, never corpus-sized.
+    QueryDef("q250_pair_neardup", (s, d) => {
+      // image side: q241's pHash + block pigeonhole, verbatim shape
+      val hs = graft.multimodal.Multimodal.imagePHash(
+        graft.multimodal.Multimodal.fromDocuments(s, d)).toDF()
+        .withColumnRenamed("ahash", "phash")
+      val blocks = hs.select(col("media_id"), col("phash"),
+          explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+            shiftrightunsigned(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+              .as("blk"))): _*)).as("p"))
+        .select(col("media_id"), col("phash"), col("p.j"), col("p.blk"))
+      val ipairs = blocks.as("a").join(blocks.as("b"),
+          col("a.j") === col("b.j") && col("a.blk") === col("b.blk") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("pair_a"),
+          col("b.media_id").as("pair_b"),
+          col("a.phash").as("ha"), col("b.phash").as("hb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("pair_a", "pair_b")
+      // text side: q74's trained cells + within-cell cosine pairs
+      val assigned = semanticAssign(
+        t(s, d, "embeddings").select("vec_id", "embedding"))
+      val tpairs = semanticPairsIn(assigned, 0.35)
+        .select(col("id_a").as("pair_a"), col("id_b").as("pair_b"))
+      val dup = ipairs.join(tpairs, Seq("pair_a", "pair_b"))
+        .groupBy(col("pair_b").as("pair_id"))
+        .agg(count(lit(1)).as("n_dup_witnesses"))
+      hs.select(col("media_id").as("pair_id"))
+        .join(dup, Seq("pair_id"), "left_outer")
+        .select(col("pair_id"),
+          coalesce(col("n_dup_witnesses"), lit(0L)).as("n_dup_witnesses"),
+          (coalesce(col("n_dup_witnesses"), lit(0L)) === 0L)
+            .cast("long").as("keep"))
+    }, Some(s"""
+      WITH im AS (
+        SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (
+        SELECT id, list_transform(range(64),
+          i -> (id*31 + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 7)
+               % 256) AS p
+        FROM im),
+      bas AS (SELECT [${graft.multimodal.Multimodal.DctBasisMicro
+        .flatten.mkString(",")}] AS b),
+      co AS (
+        SELECT id, (v*8 + u) AS idx,
+          SUM(p[(y*8+x)+1] * b[(u*8+x)+1] * b[(v*8+y)+1]) AS c
+        FROM px, bas, range(8) tu(u), range(8) tv(v),
+             range(8) tx(x), range(8) ty(y)
+        GROUP BY 1, 2),
+      med AS (SELECT id, c AS m FROM (
+        SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY c, idx)
+          AS rn
+        FROM co WHERE idx >= 1) WHERE rn = 32),
+      sig AS (SELECT co.id, CAST(SUM(CASE WHEN co.c > med.m
+              THEN CAST(1 AS BIGINT) << CAST(co.idx - 1 AS INT)
+              ELSE 0 END) AS BIGINT) AS ph
+            FROM co JOIN med USING (id) WHERE co.idx >= 1 GROUP BY 1),
+      ipairs AS (
+        SELECT a.id AS pair_a, b.id AS pair_b
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c0 AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 20),
+      d1 AS (
+        SELECT v.vec_id, c0.cent_id,
+          list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c0.ce)
+            + list_dot_product(c0.ce, c0.ce) AS d2
+        FROM v CROSS JOIN c0),
+      m1 AS (
+        SELECT vec_id, cent_id AS cluster FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1),
+      z1 AS (
+        SELECT m1.cluster, unnest(list_zip(v.e, range(len(v.e)))) AS z
+        FROM v JOIN m1 USING (vec_id)),
+      c1 AS (
+        SELECT cluster, CAST(struct_extract(z, 2) AS BIGINT) AS pos,
+          ROUND(CAST(SUM(CAST(ROUND(struct_extract(z, 1) * 1000000) AS BIGINT)) AS DOUBLE)
+            / (1000000.0 * COUNT(*)), 6) AS cv
+        FROM z1 GROUP BY cluster, pos),
+      c1l AS (SELECT cluster AS cent_id, list(cv ORDER BY pos) AS ce
+              FROM c1 GROUP BY cluster),
+      asg AS (
+        SELECT v.vec_id, v.e, c1l.cent_id AS cell
+        FROM v CROSS JOIN c1l
+        QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY list_dot_product(v.e, c1l.ce) DESC, c1l.cent_id ASC) = 1),
+      tpairs AS (
+        SELECT a.vec_id AS pair_a, b.vec_id AS pair_b
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+          >= 0.35),
+      dup AS (
+        SELECT i.pair_b AS pair_id, CAST(count(*) AS BIGINT) AS nw
+        FROM ipairs i JOIN tpairs t
+          ON t.pair_a = i.pair_a AND t.pair_b = i.pair_b
+        GROUP BY 1)
+      SELECT im.id AS pair_id,
+        COALESCE(dup.nw, 0) AS n_dup_witnesses,
+        CAST(CASE WHEN COALESCE(dup.nw, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS keep
+      FROM im LEFT JOIN dup ON dup.pair_id = im.id"""),
+      notes = "cross-modal image-text PAIR near-dup (the CLIP curation step after q171): drop a pair iff an EARLIER pair matches in BOTH modalities — q241's pHash Hamming <= 3 AND q74's within-trained-cell cosine >= 0.35; composed from the two hash-gated banks, oracle replays both; per-pair witness-count manifest, keep-earliest")
   )
 
   /** q244's composed oracle: the IvfIndexSql training+cells bank, the
@@ -2387,7 +2518,9 @@ ${probeCellsSql("qv", "pc", 6)}
   /** Exact-L2 re-rank of a (query_id, vec_id) shortlist → top-5: the
     * only stage reading full vectors, and only for shortlisted ids. */
   private[similarity] def pqRerank(short: DataFrame, v: DataFrame): DataFrame = {
-    val qv = v.toDF("query_id", "qe")
+    // explicit select, not positional toDF: a caller passing an extra
+    // column must not silently misname the query side
+    val qv = v.select(col("vec_id").as("query_id"), col("e").as("qe"))
     val wk = Window.partitionBy("query_id")
       .orderBy(col("d2m").asc, col("vec_id").asc)
     short.join(v, Seq("vec_id")).join(qv, Seq("query_id"))

@@ -73,13 +73,6 @@ object VectorIndex {
     probeAgainst(s.table(s"${name}_centroids"), s.table(s"${name}_cells"),
       queries, nProbe, topK)
 
-  /** [[probe]]'s dataflow over caller-supplied centroid/cells frames — the
-    * hook for probing a RESTRICTION of a stored index: any filter of the
-    * bucketed cells table (e.g. q213's eval slice) is itself a valid IVF
-    * index under the same frozen quantizer, and the filter composes with
-    * the bucketed scan without disturbing its exchange-free co-location.
-    * `cents` must be metadata-sized (it is broadcast); `cells` needs the
-    * stored layout's (vec_id, v, norm, cell). */
   /** The cell-selection stage alone: each query's `nProbe` nearest cells
     * by (dot desc, cent_id asc) — (query_id, qv, qn, cell). Factored so
     * compositions (q244's IVF-PQ) can bound candidates by cell without
@@ -96,6 +89,13 @@ object VectorIndex {
       .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
   }
 
+  /** [[probe]]'s dataflow over caller-supplied centroid/cells frames — the
+    * hook for probing a RESTRICTION of a stored index: any filter of the
+    * bucketed cells table (e.g. q213's eval slice) is itself a valid IVF
+    * index under the same frozen quantizer, and the filter composes with
+    * the bucketed scan without disturbing its exchange-free co-location.
+    * `cents` must be metadata-sized (it is broadcast); `cells` needs the
+    * stored layout's (vec_id, v, norm, cell). */
   def probeAgainst(cents: DataFrame, cellsFrame: DataFrame, queries: DataFrame,
       nProbe: Int = 6, topK: Int = 5): DataFrame = {
     val probes = probeCells(cents, queries, nProbe)

@@ -38,4 +38,28 @@ object TextClean {
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B\\uFEFF]", "")
     trim(regexp_replace(stripped, "[ \\t\\r\\n]+", " "))
   }
+
+  private def viaFn(name: String, arg: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    call_function(name, arg)
+  }
+
+  /** Unicode NFC (canonical composition, UAX #15) — what dedup/storage
+    * wants: byte-equal iff canonically equal. Native codegen'd
+    * expression ([[graft.functions.NfcNormalize]]) with an ASCII
+    * fast path; hash-gated cross-engine vs DuckDB `nfc_normalize`
+    * (q246). */
+  def nfc(c: Column): Column = viaFn("graft_nfc", c)
+
+  /** Unicode NFKC (compatibility composition) — what TOKENIZERS want
+    * (SentencePiece's default first step): fullwidth→ASCII, ligatures
+    * split, superscripts folded. Wired as the first step of the trainer
+    * families' tokenization ([[TextQueries]] q75/q238, [[UnigramLm]]
+    * q232/q233/q236); identity on the pure-ASCII fixture corpus, so the
+    * relational training-replay oracles stay exact (premise pinned by
+    * UnicodeNormSpec). No DuckDB twin exists for NFKC — conformance
+    * vectors (width/compat forms, ligatures, combining reorder, Hangul)
+    * live in the same spec. */
+  def nfkc(c: Column): Column = viaFn("graft_nfkc", c)
 }

@@ -314,6 +314,136 @@ object TextQueries {
        |FROM p1 WHERE nxt IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
+  // ── Byte-level BPE (GPT-2's byte-fallback form, r12) ─────────────────
+  // The THIRD axis of the trainer family: q75 merges WORD symbols,
+  // q238/q232 re-segment within words — byte-level BPE starts from the
+  // 256-byte alphabet INSIDE each word, which eliminates OOV by
+  // construction (any UTF-8 string is a byte sequence; GPT-2's actual
+  // base vocabulary). Symbols are 2-hex-digit byte codes ("6F" = 0x6F),
+  // engine-portable: Spark hex() and DuckDB hex() both emit uppercase
+  // UTF-8-byte hex, and chunking the word's hex string into 2-char
+  // slices IS the byte decomposition regardless of UTF-8 char
+  // boundaries (a multi-byte char simply spans several symbols — the
+  // byte-fallback property itself).
+  //
+  // SCALE SHAPE — and why this form beats q75's at 100 TB: GPT-2
+  // training famously runs over the WORD-FREQUENCY TABLE, not the
+  // corpus. One corpus tokenize pass builds the pinned distinct-word
+  // (word, cnt) frame; every training round is then DISTINCT-WORD-sized
+  // (pairs exploded per distinct word, counts weighted by cnt), and
+  // encode applies merges per distinct word and joins the doc stream
+  // back by word. Corpus size only enters through pass #1 and the final
+  // doc-keyed join; vocabulary churn costs vocab-sized work per round.
+
+  /** Byte symbols of the `word` column: 2-hex-digit chunks of the
+    * word's UTF-8 bytes, as a SQL expression (Spark side; the oracle
+    * mirrors it with strlen/substring over DuckDB hex). */
+  private def byteSymsExpr: String =
+    """transform(sequence(1, octet_length(word)),
+      |  i -> substring(hex(word), 2 * i - 1, 2))""".stripMargin
+
+  /** Distinct-word frame (word, cnt), NFKC-first like every trainer;
+    * pinned — it feeds all training rounds AND the encode join. */
+  private def byteBpeWords(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "documents")
+      .select(explode(filter(split(TextClean.nfkc(col("text")), " "),
+        (w: org.apache.spark.sql.Column) => length(w) > lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+
+  /** The byte-BPE training loop: `rounds` greedy merges over the
+    * weighted distinct-word symbol table — each round's top pair by
+    * (Σ cnt desc, pair asc) applied corpus-wide via [[bpeMergeExpr]]
+    * (the q75 machinery verbatim; symbols are hex codes so a == b runs
+    * hit the same parity-proven fold). Returns (step, "aa bb", n). */
+  private def trainByteBpeMerges(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int,
+      wordsIn: Option[org.apache.spark.sql.DataFrame] = None)
+      : Seq[(Long, String, Long)] = {
+    val words = wordsIn.getOrElse(byteBpeWords(s, d))
+    var cur = words.select(col("cnt"), expr(byteSymsExpr).as("tk"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var exhausted = false
+    for (step <- 1 to rounds if !exhausted) {
+      val top = cur
+        .select(col("cnt"), explode(expr(bpePairsOfTk)).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((step.toLong, pair, top(0).getLong(1)))
+        val i = pair.indexOf(' ')
+        cur = cur.withColumn("tk",
+          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Byte-level row-form corpus for the oracle: DISTINCT words (the
+    * GPT-2 word-frequency-table form), each as positioned byte symbols;
+    * `bwc` carries the weights the selection sums. A def — interpolated
+    * from both q247 and q248 oracles. */
+  private def byteBpeT0: String =
+    """bwc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '),
+      |      w -> len(w) > 0)) AS word
+      |    FROM documents)
+      |  GROUP BY 1),
+      |t0 AS (
+      |  SELECT word AS doc,
+      |    unnest(range(1, strlen(word) + 1)) AS pos,
+      |    unnest(list_transform(range(1, strlen(word) + 1),
+      |      i -> substring(hex(word), (2 * i - 1)::int, 2))) AS tok
+      |  FROM bwc)""".stripMargin
+
+  /** One byte-BPE oracle round: weighted selection (Σ cnt over word
+    * instances, ties pair asc) + the SHARED parity-rule application
+    * ([[bpeOracleMergeSql]] — "doc" is the distinct word here, so the
+    * within-word merge semantics carry over unchanged). */
+  private def byteBpeRoundSql(r: Int): String = {
+    val prev = if (r == 1) "t0" else s"c${r - 1}"
+    s"""p$r AS (SELECT c.doc, c.pos, c.tok,
+       |    lead(c.tok) OVER (PARTITION BY c.doc ORDER BY c.pos) AS nxt,
+       |    w.cnt
+       |  FROM $prev c JOIN bwc w ON w.word = c.doc),
+       |top$r AS (SELECT tok AS a, nxt AS b, tok || ' ' || nxt AS pair,
+       |    CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM p$r WHERE nxt IS NOT NULL
+       |  GROUP BY 1,2,3 ORDER BY n DESC, pair ASC LIMIT 1),
+       |${bpeOracleMergeSql(r)}""".stripMargin
+  }
+
+  private[text] val q247OracleSql: String =
+    s"""WITH $byteBpeT0,
+       |${byteBpeRoundSql(1)},
+       |${byteBpeRoundSql(2)},
+       |${byteBpeRoundSql(3)}
+       |SELECT CAST(1 AS BIGINT) AS step, pair, n FROM top1
+       |UNION ALL SELECT 2, pair, n FROM top2
+       |UNION ALL SELECT 3, pair, n FROM top3""".stripMargin
+
+  private[text] val q248OracleSql: String =
+    s"""WITH $byteBpeT0,
+       |${byteBpeRoundSql(1)},
+       |${byteBpeRoundSql(2)},
+       |${byteBpeRoundSql(3)},
+       |wenc AS (SELECT doc AS word, CAST(count(*) AS BIGINT) AS n_syms
+       |         FROM c3 GROUP BY 1),
+       |dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |    w -> len(w) > 0)) AS word
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(SUM(strlen(d.word)) AS BIGINT) AS n_bytes,
+       |  CAST(SUM(e.n_syms) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(strlen(d.word) - e.n_syms) AS BIGINT) AS n_merges_applied
+       |FROM dw d JOIN wenc e ON e.word = d.word
+       |GROUP BY 1""".stripMargin
+
   /** q237's per-doc Kneser-Ney scoring frame (doc_id, n_bigrams,
     * kn_score) — factored so q242 can gate on the same model without
     * re-stating it. See q237's scaladoc for the exact-integer-ratio
@@ -323,7 +453,7 @@ object TextQueries {
     val docs = t(s, d, "documents")
     val toksCol = filter(split(col("text"), " "),
       (tk: org.apache.spark.sql.Column) => length(tk) > lit(0))
-    def bigrams = docs.select(col("doc_id"), toksCol.as("tk"))
+    val bigrams = docs.select(col("doc_id"), toksCol.as("tk"))
       .select(col("doc_id"), explode(expr(
         """transform(
           |  filter(sequence(1, greatest(size(tk) - 1, 1)),
@@ -331,9 +461,20 @@ object TextQueries {
           |  i -> struct(element_at(tk, i) AS w1,
           |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // pinned: the bigram-type table feeds FIVE consumers (cv, N1v,
-    // N1w, the globals, the per-doc join) — one corpus pair pass
-    val cvw = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cvw"))
+    // ONE corpus bigram pass (r12: was two — the r11 2×-gate violation).
+    // A doc's KN score is Σ_occurrences lp(w1,w2) = Σ_types k·lp, so the
+    // per-doc TYPE-count pin serves BOTH sides: the model's corpus type
+    // counts derive from it by re-aggregation (cvw = Σ_docs k), and the
+    // scoring join weights each doc-type row by k instead of walking
+    // occurrences. The pin is ≤ occurrence-sized (distinct pairs per doc)
+    // and every downstream consumer is type-sized.
+    val docPairs = bigrams.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    // pinned: the corpus bigram-type table feeds FIVE consumers (cv,
+    // N1v, N1w, the globals, the scoring join) — derived from docPairs,
+    // not from a second corpus pass
+    val cvw = docPairs.groupBy("w1", "w2").agg(sum("k").as("cvw"))
       .localCheckpoint(true)
     val cv = cvw.groupBy("w1")
       .agg(sum("cvw").as("cv"), count(lit(1)).as("n1v"))
@@ -342,7 +483,7 @@ object TextQueries {
       sum(when(col("cvw") === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(col("cvw") === 2, 1L).otherwise(0L)).as("n2"))
     val qq = col("n1") + lit(2L) * col("n2")
-    val terms = bigrams
+    val terms = docPairs
       .join(cvw, Seq("w1", "w2"))
       .join(cv, Seq("w1"))
       .join(n1wDf, Seq("w2"))
@@ -356,7 +497,8 @@ object TextQueries {
         round(DetMath.detLnRatio(col("num"), col("den")) * 1e6)
           .cast("long"))
     val perdoc = terms.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("lp")).as("s"))
     docs.select(col("doc_id"))
       .join(perdoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -418,7 +560,11 @@ object TextQueries {
     * in merge order — driver-held bounded state (one row per round). */
   private def trainBpeMerges(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int): Seq[(Long, String, Long)] = {
-    var cur = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
+    // NFKC first (the SentencePiece convention; TextClean.nfkc scaladoc):
+    // identity on the pure-ASCII fixture corpus (UnicodeNormSpec pins the
+    // premise), so the relational training-replay oracle stays exact.
+    var cur = t(s, d, "documents")
+      .select(split(TextClean.nfkc(col("text")), " ").as("tk"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var exhausted = false
     for (step <- 1 to rounds if !exhausted) {
@@ -456,7 +602,9 @@ object TextQueries {
   private def trainWordPieceMerges(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int,
       minCount: Long): Seq[(Long, String, Long, Long, Long)] = {
-    var cur = t(s, d, "documents").select(split(col("text"), " ").as("tk"))
+    // NFKC first (see trainBpeMerges) — identity on the ASCII fixture
+    var cur = t(s, d, "documents")
+      .select(split(TextClean.nfkc(col("text")), " ").as("tk"))
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
     var exhausted = false
@@ -1593,6 +1741,126 @@ object TextQueries {
           "semantic_dropped", "kept_docs", "kept_tokens", "shards")
     }, Some(webCurateManifestOracle),
       notes = "raw WARC archive -> record parse -> HTTP entity -> WebCurate.run, hash-gated on q224's manifest oracle verbatim: any reader defect moves a count; file-level parallelism, bytes never shuffle"),
+
+    // ── .warc.gz front door: the Common Crawl TRANSPORT form ───────────
+    // q235 over the compressed archive. Common Crawl ships WARC as
+    // concatenated gzip members, ONE RECORD PER MEMBER (WARC annex D) —
+    // a real crawl user hits this before any plain .warc. The fixture
+    // ([[graft.IndexCache.ensureWarcGzFixture]]) serializes the SAME
+    // q224 pages through [[graft.io.WarcIO.renderFileGz]] (JDK
+    // GZIPOutputStream, member per record — WarcGzSpec pins the layout
+    // byte-exactly against independently-gzipped records); the reader
+    // sniffs the gzip magic per file and walks the concatenated members
+    // with JDK GZIPInputStream before the SAME strict record parse. The
+    // oracle is q224/q235's verbatim: a decompression defect — a
+    // dropped member, a short read at a member boundary, garbage after
+    // CRC — moves a manifest count and the hash gate goes red. Scale:
+    // decompression happens inside each file's parse task; COMPRESSED
+    // bytes are what the scan reads (the 3-5× I/O saving that makes gz
+    // the transport), and neither form ever shuffles.
+    QueryDef("q245_warc_gz_front_door", (s, d) => {
+      val dir = graft.IndexCache.ensureWarcGzFixture(s, d)
+      val (_, m) = graft.pipeline.WebCurate.run(graft.io.WarcIO.readPagesGz(s, dir))
+      val c = m.curated
+      import s.implicits._
+      Seq((m.pages, m.urlDupDropped, m.domainCapDropped,
+        m.emptyExtractDropped, c.inputDocs, c.qualityDropped,
+        c.exactDupDropped, c.nearDupDropped, c.containmentDropped,
+        c.semanticDropped, c.keptDocs, c.keptTokens, c.shards))
+        .toDF("pages", "url_dup_dropped", "domain_cap_dropped",
+          "empty_extract_dropped", "input_docs", "quality_dropped",
+          "exact_dup_dropped", "near_dup_dropped", "containment_dropped",
+          "semantic_dropped", "kept_docs", "kept_tokens", "shards")
+    }, Some(webCurateManifestOracle),
+      notes = ".warc.gz (gzip-member-per-record, the Common Crawl transport) -> concatenated-member decompress -> record parse -> WebCurate.run, hash-gated on q224's manifest oracle verbatim; decompression in-task, compressed bytes never shuffle"),
+
+    // ── Unicode NFC normalization (UAX #15, cross-engine hash-gated) ───
+    // The canonical-equivalence collapse every dedup/storage layer needs:
+    // 'e'+U+0301 and U+00E9 are THE SAME text but different bytes, so
+    // q35's md5 fingerprints (and every exact-dup gate) silently miss
+    // duplicates on un-normalized corpora. The fixture corpus is pure
+    // ASCII, so the gate CONSTRUCTS its non-NFC input deterministically
+    // from each row: combining acute (composition), combining ring → Å,
+    // the U+212B Angstrom SINGLETON (NFC rewrites it to U+00C5), Hangul
+    // jamo pair → precomposed syllable, and a ccc-220+ccc-230 mark pair
+    // (canonical REORDERING + composition across a lower-class mark —
+    // the subtle branch). Engine side is graft_nfc, a codegen'd
+    // expression over JDK java.text.Normalizer with an ASCII fast path
+    // (UnicodeNormExpressions); oracle side is DuckDB's nfc_normalize —
+    // two independent UAX #15 implementations hash-compared byte-exactly,
+    // plus before/after codepoint counts as audit columns. One narrow
+    // codegen'd map, no shuffle.
+    QueryDef("q246_nfc_normalize", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val raw = concat(
+        substring(col("text"), 1, 24),
+        lit(" cafe\u0301 A\u030A \u212B \u1100\u1161 a\u0316\u0301"),
+        when(col("doc_id") % 2 === 0, lit(" e\u0301"))
+          .otherwise(lit(" \u00E9")))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextClean.nfc(raw).as("text_nfc"),
+        length(raw).cast("long").as("n_before"),
+        length(TextClean.nfc(raw)).cast("long").as("n_after"))
+    }, Some("""
+      WITH r AS (
+        SELECT doc_id,
+          substring(text, 1, 24) || ' cafe' || chr(769) || ' A' || chr(778)
+            || ' ' || chr(8491) || ' ' || chr(4352) || chr(4449)
+            || ' a' || chr(790) || chr(769)
+            || CASE WHEN doc_id % 2 = 0 THEN ' e' || chr(769)
+                    ELSE ' ' || chr(233) END AS raw
+        FROM documents)
+      SELECT doc_id,
+        nfc_normalize(raw) AS text_nfc,
+        CAST(length(raw) AS BIGINT) AS n_before,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after
+      FROM r"""),
+      notes = "Unicode NFC (UAX #15) as a native codegen'd expression (JDK Normalizer + ASCII fast path) hash-gated byte-exactly against DuckDB's independent nfc_normalize over constructed non-NFC inputs: composition, singleton (U+212B), Hangul jamo, and combining-mark canonical reordering across ccc classes"),
+
+    // ── Byte-level BPE trainer (GPT-2's byte-fallback form) ────────────
+    // See the byteSymsExpr/byteBpeT0 block scaladoc for the design: the
+    // 256-byte base alphabet (2-hex-digit symbols) eliminates OOV by
+    // construction, and training runs over the pinned WORD-FREQUENCY
+    // TABLE (the GPT-2 recipe) — every round is distinct-word-sized,
+    // which is the reason this form is the one that survives 100 TB.
+    // HASH-GATED via the q75-discipline relational unroll: weighted
+    // selection (Σ cnt, ties pair asc) + the shared parity-rule merge
+    // application, three rounds. TrainingDataOpsSpec adds the brute
+    // Scala-greedy parity pin.
+    QueryDef("q247_byte_bpe_train", (s, d) => {
+      import s.implicits._
+      trainByteBpeMerges(s, d, 3).toDF("step", "pair", "n")
+    }, Some(q247OracleSql),
+      notes = "byte-level BPE training (GPT-2 byte fallback): 2-hex-digit byte symbols within words, 3 greedy merges selected by word-frequency-weighted count over the pinned distinct-word table (distinct-word-sized rounds, the scalable GPT-2 recipe); hash-gated via the relational training unroll"),
+
+    // ── Byte-level BPE encode (per-doc compression audit) ──────────────
+    // Applies the 3 trained merges to the DISTINCT-word symbol table
+    // (vocab-sized work) and joins the doc word stream back by word —
+    // per doc: total bytes, post-merge token count, merges applied.
+    // The oracle re-derives training AND encoding relationally.
+    QueryDef("q248_byte_bpe_encode", (s, d) => {
+      val words = byteBpeWords(s, d)
+      val merges = trainByteBpeMerges(s, d, 3, Some(words))
+      var enc = words.select(col("word"), expr(byteSymsExpr).as("tk"))
+      merges.foreach { case (_, pair, _) =>
+        val i = pair.indexOf(' ')
+        enc = enc.withColumn("tk",
+          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+      }
+      val wenc = enc.select(col("word"),
+        expr("octet_length(word)").cast("long").as("n_b"),
+        size(col("tk")).cast("long").as("n_syms"))
+      val dw = t(s, d, "documents").select(col("doc_id"),
+        explode(filter(split(TextClean.nfkc(col("text")), " "),
+          (w: org.apache.spark.sql.Column) => length(w) > lit(0))).as("word"))
+      dw.join(wenc, Seq("word"))
+        .groupBy("doc_id")
+        .agg(sum(col("n_b")).as("n_bytes"),
+          sum(col("n_syms")).as("n_tokens"),
+          sum(col("n_b") - col("n_syms")).as("n_merges_applied"))
+    }, Some(q248OracleSql),
+      notes = "byte-level BPE encode: the 3 trained merges applied to the distinct-word symbol table (vocab-sized), doc stream joined back by word; per-doc bytes/tokens/merges hash-gated against the full relational training+encode replay"),
 
     // ── C4-style global line dedup (keep-first, reassemble) ────────────
     // The famous C4 cleaning rule no document-level dedup subsumes:
@@ -3136,10 +3404,13 @@ object TextQueries {
     // Magnitudes: num ≤ q·c·NB — BIGINT-safe to ~corpus 1e6 bigram types
     // × 1e6 counts; the 100 TB form scales the ratio to DOUBLE with a
     // documented ULP posture (or DECIMAL), noted here rather than
-    // half-built. Shapes: ONE corpus bigram pass into the pinned
-    // vocab²-bounded (v, w, cvw) frame — cv/N1v/N1w/NB/n1/n2 ALL derive
-    // from the pin (the q182/q210 single-pass rule); one more corpus
-    // pass scores per-doc occurrences; micro-unit integer per-doc sums.
+    // half-built. Shapes (r12, the 2×-gate fix): ONE corpus bigram pass
+    // into the pinned per-doc TYPE-count frame (doc, v, w, k) — the
+    // corpus type table (v, w, cvw = Σ k) derives from it by
+    // re-aggregation, cv/N1v/N1w/NB/n1/n2 derive from THAT (the
+    // q182/q210 single-pass rule), and scoring weights each doc-type
+    // row by k instead of re-walking occurrences (Σ_occ lp ≡ Σ_type
+    // k·lp, exact integers); micro-unit integer per-doc sums.
     QueryDef("q237_kneser_ney", (s, d) => knScoredDocs(s, d), Some(s"""
       WITH $knOracleCore
       SELECT doc_id, n_bigrams, kn_score FROM scored"""),
@@ -4309,13 +4580,17 @@ object TextQueries {
       val scored = knScoredDocs(s, d).localCheckpoint(true)
       val ranked = graft.operators.GlobalOrder.withRowNumbers(
         scored, Seq(col("kn_score").desc, col("doc_id").asc), out = "gid")
+      // bucket_id (int) and bucket (label) are DISTINCT names: the r11
+      // form aliased the string over the integer in one select and read
+      // col("bucket") for keep — correct only by child-plan resolution
+      // order (ADVICE r11), a shadowing footgun now removed.
       ranked
         .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
-        .withColumn("bucket", expr("(gid - 1) * 3 div n + 1"))
+        .withColumn("bucket_id", expr("(gid - 1) * 3 div n + 1"))
         .select(col("doc_id"), col("n_bigrams"), col("kn_score"),
-          when(col("bucket") === 1, "head").when(col("bucket") === 2,
+          when(col("bucket_id") === 1, "head").when(col("bucket_id") === 2,
             "middle").otherwise("tail").as("bucket"),
-          (col("bucket") <= 2).cast("long").as("keep"))
+          (col("bucket_id") <= 2).cast("long").as("keep"))
     }, Some(s"""
       WITH $knOracleCore,
       r AS (

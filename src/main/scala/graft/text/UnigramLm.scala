@@ -63,7 +63,10 @@ object UnigramLm {
     * (word, cnt). One scan + one word-keyed hash-agg. */
   private[text] def wordCounts(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(explode(split(col("text"), " ")).as("word"))
+      // NFKC first — the SentencePiece convention (TextClean.nfkc);
+      // identity on the pure-ASCII fixture corpus (UnicodeNormSpec pins
+      // the premise), so the training-replay oracles stay exact.
+      .select(explode(split(TextClean.nfkc(col("text")), " ")).as("word"))
       .filter(length(col("word")) > 0 && length(col("word")) <= MaxWordLen)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -144,7 +147,12 @@ object UnigramLm {
       val u = uses.getOrElse(p, 0L) + 1L
       val v = (graft.functions.DetMath.lnLong(u)
         - graft.functions.DetMath.lnLong(total)) * 1e6
-      p -> (math.floor(math.abs(v) + 0.5) * math.signum(v)).toLong
+      // BigDecimal HALF_UP (Java's HALF_UP ties away from zero — DuckDB
+      // ROUND's semantics), not floor(abs+0.5): the float form misrounds
+      // when abs(v)+0.5 crosses an integer boundary in IEEE arithmetic
+      // (e.g. 0.49999999999999994 + 0.5 == 1.0).
+      p -> BigDecimal(v)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
     }.toMap
   }
 
@@ -414,7 +422,9 @@ object UnigramLm {
           .select(col("word"),
             size(expr(viterbiExpr)).cast("long").as("n_pieces"))
         val words = t(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          // encode normalizes exactly as training did (NFKC, see wordCounts)
+          .select(col("doc_id"),
+            explode(split(TextClean.nfkc(col("text")), " ")).as("word"))
           .filter(length(col("word")) > 0)
         val perDoc = words
           .join(wordPieces, Seq("word"), "left_outer")

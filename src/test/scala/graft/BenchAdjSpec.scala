@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench self-adjudication kernel (BenchAdj): reference parsing and
+  * the re-time flag predicate — the pure pieces of the r12 contention
+  * instrumentation (VERDICT r11 punch #1). The end-to-end behavior (a
+  * poisoned window visible in the artifact's ambient series + retime
+  * pairs) is demonstrated by the synthetic-load A/B recorded in
+  * BASELINE.md round-12. */
+class BenchAdjSpec extends AnyFunSuite {
+
+  test("parseRefMap extracts q-keyed values and the sf field, nothing else") {
+    val json = """{"metric":"total","value":280.867,"unit":"sec",""" +
+      """"queries":{"q01":1.4,"q107b":5.5,"q36b":4.7,"q242":2.5},""" +
+      """"failed":["q99"],"sf":"0.1"}"""
+    val (m, sf) = BenchAdj.parseRefMap(json)
+    assert(m === Map("q01" -> 1.4, "q107b" -> 5.5, "q36b" -> 4.7,
+      "q242" -> 2.5))
+    assert(sf === Some("0.1"))
+    // "value":280.867 and the failed-array entry must not leak in
+    assert(!m.contains("value") && !m.contains("q99"))
+  }
+
+  test("parseRefMap on the COMMITTED bench_ref.json: full catalog, sf0.1") {
+    val src = scala.io.Source.fromFile("bench_ref.json", "UTF-8")
+    val (m, sf) = try BenchAdj.parseRefMap(src.mkString) finally src.close()
+    assert(sf === Some("0.1"))
+    assert(m.size >= 250, s"reference map too small: ${m.size}")
+    assert(m.keys.forall(_.startsWith("q")))
+    assert(m.values.forall(v => v >= 0 && v < 1000))
+  }
+
+  test("flagged: >3x-of-ref AND >0.5s absolute AND ref floored at 0.15s") {
+    val ref = Map("q01" -> 1.4, "q27" -> 0.3, "q02" -> 0.02, "q36b" -> 4.7)
+    val timings = Seq(
+      "q01_pricing" -> 9.6,    // 6.9x ref -> flagged (the r10 q01 artifact)
+      "q27_foo" -> 15.0,       // 50x ref -> flagged (the r11 driver mover)
+      "q02_bar" -> 0.4,        // 0.4 < AbsFloor -> not flagged (jitter band)
+      "q36b_lsh" -> 5.5,       // 1.2x ref -> healthy
+      "q245_new" -> 80.0)      // absent from ref -> never flagged
+    assert(BenchAdj.flagged(timings, ref) ===
+      Seq("q01_pricing", "q27_foo"))
+  }
+
+  test("flagged: sub-floor refs use the 0.15s floor, not the raw ref") {
+    // ref 0.02s, measured 0.44s is 22x raw but within 3x of the floor:
+    // sub-0.15s rows are scheduler overhead (BASELINE.md), ratios there
+    // are noise. 0.46s would exceed 3x floor but sits under AbsFloor.
+    val ref = Map("q03" -> 0.02)
+    assert(BenchAdj.flagged(Seq("q03_x" -> 0.44), ref).isEmpty)
+    assert(BenchAdj.flagged(Seq("q03_x" -> 0.46), ref).isEmpty)
+    assert(BenchAdj.flagged(Seq("q03_x" -> 0.51), ref) === Seq("q03_x"))
+  }
+
+  test("shortId truncates at the first underscore") {
+    assert(BenchAdj.shortId("q107b_lsh_canonical_md5") === "q107b")
+    assert(BenchAdj.shortId("q01") === "q01")
+  }
+}

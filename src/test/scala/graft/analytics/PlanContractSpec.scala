@@ -575,8 +575,9 @@ class PlanContractSpec extends SparkSpec {
       // per-doc occurrences, and the per-doc-contract base join — each a
       // cheap projection scan, none a re-derived expensive transform
       "q236_unigram_encode" -> 3,
-      // (q237_kneser_ney measures x2 — inside the default allowance:
-      // the pinned bigram-type pass + per-doc scoring)
+      // (q237_kneser_ney r12: ONE corpus bigram pass into the per-doc
+      // type-count pin — model counts AND scoring both derive from it;
+      // the remaining visible scan is the narrow doc_id left join)
       "q98_funnel" -> 3, "q99_ref_integrity" -> 6)
     // Driver-action builder queries are SKIPPED, not ratcheted: their
     // builders execute a whole eager pipeline (driver actions +

@@ -38,7 +38,10 @@ class AdversarialCorpusSpec extends SparkSpec {
     "q131_gopher_gates", "q132_bpe_encode",
     "q152_dsir_weights", "q155_leakage_split",
     // chat rendering must survive empty/1-token docs (n_user clamps)
-    "q174_chat_template")
+    "q174_chat_template",
+    // NFC normalization: the constructed suffix is non-ASCII by design;
+    // the accent/emoji docs additionally exercise the non-fast path
+    "q246_nfc_normalize")
 
   private val otherDocQueries = Seq(
     "q38_ngram_jaccard", "q44_token_topk", "q50_tfidf", "q57_dup_clusters",
@@ -70,6 +73,13 @@ class AdversarialCorpusSpec extends SparkSpec {
     // conformal degrades to cover-everything on a tiny calibration
     // slice; DP release and DoReMi handle degenerate sources
     "q180_conformal", "q181_dp_release", "q182_doremi_mix",
+    // r12 batch: byte BPE handles emoji/accents (multi-byte chars span
+    // several hex symbols — the byte-fallback property itself) and the
+    // empty/whitespace docs drop from the word table on both engines;
+    // ExactSubstr handles docs shorter than the window, the 5000-token
+    // pathological doc, and the exact-dup pair (docs 6/7, <50 tokens —
+    // correctly NOT span-deduped)
+    "q247_byte_bpe_train", "q248_byte_bpe_encode", "q249_exact_substr",
     // IR eval degrades to all-zero metrics when no doc matches a query
     // term; bootstrap handles tiny corpora (replica weights can zero out)
     "q184_retrieval_eval", "q185_bootstrap_ci",

@@ -158,4 +158,42 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(hit.length == 1 && hit(0).getAs[Double]("jaccard") == 1.0,
       s"clone probe missed its base twin: ${hit.mkString(",")}")
   }
+  test("PqIndex: append encodes under the frozen codebook; probes see the delta") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    try {
+      PqIndex.build(emb.filter(col("vec_id") < 400), "pqinc")
+      val before = spark.table("pqinc_codes").select("vec_id", "code")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val cbBefore = spark.table("pqinc_codebook").collect().map(_.toString).toSet
+      // delta: the corpus tail + an exact clone of vector 3
+      val clone = emb.filter(col("vec_id") === 3)
+        .select(lit(9999L).as("vec_id"), col("embedding"))
+      PqIndex.append(spark, "pqinc",
+        emb.filter(col("vec_id") >= 400).unionByName(clone))
+      val after = spark.table("pqinc_codes").select("vec_id", "code")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(after.size == 501, s"expected 400 base + 100 delta + clone, got ${after.size}")
+      before.foreach { case (id, code) =>
+        assert(after(id) == code, s"append changed base code $id") }
+      // the codebook is FROZEN: append must not touch it
+      assert(spark.table("pqinc_codebook").collect().map(_.toString).toSet
+        == cbBefore, "append retrained the codebook")
+      // identical vectors encode to identical codes under the frozen book
+      assert(after(9999L) == after(3L), "clone encoded differently from its twin")
+      // delta candidates are probe-visible now: the clone re-ranks at
+      // exact L2 distance 0 for query 3 (its twin), rank 2 only to the
+      // twin itself (d2 ties break on vec_id asc). The corpus frame
+      // supplies re-rank point-lookup vectors, so it must carry the
+      // delta too (at scale: the source store, which always does).
+      val top = PqIndex.probe(spark, "pqinc", emb.unionByName(clone))
+        .filter(col("query_id") === 3 && col("cand_id") === 9999L).collect()
+      assert(top.length == 1 && top(0).getAs[Double]("l2_d2") == 0.0,
+        s"clone not surfaced for its twin query: ${top.mkString(",")}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pqinc_codebook")
+      spark.sql("DROP TABLE IF EXISTS pqinc_codes")
+    }
+  }
 }

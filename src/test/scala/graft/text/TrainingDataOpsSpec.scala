@@ -200,4 +200,55 @@ class TrainingDataOpsSpec extends SparkSpec {
       .map { rows => val n = rows.length; n - (n / 4 * 2 +
         (if (n % 4 >= 1) 1 else 0) + (if (n % 4 >= 2) 1 else 0)) }.sum)
   }
+  test("q247/q248 byte-level BPE matches a brute-force weighted train+encode") {
+    // GPT-2 recipe replica: word-frequency table, hex byte symbols,
+    // 3 greedy merges by (weighted count desc, pair asc), greedy
+    // left-to-right application (same applyMerge contract as q75)
+    def applyMerge(v: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    def hexSyms(w: String): Vector[String] =
+      w.getBytes("UTF-8").toVector.map(b => f"${b & 0xff}%02X")
+    val docs = graft.analytics.Ops.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).toVector))
+    val wc = new scala.collection.mutable.HashMap[String, Long]()
+    for ((_, ws) <- docs; w <- ws) wc.update(w, wc.getOrElse(w, 0L) + 1L)
+    var enc: Map[String, Vector[String]] =
+      wc.keys.map(w => w -> hexSyms(w)).toMap
+    val expectedMerges = (1 to 3).map { step =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      for ((w, syms) <- enc; i <- 0 until syms.length - 1) {
+        val pr = syms(i) + " " + syms(i + 1)
+        counts.update(pr, counts.getOrElse(pr, 0L) + wc(w))
+      }
+      val (pair, n) = counts.toSeq.minBy { case (pr, c) => (-c, pr) }
+      val sp = pair.indexOf(' ')
+      enc = enc.map { case (w, v) =>
+        w -> applyMerge(v, pair.substring(0, sp), pair.substring(sp + 1)) }
+      (step.toLong, pair, n)
+    }
+    val gotTrain = graft.SparkEntry.queries("q247_byte_bpe_train")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(gotTrain == expectedMerges)
+
+    // encode parity: per-doc bytes / post-merge tokens / merges applied
+    val expectedEnc = docs.map { case (id, ws) =>
+      val nb = ws.map(_.getBytes("UTF-8").length.toLong).sum
+      val nt = ws.map(w => enc(w).length.toLong).sum
+      id -> ((nb, nt, nb - nt))
+    }.toMap
+    val gotEnc = graft.SparkEntry.queries("q248_byte_bpe_encode")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(gotEnc == expectedEnc)
+  }
 }
