@@ -522,18 +522,42 @@ object DedupQueries {
     r
   }
 
-  private[dedup] def exactSubstrDedup(s: SparkSession, d: String): DataFrame = {
+  private[dedup] def exactSubstrDedup(s: SparkSession, d: String): DataFrame =
+    exactSubstrCore(s, d, incremental = false)
+
+  /** q251: the INCREMENTAL form — output only the DELTA docs (the q149
+    * md5 split: ~10% of the corpus plays the new-batch role), "earlier"
+    * meaning ALL of base precedes all of delta (the standing corpus was
+    * there first), then delta by (doc_id, pos) as in q249. The D side
+    * (aligned candidate windows + verification streams) is DELTA-sized;
+    * the source side reads the full corpus — at 100 TB that side is a
+    * persisted window-hash index (the SetSimIndex pattern; documented
+    * seam, not half-built). */
+  private[dedup] def exactSubstrIncremental(s: SparkSession,
+      d: String): DataFrame = exactSubstrCore(s, d, incremental = true)
+
+  private def exactSubstrCore(s: SparkSession, d: String,
+      incremental: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, d, "documents")
+    val docs0 = t(s, d, "documents")
+    val docs = docs0.withColumn("is_delta",
+      substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
+    // pinned: ONE corpus tokenize pass — the row-form token stream feeds
+    // the window hashing (via h25), BOTH verification sides (dt/st), and
+    // nothing else re-reads documents except the final narrow length join
     val toks = docs
-      .select(col("doc_id"), posexplode(filter(split(col("text"), " "),
-        (w: org.apache.spark.sql.Column) => length(w) > lit(0))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+      .select(col("doc_id"), col("is_delta"),
+        posexplode(filter(split(col("text"), " "),
+          (w: org.apache.spark.sql.Column) => length(w) > lit(0))))
+      .select(col("doc_id"), col("is_delta"), (col("pos") + 1).as("pos"),
         col("col").as("tok"))
+      .localCheckpoint(true)
     // bounded driver state: one max-length scalar sizes the power table
-    val maxLen = docs.select(max(size(filter(split(col("text"), " "),
-        (w: org.apache.spark.sql.Column) => length(w) > lit(0)))))
-      .collect()(0).getInt(0).toLong max 1L
+    // (read off the pin — max token position IS the max doc length;
+    // null on an all-empty corpus, floored to 1)
+    val maxRow = toks.agg(max(col("pos"))).collect()(0)
+    val maxLen = (if (maxRow.isNullAt(0)) 1L
+      else maxRow.getInt(0).toLong) max 1L
     val rInv = modpow(HashR, HashP - 2, HashP)
     val powRows = (1L to maxLen).scanLeft((0L, 1L, 1L)) {
       case ((_, rp, ri), i) => (i, rp * HashR % HashP, ri * rInv % HashP)
@@ -550,20 +574,28 @@ object DedupQueries {
       .withColumn("g", sum(col("hw")).over(wWin)) // ≤ 25·2³¹ < 2³⁶
       .withColumn("n", count(lit(1)).over(nWin))
       .filter(col("pos") <= col("n") - lit(BlockLen - 1))
-      .select(col("doc_id"), col("pos"),
+      .select(col("doc_id"), col("is_delta"), col("pos"),
         (pmod(col("g"), lit(HashP)) * col("ri") % lit(HashP)).as("h"))
       .localCheckpoint(true) // feeds BOTH join sides — one hashing pass
-    val cand = h25.filter(pmod(col("pos") - 1, lit(BlockLen)) === 0)
+    // q249: "earlier" = (doc_id, pos) lexicographic. q251 (incremental):
+    // ALL of base precedes all of delta — a base source wins regardless
+    // of numeric id — then delta-vs-delta falls back to the q249 order.
+    // The D (candidate) side restricts to delta in the incremental form,
+    // so base-vs-base pairs never generate.
+    val dSide = h25.filter(pmod(col("pos") - 1, lit(BlockLen)) === 0)
+      .filter(if (incremental) col("is_delta") else lit(true))
       .select(col("doc_id"), col("pos").as("dpos"), col("h"))
-      .join(h25.select(col("doc_id").as("src_id"),
-        col("pos").as("spos"), col("h")), Seq("h"))
-      .filter(col("src_id") < col("doc_id") ||
-        (col("src_id") === col("doc_id") && col("spos") < col("dpos")))
+    val sSide = h25.select(col("doc_id").as("src_id"),
+      col("is_delta").as("s_delta"), col("pos").as("spos"), col("h"))
+    val q249Order = col("src_id") < col("doc_id") ||
+      (col("src_id") === col("doc_id") && col("spos") < col("dpos"))
+    val cand = dSide.join(sSide, Seq("h"))
+      .filter(if (incremental) !col("s_delta") || q249Order else q249Order)
       .select(col("doc_id"), col("src_id"),
         (col("dpos") - col("spos")).as("delta"))
       .distinct()
     // exact verification: token streams joined at offset δ, equal runs
-    val dt = cand.join(toks, Seq("doc_id"))
+    val dt = cand.join(toks.drop("is_delta"), Seq("doc_id"))
       .withColumn("mpos", col("pos") - col("delta"))
     val st = toks.select(col("doc_id").as("src_id"),
       col("pos").as("mpos"), col("tok").as("stok"))
@@ -580,7 +612,8 @@ object DedupQueries {
       .select(col("doc_id"), explode(sequence(col("lo"), col("hi"))).as("pos"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("nd"))
-    docs.select(col("doc_id"),
+    docs.filter(if (incremental) col("is_delta") else lit(true))
+      .select(col("doc_id"),
         size(filter(split(col("text"), " "),
           (w: org.apache.spark.sql.Column) => length(w) > lit(0)))
           .cast("long").as("n_tokens"))
@@ -620,6 +653,40 @@ object DedupQueries {
         CAST(len(t.tk) AS BIGINT) - COALESCE(cv.nd, 0) AS n_kept_tokens
       FROM tkt t LEFT JOIN cv USING (doc_id)"""),
       notes = "ExactSubstr span dedup (Lee et al.): a position is duplicated iff a 50-token window containing it occurs earlier in the corpus — EXACT semantics via pigeonhole aligned-25-block candidates (rolling-hash windows, one pass) + relational equal-run verification; oracle pays the brute all-50-grams form"),
+
+    // ── ExactSubstr, INCREMENTAL form (the q149 discipline) ────────────
+    QueryDef("q251_exact_substr_incremental",
+      (s, d) => exactSubstrIncremental(s, d), Some("""
+      WITH tkt AS (
+        SELECT doc_id,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19' AS is_delta,
+          list_filter(string_split(text, ' '), w -> len(w) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, is_delta, s.pos AS pos, s.gram AS gram FROM (
+          SELECT doc_id, is_delta,
+            unnest(list_transform(range(1, len(tk) - 48),
+              i -> struct_pack(pos := i,
+                gram := array_to_string(tk[i:i+49], ' ')))) AS s
+          FROM tkt WHERE len(tk) >= 50)),
+      f AS (
+        SELECT doc_id, is_delta, pos,
+          row_number() OVER (PARTITION BY gram
+            ORDER BY is_delta ASC, doc_id, pos) AS rn
+        FROM g),
+      cov AS (
+        SELECT DISTINCT doc_id, upos FROM (
+          SELECT doc_id, unnest(range(pos, pos + 50)) AS upos
+          FROM f WHERE rn > 1 AND is_delta)),
+      cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+             FROM cov GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        COALESCE(cv.nd, 0) AS n_dup_tokens,
+        CAST(len(t.tk) AS BIGINT) - COALESCE(cv.nd, 0) AS n_kept_tokens
+      FROM tkt t LEFT JOIN cv USING (doc_id)
+      WHERE t.is_delta"""),
+      notes = "incremental ExactSubstr (the q149 md5 delta split): per NEW doc, positions inside a >=50-token span present in the STANDING corpus (all of base precedes all of delta) or an earlier delta doc; candidate + verification sides are delta-sized, the source side is the corpus read that a persisted window-hash index would replace at scale"),
 
     // ── Exact dedup: hash-groupBy fingerprint clusters ─────────────────
     QueryDef("q35_dedup_exact", (s, d) => {

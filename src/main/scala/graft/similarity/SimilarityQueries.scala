@@ -2166,10 +2166,14 @@ ${probeCandSql("spc", "scand", " AND asg.vec_id % 50 = 0")}
     // IVF cells); the composition joins two edge lists on (a, b) — edge-
     // sized, never corpus-sized.
     QueryDef("q250_pair_neardup", (s, d) => {
-      // image side: q241's pHash + block pigeonhole, verbatim shape
+      // image side: q241's pHash + block pigeonhole, verbatim shape.
+      // PINNED: the 8-bytes-per-image hash frame feeds both self-join
+      // sides AND the output base — unpinned, the ratchet measured the
+      // decode pass re-run x3 (documents x3)
       val hs = graft.multimodal.Multimodal.imagePHash(
         graft.multimodal.Multimodal.fromDocuments(s, d)).toDF()
         .withColumnRenamed("ahash", "phash")
+        .localCheckpoint(true)
       val blocks = hs.select(col("media_id"), col("phash"),
           explode(array((0 until 4).map(j => struct(lit(j).as("j"),
             shiftrightunsigned(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))

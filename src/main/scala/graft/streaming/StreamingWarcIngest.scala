@@ -36,12 +36,15 @@ object StreamingWarcIngest {
     StructField("content", BinaryType)))
 
   /** Watch `warcDir` for new archive files and curate their pages into
-    * `outRoot` (StreamingWebCurate's curated zone + ledgers). */
+    * `outRoot` (StreamingWebCurate's curated zone + ledgers). Matches
+    * plain `.warc` AND `.warc.gz` (r12: the Common Crawl transport) —
+    * [[WarcIO.pagesOfWarcRows]] sniffs the gzip magic per file, so both
+    * forms flow through one decode path and may mix in one directory. */
   def ingest(spark: SparkSession, warcDir: String, outRoot: String,
       checkpoint: String, maxPerDomain: Long = 3L, minQuality: Double = 1.0,
       minJ: Double = 0.6): StreamingQuery =
     spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.warc*")
       .schema(BinaryFileSchema)
       .load(warcDir)
       .writeStream

@@ -483,8 +483,15 @@ object TextQueries {
       sum(when(col("cvw") === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(col("cvw") === 2, 1L).otherwise(0L)).as("n2"))
     val qq = col("n1") + lit(2L) * col("n2")
-    val terms = docPairs
-      .join(cvw, Seq("w1", "w2"))
+    // the MODEL is type-sized: fold cv/N1w/globals and the whole lp
+    // arithmetic (incl. detLnRatio) into one (w1, w2, lp) frame BEFORE
+    // touching doc rows — ln runs once per bigram TYPE, not per doc-pair
+    // row, and the scoring join BROADCASTS the model (the KenLM serving
+    // shape: the trained model ships to every worker; doc rows never
+    // shuffle through model joins). At corpora where the bigram-type
+    // table outgrows broadcast, drop the hint and this degrades to a
+    // type-keyed shuffle join — the seam is this one select.
+    val model = cvw
       .join(cv, Seq("w1"))
       .join(n1wDf, Seq("w2"))
       .crossJoin(broadcast(gl))
@@ -496,7 +503,10 @@ object TextQueries {
       .withColumn("lp",
         round(DetMath.detLnRatio(col("num"), col("den")) * 1e6)
           .cast("long"))
-    val perdoc = terms.groupBy("doc_id")
+      .select(col("w1"), col("w2"), col("lp"))
+    val perdoc = docPairs
+      .join(broadcast(model), Seq("w1", "w2"))
+      .groupBy("doc_id")
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * col("lp")).as("s"))
     docs.select(col("doc_id"))
@@ -4580,13 +4590,17 @@ object TextQueries {
       val scored = knScoredDocs(s, d).localCheckpoint(true)
       val ranked = graft.operators.GlobalOrder.withRowNumbers(
         scored, Seq(col("kn_score").desc, col("doc_id").asc), out = "gid")
+      // the pin is ALREADY materialized (eager localCheckpoint), so its
+      // count is one bounded driver action and n becomes a plan LITERAL —
+      // no 1-row agg stage, no crossJoin/broadcast exchange (r12: shaved
+      // from the 2×-gate path; the count reads materialized partitions)
+      val n = scored.count()
       // bucket_id (int) and bucket (label) are DISTINCT names: the r11
       // form aliased the string over the integer in one select and read
       // col("bucket") for keep — correct only by child-plan resolution
       // order (ADVICE r11), a shadowing footgun now removed.
       ranked
-        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
-        .withColumn("bucket_id", expr("(gid - 1) * 3 div n + 1"))
+        .withColumn("bucket_id", expr(s"(gid - 1) * 3 div ${n}L + 1"))
         .select(col("doc_id"), col("n_bigrams"), col("kn_score"),
           when(col("bucket_id") === 1, "head").when(col("bucket_id") === 2,
             "middle").otherwise("tail").as("bucket"),

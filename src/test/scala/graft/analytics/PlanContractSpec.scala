@@ -285,7 +285,8 @@ class PlanContractSpec extends SparkSpec {
       "q215_bitext_margin_indexed", // index probe: broadcast centroid argmax (q105 allowance)
       "q239_pq_adc", // broadcast 128-row codebook/ADC-table joins (pinned metadata)
       "q242_kn_perplexity_gate", // GlobalOrder offsets + 1-row count cross join (q144 shape)
-      "q244_ivfpq") // index probe: broadcast centroid argmax (q105 allowance)
+      "q244_ivfpq", // index probe: broadcast centroid argmax (q105 allowance)
+      "q250_pair_neardup") // q74's broadcast centroid assignment (ivfAssign)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -591,7 +592,11 @@ class PlanContractSpec extends SparkSpec {
     val driverActionBuilders = Set(
       "q80_curation_pipeline", "q208_jpeg_ahash", "q224_web_curate_e2e",
       "q233_unigram_train", // 3 EM rounds of driver-held-vocab training
-      "q235_warc_front_door") // runs the whole WebCurate pipeline
+      "q235_warc_front_door", // runs the whole WebCurate pipeline
+      "q245_warc_gz_front_door", // q235 over the gzip transport
+      "q247_byte_bpe_train") // 3-round driver-held trainer -> local relation
+      // (q248 stays ratcheted: its returned plan scans documents once for
+      // the doc-word join; training pins are eager and plan-invisible)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => driverActionBuilders(kv._1)).flatMap {
       case (name, fn) =>

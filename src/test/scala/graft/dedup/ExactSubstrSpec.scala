@@ -103,4 +103,38 @@ class ExactSubstrSpec extends SparkSpec {
     assert(got(0L) == (60L, 0L))
     assert(got(1L) == (60L, 60L), "doubled space must not break the match")
   }
+
+  test("q251 incremental matches the brute base-first ordering on sf0.001") {
+    // incremental "earlier": ALL base docs precede all delta docs, then
+    // delta by (doc_id, pos) — the q149 md5 split plays the new batch
+    def isDelta(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${md(0) & 0xff}%02x" <= "19"
+    }
+    val docs = graft.analytics.Ops.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).toVector)).toSeq
+    val first = scala.collection.mutable.HashSet[String]()
+    val cov = scala.collection.mutable.HashMap[Long, Set[Int]]()
+    for ((id, tk) <- docs.sortBy { case (id, _) => (isDelta(id), id) };
+         i <- 1 to tk.length - 49) {
+      val g = tk.slice(i - 1, i + 49).mkString(" ")
+      if (!first.add(g) && isDelta(id))
+        cov(id) = cov.getOrElse(id, Set.empty) ++ (i until i + 50)
+    }
+    val got = graft.SparkEntry.queries("q251_exact_substr_incremental")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val delta = docs.filter { case (id, _) => isDelta(id) }
+    assert(got.size == delta.size, "one output row per DELTA doc only")
+    delta.foreach { case (id, tk) =>
+      assert(got(id) == (tk.length.toLong,
+        cov.getOrElse(id, Set.empty).size.toLong), s"doc $id")
+    }
+    // a base doc duplicated by a LATER base doc stays out of the output,
+    // and base sources mark delta positions even at higher numeric ids
+    assert(got.keySet.forall(isDelta))
+  }
 }

@@ -27,16 +27,21 @@ class StreamingWarcIngestSpec extends SparkSpec {
         col("source"))
 
   /** Wave writer: unique file names per wave (the file-stream source
-    * keys on paths — a wave must be NEW files, as real crawls deliver). */
-  private def writeWave(pages: DataFrame, dir: String, tag: String): Unit = {
+    * keys on paths — a wave must be NEW files, as real crawls deliver).
+    * `gzip` delivers the wave in the .warc.gz transport — real crawls
+    * MIX transports, and the stream's per-file magic sniff must too. */
+  private def writeWave(pages: DataFrame, dir: String, tag: String,
+      gzip: Boolean = false): Unit = {
     import spark.implicits._
     pages.select("page_id", "url", "html", "source")
       .as[(Long, String, String, String)].collect()
       .groupBy(_._4).foreach { case (source, rows) =>
+        val sorted = rows.sortBy(_._1).iterator.map(r => (r._1, r._2, r._3))
+        val (bytes, ext) =
+          if (gzip) (WarcIO.renderFileGz(source, sorted), "warc.gz")
+          else (WarcIO.renderFile(source, sorted), "warc")
         Files.write(
-          java.nio.file.Paths.get(dir, s"$tag-$source.warc"),
-          WarcIO.renderFile(source,
-            rows.sortBy(_._1).iterator.map(r => (r._1, r._2, r._3))))
+          java.nio.file.Paths.get(dir, s"$tag-$source.$ext"), bytes)
       }
   }
 
@@ -56,7 +61,8 @@ class StreamingWarcIngestSpec extends SparkSpec {
 
     writeWave(synthesis(0, 100), warcDir, "wave1")
     runWave(warcDir, outRoot, cp)
-    writeWave(synthesis(100, 200), warcDir, "wave2")
+    // wave 2 arrives COMPRESSED (.warc.gz) — mixed transports, one stream
+    writeWave(synthesis(100, 200), warcDir, "wave2", gzip = true)
     runWave(warcDir, outRoot, cp)
 
     def survivors(): Set[Long] =
