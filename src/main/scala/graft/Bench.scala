@@ -56,6 +56,7 @@ object Bench {
       IndexCache.ensureJpegCorpus(spark, sfDir)
       IndexCache.ensureWarcFixture(spark, sfDir)
       IndexCache.ensureWarcGzFixture(spark, sfDir)
+      IndexCache.ensureSubstrIndex(spark, sfDir)
       graft.ml.ModelStore.ensureLogReg(spark, sfDir): Unit
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prebuild failed: ${e.getMessage}")

@@ -106,6 +106,35 @@ object IndexCache {
     (pRoot, vName)
   }
 
+  def substrIndexName(sfDir: String): String = s"graft_substr_${key(sfDir)}"
+
+  /** Ensure the persisted ExactSubstr window-hash index over the BASE
+    * split (NOT is_delta — the q149/q251 md5 convention; the delta docs
+    * play the probe batch, so they must NOT be indexed) exists and is
+    * current; returns the table-name prefix. Same sidecar-stamp
+    * freshness as the vector index. */
+  def ensureSubstrIndex(spark: SparkSession, sfDir: String): String = synchronized {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val name = substrIndexName(sfDir)
+    val stamp = s"${contentStamp(s"$sfDir/documents.parquet")}:substr1"
+    val marker = java.nio.file.Paths.get(
+      s"target/graft_idx/${key(sfDir)}", "_GRAFT_SUBSTR_STAMP")
+    val fresh = java.nio.file.Files.isRegularFile(marker) &&
+      scala.util.Try(
+        java.nio.file.Files.readString(marker).trim == stamp)
+        .getOrElse(false)
+    if (!fresh || !spark.catalog.tableExists(s"${name}_windows")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_windows")
+      dropStaleLocation(spark, s"${name}_windows")
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(!(substring(md5(col("doc_id").cast("string")), 1, 2) <= "19"))
+      graft.dedup.SubstrIndex.build(base, name)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, stamp): Unit
+    }
+    name
+  }
+
   def pqIndexName(sfDir: String): String = s"graft_pq_${key(sfDir)}"
 
   /** Ensure the persisted PQ index (codebook + codes tables) exists and

@@ -508,8 +508,8 @@ object DedupQueries {
   // production mitigation is the q36 hot-bucket rep cap applied to the
   // source side (documented knob, exactness-off), or suffix-array
   // sharding; the fixture corpus needs neither.
-  private val SpanLen = 50
-  private val BlockLen = 25
+  private[dedup] val SpanLen = 50
+  private[dedup] val BlockLen = 25
   private val HashP = 2147483647L // 2^31 - 1
   private val HashR = 1000003L
 
@@ -538,44 +538,15 @@ object DedupQueries {
 
   private def exactSubstrCore(s: SparkSession, d: String,
       incremental: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs0 = t(s, d, "documents")
     val docs = docs0.withColumn("is_delta",
       substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
     // pinned: ONE corpus tokenize pass — the row-form token stream feeds
-    // the window hashing (via h25), BOTH verification sides (dt/st), and
+    // the window hashing (via the h25 pin), BOTH verification sides, and
     // nothing else re-reads documents except the final narrow length join
-    val toks = docs
-      .select(col("doc_id"), col("is_delta"),
-        posexplode(filter(split(col("text"), " "),
-          (w: org.apache.spark.sql.Column) => length(w) > lit(0))))
-      .select(col("doc_id"), col("is_delta"), (col("pos") + 1).as("pos"),
-        col("col").as("tok"))
-      .localCheckpoint(true)
-    // bounded driver state: one max-length scalar sizes the power table
-    // (read off the pin — max token position IS the max doc length;
-    // null on an all-empty corpus, floored to 1)
-    val maxRow = toks.agg(max(col("pos"))).collect()(0)
-    val maxLen = (if (maxRow.isNullAt(0)) 1L
-      else maxRow.getInt(0).toLong) max 1L
-    val rInv = modpow(HashR, HashP - 2, HashP)
-    val powRows = (1L to maxLen).scanLeft((0L, 1L, 1L)) {
-      case ((_, rp, ri), i) => (i, rp * HashR % HashP, ri * rInv % HashP)
-    }.tail
-    import s.implicits._
-    val powers = broadcast(powRows.toDF("pos", "rp", "ri"))
-    val hashed = toks.join(powers, Seq("pos"))
-      .withColumn("hw", pmod(xxhash64(col("tok")), lit(HashP)) * col("rp")
-        % lit(HashP))
-    val wWin = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, BlockLen - 1)
-    val nWin = Window.partitionBy("doc_id")
-    val h25 = hashed
-      .withColumn("g", sum(col("hw")).over(wWin)) // ≤ 25·2³¹ < 2³⁶
-      .withColumn("n", count(lit(1)).over(nWin))
-      .filter(col("pos") <= col("n") - lit(BlockLen - 1))
-      .select(col("doc_id"), col("is_delta"), col("pos"),
-        (pmod(col("g"), lit(HashP)) * col("ri") % lit(HashP)).as("h"))
+    val toks = substrTokens(docs, Seq("is_delta")).localCheckpoint(true)
+    val powers = substrPowers(s, substrMaxLen(toks))
+    val h25 = substrWindowHashes(toks, powers, Seq("is_delta"))
       .localCheckpoint(true) // feeds BOTH join sides — one hashing pass
     // q249: "earlier" = (doc_id, pos) lexicographic. q251 (incremental):
     // ALL of base precedes all of delta — a base source wins regardless
@@ -594,24 +565,8 @@ object DedupQueries {
       .select(col("doc_id"), col("src_id"),
         (col("dpos") - col("spos")).as("delta"))
       .distinct()
-    // exact verification: token streams joined at offset δ, equal runs
-    val dt = cand.join(toks.drop("is_delta"), Seq("doc_id"))
-      .withColumn("mpos", col("pos") - col("delta"))
-    val st = toks.select(col("doc_id").as("src_id"),
-      col("pos").as("mpos"), col("tok").as("stok"))
-    val eq = dt.join(st, Seq("src_id", "mpos"))
-      .filter(col("tok") === col("stok"))
-    val runWin = Window.partitionBy("doc_id", "src_id", "delta")
-      .orderBy("pos")
-    val runs = eq
-      .withColumn("isl", col("pos") - row_number().over(runWin))
-      .groupBy("doc_id", "src_id", "delta", "isl")
-      .agg(min("pos").as("lo"), max("pos").as("hi"))
-      .filter(col("hi") - col("lo") >= lit(SpanLen - 1))
-    val cov = runs
-      .select(col("doc_id"), explode(sequence(col("lo"), col("hi"))).as("pos"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("nd"))
+    val plain = toks.drop("is_delta")
+    val cov = substrCoverage(cand, plain, plain)
     docs.filter(if (incremental) col("is_delta") else lit(true))
       .select(col("doc_id"),
         size(filter(split(col("text"), " "),
@@ -622,6 +577,119 @@ object DedupQueries {
         coalesce(col("nd"), lit(0L)).as("n_dup_tokens"),
         (col("n_tokens") - coalesce(col("nd"), lit(0L))).as("n_kept_tokens"))
   }
+
+  // ── factored ExactSubstr kernels (shared with SubstrIndex, r12) ──────
+
+  /** Row-form token stream (doc_id, [passthrough...,] pos, tok) of a
+    * (doc_id, text, ...) frame — 1-based positions, empty tokens dropped
+    * (the family's tokenization contract). */
+  private[dedup] def substrTokens(docs: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame =
+    docs
+      .select((col("doc_id") +: passthrough.map(col)) :+
+        posexplode(filter(split(col("text"), " "),
+          (w: org.apache.spark.sql.Column) => length(w) > lit(0))): _*)
+      .select((col("doc_id") +: passthrough.map(col)) ++
+        Seq((col("pos") + 1).as("pos"), col("col").as("tok")): _*)
+
+  /** Bounded driver state: max token position (= max doc length) off a
+    * token frame; 1 on an all-empty corpus. */
+  private[dedup] def substrMaxLen(toks: DataFrame): Long = {
+    val r = toks.agg(max(col("pos"))).collect()(0)
+    (if (r.isNullAt(0)) 1L else r.getInt(0).toLong) max 1L
+  }
+
+  /** Broadcast power table (pos, r^pos mod p, r^-pos mod p) sized to
+    * `maxLen` — the rolling hash's position weights. */
+  private[dedup] def substrPowers(s: SparkSession, maxLen: Long): DataFrame = {
+    val rInv = modpow(HashR, HashP - 2, HashP)
+    val rows = (1L to maxLen).scanLeft((0L, 1L, 1L)) {
+      case ((_, rp, ri), i) => (i, rp * HashR % HashP, ri * rInv % HashP)
+    }.tail
+    import s.implicits._
+    broadcast(rows.toDF("pos", "rp", "ri"))
+  }
+
+  /** 25-token window hash at EVERY position of every doc, in ONE
+    * windowed pass: (doc_id, [passthrough...,] pos, h). The hash is a
+    * pure function of window CONTENT (position weights cancel via the
+    * r^-pos factor), so hashes computed in different jobs/builds — e.g.
+    * a persisted index vs a fresh probe — are comparable by value. */
+  private[dedup] def substrWindowHashes(toks: DataFrame, powers: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, BlockLen - 1)
+    val nWin = Window.partitionBy("doc_id")
+    toks.join(powers, Seq("pos"))
+      .withColumn("hw", pmod(xxhash64(col("tok")), lit(HashP)) * col("rp")
+        % lit(HashP))
+      .withColumn("g", sum(col("hw")).over(wWin)) // ≤ 25·2³¹ < 2³⁶
+      .withColumn("n", count(lit(1)).over(nWin))
+      .filter(col("pos") <= col("n") - lit(BlockLen - 1))
+      .select((col("doc_id") +: passthrough.map(col)) ++
+        Seq(col("pos"),
+          (pmod(col("g"), lit(HashP)) * col("ri") % lit(HashP)).as("h")): _*)
+  }
+
+  /** EXACT verification + coverage: candidate alignments (doc_id,
+    * src_id, delta) against the two token streams → (doc_id, nd) covered
+    * position counts. Gaps-and-islands equal runs, runs ≥ [[SpanLen]]
+    * cover their positions; windows partition by (doc, src, δ) — many
+    * small groups, never single-partition. */
+  private[dedup] def substrCoverage(cand: DataFrame, dToks: DataFrame,
+      sToks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = cand.join(dToks, Seq("doc_id"))
+      .withColumn("mpos", col("pos") - col("delta"))
+    val st = sToks.select(col("doc_id").as("src_id"),
+      col("pos").as("mpos"), col("tok").as("stok"))
+    val eq = dt.join(st, Seq("src_id", "mpos"))
+      .filter(col("tok") === col("stok"))
+    val runWin = Window.partitionBy("doc_id", "src_id", "delta")
+      .orderBy("pos")
+    eq.withColumn("isl", col("pos") - row_number().over(runWin))
+      .groupBy("doc_id", "src_id", "delta", "isl")
+      .agg(min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("hi") - col("lo") >= lit(SpanLen - 1))
+      .select(col("doc_id"), explode(sequence(col("lo"), col("hi"))).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("nd"))
+  }
+
+  /** Shared oracle for q251 (inline incremental) and q252 (the same
+    * semantics served from the persisted window-hash index): brute
+    * all-50-grams with base-first ordering, delta rows only. */
+  private val exactSubstrIncrOracle: String = """
+      WITH tkt AS (
+        SELECT doc_id,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19' AS is_delta,
+          list_filter(string_split(text, ' '), w -> len(w) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, is_delta, s.pos AS pos, s.gram AS gram FROM (
+          SELECT doc_id, is_delta,
+            unnest(list_transform(range(1, len(tk) - 48),
+              i -> struct_pack(pos := i,
+                gram := array_to_string(tk[i:i+49], ' ')))) AS s
+          FROM tkt WHERE len(tk) >= 50)),
+      f AS (
+        SELECT doc_id, is_delta, pos,
+          row_number() OVER (PARTITION BY gram
+            ORDER BY is_delta ASC, doc_id, pos) AS rn
+        FROM g),
+      cov AS (
+        SELECT DISTINCT doc_id, upos FROM (
+          SELECT doc_id, unnest(range(pos, pos + 50)) AS upos
+          FROM f WHERE rn > 1 AND is_delta)),
+      cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+             FROM cov GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        COALESCE(cv.nd, 0) AS n_dup_tokens,
+        CAST(len(t.tk) AS BIGINT) - COALESCE(cv.nd, 0) AS n_kept_tokens
+      FROM tkt t LEFT JOIN cv USING (doc_id)
+      WHERE t.is_delta"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -656,37 +724,31 @@ object DedupQueries {
 
     // ── ExactSubstr, INCREMENTAL form (the q149 discipline) ────────────
     QueryDef("q251_exact_substr_incremental",
-      (s, d) => exactSubstrIncremental(s, d), Some("""
-      WITH tkt AS (
-        SELECT doc_id,
-          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19' AS is_delta,
-          list_filter(string_split(text, ' '), w -> len(w) > 0) AS tk
-        FROM documents),
-      g AS (
-        SELECT doc_id, is_delta, s.pos AS pos, s.gram AS gram FROM (
-          SELECT doc_id, is_delta,
-            unnest(list_transform(range(1, len(tk) - 48),
-              i -> struct_pack(pos := i,
-                gram := array_to_string(tk[i:i+49], ' ')))) AS s
-          FROM tkt WHERE len(tk) >= 50)),
-      f AS (
-        SELECT doc_id, is_delta, pos,
-          row_number() OVER (PARTITION BY gram
-            ORDER BY is_delta ASC, doc_id, pos) AS rn
-        FROM g),
-      cov AS (
-        SELECT DISTINCT doc_id, upos FROM (
-          SELECT doc_id, unnest(range(pos, pos + 50)) AS upos
-          FROM f WHERE rn > 1 AND is_delta)),
-      cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
-             FROM cov GROUP BY 1)
-      SELECT t.doc_id,
-        CAST(len(t.tk) AS BIGINT) AS n_tokens,
-        COALESCE(cv.nd, 0) AS n_dup_tokens,
-        CAST(len(t.tk) AS BIGINT) - COALESCE(cv.nd, 0) AS n_kept_tokens
-      FROM tkt t LEFT JOIN cv USING (doc_id)
-      WHERE t.is_delta"""),
+      (s, d) => exactSubstrIncremental(s, d), Some(exactSubstrIncrOracle),
       notes = "incremental ExactSubstr (the q149 md5 delta split): per NEW doc, positions inside a >=50-token span present in the STANDING corpus (all of base precedes all of delta) or an earlier delta doc; candidate + verification sides are delta-sized, the source side is the corpus read that a persisted window-hash index would replace at scale"),
+
+    // ── ExactSubstr, SCALE PATH (persisted window-hash index) ──────────
+    // q251 served from the STANDING structure — the anchor→scale-twin
+    // rule (q141→q149→q202, q40→q105) applied to the newest family:
+    // q251 re-hashes the whole standing corpus's windows every batch;
+    // here the base windows are READ from `<name>_windows`, the bucketed
+    // table [[SubstrIndex.build]] persisted (h-keyed, so the candidate
+    // join shuffles only the delta side), and only DELTA windows hash
+    // fresh. Verification still reads source tokens — exact, collision-
+    // immune. Same semantics as q251 BY CONSTRUCTION (the window hash is
+    // content-pure, so stored and fresh hashes are comparable by value),
+    // so the SAME oracle hash-gates the stored layout; SubstrIndexSpec
+    // additionally pins q252 == q251 row-for-row and append+probe ==
+    // rebuild+probe.
+    QueryDef("q252_exact_substr_indexed", (s, d) => {
+      val name = graft.IndexCache.ensureSubstrIndex(s, d)
+      val docs = t(s, d, "documents").withColumn("is_delta",
+        substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
+      SubstrIndex.probe(s, name,
+        docs.filter(col("is_delta")).drop("is_delta"),
+        docs.filter(!col("is_delta")).drop("is_delta"))
+    }, Some(exactSubstrIncrOracle),
+      notes = "incremental ExactSubstr served from the persisted window-hash index (bucketed by h; only delta windows hash fresh, base windows are a bucketed scan, verification reads source tokens exactly); content-pure hashing makes stored==fresh by value, so q251's oracle hash-gates the stored layout verbatim"),
 
     // ── Exact dedup: hash-groupBy fingerprint clusters ─────────────────
     QueryDef("q35_dedup_exact", (s, d) => {

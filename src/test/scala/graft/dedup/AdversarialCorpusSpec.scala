@@ -80,6 +80,9 @@ class AdversarialCorpusSpec extends SparkSpec {
     // pathological doc, and the exact-dup pair (docs 6/7, <50 tokens —
     // correctly NOT span-deduped)
     "q247_byte_bpe_train", "q248_byte_bpe_encode", "q249_exact_substr",
+    // the incremental + indexed forms share q249's core; the md5 delta
+    // split and the per-dir index build must survive the 9-doc corpus
+    "q251_exact_substr_incremental", "q252_exact_substr_indexed",
     // IR eval degrades to all-zero metrics when no doc matches a query
     // term; bootstrap handles tiny corpora (replica weights can zero out)
     "q184_retrieval_eval", "q185_bootstrap_ci",
