@@ -39,15 +39,23 @@ object BenchAdj {
   /** Short id ("q107b") of a full catalog name ("q107b_lsh_canonical_md5"). */
   def shortId(name: String): String = name.takeWhile(_ != '_')
 
-  /** Parse the committed reference artifact's per-query map. The format
-    * is Bench's own full-map line, so a targeted scan is exact: q-shaped
-    * keys with numeric values ("metric"/"value"/"sf"/"failed" can't
-    * match). Returns the map plus the artifact's "sf" field (re-time
+  /** Parse the committed reference artifact's per-query map. The scan is
+    * SCOPED TO THE `"queries":{...}` OBJECT — the full-map artifact also
+    * carries a `ts` object with the SAME q-shaped keys holding start
+    * OFFSETS (r12: an unscoped scan let ts entries overwrite durations,
+    * turning the re-time baseline into nonsense; BenchAdjSpec pins the
+    * scoping). Returns the map plus the artifact's "sf" field (re-time
     * comparisons are only valid at the SAME scale factor). */
   def parseRefMap(json: String): (Map[String, Double], Option[String]) = {
     val qv = "\"(q\\d+[a-z]*)\":([0-9]+(?:\\.[0-9]+)?)".r
     val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
-    (qv.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toDouble)
+    val start = json.indexOf("\"queries\":{")
+    val scoped = if (start < 0) "" else {
+      val open = start + "\"queries\":".length
+      val close = json.indexOf('}', open) // durations hold no nested objects
+      if (close < 0) "" else json.substring(open, close + 1)
+    }
+    (qv.findAllMatchIn(scoped).map(m => m.group(1) -> m.group(2).toDouble)
       .toMap, sf)
   }
 

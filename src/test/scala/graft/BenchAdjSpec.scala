@@ -11,15 +11,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchAdjSpec extends AnyFunSuite {
 
   test("parseRefMap extracts q-keyed values and the sf field, nothing else") {
+    // the full-map artifact ALSO carries ts (same q keys, start OFFSETS),
+    // ambient and retimed — none may leak into the duration map
     val json = """{"metric":"total","value":280.867,"unit":"sec",""" +
       """"queries":{"q01":1.4,"q107b":5.5,"q36b":4.7,"q242":2.5},""" +
+      """"ctrl":"q07","ambient":[[0,0.4],[163,2]],""" +
+      """"retimed":{"q180":[7.9,3.5]},"retimed_total":391.332,""" +
+      """"ts":{"q01":0.3,"q107b":99.4,"q36b":350.1,"q242":401.9},""" +
       """"failed":["q99"],"sf":"0.1"}"""
     val (m, sf) = BenchAdj.parseRefMap(json)
     assert(m === Map("q01" -> 1.4, "q107b" -> 5.5, "q36b" -> 4.7,
       "q242" -> 2.5))
     assert(sf === Some("0.1"))
-    // "value":280.867 and the failed-array entry must not leak in
-    assert(!m.contains("value") && !m.contains("q99"))
+    // "value":280.867, the failed-array entry, the retimed pair and the
+    // ts OFFSETS must not leak in (ts would silently poison re-timing)
+    assert(!m.contains("value") && !m.contains("q99") && !m.contains("q180"))
+    assert(m("q242") === 2.5, "ts offset must not overwrite the duration")
+  }
+
+  test("parseRefMap on the r12 closing artifact shape: durations, not offsets") {
+    val src = scala.io.Source.fromFile("BENCH_r12_builder.json", "UTF-8")
+    val json = try src.mkString finally src.close()
+    val (m, _) = BenchAdj.parseRefMap(json)
+    // q01 ran early: its ts offset is small but its DURATION is what the
+    // map must hold; the artifact's own ts entry for a late query is far
+    // larger than any plausible duration — assert no value looks like an
+    // end-of-run offset
+    assert(m.values.forall(_ < 200), "an offset leaked into the ref map")
+    assert(m.size >= 260)
   }
 
   test("parseRefMap on the COMMITTED bench_ref.json: full catalog, sf0.1") {
