@@ -174,19 +174,29 @@ object TextQueries {
     * shared by the BPE and WordPiece oracles, which differ only in how
     * `top{r}` SELECTS the merge pair. */
   private def bpeOracleMergeSql(r: Int): String =
-    s"""a$r AS (SELECT doc, pos, tok, nxt, ism,
+    bpeApplyMergeSql(s"p$r", s"top$r", s"a$r", s"c$r")
+
+  /** Name-parameterized parity-rule application (r13): apply the merge
+    * pair held in CTE `top` to the lead-annotated row-form corpus `p`,
+    * emitting intermediate CTE `a` and result CTE `c` — exactly
+    * [[bpeOracleMergeSql]]'s body, factored so q253 can replay the
+    * TRAINED merges (top1-top3 over `documents`) against a DIFFERENT
+    * corpus (the curated crawl words) in the same statement. */
+  private def bpeApplyMergeSql(p: String, top: String,
+      a: String, c: String): String =
+    s"""$a AS (SELECT doc, pos, tok, nxt, ism,
        |    ism AND (pos - coalesce(max(CASE WHEN NOT ism THEN pos END)
        |      OVER (PARTITION BY doc ORDER BY pos
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0))
        |      % 2 = 1 AS applied
-       |  FROM (SELECT *, (nxt IS NOT NULL AND tok = (SELECT a FROM top$r)
-       |                   AND nxt = (SELECT b FROM top$r)) AS ism FROM p$r)),
-       |c$r AS (SELECT doc,
+       |  FROM (SELECT *, (nxt IS NOT NULL AND tok = (SELECT a FROM $top)
+       |                   AND nxt = (SELECT b FROM $top)) AS ism FROM $p)),
+       |$c AS (SELECT doc,
        |    row_number() OVER (PARTITION BY doc ORDER BY pos) AS pos,
        |    CASE WHEN applied THEN tok || nxt ELSE tok END AS tok
        |  FROM (SELECT *, coalesce(lag(applied)
        |          OVER (PARTITION BY doc ORDER BY pos), false) AS consumed
-       |        FROM a$r)
+       |        FROM $a)
        |  WHERE NOT consumed)""".stripMargin
 
   private def bpeOracleRoundSql(r: Int): String = {
@@ -383,6 +393,99 @@ object TextQueries {
     merges.toSeq
   }
 
+  /** The composed end-to-end pretraining-data pipeline (q253) — raw
+    * `.warc.gz` bytes to packed-training-block accounting in ONE call,
+    * every stage an individually-gated catalog operator:
+    *
+    *   .warc.gz (q245 transport) → WARC record parse (q235) →
+    *   WebCurate (q224: URL dedup ∘ domain cap ∘ extract ∘ CorpusCurate)
+    *   → NFC (q246) → byte-BPE encode of the CURATED words under the
+    *   merges TRAINED on `documents` (q247 training, q248 encode shape —
+    *   train-once/serve-anywhere, no OOV by byte fallback) → 512-token
+    *   block packing (q94 arithmetic) → one manifest row.
+    *
+    * Composition is where accounting bugs hide: the manifest carries
+    * the 13 WebCurate counts AND the encode/pack totals, and the oracle
+    * ([[q253OracleSql]]) replays the entire chain relationally, so a
+    * drift in ANY stage (a dropped WARC member, a mis-partitioned
+    * curation count, a wrong merge application, an off-by-one block
+    * cut) moves a column and the hash gate goes red.
+    *
+    * Scale shapes, stage by stage (each inherited from its gated
+    * original): file-parallel decompress+parse with no byte shuffle;
+    * WebCurate's two-scan manifest + WindowGroupLimit windows; one
+    * narrow codegen'd NFC map; vocab-sized merge application joined
+    * back by word; the q89/q94 two-pass global offsets (never a
+    * single-partition window); block-keyed hash agg. The curated frame
+    * and the per-doc encode frame are pinned (`localCheckpoint`) —
+    * three consumers each, lineage replays cut exactly where a real
+    * pipeline would stage through zone writes. Factored out of the
+    * QueryDef so PretrainE2eSpec can drive the identities directly. */
+  private[text] def pretrainE2e(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = graft.IndexCache.ensureWarcGzFixture(s, d)
+    val (curated0, m) =
+      graft.pipeline.WebCurate.run(graft.io.WarcIO.readPagesGz(s, dir))
+    val c = m.curated
+    // NFC before tokenization (q246's stage in composition; identity on
+    // this ASCII fixture — q246 gates the non-trivial branches — but the
+    // stage must sit in the chain so a real corpus hits it).
+    val curated = curated0
+      .select(col("doc_id"), TextClean.nfc(col("text")).as("text"))
+      .localCheckpoint(true)
+    val merges = trainByteBpeMerges(s, d, 3) // q247: trained on documents
+    val dw = curated.select(col("doc_id"),
+      explode(filter(split(col("text"), " "),
+        (w: org.apache.spark.sql.Column) => length(w) > lit(0))).as("word"))
+    // apply-only encode: the trained merges against the CURATED vocab
+    // (vocab-sized work; byte fallback means no OOV by construction)
+    var enc = dw.select("word").distinct()
+      .select(col("word"), expr(byteSymsExpr).as("tk"))
+    merges.foreach { case (_, pair, _) =>
+      val i = pair.indexOf(' ')
+      enc = enc.withColumn("tk",
+        expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+    }
+    val wenc = enc.select(col("word"),
+      expr("octet_length(word)").cast("long").as("n_b"),
+      size(col("tk")).cast("long").as("n_syms"))
+    val perdoc = dw.join(wenc, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n_b").as("n_bytes"), sum("n_syms").as("n_bpe"))
+      .localCheckpoint(true)
+    val B = 512L
+    val blocks = graft.operators.GlobalOrder
+      .withRunningTotals(
+        perdoc.select(col("doc_id"), col("n_bpe").as("n_tokens")),
+        Seq(col("doc_id")), col("n_tokens"))
+      .withColumn("block_id",
+        explode(sequence(expr(s"tstart div $B"), expr(s"(tend - 1) div $B"))))
+      .groupBy("block_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("tend"), (col("block_id") + 1) * B) -
+          greatest(col("tstart"), col("block_id") * B)).as("block_tokens"))
+    val e = perdoc.agg(
+      coalesce(sum("n_bytes"), lit(0L)).as("nb"),
+      coalesce(sum("n_bpe"), lit(0L)).as("nt")).collect()(0)
+    val p = blocks.agg(
+      count(lit(1)).as("nblk"),
+      coalesce(sum("block_tokens"), lit(0L)).as("pt"),
+      coalesce(max("block_id"), lit(-1L)).as("mb"),
+      coalesce(sum("n_docs"), lit(0L)).as("bd")).collect()(0)
+    import s.implicits._
+    Seq((m.pages, m.urlDupDropped, m.domainCapDropped, m.emptyExtractDropped,
+      c.inputDocs, c.qualityDropped, c.exactDupDropped, c.nearDupDropped,
+      c.containmentDropped, c.semanticDropped, c.keptDocs, c.keptTokens,
+      c.shards, e.getLong(0), e.getLong(1), e.getLong(0) - e.getLong(1),
+      p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)))
+      .toDF("pages", "url_dup_dropped", "domain_cap_dropped",
+        "empty_extract_dropped", "input_docs", "quality_dropped",
+        "exact_dup_dropped", "near_dup_dropped", "containment_dropped",
+        "semantic_dropped", "kept_docs", "kept_tokens", "shards",
+        "n_bytes", "n_bpe_tokens", "n_merges_applied",
+        "n_blocks", "packed_tokens", "max_block_id", "block_docs_sum")
+  }
+
   /** Byte-level row-form corpus for the oracle: DISTINCT words (the
     * GPT-2 word-frequency-table form), each as positioned byte symbols;
     * `bwc` carries the weights the selection sums. A def — interpolated
@@ -443,6 +546,87 @@ object TextQueries {
        |  CAST(SUM(strlen(d.word) - e.n_syms) AS BIGINT) AS n_merges_applied
        |FROM dw d JOIN wenc e ON e.word = d.word
        |GROUP BY 1""".stripMargin
+
+  /** One encode-side merge round for q253: lead-annotate the encode
+    * corpus (`e0` = curated-crawl distinct words as byte symbols) and
+    * apply the round-`r` TRAINED pair (`top$r`, selected over
+    * `documents`) — apply-only, no selection: serving a frozen
+    * tokenizer against new text. */
+  private def byteBpeEncodeRoundSql(r: Int): String = {
+    val prev = if (r == 1) "e0" else s"ec${r - 1}"
+    s"""ep$r AS (SELECT doc, pos, tok,
+       |  lead(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt FROM $prev),
+       |${bpeApplyMergeSql(s"ep$r", s"top$r", s"ea$r", s"ec$r")}""".stripMargin
+  }
+
+  /** q253's full-composition replay: the q224 WebCurate CTE chain
+    * (crawl → kept docs `sh`) ∘ NFC ∘ the q247 training replay over
+    * `documents` (bwc/t0 → top1-top3) ∘ apply-only encode of the
+    * CURATED words under those trained merges ∘ the q94 packing
+    * arithmetic over the encoded per-doc token counts. One statement,
+    * one row — any accounting drift in any stage moves a column. */
+  private[text] val q253OracleSql: String =
+    s"""WITH $webCurateCtes,
+       |$byteBpeT0,
+       |${byteBpeRoundSql(1)},
+       |${byteBpeRoundSql(2)},
+       |${byteBpeRoundSql(3)},
+       |cdw AS (
+       |  SELECT page_id, unnest(list_filter(
+       |    string_split(nfc_normalize(ctext), ' '), w -> len(w) > 0)) AS word
+       |  FROM sh),
+       |cwd AS (SELECT DISTINCT word FROM cdw),
+       |e0 AS (
+       |  SELECT word AS doc,
+       |    unnest(range(1, strlen(word) + 1)) AS pos,
+       |    unnest(list_transform(range(1, strlen(word) + 1),
+       |      i -> substring(hex(word), (2 * i - 1)::int, 2))) AS tok
+       |  FROM cwd),
+       |${byteBpeEncodeRoundSql(1)},
+       |${byteBpeEncodeRoundSql(2)},
+       |${byteBpeEncodeRoundSql(3)},
+       |we AS (SELECT doc AS word, CAST(count(*) AS BIGINT) AS n_syms
+       |       FROM ec3 GROUP BY 1),
+       |pd AS (
+       |  SELECT c.page_id,
+       |    CAST(SUM(strlen(c.word)) AS BIGINT) AS n_b,
+       |    CAST(SUM(w.n_syms) AS BIGINT) AS n_bpe
+       |  FROM cdw c JOIN we w ON w.word = c.word
+       |  GROUP BY 1),
+       |ordc AS (
+       |  SELECT page_id, n_bpe,
+       |    CAST(SUM(n_bpe) OVER (ORDER BY page_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS tend
+       |  FROM pd),
+       |blx AS (
+       |  SELECT page_id, tend, tend - n_bpe AS tstart,
+       |    unnest(generate_series((tend - n_bpe) // 512, (tend - 1) // 512))
+       |      AS block_id
+       |  FROM ordc),
+       |blocks AS (
+       |  SELECT block_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(LEAST(tend, (block_id + 1) * 512) -
+       |             GREATEST(tstart, block_id * 512)) AS BIGINT) AS btok
+       |  FROM blx GROUP BY 1),
+       |pk AS (
+       |  SELECT
+       |    (SELECT COALESCE(SUM(n_b), 0) FROM pd) AS n_bytes,
+       |    (SELECT COALESCE(SUM(n_bpe), 0) FROM pd) AS n_bpe_tokens,
+       |    (SELECT COUNT(*) FROM blocks) AS n_blocks,
+       |    (SELECT COALESCE(SUM(btok), 0) FROM blocks) AS packed_tokens,
+       |    (SELECT COALESCE(MAX(block_id), -1) FROM blocks) AS max_block_id,
+       |    (SELECT COALESCE(SUM(n_docs), 0) FROM blocks) AS block_docs_sum),
+       |$webCurateNCte
+       |SELECT $webCurateManifestCols,
+       |  CAST(n_bytes AS BIGINT) AS n_bytes,
+       |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       |  CAST(n_bytes - n_bpe_tokens AS BIGINT) AS n_merges_applied,
+       |  CAST(n_blocks AS BIGINT) AS n_blocks,
+       |  CAST(packed_tokens AS BIGINT) AS packed_tokens,
+       |  CAST(max_block_id AS BIGINT) AS max_block_id,
+       |  CAST(block_docs_sum AS BIGINT) AS block_docs_sum
+       |FROM n CROSS JOIN pk""".stripMargin
 
   /** q237's per-doc Kneser-Ney scoring frame (doc_id, n_bigrams,
     * kn_score) — factored so q242 can gate on the same model without
@@ -659,8 +843,11 @@ object TextQueries {
   // q224/q235 share ONE oracle: the manifest is a pure function
   // of the page synthesis, and q235 feeds WebCurate the SAME pages
   // routed through the WARC container — identical numbers by design.
-  private[text] val webCurateManifestOracle: String = """
-      WITH pages AS (
+  // Factored (r13) into the CTE chain + manifest tail so q253 can extend
+  // the SAME replay past curation into encode + packing: `webCurateCtes`
+  // ends at `sh` (kept docs w/ ctext + shard_id), `webCurateNCte` is the
+  // count snapshot, `webCurateManifestCols` the 13 manifest columns.
+  private def webCurateCtes: String = """pages AS (
         SELECT doc_id AS page_id, source, CAST(doc_id % 40 AS INT) AS cls,
           trim(text) || ' Tom & Jerry <3 >> "ok"' AS ctext
         FROM documents),
@@ -716,8 +903,9 @@ object TextQueries {
         SELECT *, CAST((SUM(n_tokens) OVER (
           PARTITION BY source ORDER BY page_id ROWS UNBOUNDED PRECEDING)
           - 1) // 2048 AS BIGINT) AS shard_id
-        FROM tok),
-      n AS (
+        FROM tok)"""
+
+  private def webCurateNCte: String = """n AS (
         SELECT
           (SELECT COUNT(*) FROM pages) AS pages,
           (SELECT COUNT(*) FROM k1) AS n1,
@@ -727,8 +915,9 @@ object TextQueries {
           (SELECT COUNT(*) FROM exact) AS n5,
           (SELECT COUNT(*) FROM near) AS n6,
           (SELECT COALESCE(SUM(n_tokens), 0) FROM sh) AS kt,
-          (SELECT COUNT(DISTINCT (source, shard_id)) FROM sh) AS shards)
-      SELECT
+          (SELECT COUNT(DISTINCT (source, shard_id)) FROM sh) AS shards)"""
+
+  private def webCurateManifestCols: String = """
         CAST(pages AS BIGINT) AS pages,
         CAST(pages - n1 AS BIGINT) AS url_dup_dropped,
         CAST(n1 - n2 AS BIGINT) AS domain_cap_dropped,
@@ -741,8 +930,13 @@ object TextQueries {
         CAST(0 AS BIGINT) AS semantic_dropped,
         CAST(n6 AS BIGINT) AS kept_docs,
         CAST(kt AS BIGINT) AS kept_tokens,
-        CAST(shards AS BIGINT) AS shards
-      FROM n"""
+        CAST(shards AS BIGINT) AS shards"""
+
+  private[text] val webCurateManifestOracle: String =
+    s"""WITH $webCurateCtes,
+       |$webCurateNCte
+       |SELECT $webCurateManifestCols
+       |FROM n""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1871,6 +2065,18 @@ object TextQueries {
           sum(col("n_b") - col("n_syms")).as("n_merges_applied"))
     }, Some(q248OracleSql),
       notes = "byte-level BPE encode: the 3 trained merges applied to the distinct-word symbol table (vocab-sized), doc stream joined back by word; per-doc bytes/tokens/merges hash-gated against the full relational training+encode replay"),
+
+    // ── FLAGSHIP: the composed end-to-end pretraining pipeline ─────────
+    // The query a real 100 TB pretraining user actually runs: raw
+    // .warc.gz bytes through curation, normalization, tokenization and
+    // packing to shard-ready accounting — see [[pretrainE2e]] for the
+    // stage chain and scale shapes, [[q253OracleSql]] for the
+    // full-composition relational replay. Every stage is an
+    // individually-gated operator (q245/q235/q224/q246/q247/q248/q94);
+    // THIS row gates their composition, where accounting bugs hide.
+    QueryDef("q253_pretrain_e2e", (s, d) => pretrainE2e(s, d),
+      Some(q253OracleSql),
+      notes = "flagship composed pretraining pipeline: .warc.gz -> WARC parse -> WebCurate -> NFC -> byte-BPE encode under the q247-trained merges -> 512-token block packing -> one 20-column manifest row; oracle replays the ENTIRE composition (curation counts + trained-merge encode of the curated vocab + packing arithmetic) in one statement"),
 
     // ── C4-style global line dedup (keep-first, reassemble) ────────────
     // The famous C4 cleaning rule no document-level dedup subsumes:
