@@ -4826,6 +4826,65 @@ object TextQueries {
       FROM r"""),
       notes = "CCNet-style head/middle/tail perplexity bucketing over q237's Kneser-Ney scores: exact equal-depth tertiles via GlobalOrder ranks (no single-partition window) + integer bucket arithmetic shared with the oracle; keep = head+middle — the distribution-relative LM quality gate"),
 
+    // ── CCNet gate, PRODUCTION form: approximate sample-trained cuts ───
+    // q242 is the exact anchor: equal-depth tertiles via a distributed
+    // global rank — correct, but the rank stage is the one shape that
+    // has no cheap form (the measured weak-by-letter row). What CCNet
+    // actually ships buckets on CUT VALUES trained once on a bounded
+    // SAMPLE, then gates the corpus with a narrow broadcast compare —
+    // no global rank, no corpus exchange beyond the scoring itself.
+    // Cuts here are ORDER STATISTICS of a deterministic ~1/7 sample
+    // (doc_id % 7 — id-keyed, content-independent): the ceil(n/3)-th
+    // and ceil(2n/3)-th smallest sampled scores. Order statistics, not
+    // interpolated percentiles, because interpolation arithmetic is
+    // engine-specific while "the k-th value" is engine-exact; the
+    // (kn_score, doc_id) sort key is total so the cut is deterministic.
+    // The oracle REPLAYS the cut training relationally (the q42b
+    // discipline: the trained artifact re-derives inside the oracle)
+    // and gates with the same compares. Bucket depths are only
+    // approximately equal — that is the production trade, and exactly
+    // why q242 stays as the anchor. Scale shapes: one KN scoring pass
+    // (pinned), one sample-sized rank (the window runs over the BOUNDED
+    // training sample — at 100 TB the sample is capped by construction,
+    // this is not a corpus-sized single partition), cut values ship as
+    // plan literals, final projection is narrow.
+    QueryDef("q242b_kn_gate_approx_cuts", (s, d) => {
+      val scored = knScoredDocs(s, d).localCheckpoint(true)
+      val samp = scored.filter(col("doc_id") % 7 === 0)
+        .select(col("kn_score"), col("doc_id"))
+      val n = samp.count()
+      require(n > 0, "cut-training sample is empty")
+      val k1 = (n + 2) / 3
+      val k2 = (2 * n + 2) / 3
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("kn_score").asc, col("doc_id").asc)
+      val cutVals = samp.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k1 || col("rn") === k2)
+        .orderBy("rn").select("kn_score").collect().map(_.getDouble(0))
+      val lo = cutVals(0)
+      val hi = cutVals(cutVals.length - 1)
+      scored.select(col("doc_id"), col("n_bigrams"), col("kn_score"),
+        when(col("kn_score") > hi, "head")
+          .when(col("kn_score") > lo, "middle").otherwise("tail")
+          .as("bucket"),
+        (col("kn_score") > lo).cast("long").as("keep"))
+    }, Some(s"""
+      WITH $knOracleCore,
+      sn AS (SELECT COUNT(*) AS n FROM scored WHERE doc_id % 7 = 0),
+      samp AS (
+        SELECT kn_score,
+          row_number() OVER (ORDER BY kn_score ASC, doc_id ASC) AS rn
+        FROM scored WHERE doc_id % 7 = 0),
+      cuts AS (SELECT
+        (SELECT kn_score FROM samp, sn WHERE rn = (n + 2) // 3) AS lo,
+        (SELECT kn_score FROM samp, sn WHERE rn = (2 * n + 2) // 3) AS hi)
+      SELECT doc_id, n_bigrams, kn_score,
+        CASE WHEN kn_score > hi THEN 'head'
+          WHEN kn_score > lo THEN 'middle' ELSE 'tail' END AS bucket,
+        CAST(CASE WHEN kn_score > lo THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM scored CROSS JOIN cuts"""),
+      notes = "CCNet gate in its production shape: head/middle/tail cut VALUES trained as order statistics of a deterministic 1/7 sample (no corpus-wide rank; the only window runs over the bounded training sample), corpus gated by a narrow broadcast compare; the oracle replays the cut training relationally (q42b discipline) — q242 remains the exact equal-depth anchor"),
+
     // ── Image-text pair curation (CLIP-style multimodal manifest) ──────
     // The multimodal JOIN every contrastive vision-language pipeline
     // runs before training: pair each image with its caption text, gate
