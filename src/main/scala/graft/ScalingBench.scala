@@ -14,7 +14,12 @@ object ScalingBench {
 
   private val DefaultQueries = Seq(
     "q12_revenue_by_nation", "q49_asof_join", "q61_range_frame", "q63_gold_kpis")
-  private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+  // Dev-only: SPARK_GRAFT_SF_DIRS overrides the measured corpora with a
+  // comma list of ABSOLUTE table dirs (e.g. the constructed x10 worst-case
+  // corpus at target/scale_x10) — the driver never sets it.
+  private val Sfs = sys.env.get("SPARK_GRAFT_SF_DIRS")
+    .map(_.split(',').toSeq.filter(_.nonEmpty))
+    .getOrElse(Seq("sf0.001", "sf0.01", "sf0.1"))
 
   private def timed(body: => Unit): Double = {
     val t0 = System.nanoTime()
@@ -37,7 +42,8 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String, sf: String): Unit =
-      SparkEntry.queries(name)(spark, s"/root/testdata/$sf")
+      SparkEntry.queries(name)(spark,
+        if (sf.startsWith("/")) sf else s"/root/testdata/$sf")
         .write.mode("overwrite").format("noop").save()
     // codegen + JIT warm-up: every (query, sf) shape once
     for (n <- names; sf <- Sfs) run(n, sf)

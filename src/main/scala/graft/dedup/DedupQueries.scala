@@ -636,7 +636,18 @@ object DedupQueries {
     * src_id, delta) against the two token streams → (doc_id, nd) covered
     * position counts. Gaps-and-islands equal runs, runs ≥ [[SpanLen]]
     * cover their positions; windows partition by (doc, src, δ) — many
-    * small groups, never single-partition. */
+    * small groups, never single-partition.
+    *
+    * Coverage counting is a per-doc INTERVAL UNION (r13): qualifying
+    * islands [lo, hi] sort by lo within doc, a running max of prior
+    * `hi` opens a new group exactly when intervals stop touching, and
+    * each merged group contributes max(hi) − min(lo) + 1 positions.
+    * Row mass is ISLANDS, not positions — the prior
+    * explode(sequence(lo, hi)) + distinct form materialized one row per
+    * covered position, which on worst-case-duplicated corpora (every
+    * position covered, the measured x10 datapoint) is corpus-sized and
+    * dominated the whole family. The union is the same count by
+    * construction: merged groups partition the covered-position set. */
   private[dedup] def substrCoverage(cand: DataFrame, dToks: DataFrame,
       sToks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -648,13 +659,25 @@ object DedupQueries {
       .filter(col("tok") === col("stok"))
     val runWin = Window.partitionBy("doc_id", "src_id", "delta")
       .orderBy("pos")
-    eq.withColumn("isl", col("pos") - row_number().over(runWin))
+    val spans = eq.withColumn("isl", col("pos") - row_number().over(runWin))
       .groupBy("doc_id", "src_id", "delta", "isl")
       .agg(min("pos").as("lo"), max("pos").as("hi"))
       .filter(col("hi") - col("lo") >= lit(SpanLen - 1))
-      .select(col("doc_id"), explode(sequence(col("lo"), col("hi"))).as("pos"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("nd"))
+      .select("doc_id", "lo", "hi")
+    // doc-keyed island-mass window (many small groups); integer positions
+    // make "touching" intervals ([1,5],[6,10]) safe to keep separate or
+    // merge — either way the group sums partition the covered set
+    val ordWin = Window.partitionBy("doc_id").orderBy("lo", "hi")
+    val prevHi = max(col("hi"))
+      .over(ordWin.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("newgrp",
+        when(prevHi.isNull || col("lo") > prevHi, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("newgrp"))
+        .over(ordWin.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg((max("hi") - min("lo") + lit(1L)).as("cov"))
+      .groupBy("doc_id").agg(sum("cov").as("nd"))
   }
 
   /** Shared oracle for q251 (inline incremental) and q252 (the same
