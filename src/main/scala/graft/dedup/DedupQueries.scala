@@ -181,6 +181,47 @@ object DedupQueries {
     * approximate LSH path. */
   private[dedup] val SetSimCandidateWarn = 10000000L
 
+  /** Conf key for the ExactSubstr hot-window guard (the q36 hot-bucket
+    * discipline applied to 25-gram window hashes). OFF unless set to a
+    * positive int — the hash-gated rows (q249/q251/q252) keep EXACT
+    * semantics by default. ON is the declared 100 TB knob: a corpus-hot
+    * 25-gram (boilerplate header, license block) otherwise fans the
+    * aligned×all candidate join out by its full occurrence count. */
+  private[graft] val SubstrHotWindowCapKey = "spark.graft.substr.hotWindowCap"
+
+  /** Cap the SOURCE-side fan-out of an ExactSubstr candidate join at the
+    * conf-keyed hot-window cap ([[SubstrHotWindowCapKey]]; absent/<=0 =
+    * identity, the exactness default). When ON, each window hash keeps
+    * only its EARLIEST `cap` source windows (base-before-delta when the
+    * `s_delta` column is present, then (src_id, spos) ascending — the
+    * occurrences the earlier-occurrence rule prefers, so a true span is
+    * missed only when ALL of its earliest `cap` matches are decoys).
+    * NO SILENT CAPS: capped_hashes / skipped_windows ride an in-flow
+    * observe() node named `substr_guard_<tag>` (tags keep names unique
+    * when one query guards several sides) and [[ensureGuardListener]]
+    * WARNs whenever a run actually capped. */
+  private[graft] def substrSourceGuard(sSide: DataFrame,
+      tag: String): DataFrame = {
+    val sess = sSide.sparkSession
+    val cap = sess.conf.getOption(SubstrHotWindowCapKey)
+      .map(_.trim.toInt).getOrElse(0)
+    if (cap <= 0) sSide
+    else {
+      ensureGuardListener(sess)
+      val ord =
+        (if (sSide.columns.contains("s_delta")) Seq(col("s_delta").asc)
+         else Nil) ++ Seq(col("src_id").asc, col("spos").asc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy(ord: _*)
+      val ranked = sSide.withColumn("__rn", row_number().over(w))
+      val observed = ranked.observe(s"substr_guard_$tag",
+        count(when(col("__rn") === cap + 1, lit(1))).as("capped_hashes"),
+        coalesce(sum(when(col("__rn") > cap, lit(1L))), lit(0L))
+          .as("skipped_windows"))
+      observed.filter(col("__rn") <= cap).drop("__rn")
+    }
+  }
+
   /** One WARN line per execution whose LSH guard actually capped a bucket —
     * the observable trail for the recall-affecting cap. Registered at most
     * once per session. */
@@ -218,6 +259,17 @@ object DedupQueries {
                   "dense enough that the EXACT join approaches quadratic — " +
                   "switch to the LSH path (q36/q62) or dedup upstream first")
             }
+            qe.observedMetrics.iterator
+              .filter(_._1.startsWith("substr_guard")).foreach {
+                case (name, row) =>
+                  val capped = if (row.isNullAt(0)) 0L else row.getLong(0)
+                  if (capped > 0L)
+                    log.warn(s"ExactSubstr hot-window guard [$name] capped " +
+                      s"$capped window-hash bucket(s), skipped " +
+                      s"${row.getLong(1)} source windows " +
+                      s"($SubstrHotWindowCapKey) — coverage can differ " +
+                      "from the exact unguarded join")
+              }
           }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
@@ -505,9 +557,17 @@ object DedupQueries {
   //
   // 100 TB: the aligned×all join shuffles (hash, doc, pos) triples; a
   // corpus-hot 25-gram (boilerplate) inflates its bucket — the
-  // production mitigation is the q36 hot-bucket rep cap applied to the
-  // source side (documented knob, exactness-off), or suffix-array
-  // sharding; the fixture corpus needs neither.
+  // mitigation is [[substrSourceGuard]], the q36 hot-bucket rep cap on
+  // the source side (conf-keyed via [[SubstrHotWindowCapKey]]; OFF by
+  // default so the hash-gated rows stay exact, ON as the declared
+  // 100 TB knob with observe() metrics + WARN), or suffix-array
+  // sharding; the fixture corpus needs neither. Hash width: h is 31-bit
+  // (mod 2³¹−1), so past ~2¹⁶ windows per value BIRTHDAY collisions —
+  // not just hot grams — start inflating buckets (exactness is safe,
+  // verification is token-exact; only candidate mass grows). The 100 TB
+  // form widens the hash — a 61-bit Mersenne prime modulus, or pairing
+  // two independent 31-bit hashes as the join key — keeping every
+  // product below the 2⁶³ ANSI bound via the same r^pos weight algebra.
   private[dedup] val SpanLen = 50
   private[dedup] val BlockLen = 25
   private val HashP = 2147483647L // 2^31 - 1
@@ -556,8 +616,10 @@ object DedupQueries {
     val dSide = h25.filter(pmod(col("pos") - 1, lit(BlockLen)) === 0)
       .filter(if (incremental) col("is_delta") else lit(true))
       .select(col("doc_id"), col("pos").as("dpos"), col("h"))
-    val sSide = h25.select(col("doc_id").as("src_id"),
-      col("is_delta").as("s_delta"), col("pos").as("spos"), col("h"))
+    val sSide = substrSourceGuard(
+      h25.select(col("doc_id").as("src_id"),
+        col("is_delta").as("s_delta"), col("pos").as("spos"), col("h")),
+      if (incremental) "incr" else "core")
     val q249Order = col("src_id") < col("doc_id") ||
       (col("src_id") === col("doc_id") && col("spos") < col("dpos"))
     val cand = dSide.join(sSide, Seq("h"))

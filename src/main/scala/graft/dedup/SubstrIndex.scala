@@ -74,15 +74,20 @@ object SubstrIndex {
     val dAligned = dWh
       .filter(pmod(col("pos") - 1, lit(DedupQueries.BlockLen)) === 0)
       .select(col("doc_id"), col("pos").as("dpos"), col("h"))
-    // every INDEXED window is "earlier" than every delta doc
+    // every INDEXED window is "earlier" than every delta doc; the index
+    // side passes through the conf-keyed hot-window guard (identity
+    // unless spark.graft.substr.hotWindowCap is set — the 100 TB knob)
     val candBase = dAligned
-      .join(s.table(s"${name}_windows")
-        .select(col("h"), col("doc_id").as("src_id"), col("pos").as("spos")),
+      .join(DedupQueries.substrSourceGuard(
+        s.table(s"${name}_windows")
+          .select(col("h"), col("doc_id").as("src_id"),
+            col("pos").as("spos")), "index"),
         Seq("h"))
     // delta-vs-delta: the q249 (doc_id, pos) order
     val candDelta = dAligned
-      .join(dWh.select(col("doc_id").as("src_id"),
-        col("pos").as("spos"), col("h")), Seq("h"))
+      .join(DedupQueries.substrSourceGuard(
+        dWh.select(col("doc_id").as("src_id"),
+          col("pos").as("spos"), col("h")), "deltaself"), Seq("h"))
       .filter(col("src_id") < col("doc_id") ||
         (col("src_id") === col("doc_id") && col("spos") < col("dpos")))
     val cand = candBase.unionByName(candDelta)
