@@ -110,22 +110,82 @@ object WarcIO {
     bos.toByteArray
   }
 
-  /** Decompress ALL concatenated gzip members — `GZIPInputStream` reads
-    * through member boundaries natively (it is the documented JDK
-    * behavior multi-member `.warc.gz` relies on). Strict: a truncated or
-    * corrupt member throws (the "None, never garbage" posture surfaces
-    * at the caller as an unparseable file). */
+  /** Decompress ALL concatenated gzip members, STRICTLY: any truncated
+    * or corrupt member — including a damaged SECOND-or-later member
+    * header and trailing garbage — throws, so a damaged `.warc.gz`
+    * surfaces at the caller as an unparseable file instead of a silently
+    * shorter archive.
+    *
+    * Member-by-member on purpose (r13, ADVICE): JDK `GZIPInputStream`
+    * reads through member boundaries natively BUT its `readTrailer`
+    * swallows any IOException thrown while probing the NEXT member's
+    * header and reports end-of-stream — a corrupt later header or
+    * trailing garbage would silently DROP every following record. Here
+    * each member's header is parsed explicitly (magic/CM/FLG fields),
+    * its deflate stream inflated with a raw `Inflater` (which reports
+    * exactly how many input bytes it consumed), and its CRC32/ISIZE
+    * trailer verified; decoding must consume the input EXACTLY to the
+    * end. */
   def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.isEmpty) return bytes // zero members ⇒ zero bytes
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
     val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](64 * 1024)
-    try {
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally in.close()
+    var off = 0
+    while (off < bytes.length) off = inflateMember(bytes, off, out)
     out.toByteArray
+  }
+
+  /** Decode ONE gzip member starting at `off`, appending its payload to
+    * `out`; returns the offset just past the member's 8-byte trailer.
+    * Throws `ZipException` on any malformation. */
+  private def inflateMember(bytes: Array[Byte], off0: Int,
+      out: java.io.ByteArrayOutputStream): Int = {
+    def fail(msg: String): Nothing =
+      throw new java.util.zip.ZipException(
+        s"$msg (member starting at offset $off0)")
+    var off = off0
+    def u8(): Int = {
+      if (off >= bytes.length) fail("truncated gzip header")
+      val b = bytes(off) & 0xff; off += 1; b
+    }
+    if (u8() != 0x1f || u8() != 0x8b) fail("bad gzip magic")
+    if (u8() != 8) fail("unsupported gzip compression method")
+    val flg = u8()
+    if ((flg & 0xe0) != 0) fail("reserved gzip FLG bits set") // RFC 1952 §2.3.1
+    off += 6 // MTIME(4) + XFL + OS (ignorable per RFC 1952)
+    if (off > bytes.length) fail("truncated gzip header")
+    if ((flg & 0x04) != 0) { val xl = u8() | (u8() << 8); off += xl } // FEXTRA
+    if ((flg & 0x08) != 0) while (u8() != 0) () // FNAME (NUL-terminated)
+    if ((flg & 0x10) != 0) while (u8() != 0) () // FCOMMENT
+    if ((flg & 0x02) != 0) off += 2 // FHCRC
+    if (off > bytes.length) fail("truncated gzip header")
+    val inf = new java.util.zip.Inflater(true) // raw deflate
+    try {
+      inf.setInput(bytes, off, bytes.length - off)
+      val buf = new Array[Byte](64 * 1024)
+      val crc = new java.util.zip.CRC32()
+      var isize = 0L
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case e: java.util.zip.DataFormatException =>
+            fail(s"corrupt deflate stream: ${e.getMessage}") }
+        if (n > 0) { crc.update(buf, 0, n); out.write(buf, 0, n); isize += n }
+        else if (!inf.finished()) {
+          if (inf.needsInput()) fail("truncated deflate stream")
+          else fail("inflater stalled") // unreachable for valid gzip
+        }
+      }
+      off += inf.getBytesRead.toInt
+      if (off + 8 > bytes.length) fail("truncated gzip trailer")
+      def u32(): Long = {
+        val v = (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+        off += 4; v
+      }
+      if (u32() != crc.getValue) fail("gzip CRC32 mismatch")
+      if (u32() != (isize & 0xffffffffL)) fail("gzip ISIZE mismatch")
+      off
+    } finally inf.end()
   }
 
   private def isGzip(bytes: Array[Byte]): Boolean =

@@ -44,7 +44,9 @@ object StreamingWarcIngest {
       checkpoint: String, maxPerDomain: Long = 3L, minQuality: Double = 1.0,
       minJ: Double = 0.6): StreamingQuery =
     spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*")
+      // exact alternation, not "*.warc*": a half-written "*.warc.tmp"/
+      // ".warc.part" must not reach the strict parser and fail the batch
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
       .schema(BinaryFileSchema)
       .load(warcDir)
       .writeStream

@@ -62,6 +62,37 @@ class WarcGzSpec extends SparkSpec {
     intercept[java.io.IOException](gunzipAll("not gzip".getBytes("UTF-8")))
   }
 
+  test("a damaged SECOND member header throws — never a silently shorter archive") {
+    // the JDK GZIPInputStream failure mode this guards against (ADVICE
+    // r12): readTrailer swallows IOExceptions while probing the NEXT
+    // member's header, so corruption THERE used to truncate silently
+    val m1 = gzipMember("first record".getBytes("UTF-8"))
+    val m2 = gzipMember("second record".getBytes("UTF-8"))
+    val ok = m1 ++ m2
+    assert(new String(gunzipAll(ok), "UTF-8") == "first recordsecond record")
+    // corrupt the second member's validated header bytes in turn:
+    // magic (0,1), CM (2), FLG (3 — ^0x55 sets a reserved bit)
+    (0 until 4).foreach { i =>
+      val bad = ok.clone()
+      bad(m1.length + i) = (bad(m1.length + i) ^ 0x55).toByte
+      intercept[java.io.IOException] { gunzipAll(bad) }
+    }
+    // MTIME/XFL/OS (4-9) are ignorable per RFC 1952: flipping them must
+    // NOT throw and must not change the payload
+    (4 until 10).foreach { i =>
+      val bad = ok.clone()
+      bad(m1.length + i) = (bad(m1.length + i) ^ 0x55).toByte
+      assert(new String(gunzipAll(bad), "UTF-8") ==
+        "first recordsecond record")
+    }
+    // a second member cut off mid-header (the 10-byte-header truncation)
+    intercept[java.io.IOException] { gunzipAll(m1 ++ m2.take(5)) }
+    // trailing garbage after the last member
+    intercept[java.io.IOException] {
+      gunzipAll(ok ++ "trailing junk".getBytes("UTF-8"))
+    }
+  }
+
   test("readPagesGz: .warc.gz dir -> identical rows to the plain reader") {
     val dirGz = Files.createTempDirectory("graft_warcgz").toFile.getPath
     val dirPl = Files.createTempDirectory("graft_warcpl").toFile.getPath
