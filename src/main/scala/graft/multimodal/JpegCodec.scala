@@ -547,6 +547,122 @@ object JpegCodec {
     None
   }
 
+  // ── EXIF (APP1) metadata — r13 ───────────────────────────────────────
+  // Real image-text curation reads EXIF orientation BEFORE perceptual
+  // hashing (a rotated duplicate otherwise hashes differently) and mines
+  // capture timestamps for temporal splits. The APP1 payload is
+  // "Exif\0\0" + a TIFF structure (either byte order), IFD0 holding
+  // Orientation (0x0112, SHORT) and DateTime (0x0132, ASCII). Parsing is
+  // strict: absent or malformed EXIF → None, never garbage — callers
+  // fall back to orientation 1 (the EXIF default, "upright").
+
+  private val ExifSig = "Exif\u0000\u0000".getBytes("US-ASCII")
+
+  /** Render an EXIF APP1 segment (big-endian TIFF; IFD0 = Orientation +
+    * DateTime) — the fixture writer for [[parseExif]]'s gate. */
+  def exifApp1(orientation: Int, dateTime: String): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation must be 1-8, got $orientation")
+    val dt = (dateTime + "\u0000").getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write((v >>> 8) & 0xff); bos.write(v & 0xff) }
+    def w32(v: Long): Unit = { w16(((v >>> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+    bos.write("MM".getBytes("US-ASCII")) // big-endian TIFF
+    w16(42); w32(8L) // magic + IFD0 offset
+    w16(2) // two entries
+    w16(0x0112); w16(3); w32(1L); w16(orientation); w16(0) // SHORT, inline
+    w16(0x0132); w16(2); w32(dt.length.toLong); w32(38L)   // ASCII, at 38
+    w32(0L) // no next IFD
+    bos.write(dt) // offset 38 = 8 (header) + 2 (count) + 24 (entries) + 4
+    segment(0xe1, ExifSig ++ bos.toByteArray)
+  }
+
+  /** A syntactically VALID APP1 segment whose TIFF body is broken (IFD0
+    * offset far past the payload) — the malformed-EXIF fixture arm:
+    * marker walks skip it cleanly, [[parseExif]] must return None. */
+  def exifApp1Malformed: Array[Byte] =
+    segment(0xe1, ExifSig ++ "MM".getBytes("US-ASCII") ++
+      Array[Byte](0, 42, 0, 0, 0xff.toByte, 0xff.toByte))
+
+  /** Splice an APP1 segment right after SOI. */
+  def insertApp1(jpeg: Array[Byte], app1: Array[Byte]): Array[Byte] = {
+    require(isJpeg(jpeg), "not a JPEG stream")
+    jpeg.slice(0, 2) ++ app1 ++ jpeg.drop(2)
+  }
+
+  /** Orientation (1-8) + DateTime from the first EXIF APP1 segment —
+    * None when EXIF is absent, truncated, or malformed in any way. */
+  def parseExif(b: Array[Byte]): Option[(Int, Option[String])] = {
+    if (!isJpeg(b)) return None
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) off += 2
+      else if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS
+      else {
+        val len = u16(b, off + 2)
+        if (len < 2 || off + 2 + len > b.length) return None
+        if (marker == 0xe1 && len >= 2 + ExifSig.length &&
+            java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(b, off + 4, off + 4 + ExifSig.length),
+              ExifSig))
+          return parseTiffIfd0(b, off + 4 + ExifSig.length,
+            len - 2 - ExifSig.length)
+        off += 2 + len
+      }
+    }
+    None
+  }
+
+  /** TIFF IFD0 scan for Orientation/DateTime; `t0`/`n` frame the TIFF
+    * bytes inside `b`. Strict bounds everywhere; an out-of-range
+    * orientation value is malformation, not data. */
+  private def parseTiffIfd0(b: Array[Byte], t0: Int,
+      n: Int): Option[(Int, Option[String])] = {
+    def inb(p: Long, k: Long): Boolean = p >= 0 && p + k <= n
+    if (n < 8) return None
+    val c0 = b(t0) & 0xff; val c1 = b(t0 + 1) & 0xff
+    val big =
+      if (c0 == 'M' && c1 == 'M') true
+      else if (c0 == 'I' && c1 == 'I') false
+      else return None
+    def u16x(p: Int): Int =
+      if (big) ((b(t0 + p) & 0xff) << 8) | (b(t0 + p + 1) & 0xff)
+      else ((b(t0 + p + 1) & 0xff) << 8) | (b(t0 + p) & 0xff)
+    def u32x(p: Int): Long =
+      if (big) ((u16x(p).toLong << 16) | u16x(p + 2).toLong)
+      else ((u16x(p + 2).toLong << 16) | u16x(p).toLong)
+    if (u16x(2) != 42) return None
+    val ifd = u32x(4)
+    if (ifd < 8 || !inb(ifd, 2)) return None
+    val i0 = ifd.toInt
+    val cnt = u16x(i0)
+    if (!inb(i0 + 2L, cnt.toLong * 12 + 4)) return None
+    var ori: Option[Int] = None
+    var dt: Option[String] = None
+    var i = 0
+    while (i < cnt) {
+      val e = i0 + 2 + i * 12
+      val tag = u16x(e); val typ = u16x(e + 2); val num = u32x(e + 4)
+      if (tag == 0x0112) {
+        if (typ != 3 || num != 1) return None
+        val v = u16x(e + 8)
+        if (v < 1 || v > 8) return None
+        ori = Some(v)
+      } else if (tag == 0x0132) {
+        if (typ != 2 || num < 1 || num > 64) return None
+        val p = if (num <= 4) e + 8 - t0 else {
+          val o = u32x(e + 8); if (!inb(o, num)) return None; o.toInt
+        }
+        if (!inb(p.toLong, num)) return None
+        dt = Some(new String(b, t0 + p, num.toInt - 1, "US-ASCII"))
+      }
+      i += 1
+    }
+    ori.map(o => (o, dt))
+  }
+
   /** Width/height/components from the SOF0/SOF2 segment — the
     * header-only metadata path ([[HeaderCodec]] posture). None when the
     * stream is neither baseline sequential nor progressive 8-bit. */

@@ -364,6 +364,27 @@ object Multimodal {
     spark.read.parquet(path).as[MediaRow]
   }
 
+  /** JPEG+EXIF fixture corpus (q254): the q206 flat-block streams with an
+    * EXIF APP1 spliced after SOI — orientation `1 + id % 8` (all eight
+    * values exercised), DateTime `2026:01:DD 12:00:00` with
+    * `DD = 10 + id % 17`; every FIFTH id instead carries a syntactically
+    * valid APP1 whose TIFF body is broken ([[JpegCodec.exifApp1Malformed]])
+    * to pin the None-fallback arm. Pixel payloads are byte-identical to
+    * q206's, so decode/header parsing must be EXIF-transparent. */
+  def jpegExifCorpus(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val app1 =
+          if (id % 5 == 0) JpegCodec.exifApp1Malformed
+          else JpegCodec.exifApp1((1 + id % 8).toInt,
+            f"2026:01:${10 + id % 17}%02d 12:00:00")
+        MediaRow(id, "image",
+          JpegCodec.insertApp1(buildJpegPayload(id), app1))
+      })
+  }
+
   /** Decoded-statistics pass for the q103 gate: every number derives from
     * the DECODED pixels/samples (dims from the parsed IHDR, sums over the
     * unfiltered raster / PCM samples) — no shortcut to the generator. */

@@ -1368,6 +1368,54 @@ object TextQueries {
       FROM d"""),
       notes = "real baseline JPEG decode (JDK-only huffman+dequant+IDCT) gated bit-exactly on decoded pixel statistics vs the generating formula via flat-block DC-only construction"),
 
+    // ── EXIF orientation/timestamp metadata (the pre-pHash read) ───────
+    // Production image curation reads EXIF orientation BEFORE perceptual
+    // hashing (a rotated duplicate otherwise hashes differently) and
+    // mines DateTime for temporal splits. The fixture is q206's real
+    // JPEG streams with an EXIF APP1 spliced after SOI — orientation
+    // 1+id%8 (all 8 values), DateTime from the id formula, and every
+    // FIFTH stream carrying a syntactically valid APP1 whose TIFF body
+    // is broken (the malformed arm: [[graft.multimodal.JpegCodec
+    // .parseExif]] must return None, never garbage, and the row falls
+    // back to orientation 1 / exif_ok 0). Width/height still come from
+    // the real SOF parse (EXIF-transparent marker walk), and
+    // (up_width, up_height) applies the orientation-5-8 transpose — the
+    // value the pHash path consumes. Oracle: the generating formulas.
+    // Scale: the q103 posture — one narrow mapPartitions, bytes never
+    // shuffle, metadata rows flow on.
+    QueryDef("q254_exif_metadata", (s, d) => {
+      import s.implicits._
+      graft.multimodal.Multimodal.jpegExifCorpus(s, d)
+        .mapPartitions(_.map { r =>
+          val hdr = graft.multimodal.JpegCodec.parseHeader(r.content)
+            .getOrElse(sys.error(s"fixture stream ${r.media_id} unparseable"))
+          val ex = graft.multimodal.JpegCodec.parseExif(r.content)
+          val ori = ex.map(_._1).getOrElse(1)
+          val (w, h) = (hdr._1.toLong, hdr._2.toLong)
+          val swap = ori >= 5
+          (r.media_id, if (ex.isDefined) 1L else 0L, ori.toLong,
+            ex.flatMap(_._2).orNull,
+            w, h, if (swap) h else w, if (swap) w else h)
+        })
+        .toDF("media_id", "exif_ok", "orientation", "dt",
+          "width", "height", "up_width", "up_height")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, 16 + (doc_id % 2) * 8 AS h,
+          CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 1 + doc_id % 8 END AS ori
+        FROM documents)
+      SELECT doc_id AS media_id,
+        CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS BIGINT) AS exif_ok,
+        CAST(ori AS BIGINT) AS orientation,
+        CASE WHEN doc_id % 5 = 0 THEN NULL
+          ELSE '2026:01:' || lpad(CAST(10 + doc_id % 17 AS VARCHAR), 2, '0')
+            || ' 12:00:00' END AS dt,
+        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(CASE WHEN ori >= 5 THEN h ELSE w END AS BIGINT) AS up_width,
+        CAST(CASE WHEN ori >= 5 THEN w ELSE h END AS BIGINT) AS up_height
+      FROM d"""),
+      notes = "EXIF APP1 parse (orientation + DateTime, both TIFF byte orders supported) over real JPEG streams incl. a malformed-TIFF arm falling back to orientation 1; upright dims apply the 5-8 transpose the pHash path consumes; hash-gated on the generating formulas"),
+
     // ── Progressive JPEG decode (SOF2, the q206 contract extended) ─────
     // Real web corpora carry a large progressive share — this closes the
     // r9 verdict's declared multimodal scope gap. The SAME flat-block

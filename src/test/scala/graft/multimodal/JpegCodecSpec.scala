@@ -306,6 +306,51 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(meta.get.format == "jpeg" && meta.get.width == 24 && meta.get.height == 16)
   }
 
+  test("EXIF APP1: round-trip, both byte orders, malformed -> None, decode-transparent") {
+    val base = JpegCodec.encode(flatBlocks(24, 16, 3), quant = 1)
+    // absent EXIF -> None
+    assert(JpegCodec.parseExif(base).isEmpty)
+    // big-endian writer round-trip, all 8 orientations
+    (1 to 8).foreach { o =>
+      val j = JpegCodec.insertApp1(base,
+        JpegCodec.exifApp1(o, "2026:01:15 12:00:00"))
+      assert(JpegCodec.parseExif(j).contains((o, Some("2026:01:15 12:00:00"))))
+      // the APP1 must be transparent to header + pixel paths
+      assert(JpegCodec.parseHeader(j).contains((24, 16, 1)))
+      assert(JpegCodec.decode(j).map(_.pixels.toSeq) ==
+        JpegCodec.decode(base).map(_.pixels.toSeq))
+    }
+    // little-endian ("II") TIFF, hand-built: orientation 6, no DateTime
+    val ii = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      bos.write("II".getBytes("US-ASCII")); w16(42); w32(8)
+      w16(1); w16(0x0112); w16(3); w32(1); w16(6); w16(0); w32(0)
+      val p = "Exif\u0000\u0000".getBytes("US-ASCII") ++ bos.toByteArray
+      Array[Byte](0xff.toByte, 0xe1.toByte,
+        ((p.length + 2) >>> 8).toByte, ((p.length + 2) & 0xff).toByte) ++ p
+    }
+    assert(JpegCodec.parseExif(JpegCodec.insertApp1(base, ii))
+      .contains((6, None)))
+    // malformed arms: broken TIFF body, bad magic, truncated IFD,
+    // out-of-range orientation — all None, and all decode-transparent
+    val broken = JpegCodec.insertApp1(base, JpegCodec.exifApp1Malformed)
+    assert(JpegCodec.parseExif(broken).isEmpty)
+    assert(JpegCodec.decode(broken).map(_.pixels.toSeq) ==
+      JpegCodec.decode(base).map(_.pixels.toSeq))
+    val good = JpegCodec.exifApp1(3, "2026:01:15 12:00:00")
+    def mut(i: Int, v: Int): Array[Byte] = {
+      val c = good.clone(); c(i) = v.toByte; c
+    }
+    // TIFF magic 42 -> 43 (offset: 4 marker+len, 6 sig, 2 order, +1)
+    assert(JpegCodec.parseExif(
+      JpegCodec.insertApp1(base, mut(4 + 6 + 3, 43))).isEmpty)
+    // orientation value 9 (entry value lives at tiff+8+2+8 = +18)
+    assert(JpegCodec.parseExif(
+      JpegCodec.insertApp1(base, mut(4 + 6 + 19, 9))).isEmpty)
+  }
+
   test("DC differential chain: a corrupted early block cannot decode to the original tail") {
     // pins the gate's tamper argument: DC coding is differential, so the
     // pixel content of later blocks depends on every earlier DC — flip a
