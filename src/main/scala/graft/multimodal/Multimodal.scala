@@ -638,34 +638,129 @@ object Multimodal {
     * bits live in positions 0..62 — no sign-bit handling anywhere. */
   def imagePHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
+    media.filter(_.kind == "image").flatMap { r =>
+      decodeImage(r.content).map(img => ImageHash(r.media_id, phashOf(img)))
+    }
+  }
+
+  /** The pHash kernel factored from [[imagePHash]] (r13 — q255 composes
+    * it behind the EXIF orientation transform): 8×8 resample → exact
+    * integer 2D DCT-II → 63-AC lower-median sign bits. */
+  private[multimodal] def phashOf(img: PngCodec.PngImage): Long = {
     val bas = DctBasisMicro
+    val rs = PngCodec.resize(img, 8, 8)
+    val p = Array.tabulate(64)(i => (rs.pixels(i * rs.channels) & 0xff).toLong)
+    val co = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var ssum = 0L; var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            ssum += p(y * 8 + x) * bas(u)(x) * bas(v)(y); x += 1
+          }
+          y += 1
+        }
+        co(v * 8 + u) = ssum; u += 1
+      }
+      v += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(co, 1, 64)
+    val sorted = ac.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var bits = 0L; var k = 0
+    while (k < 63) { if (ac(k) > med) bits |= (1L << k); k += 1 }
+    bits
+  }
+
+  // ── EXIF orientation normalization (q255) ────────────────────────────
+
+  /** Apply EXIF orientation `o` to a raster, returning the UPRIGHT
+    * image (dims swap for 5-8). The eight transforms are the dihedral
+    * group D4 over the pixel grid; channels copy through untouched. */
+  def orientApply(img: PngCodec.PngImage, o: Int): PngCodec.PngImage = {
+    require(o >= 1 && o <= 8, s"EXIF orientation must be 1-8, got $o")
+    if (o == 1) return img
+    val (w, h, ch) = (img.width, img.height, img.channels)
+    val swap = o >= 5
+    val (nw, nh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Byte](nw * nh * ch)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        // (sx, sy) = source pixel that lands at upright (x, y)
+        val (sx, sy) = o match {
+          case 2 => (w - 1 - x, y)            // mirror horizontal
+          case 3 => (w - 1 - x, h - 1 - y)    // rotate 180
+          case 4 => (x, h - 1 - y)            // mirror vertical
+          case 5 => (y, x)                    // transpose
+          case 6 => (y, h - 1 - x)            // rotate 90 CW
+          case 7 => (w - 1 - y, h - 1 - x)    // transverse
+          case _ => (w - 1 - y, x)            // 8: rotate 270 CW
+        }
+        var c = 0
+        while (c < ch) {
+          out((y * nw + x) * ch + c) = img.pixels((sy * w + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.PngImage(nw, nh, ch, out)
+  }
+
+  /** The inverse orientation: `orientApply(orientApply(u, exifInverse(o)), o) == u`
+    * — what a fixture writer uses to STORE a raster that displays
+    * upright under EXIF `o` (rotations 6/8 swap; everything else is an
+    * involution). */
+  def exifInverse(o: Int): Int = o match {
+    case 6 => 8
+    case 8 => 6
+    case x => x
+  }
+
+  /** Oriented-JPEG fixture corpus (q255): each id's UPRIGHT content is
+    * the q206 flat-block formula; the STORED raster is the upright
+    * image passed through the inverse orientation (so the file displays
+    * upright only if the reader honors EXIF), encoded as a real JPEG
+    * (dims stay multiples of 8 under D4, so flat-block bit-exactness
+    * survives) with the q254 EXIF arms: orientation 1 + id % 8, every
+    * FIFTH id malformed-TIFF (fallback = treat raster as upright, and
+    * for those ids the stored raster IS upright). */
+  def jpegOrientedCorpus(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val malformed = id % 5 == 0
+        val o = if (malformed) 1 else (1 + id % 8).toInt
+        val raster = orientApply(jpegPixels(id), exifInverse(o))
+        val app1 =
+          if (malformed) JpegCodec.exifApp1Malformed
+          else JpegCodec.exifApp1(o, f"2026:01:${10 + id % 17}%02d 12:00:00")
+        MediaRow(id, "image",
+          JpegCodec.insertApp1(JpegCodec.encode(raster, quant = 1), app1))
+      })
+  }
+
+  final case class OrientedHash(media_id: Long, orientation: Long, phash: Long)
+
+  /** Orientation-normalized pHash (q255): decode → EXIF orientation
+    * (fallback 1 on absent/malformed) → [[orientApply]] → [[phashOf]].
+    * The production pre-hash step: a rotated duplicate hashes
+    * IDENTICALLY to its upright original only through this transform.
+    * Scale: the q103/q241 posture — decode + hash in place, 3 longs per
+    * image shuffle. */
+  def orientedPHash(media: Dataset[MediaRow]): Dataset[OrientedHash] = {
+    import media.sparkSession.implicits._
     media.filter(_.kind == "image").flatMap { r =>
       decodeImage(r.content).map { img =>
-        val rs = PngCodec.resize(img, 8, 8)
-        val p = Array.tabulate(64)(i => (rs.pixels(i * rs.channels) & 0xff).toLong)
-        val co = new Array[Long](64)
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            var ssum = 0L; var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                ssum += p(y * 8 + x) * bas(u)(x) * bas(v)(y); x += 1
-              }
-              y += 1
-            }
-            co(v * 8 + u) = ssum; u += 1
-          }
-          v += 1
-        }
-        val ac = java.util.Arrays.copyOfRange(co, 1, 64)
-        val sorted = ac.clone(); java.util.Arrays.sort(sorted)
-        val med = sorted(31)
-        var bits = 0L; var k = 0
-        while (k < 63) { if (ac(k) > med) bits |= (1L << k); k += 1 }
-        ImageHash(r.media_id, bits)
+        val o = JpegCodec.parseExif(r.content).map(_._1).getOrElse(1)
+        OrientedHash(r.media_id, o.toLong, phashOf(orientApply(img, o)))
       }
     }
   }

@@ -1416,6 +1416,58 @@ object TextQueries {
       FROM d"""),
       notes = "EXIF APP1 parse (orientation + DateTime, both TIFF byte orders supported) over real JPEG streams incl. a malformed-TIFF arm falling back to orientation 1; upright dims apply the 5-8 transpose the pHash path consumes; hash-gated on the generating formulas"),
 
+    // ── Orientation-normalized pHash (q254 ∘ q241 — the production
+    // pre-hash step) ────────────────────────────────────────────────────
+    // A rotated duplicate hashes DIFFERENTLY unless orientation is
+    // applied before pHash — the exact reason curation reads EXIF first.
+    // Fixture with teeth: each id's UPRIGHT content is the q206
+    // flat-block formula, but the STORED raster is the upright image
+    // through the INVERSE orientation (D4 keeps dims multiples of 8, so
+    // flat-block JPEG bit-exactness survives the permutation), with the
+    // q254 EXIF arms (orientation 1+id%8; every fifth id malformed-TIFF,
+    // whose stored raster is genuinely upright so the fallback is
+    // correct). The engine must decode, read EXIF, orientApply, THEN
+    // pHash — and land on the hash of the UPRIGHT formula, independent
+    // of stored orientation: a pipeline that skipped the transform
+    // produces a permuted raster whose DCT signs differ and the gate
+    // goes red. The oracle computes the upright-formula pHash through
+    // the SAME integer DCT bank as q241 (shared DctBasisMicro
+    // interpolation). Scale: decode+hash in place, 3 longs per image.
+    QueryDef("q255_oriented_phash", (s, d) => {
+      graft.multimodal.Multimodal.orientedPHash(
+        graft.multimodal.Multimodal.jpegOrientedCorpus(s, d)).toDF()
+    }, Some(s"""
+      WITH im AS (
+        SELECT doc_id AS id, 16 + (doc_id % 3) * 8 AS w,
+          16 + (doc_id % 2) * 8 AS h,
+          CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 1 + doc_id % 8 END AS ori
+        FROM documents),
+      px AS (
+        SELECT id, list_transform(range(64),
+          i -> (id*37 + ((((i // 8) * h // 8) // 8) * (w // 8)
+                + (((i % 8) * w // 8) // 8)) * 29) % 256) AS p
+        FROM im),
+      bas AS (SELECT [${graft.multimodal.Multimodal.DctBasisMicro
+        .flatten.mkString(",")}] AS b),
+      co AS (
+        SELECT id, (v*8 + u) AS idx,
+          SUM(p[(y*8+x)+1] * b[(u*8+x)+1] * b[(v*8+y)+1]) AS c
+        FROM px, bas, range(8) tu(u), range(8) tv(v),
+             range(8) tx(x), range(8) ty(y)
+        GROUP BY 1, 2),
+      med AS (SELECT id, c AS m FROM (
+        SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY c, idx)
+          AS rn
+        FROM co WHERE idx >= 1) WHERE rn = 32),
+      sig AS (SELECT co.id, CAST(SUM(CASE WHEN co.c > med.m
+              THEN CAST(1 AS BIGINT) << CAST(co.idx - 1 AS INT)
+              ELSE 0 END) AS BIGINT) AS ph
+            FROM co JOIN med USING (id) WHERE co.idx >= 1 GROUP BY 1)
+      SELECT im.id AS media_id, CAST(im.ori AS BIGINT) AS orientation,
+        sig.ph AS phash
+      FROM im JOIN sig ON sig.id = im.id"""),
+      notes = "orientation-normalized pHash: decode -> EXIF orientation (fallback 1) -> D4 transform -> DCT pHash, hash-gated against the UPRIGHT formula's pHash independent of stored orientation — the fixture stores inverse-oriented rasters, so skipping the transform flips DCT signs and goes red"),
+
     // ── Progressive JPEG decode (SOF2, the q206 contract extended) ─────
     // Real web corpora carry a large progressive share — this closes the
     // r9 verdict's declared multimodal scope gap. The SAME flat-block
