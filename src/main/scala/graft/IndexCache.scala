@@ -116,7 +116,7 @@ object IndexCache {
   def ensureSubstrIndex(spark: SparkSession, sfDir: String): String = synchronized {
     import org.apache.spark.sql.functions.{col, md5, substring}
     val name = substrIndexName(sfDir)
-    val stamp = s"${contentStamp(s"$sfDir/documents.parquet")}:substr1"
+    val stamp = s"${contentStamp(s"$sfDir/documents.parquet")}:substr2"
     val marker = java.nio.file.Paths.get(
       s"target/graft_idx/${key(sfDir)}", "_GRAFT_SUBSTR_STAMP")
     val fresh = java.nio.file.Files.isRegularFile(marker) &&

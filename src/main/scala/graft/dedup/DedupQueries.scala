@@ -572,6 +572,18 @@ object DedupQueries {
   private[dedup] val BlockLen = 25
   private val HashP = 2147483647L // 2^31 - 1
   private val HashR = 1000003L
+  // Second independent rolling hash (r13): the candidate join keys on
+  // the PAIR (h, h2) — two independent 31-bit hashes ≈ one 62-bit hash,
+  // pushing the birthday-collision regime from ~2^16 to ~2^31 windows
+  // per bucket (the documented 100 TB widening, now implemented).
+  // Independence comes from a different xxhash64 seed on the token AND
+  // a different base; exactness is untouched either way (verification
+  // is token-exact; collisions only ever ADD candidates) — the pair key
+  // strictly SHRINKS candidate mass for one extra windowed sum.
+  // Bucketed layouts keep bucketing by h alone: HashPartitioning(h)
+  // satisfies ClusteredDistribution(h, h2), so index-side scans stay
+  // exchange-free under the pair join.
+  private val HashR2 = 1000033L
 
   private def modpow(b: Long, e: Long, m: Long): Long = {
     var r = 1L; var bb = b % m; var ee = e
@@ -615,14 +627,15 @@ object DedupQueries {
     // so base-vs-base pairs never generate.
     val dSide = h25.filter(pmod(col("pos") - 1, lit(BlockLen)) === 0)
       .filter(if (incremental) col("is_delta") else lit(true))
-      .select(col("doc_id"), col("pos").as("dpos"), col("h"))
+      .select(col("doc_id"), col("pos").as("dpos"), col("h"), col("h2"))
     val sSide = substrSourceGuard(
       h25.select(col("doc_id").as("src_id"),
-        col("is_delta").as("s_delta"), col("pos").as("spos"), col("h")),
+        col("is_delta").as("s_delta"), col("pos").as("spos"),
+        col("h"), col("h2")),
       if (incremental) "incr" else "core")
     val q249Order = col("src_id") < col("doc_id") ||
       (col("src_id") === col("doc_id") && col("spos") < col("dpos"))
-    val cand = dSide.join(sSide, Seq("h"))
+    val cand = dSide.join(sSide, Seq("h", "h2"))
       .filter(if (incremental) !col("s_delta") || q249Order else q249Order)
       .select(col("doc_id"), col("src_id"),
         (col("dpos") - col("spos")).as("delta"))
@@ -661,22 +674,28 @@ object DedupQueries {
     (if (r.isNullAt(0)) 1L else r.getInt(0).toLong) max 1L
   }
 
-  /** Broadcast power table (pos, r^pos mod p, r^-pos mod p) sized to
-    * `maxLen` — the rolling hash's position weights. */
+  /** Broadcast power table (pos, r^pos, r^-pos, r2^pos, r2^-pos — all
+    * mod p) sized to `maxLen` — position weights for BOTH rolling
+    * hashes of the pair key. */
   private[dedup] def substrPowers(s: SparkSession, maxLen: Long): DataFrame = {
     val rInv = modpow(HashR, HashP - 2, HashP)
-    val rows = (1L to maxLen).scanLeft((0L, 1L, 1L)) {
-      case ((_, rp, ri), i) => (i, rp * HashR % HashP, ri * rInv % HashP)
+    val r2Inv = modpow(HashR2, HashP - 2, HashP)
+    val rows = (1L to maxLen).scanLeft((0L, 1L, 1L, 1L, 1L)) {
+      case ((_, rp, ri, rp2, ri2), i) =>
+        (i, rp * HashR % HashP, ri * rInv % HashP,
+          rp2 * HashR2 % HashP, ri2 * r2Inv % HashP)
     }.tail
     import s.implicits._
-    broadcast(rows.toDF("pos", "rp", "ri"))
+    broadcast(rows.toDF("pos", "rp", "ri", "rp2", "ri2"))
   }
 
-  /** 25-token window hash at EVERY position of every doc, in ONE
-    * windowed pass: (doc_id, [passthrough...,] pos, h). The hash is a
-    * pure function of window CONTENT (position weights cancel via the
+  /** 25-token window hash PAIR at EVERY position of every doc, in ONE
+    * windowed pass: (doc_id, [passthrough...,] pos, h, h2). Each hash is
+    * a pure function of window CONTENT (position weights cancel via the
     * r^-pos factor), so hashes computed in different jobs/builds — e.g.
-    * a persisted index vs a fresh probe — are comparable by value. */
+    * a persisted index vs a fresh probe — are comparable by value; the
+    * pair (h, h2) is the candidate-join key (see [[HashR2]]). Both
+    * windowed sums ride the same frame — one pass either way. */
   private[dedup] def substrWindowHashes(toks: DataFrame, powers: DataFrame,
       passthrough: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -686,12 +705,18 @@ object DedupQueries {
     toks.join(powers, Seq("pos"))
       .withColumn("hw", pmod(xxhash64(col("tok")), lit(HashP)) * col("rp")
         % lit(HashP))
+      .withColumn("hw2",
+        pmod(xxhash64(col("tok"), lit(1)), lit(HashP)) * col("rp2")
+          % lit(HashP))
       .withColumn("g", sum(col("hw")).over(wWin)) // ≤ 25·2³¹ < 2³⁶
+      .withColumn("g2", sum(col("hw2")).over(wWin))
       .withColumn("n", count(lit(1)).over(nWin))
       .filter(col("pos") <= col("n") - lit(BlockLen - 1))
       .select((col("doc_id") +: passthrough.map(col)) ++
         Seq(col("pos"),
-          (pmod(col("g"), lit(HashP)) * col("ri") % lit(HashP)).as("h")): _*)
+          (pmod(col("g"), lit(HashP)) * col("ri") % lit(HashP)).as("h"),
+          (pmod(col("g2"), lit(HashP)) * col("ri2") % lit(HashP))
+            .as("h2")): _*)
   }
 
   /** EXACT verification + coverage: candidate alignments (doc_id,

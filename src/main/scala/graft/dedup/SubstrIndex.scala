@@ -39,7 +39,7 @@ object SubstrIndex {
     val toks = DedupQueries.substrTokens(docs).localCheckpoint(true)
     DedupQueries.substrWindowHashes(toks,
       DedupQueries.substrPowers(s, DedupQueries.substrMaxLen(toks)))
-      .select("h", "doc_id", "pos")
+      .select("h", "h2", "doc_id", "pos")
   }
 
   /** Index every 25-token window of `docs` (doc_id, text, ...). */
@@ -73,21 +73,25 @@ object SubstrIndex {
       .localCheckpoint(true) // feeds the aligned AND delta-self sides
     val dAligned = dWh
       .filter(pmod(col("pos") - 1, lit(DedupQueries.BlockLen)) === 0)
-      .select(col("doc_id"), col("pos").as("dpos"), col("h"))
+      .select(col("doc_id"), col("pos").as("dpos"), col("h"), col("h2"))
     // every INDEXED window is "earlier" than every delta doc; the index
     // side passes through the conf-keyed hot-window guard (identity
-    // unless spark.graft.substr.hotWindowCap is set — the 100 TB knob)
+    // unless spark.graft.substr.hotWindowCap is set — the 100 TB knob).
+    // Join key is the (h, h2) pair; bucketing by h alone still satisfies
+    // the pair's clustered distribution, so the index scan stays
+    // exchange-free.
     val candBase = dAligned
       .join(DedupQueries.substrSourceGuard(
         s.table(s"${name}_windows")
-          .select(col("h"), col("doc_id").as("src_id"),
+          .select(col("h"), col("h2"), col("doc_id").as("src_id"),
             col("pos").as("spos")), "index"),
-        Seq("h"))
+        Seq("h", "h2"))
     // delta-vs-delta: the q249 (doc_id, pos) order
     val candDelta = dAligned
       .join(DedupQueries.substrSourceGuard(
         dWh.select(col("doc_id").as("src_id"),
-          col("pos").as("spos"), col("h")), "deltaself"), Seq("h"))
+          col("pos").as("spos"), col("h"), col("h2")), "deltaself"),
+        Seq("h", "h2"))
       .filter(col("src_id") < col("doc_id") ||
         (col("src_id") === col("doc_id") && col("spos") < col("dpos")))
     val cand = candBase.unionByName(candDelta)
