@@ -2166,6 +2166,89 @@ object TextQueries {
     }, Some(q248OracleSql),
       notes = "byte-level BPE encode: the 3 trained merges applied to the distinct-word symbol table (vocab-sized), doc stream joined back by word; per-doc bytes/tokens/merges hash-gated against the full relational training+encode replay"),
 
+    // ── Byte-BPE token IDS (the literal trainer input) ─────────────────
+    // q248 accounts tokens; a trainer consumes ID SEQUENCES under a
+    // concrete vocabulary. GPT-2's byte-level id space: ids 0-255 are
+    // the byte alphabet (the symbol's own byte value), merged symbols
+    // take 256, 257, 258 in TRAINING ORDER. Per doc, the full ordered
+    // id sequence (doc word order × within-word symbol order) is
+    // md5-gated — not just counts: a wrong id assignment, a swapped
+    // merge order, or a word-order scramble all move the hash. Work
+    // stays vocab-sized (ids assigned per DISTINCT word; the doc stream
+    // joins back by word and only per-word ID STRINGS aggregate in
+    // order). Oracle: the full relational replay — training rounds,
+    // a 256-row hex→id lookup, merged-symbol ids from the topN pairs,
+    // positioned word unnest, ordered string_agg.
+    QueryDef("q256_byte_bpe_ids", (s, d) => {
+      val words = byteBpeWords(s, d)
+      val merges = trainByteBpeMerges(s, d, 3, Some(words))
+      var enc = words.select(col("word"), expr(byteSymsExpr).as("tk"))
+      merges.foreach { case (_, pair, _) =>
+        val i = pair.indexOf(' ')
+        enc = enc.withColumn("tk",
+          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+      }
+      val mergedSyms = merges.map { case (step, pair, _) =>
+        (pair.replace(" ", ""), 255L + step) }
+      require(mergedSyms.map(_._1).distinct.size == mergedSyms.size,
+        s"merged-symbol strings collide: $mergedSyms") // id map must be a map
+      val arms = mergedSyms.map { case (sym, id) =>
+        s"WHEN t = '$sym' THEN ${id}L" }.mkString(" ")
+      val wid = enc.withColumn("ids", expr(
+        s"""transform(tk, t -> CASE
+           |  WHEN length(t) = 2 THEN cast(conv(t, 16, 10) AS BIGINT)
+           |  $arms ELSE -1L END)""".stripMargin))
+        .select(col("word"),
+          size(col("ids")).cast("long").as("n_syms"),
+          expr("array_join(transform(ids, x -> cast(x AS STRING)), ' ')")
+            .as("idstr"),
+          expr("aggregate(ids, 0L, (a, x) -> a + x)").as("idsum"))
+      val dw = t(s, d, "documents").select(col("doc_id"),
+          posexplode(filter(split(TextClean.nfkc(col("text")), " "),
+            (w: org.apache.spark.sql.Column) => length(w) > lit(0))))
+        .select(col("doc_id"), col("pos").as("wpos"), col("col").as("word"))
+      dw.join(wid, Seq("word"))
+        .groupBy("doc_id")
+        .agg(sum(col("n_syms")).as("n_tokens"),
+          md5(expr("array_join(transform(" +
+            "sort_array(collect_list(struct(wpos, idstr))), p -> p.idstr)" +
+            ", ' ')")).as("ids_md5"),
+          sum(col("idsum")).as("ids_sum"))
+    }, Some(s"""
+      WITH $byteBpeT0,
+      ${byteBpeRoundSql(1)},
+      ${byteBpeRoundSql(2)},
+      ${byteBpeRoundSql(3)},
+      hx AS (SELECT lpad(upper(to_hex(r)), 2, '0') AS sym,
+                    CAST(r AS BIGINT) AS id FROM range(256) t(r)),
+      msym AS (
+        SELECT replace(pair, ' ', '') AS sym, CAST(256 AS BIGINT) AS id
+          FROM top1
+        UNION ALL SELECT replace(pair, ' ', ''), 257 FROM top2
+        UNION ALL SELECT replace(pair, ' ', ''), 258 FROM top3),
+      symid AS (SELECT * FROM hx UNION ALL SELECT * FROM msym),
+      wid AS (
+        SELECT c.doc AS word,
+          CAST(count(*) AS BIGINT) AS n_syms,
+          string_agg(CAST(i.id AS VARCHAR), ' ' ORDER BY c.pos) AS idstr,
+          CAST(SUM(i.id) AS BIGINT) AS idsum
+        FROM c3 c JOIN symid i ON i.sym = c.tok
+        GROUP BY 1),
+      dwp AS (
+        SELECT doc_id, wpos, ws[CAST(wpos AS INT)] AS word FROM (
+          SELECT doc_id,
+            list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws,
+            unnest(range(1, len(list_filter(string_split(text, ' '),
+              w -> len(w) > 0)) + 1)) AS wpos
+          FROM documents))
+      SELECT d.doc_id,
+        CAST(SUM(w.n_syms) AS BIGINT) AS n_tokens,
+        md5(string_agg(w.idstr, ' ' ORDER BY d.wpos)) AS ids_md5,
+        CAST(SUM(w.idsum) AS BIGINT) AS ids_sum
+      FROM dwp d JOIN wid w ON w.word = d.word
+      GROUP BY 1"""),
+      notes = "byte-BPE token-ID encoding (the literal trainer input): ids 0-255 = byte alphabet, 256-258 = merges in training order; per-doc ORDERED id sequence md5-gated against the full relational replay (training + hex lookup + positioned reassembly) — vocab-sized id assignment, doc stream joins back by word"),
+
     // ── FLAGSHIP: the composed end-to-end pretraining pipeline ─────────
     // The query a real 100 TB pretraining user actually runs: raw
     // .warc.gz bytes through curation, normalization, tokenization and
