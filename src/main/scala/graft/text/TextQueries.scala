@@ -2249,6 +2249,67 @@ object TextQueries {
       GROUP BY 1"""),
       notes = "byte-BPE token-ID encoding (the literal trainer input): ids 0-255 = byte alphabet, 256-258 = merges in training order; per-doc ORDERED id sequence md5-gated against the full relational replay (training + hex lookup + positioned reassembly) — vocab-sized id assignment, doc stream joins back by word"),
 
+    // ── Character-entropy quality gate (gibberish / boilerplate signal) ─
+    // The Shannon-entropy filter real curation stacks run beside the
+    // stopword/length gates (q31) and repetition ratios (q65): natural
+    // English sits ~2.7-3.2 nats of per-character entropy; repeated
+    // boilerplate and template residue fall LOW, key-dump/base64
+    // gibberish runs HIGH. H = −Σ (c/n)·ln(c/n) over the doc's character
+    // histogram, with the q143 exactness discipline: each term computed
+    // with DetMath.detLnRatio (bit-identical cross-engine ln) and
+    // quantized to integer NANO-nats BEFORE summation, so the per-doc
+    // sum is exact BIGINT on both engines regardless of summation order.
+    // Characters via substring(text, i, 1) on BOTH engines (identical
+    // code-unit semantics on the ASCII corpus — the NFC/NFKC premise
+    // family). Shapes: one char explode + a (doc, char)-keyed hash agg +
+    // a doc-keyed fold — map-side-combinable throughout; at 100 TB the
+    // row-mass-free swap is a per-doc 256-bin byte histogram built in
+    // place (mapPartitions array state), same numbers, no explode.
+    QueryDef("q257_char_entropy_gate", (s, d) => {
+      val docs = t(s, d, "documents")
+      val cc = docs.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+            .as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val n = cc.groupBy("doc_id").agg(sum("c").as("n"),
+        count(lit(1)).as("n_distinct_chars"))
+      cc.join(n, Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(first(col("n")).as("n_chars"),
+          first(col("n_distinct_chars")).as("n_distinct_chars"),
+          sum(round(-(col("c").cast("double") / col("n")) *
+              graft.functions.DetMath.detLnRatio(col("c"), col("n")) *
+              lit(1e9)).cast("long")).as("char_entropy_nano"))
+        .withColumn("is_low_entropy",
+          (col("char_entropy_nano") < 2000000000L).cast("long"))
+    }, Some(s"""
+      WITH ch AS (
+        SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+          i -> substring(text, CAST(i AS INT), 1))) AS ch
+        FROM documents),
+      cc AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM ch GROUP BY 1, 2),
+      nn AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS n_distinct_chars
+        FROM cc GROUP BY 1),
+      e AS (
+        SELECT cc.doc_id,
+          any_value(nn.n) AS n_chars,
+          any_value(nn.n_distinct_chars) AS n_distinct_chars,
+          CAST(SUM(CAST(round(-(CAST(cc.c AS DOUBLE) / nn.n) *
+            (${DetMathSql.lnLong("cc.c")} - ${DetMathSql.lnLong("nn.n")})
+            * 1e9) AS BIGINT)) AS BIGINT) AS char_entropy_nano
+        FROM cc JOIN nn USING (doc_id)
+        GROUP BY 1)
+      SELECT doc_id, n_chars, n_distinct_chars, char_entropy_nano,
+        CAST(CASE WHEN char_entropy_nano < 2000000000 THEN 1 ELSE 0 END
+          AS BIGINT) AS is_low_entropy
+      FROM e"""),
+      notes = "per-doc Shannon character entropy (the gibberish/boilerplate curation signal): nano-nat integer terms via DetMath.detLnRatio summed as exact BIGINT (order-insensitive cross-engine); low-entropy flag at 2.0 nats; map-side-combinable char histogram aggs"),
+
     // ── FLAGSHIP: the composed end-to-end pretraining pipeline ─────────
     // The query a real 100 TB pretraining user actually runs: raw
     // .warc.gz bytes through curation, normalization, tokenization and
