@@ -137,7 +137,7 @@ object TextQueries {
     * filter+transform; the a == b (or empty-b) case falls back to the
     * sequential `aggregate` fold. See q75's scaladoc for the proof and
     * the materialize-per-round CSE rationale. */
-  private def bpeMergeExpr(a: String, b: String): String =
+  private[graft] def bpeMergeExpr(a: String, b: String): String =
     if (a != b && b.nonEmpty)
       s"""transform(
          |  filter(sequence(1, size(tk)),
@@ -348,7 +348,7 @@ object TextQueries {
   /** Byte symbols of the `word` column: 2-hex-digit chunks of the
     * word's UTF-8 bytes, as a SQL expression (Spark side; the oracle
     * mirrors it with strlen/substring over DuckDB hex). */
-  private def byteSymsExpr: String =
+  private[graft] def byteSymsExpr: String =
     """transform(sequence(1, octet_length(word)),
       |  i -> substring(hex(word), 2 * i - 1, 2))""".stripMargin
 
@@ -367,7 +367,7 @@ object TextQueries {
     * (Σ cnt desc, pair asc) applied corpus-wide via [[bpeMergeExpr]]
     * (the q75 machinery verbatim; symbols are hex codes so a == b runs
     * hit the same parity-proven fold). Returns (step, "aa bb", n). */
-  private def trainByteBpeMerges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def trainByteBpeMerges(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int,
       wordsIn: Option[org.apache.spark.sql.DataFrame] = None)
       : Seq[(Long, String, Long)] = {
@@ -391,6 +391,28 @@ object TextQueries {
       }
     }
     merges.toSeq
+  }
+
+  /** Per-doc byte-BPE token counts of a (doc_id, text, ...) frame under
+    * FROZEN merges (serve-anywhere form: the q248 shape factored for
+    * composition — the streaming packing ingest consumes it). NFKC-first
+    * like every trainer; vocab-sized merge application joined back to
+    * the doc stream by word. Docs with no words yield no row. */
+  private[graft] def byteBpeDocTokens(docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[(Long, String, Long)]): org.apache.spark.sql.DataFrame = {
+    val dw = docs.select(col("doc_id"),
+      explode(filter(split(TextClean.nfkc(col("text")), " "),
+        (w: org.apache.spark.sql.Column) => length(w) > lit(0))).as("word"))
+    var enc = dw.select("word").distinct()
+      .select(col("word"), expr(byteSymsExpr).as("tk"))
+    merges.foreach { case (_, pair, _) =>
+      val i = pair.indexOf(' ')
+      enc = enc.withColumn("tk",
+        expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+    }
+    dw.join(enc.select(col("word"), size(col("tk")).cast("long").as("n_syms")),
+        Seq("word"))
+      .groupBy("doc_id").agg(sum("n_syms").as("n_tokens"))
   }
 
   /** The composed end-to-end pretraining-data pipeline (q253) — raw
