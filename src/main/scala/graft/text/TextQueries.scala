@@ -2332,6 +2332,63 @@ object TextQueries {
       FROM e"""),
       notes = "per-doc Shannon character entropy (the gibberish/boilerplate curation signal): nano-nat integer terms via DetMath.detLnRatio summed as exact BIGINT (order-insensitive cross-engine); low-entropy flag at 2.0 nats; map-side-combinable char histogram aggs"),
 
+    // ── Overlapping token chunking (the RAG/embedding ingestion cut) ───
+    // Retrieval corpora embed CHUNKS, not documents: fixed C=48-token
+    // windows at stride S=32 (16-token overlap, corpus-calibrated the
+    // q210 way: the fixture corpus tops out at 99 tokens, so C=48/S=32
+    // exercises 1-, 2- and 3-chunk docs and the overlap rule; production
+    // sets 512/384 by config so no boundary sentence
+    // is ever split away from all its context). Chunk k starts at
+    // 1 + k·S; K = 1 for docs ≤ C tokens, else ceil((n−C)/S) + 1 — the
+    // last chunk is the first one whose window reaches the end, so no
+    // fully-contained tail stubs. Each chunk row carries its md5 (the
+    // downstream embed/dedup key) and exact bounds. One narrow
+    // explode — fan-out n/S per doc, bounded; no shuffle at all (the
+    // chunker is a map — the 100 TB shape by construction). Distinct
+    // from q220/q221's content-defined chunking: this is the
+    // fixed-geometry retrieval cut, that is the dedup-stable cut.
+    QueryDef("q258_token_chunks", (s, d) => {
+      val C = 48L
+      val S = 32L
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "),
+            (w: org.apache.spark.sql.Column) => length(w) > lit(0)).as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .filter(col("n") > 0)
+        .withColumn("k", expr(
+          s"IF(n <= ${C}L, 1L, (n - ${C}L + ${S}L - 1L) div ${S}L + 1L)"))
+        .withColumn("chunk_idx", explode(sequence(lit(0L), col("k") - 1)))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * S + 1).as("chunk_start"),
+          least(lit(C), col("n") - col("chunk_idx") * S)
+            .as("n_chunk_tokens"),
+          md5(expr(s"concat_ws(' ', slice(ws, " +
+            s"cast(chunk_idx * ${S}L + 1 as int), " +
+            s"cast(least(${C}L, n - chunk_idx * ${S}L) as int)))"))
+            .as("chunk_md5"))
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
+        FROM documents),
+      c AS (
+        SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+          CASE WHEN len(ws) <= 48 THEN 1
+               ELSE (len(ws) - 48 + 31) // 32 + 1 END AS k
+        FROM w WHERE len(ws) > 0),
+      x AS (
+        SELECT doc_id, ws, n, unnest(range(0, k)) AS chunk_idx FROM c)
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        CAST(chunk_idx * 32 + 1 AS BIGINT) AS chunk_start,
+        CAST(LEAST(48, n - chunk_idx * 32) AS BIGINT) AS n_chunk_tokens,
+        md5(array_to_string(list_slice(ws,
+          CAST(chunk_idx * 32 + 1 AS INT),
+          CAST(chunk_idx * 32 + LEAST(48, n - chunk_idx * 32) AS INT)), ' '))
+          AS chunk_md5
+      FROM x"""),
+      notes = "fixed-geometry overlapping token chunking (C=48, stride 32, corpus-calibrated — the RAG/embedding ingestion cut): per-chunk bounds + md5 content key, shuffle-free narrow explode; complements q220/q221's content-defined (dedup-stable) chunking"),
+
     // ── FLAGSHIP: the composed end-to-end pretraining pipeline ─────────
     // The query a real 100 TB pretraining user actually runs: raw
     // .warc.gz bytes through curation, normalization, tokenization and
