@@ -135,6 +135,25 @@ object IndexCache {
     name
   }
 
+  /** Byte-BPE merges trained once per (session, corpus) and served
+    * frozen afterwards — the trained-tokenizer artifact q253's composed
+    * pipeline encodes under (train-once/serve-anywhere; q247 gates the
+    * training itself, and the composed oracles replay it relationally,
+    * so serving from the cache cannot mask a training defect). Keyed by
+    * session identity + content stamp; merges are 3 tiny tuples. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Seq[(Long, String, Long)]]()
+
+  def ensureByteBpeMerges(spark: SparkSession,
+      sfDir: String): Seq[(Long, String, Long)] = {
+    val it = bpeMergesCache.keySet.iterator
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    val stamp = s"$sfDir:${contentStamp(s"$sfDir/documents.parquet")}"
+    bpeMergesCache.computeIfAbsent((spark, stamp),
+      _ => graft.text.TextQueries.trainByteBpeMerges(spark, sfDir, 3))
+  }
+
   def pqIndexName(sfDir: String): String = s"graft_pq_${key(sfDir)}"
 
   /** Ensure the persisted PQ index (codebook + codes tables) exists and

@@ -455,7 +455,10 @@ object TextQueries {
     val curated = curated0
       .select(col("doc_id"), TextClean.nfc(col("text")).as("text"))
       .localCheckpoint(true)
-    val merges = trainByteBpeMerges(s, d, 3) // q247: trained on documents
+    // q247's training, served FROZEN (train-once/serve-anywhere — the
+    // session-cached artifact; the q253 oracle replays training anyway,
+    // so the cache cannot mask a training defect)
+    val merges = graft.IndexCache.ensureByteBpeMerges(s, d)
     val dw = curated.select(col("doc_id"),
       explode(filter(split(col("text"), " "),
         (w: org.apache.spark.sql.Column) => length(w) > lit(0))).as("word"))
