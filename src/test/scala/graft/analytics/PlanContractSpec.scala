@@ -54,10 +54,18 @@ class PlanContractSpec extends SparkSpec {
       "q65_repetition", "q67_quantize_embeddings", "q84_doc_chunks",
       "q131_gopher_gates", "q134_media_resize", "q206_jpeg_decode",
       "q217_html_extract", "q220_cdc_chunks", "q222_text_clean",
-      "q234_gif_decode").foreach { q =>
+      "q234_gif_decode", "q254_exif_metadata", "q255_oriented_phash",
+      "q258_token_chunks").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
     }
+  }
+
+  test("q257: distinct-char entropy is ONE doc-keyed exchange, no join") {
+    val p = plan("q257_char_entropy_gate")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"q257 gained a shuffle (the r13 plan lesson regressed):\n$p")
+    assert(!p.contains("Join"), s"q257 regained its join:\n$p")
   }
 
   test("q135: weighted-sample rank filter gets WindowGroupLimit map-side") {
