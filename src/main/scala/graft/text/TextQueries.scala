@@ -2170,7 +2170,10 @@ object TextQueries {
     // The oracle re-derives training AND encoding relationally.
     QueryDef("q248_byte_bpe_encode", (s, d) => {
       val words = byteBpeWords(s, d)
-      val merges = trainByteBpeMerges(s, d, 3, Some(words))
+      // trained merges serve FROZEN (the q253 session cache; q247 gates
+      // live training, and this oracle replays it, so the cache cannot
+      // mask a defect)
+      val merges = graft.IndexCache.ensureByteBpeMerges(s, d)
       var enc = words.select(col("word"), expr(byteSymsExpr).as("tk"))
       merges.foreach { case (_, pair, _) =>
         val i = pair.indexOf(' ')
@@ -2206,7 +2209,7 @@ object TextQueries {
     // positioned word unnest, ordered string_agg.
     QueryDef("q256_byte_bpe_ids", (s, d) => {
       val words = byteBpeWords(s, d)
-      val merges = trainByteBpeMerges(s, d, 3, Some(words))
+      val merges = graft.IndexCache.ensureByteBpeMerges(s, d) // frozen serve
       var enc = words.select(col("word"), expr(byteSymsExpr).as("tk"))
       merges.foreach { case (_, pair, _) =>
         val i = pair.indexOf(' ')
