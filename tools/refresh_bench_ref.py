@@ -58,7 +58,9 @@ def main(argv):
                 q[name] = min(q[name], v)
     ref = {"metric": "total", "value": round(sum(q.values()), 3),
            "unit": "sec", "queries": q, "sf": run.get("sf", "0.1")}
-    json.dump(ref, open(out, "w"))
+    # compact separators: graft.BenchAdj.parseRefMap scopes on the exact
+    # '"queries":{' / '"sf":"' byte patterns
+    json.dump(ref, open(out, "w"), separators=(",", ":"))
     print(f"wrote {out}: {len(q)} queries, total {ref['value']}s "
           f"(source {src}{' + ' + med_path if med_path else ''})")
     return 0
