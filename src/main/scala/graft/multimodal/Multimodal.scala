@@ -749,6 +749,21 @@ object Multimodal {
 
   final case class OrientedHash(media_id: Long, orientation: Long, phash: Long)
 
+  /** All eight D4 pHashes of each image (q259): a rotated/mirrored
+    * duplicate WITHOUT EXIF still matches through min-over-D4 as the
+    * canonical key — the metadata-free complement of [[orientedPHash]].
+    * Decode once, transform+hash eight times in place; 8 longs per
+    * image shuffle. */
+  def dihedralPHash(media: Dataset[MediaRow]): Dataset[OrientedHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").flatMap { r =>
+      decodeImage(r.content).toSeq.flatMap { img =>
+        (1 to 8).map(o =>
+          OrientedHash(r.media_id, o.toLong, phashOf(orientApply(img, o))))
+      }
+    }
+  }
+
   /** Orientation-normalized pHash (q255): decode → EXIF orientation
     * (fallback 1 on absent/malformed) → [[orientApply]] → [[phashOf]].
     * The production pre-hash step: a rotated duplicate hashes

@@ -1493,6 +1493,65 @@ object TextQueries {
       FROM im JOIN sig ON sig.id = im.id"""),
       notes = "orientation-normalized pHash: decode -> EXIF orientation (fallback 1) -> D4 transform -> DCT pHash, hash-gated against the UPRIGHT formula's pHash independent of stored orientation — the fixture stores inverse-oriented rasters, so skipping the transform flips DCT signs and goes red"),
 
+    // ── Rotation-invariant pHash (min over the dihedral group) ─────────
+    // q255 needs EXIF; a rotated duplicate WITHOUT metadata still slips
+    // past a single pHash. The metadata-free key: hash ALL EIGHT D4
+    // transforms of the decoded image and take the minimum as the
+    // canonical value — any rotation/mirror of an image has the same
+    // 8-hash SET, so min-over-D4 collides rotated duplicates by
+    // construction. All 8 rows gate (not just the min): the oracle
+    // re-derives each orientation's hash by mapping the resample grid
+    // through that transform's index algebra and running the shared
+    // integer DCT — an error in ANY branch of the D4 arithmetic, Spark
+    // or SQL side, breaks one row. Scale: decode once, hash 8× in
+    // place; 8 longs per image shuffle; the canonical min is a tiny
+    // per-image window.
+    QueryDef("q259_rot_invariant_phash", (s, d) => {
+      val hs = graft.multimodal.Multimodal.dihedralPHash(
+        graft.multimodal.Multimodal.jpegCorpus(s, d)).toDF()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("media_id")
+      hs.withColumn("canonical_phash", min(col("phash")).over(w))
+    }, Some {
+      val ox = "((i % 8) * (CASE WHEN o >= 5 THEN h ELSE w END) // 8)"
+      val oy = "((i // 8) * (CASE WHEN o >= 5 THEN w ELSE h END) // 8)"
+      val sx = s"(CASE o WHEN 1 THEN $ox WHEN 2 THEN w - 1 - $ox " +
+        s"WHEN 3 THEN w - 1 - $ox WHEN 4 THEN $ox WHEN 5 THEN $oy " +
+        s"WHEN 6 THEN $oy ELSE w - 1 - $oy END)"
+      val sy = s"(CASE o WHEN 1 THEN $oy WHEN 2 THEN $oy " +
+        s"WHEN 3 THEN h - 1 - $oy WHEN 4 THEN h - 1 - $oy " +
+        s"WHEN 5 THEN $ox WHEN 6 THEN h - 1 - $ox " +
+        s"WHEN 7 THEN h - 1 - $ox ELSE $ox END)"
+      val v = s"(id*37 + (($sy // 8) * (w // 8) + ($sx // 8)) * 29) % 256"
+      s"""
+      WITH im AS (
+        SELECT doc_id AS id, 16 + (doc_id % 3) * 8 AS w,
+          16 + (doc_id % 2) * 8 AS h
+        FROM documents),
+      px AS (
+        SELECT id, o, list_transform(range(64), i -> $v) AS p
+        FROM im CROSS JOIN range(1, 9) t(o)),
+      bas AS (SELECT [${graft.multimodal.Multimodal.DctBasisMicro
+        .flatten.mkString(",")}] AS b),
+      co AS (
+        SELECT id, o, (v*8 + u) AS idx,
+          SUM(p[(y*8+x)+1] * b[(u*8+x)+1] * b[(v*8+y)+1]) AS c
+        FROM px, bas, range(8) tu(u), range(8) tv(v),
+             range(8) tx(x), range(8) ty(y)
+        GROUP BY 1, 2, 3),
+      med AS (SELECT id, o, c AS m FROM (
+        SELECT id, o, c,
+          row_number() OVER (PARTITION BY id, o ORDER BY c, idx) AS rn
+        FROM co WHERE idx >= 1) WHERE rn = 32),
+      sig AS (SELECT co.id, co.o, CAST(SUM(CASE WHEN co.c > med.m
+              THEN CAST(1 AS BIGINT) << CAST(co.idx - 1 AS INT)
+              ELSE 0 END) AS BIGINT) AS ph
+            FROM co JOIN med USING (id, o) WHERE co.idx >= 1 GROUP BY 1, 2)
+      SELECT id AS media_id, CAST(o AS BIGINT) AS orientation, ph AS phash,
+        MIN(ph) OVER (PARTITION BY id) AS canonical_phash
+      FROM sig"""
+    },
+      notes = "rotation-invariant pHash: all eight D4 transform hashes per image with min-over-D4 as the metadata-free canonical key (a rotated/mirrored duplicate shares the 8-hash set); every orientation's hash gated against the SQL replay of that transform's index algebra through the shared integer DCT"),
+
     // ── Progressive JPEG decode (SOF2, the q206 contract extended) ─────
     // Real web corpora carry a large progressive share — this closes the
     // r9 verdict's declared multimodal scope gap. The SAME flat-block

@@ -47,6 +47,24 @@ class OrientationSpec extends AnyFunSuite {
       s"skipping the transform should change most hashes ($skippedDiffers/7)")
   }
 
+  test("q259 claim: a metadata-free rotated/mirrored duplicate shares the " +
+    "canonical min-over-D4 hash (the 8-hash SET is D4-invariant)") {
+    val u = img(24, 16, 21)
+    def hashes(im: PngCodec.PngImage): Seq[Long] =
+      (1 to 8).map(o => Multimodal.phashOf(Multimodal.orientApply(im, o)))
+    val base = hashes(u)
+    (2 to 8).foreach { o =>
+      val dup = Multimodal.orientApply(u, o) // a no-EXIF rotated duplicate
+      val hs = hashes(dup)
+      assert(hs.toSet == base.toSet,
+        s"orientation $o duplicate lost the D4 hash set")
+      assert(hs.min == base.min, s"canonical key drifted for orientation $o")
+    }
+    // and a genuinely different image does NOT collide
+    val other = img(24, 16, 22)
+    assert(hashes(other).min != base.min)
+  }
+
   test("q255 fixture premise: JPEG round-trip of the inverse-oriented " +
     "flat-block raster is bit-exact and EXIF arms resolve") {
     val ids = Seq(0L, 1L, 4L, 5L, 7L, 10L, 15L)
