@@ -211,8 +211,17 @@ object DedupQueries {
       val ord =
         (if (sSide.columns.contains("s_delta")) Seq(col("s_delta").asc)
          else Nil) ++ Seq(col("src_id").asc, col("spos").asc)
+      // partition by the FULL pair key when h2 rides along (ADVICE r13):
+      // the candidate join keys on (h, h2), so budgeting per h alone
+      // would make distinct windows whose 31-bit h values collide share
+      // one cap — tighter than the documented per-true-window cap and
+      // partially undoing the pair-key collision fix. Same shuffle-key
+      // superset, so the exchange shape is unchanged.
+      val pcols =
+        (if (sSide.columns.contains("h2")) Seq("h", "h2") else Seq("h"))
+          .map(col)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("h").orderBy(ord: _*)
+        .partitionBy(pcols: _*).orderBy(ord: _*)
       val ranked = sSide.withColumn("__rn", row_number().over(w))
       val observed = ranked.observe(s"substr_guard_$tag",
         count(when(col("__rn") === cap + 1, lit(1))).as("capped_hashes"),

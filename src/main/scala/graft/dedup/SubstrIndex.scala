@@ -64,9 +64,19 @@ object SubstrIndex {
     * `corpus` supplies the INDEXED docs' text for the verification
     * point-lookups (the source store); delta docs verify against their
     * own fresh tokens. Only delta windows hash fresh; the index side is
-    * a bucketed scan. */
+    * a bucketed scan.
+    *
+    * `excludeDelta = true` drops index rows whose doc_id is IN the delta
+    * (a broadcast anti-join — the delta id set is batch-sized) before
+    * the candidate join. The streaming ingest sets it so an
+    * at-least-once REPLAY whose previous attempt already appended the
+    * batch to the index cannot violate the "a doc must never find
+    * itself in the index" contract (ADVICE r13): without it, a
+    * partially-committed batch's own windows would propose self-matching
+    * full-coverage candidates on retry. Within-batch earlier-ness stays
+    * with the delta-self join's (doc_id, pos) order either way. */
   def probe(s: SparkSession, name: String, deltaDocs: DataFrame,
-      corpus: DataFrame): DataFrame = {
+      corpus: DataFrame, excludeDelta: Boolean = false): DataFrame = {
     val dToks = DedupQueries.substrTokens(deltaDocs).localCheckpoint(true)
     val powers = DedupQueries.substrPowers(s, DedupQueries.substrMaxLen(dToks))
     val dWh = DedupQueries.substrWindowHashes(dToks, powers)
@@ -80,11 +90,17 @@ object SubstrIndex {
     // Join key is the (h, h2) pair; bucketing by h alone still satisfies
     // the pair's clustered distribution, so the index scan stays
     // exchange-free.
+    val idxSide = {
+      val w = s.table(s"${name}_windows")
+        .select(col("h"), col("h2"), col("doc_id").as("src_id"),
+          col("pos").as("spos"))
+      if (excludeDelta)
+        w.join(broadcast(deltaDocs.select(col("doc_id").as("src_id"))
+          .distinct()), Seq("src_id"), "left_anti")
+      else w
+    }
     val candBase = dAligned
-      .join(DedupQueries.substrSourceGuard(
-        s.table(s"${name}_windows")
-          .select(col("h"), col("h2"), col("doc_id").as("src_id"),
-            col("pos").as("spos")), "index"),
+      .join(DedupQueries.substrSourceGuard(idxSide, "index"),
         Seq("h", "h2"))
     // delta-vs-delta: the q249 (doc_id, pos) order
     val candDelta = dAligned

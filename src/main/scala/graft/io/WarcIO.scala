@@ -153,10 +153,16 @@ object WarcIO {
     if ((flg & 0xe0) != 0) fail("reserved gzip FLG bits set") // RFC 1952 §2.3.1
     off += 6 // MTIME(4) + XFL + OS (ignorable per RFC 1952)
     if (off > bytes.length) fail("truncated gzip header")
-    if ((flg & 0x04) != 0) { val xl = u8() | (u8() << 8); off += xl } // FEXTRA
+    if ((flg & 0x04) != 0) { // FEXTRA: XLEN then XLEN payload bytes
+      val xl = u8() | (u8() << 8); off += xl
+      if (off > bytes.length) fail("truncated gzip header") // inside FEXTRA
+    }
     if ((flg & 0x08) != 0) while (u8() != 0) () // FNAME (NUL-terminated)
     if ((flg & 0x10) != 0) while (u8() != 0) () // FCOMMENT
-    if ((flg & 0x02) != 0) off += 2 // FHCRC
+    if ((flg & 0x02) != 0) { // FHCRC: 2-byte header CRC16
+      off += 2
+      if (off > bytes.length) fail("truncated gzip header") // inside FHCRC
+    }
     if (off > bytes.length) fail("truncated gzip header")
     val inf = new java.util.zip.Inflater(true) // raw deflate
     try {

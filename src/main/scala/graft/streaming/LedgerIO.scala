@@ -18,12 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[streaming] object LedgerIO {
 
   /** Read `path` as parquet with `schema`; a missing OR fileless path
-    * yields an empty frame of that schema. */
+    * yields an empty frame of that schema. `recursive = true` reads
+    * nested per-batch subdirectories too (the `b<batchId>` overwrite
+    * layout the idempotent ingests commit under — recursiveFileLookup
+    * skips `_`-prefixed files, so commit markers and in-flight
+    * `_temporary` trees never surface as data). */
   def readOrEmpty(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType,
+      recursive: Boolean = false): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    if (fs.exists(p))
+      spark.read.schema(schema)
+        .option("recursiveFileLookup", recursive.toString).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }

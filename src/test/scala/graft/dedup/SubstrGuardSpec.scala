@@ -142,4 +142,31 @@ class SubstrGuardSpec extends SparkSpec {
     assert(covCapped == covUncapped,
       "on the identical-docs corpus the capped coverage equals exact")
   }
+
+  test("cap budget is per (h, h2) PAIR key, not per h alone (ADVICE r13): " +
+    "h-colliding windows with distinct h2 keep their own budgets") {
+    import spark.implicits._
+    // two DISTINCT true windows whose 31-bit h values collide (same h,
+    // different h2) — under an h-only partition they would share one cap
+    // budget and the second window's sources would be silently dropped
+    val sSide = Seq(
+      (7L, 100L, 1L, 10L), (7L, 100L, 2L, 20L),
+      (7L, 200L, 3L, 30L), (7L, 200L, 4L, 40L))
+      .toDF("h", "h2", "src_id", "spos")
+    val kept = withCap(2) {
+      DedupQueries.substrSourceGuard(sSide, "pairkey")
+        .select("h2", "src_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(kept == Set((100L, 1L), (100L, 2L), (200L, 3L), (200L, 4L)),
+      s"each (h, h2) window must keep its own cap-2 budget, got $kept")
+    // and without h2 the guard budgets per h (the documented fallback)
+    val keptNoH2 = withCap(2) {
+      DedupQueries.substrSourceGuard(
+        sSide.drop("h2"), "pairkey_noh2")
+        .select("src_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(keptNoH2 == Set(1L, 2L),
+      s"h-only frames budget per h: earliest 2 survive, got $keptNoH2")
+  }
 }

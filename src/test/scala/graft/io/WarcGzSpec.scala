@@ -62,6 +62,23 @@ class WarcGzSpec extends SparkSpec {
     intercept[java.io.IOException](gunzipAll("not gzip".getBytes("UTF-8")))
   }
 
+  test("truncation INSIDE optional header fields throws ZipException, " +
+    "never ArrayIndexOutOfBounds (ADVICE r13)") {
+    // FEXTRA flag set, XLEN=16, but the member ends inside the extra
+    // field — the skip (off += xl) must re-check bounds before setInput
+    val fextra = Array(0x1f, 0x8b, 8, 0x04, 0, 0, 0, 0, 0, 0,
+      16, 0, 1, 2).map(_.toByte)
+    intercept[java.util.zip.ZipException] { gunzipAll(fextra) }
+    // FHCRC flag set but the member ends inside the 2-byte CRC16
+    val fhcrc = Array(0x1f, 0x8b, 8, 0x02, 0, 0, 0, 0, 0, 0,
+      0x11).map(_.toByte)
+    intercept[java.util.zip.ZipException] { gunzipAll(fhcrc) }
+    // FNAME flag set, name never NUL-terminated before the bytes end
+    val fname = Array(0x1f, 0x8b, 8, 0x08, 0, 0, 0, 0, 0, 0,
+      'x'.toInt, 'y'.toInt).map(_.toByte)
+    intercept[java.util.zip.ZipException] { gunzipAll(fname) }
+  }
+
   test("a damaged SECOND member header throws — never a silently shorter archive") {
     // the JDK GZIPInputStream failure mode this guards against (ADVICE
     // r12): readTrailer swallows IOExceptions while probing the NEXT
