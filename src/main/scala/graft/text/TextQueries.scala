@@ -395,13 +395,17 @@ object TextQueries {
 
   /** Per-doc byte-BPE token counts of a (doc_id, text, ...) frame under
     * FROZEN merges (serve-anywhere form: the q248 shape factored for
-    * composition — the streaming packing ingest consumes it). NFKC-first
-    * like every trainer; vocab-sized merge application joined back to
-    * the doc stream by word. Docs with no words yield no row. */
+    * composition — the streaming packing ingest consumes it). NFC-first
+    * — the SAME normalization the batch flagship applies
+    * ([[pretrainE2e]] runs `TextClean.nfc` before splitting), so the
+    * streamed packing path tokenizes identically to the q253 chain it
+    * mirrors (ADVICE r13: it previously ran NFKC — identical on ASCII,
+    * divergent on a real corpus). Vocab-sized merge application joined
+    * back to the doc stream by word. Docs with no words yield no row. */
   private[graft] def byteBpeDocTokens(docs: org.apache.spark.sql.DataFrame,
       merges: Seq[(Long, String, Long)]): org.apache.spark.sql.DataFrame = {
     val dw = docs.select(col("doc_id"),
-      explode(filter(split(TextClean.nfkc(col("text")), " "),
+      explode(filter(split(TextClean.nfc(col("text")), " "),
         (w: org.apache.spark.sql.Column) => length(w) > lit(0))).as("word"))
     var enc = dw.select("word").distinct()
       .select(col("word"), expr(byteSymsExpr).as("tk"))
@@ -652,6 +656,27 @@ object TextQueries {
        |  CAST(max_block_id AS BIGINT) AS max_block_id,
        |  CAST(block_docs_sum AS BIGINT) AS block_docs_sum
        |FROM n CROSS JOIN pk""".stripMargin
+
+  /** q242b's cut-training sample size — a FIXED cap, not a corpus
+    * fraction (VERDICT r13 #1): at any corpus scale the cut-training
+    * window ranks at most this many rows. 4096 sampled scores bound the
+    * tertile order statistics tightly (CCNet itself trains its LM cuts
+    * on a fixed-size sample). */
+  private[text] val KnCutSampleCap = 4096L
+
+  /** The bounded deterministic cut-training draw (q242b): the
+    * [[KnCutSampleCap]] smallest docs by (md5(doc_id), doc_id) — an
+    * id-keyed, content-independent pseudo-random total order that
+    * DuckDB replays bit-identically (`md5(CAST(doc_id AS VARCHAR))`).
+    * Spark executes ORDER BY + LIMIT as TakeOrderedAndProject: O(cap)
+    * heap per partition and a bounded driver-side merge — never a
+    * corpus-wide sort, never a single-partition window over an
+    * unbounded frame (Q242bCutSpec pins both the plan and the cap). */
+  private[text] def knCutSample(scored: org.apache.spark.sql.DataFrame,
+      cap: Long): org.apache.spark.sql.DataFrame =
+    scored.select(col("kn_score"), col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .limit(cap.toInt)
 
   /** q237's per-doc Kneser-Ney scoring frame (doc_id, n_bigrams,
     * kn_score) — factored so q242 can gate on the same model without
@@ -5236,25 +5261,30 @@ object TextQueries {
     // actually ships buckets on CUT VALUES trained once on a bounded
     // SAMPLE, then gates the corpus with a narrow broadcast compare —
     // no global rank, no corpus exchange beyond the scoring itself.
-    // Cuts here are ORDER STATISTICS of a deterministic ~1/7 sample
-    // (doc_id % 7 — id-keyed, content-independent): the ceil(n/3)-th
-    // and ceil(2n/3)-th smallest sampled scores. Order statistics, not
-    // interpolated percentiles, because interpolation arithmetic is
-    // engine-specific while "the k-th value" is engine-exact; the
-    // (kn_score, doc_id) sort key is total so the cut is deterministic.
-    // The oracle REPLAYS the cut training relationally (the q42b
-    // discipline: the trained artifact re-derives inside the oracle)
-    // and gates with the same compares. Bucket depths are only
-    // approximately equal — that is the production trade, and exactly
-    // why q242 stays as the anchor. Scale shapes: one KN scoring pass
-    // (pinned), one sample-sized rank (the window runs over the BOUNDED
-    // training sample — at 100 TB the sample is capped by construction,
-    // this is not a corpus-sized single partition), cut values ship as
-    // plan literals, final projection is narrow.
+    // The sample is a FIXED-N deterministic draw (VERDICT r13 #1: the
+    // previous doc_id % 7 rule was a corpus-PROPORTIONAL 1/7 fraction
+    // ranked through an unpartitioned window — at 100 TB a ~14 TB
+    // single-partition sort, the exact shape this row exists to avoid):
+    // the KnCutSampleCap smallest docs by (md5(doc_id), doc_id) — an
+    // id-keyed, content-independent pseudo-random order both engines
+    // compute bit-identically — taken as a TakeOrderedAndProject top-N
+    // (O(cap) memory per partition, bounded driver merge, NEVER a full
+    // sort; Q242bCutSpec pins the plan). Cuts are ORDER STATISTICS of
+    // that sample: the ceil(n/3)-th and ceil(2n/3)-th smallest sampled
+    // scores. Order statistics, not interpolated percentiles, because
+    // interpolation arithmetic is engine-specific while "the k-th
+    // value" is engine-exact; the (kn_score, doc_id) sort key is total
+    // so the cut is deterministic. The oracle REPLAYS the cut training
+    // relationally (the q42b discipline: the trained artifact
+    // re-derives inside the oracle) and gates with the same compares.
+    // Bucket depths are only approximately equal — that is the
+    // production trade, and exactly why q242 stays as the anchor.
+    // Scale shapes: one KN scoring pass (pinned), one top-N draw, one
+    // rank over the ≤cap-row pinned sample (bounded by construction),
+    // cut values ship as plan literals, final projection is narrow.
     QueryDef("q242b_kn_gate_approx_cuts", (s, d) => {
       val scored = knScoredDocs(s, d).localCheckpoint(true)
-      val samp = scored.filter(col("doc_id") % 7 === 0)
-        .select(col("kn_score"), col("doc_id"))
+      val samp = knCutSample(scored, KnCutSampleCap).localCheckpoint(true)
       val n = samp.count()
       require(n > 0, "cut-training sample is empty")
       val k1 = (n + 2) / 3
@@ -5273,11 +5303,15 @@ object TextQueries {
         (col("kn_score") > lo).cast("long").as("keep"))
     }, Some(s"""
       WITH $knOracleCore,
-      sn AS (SELECT COUNT(*) AS n FROM scored WHERE doc_id % 7 = 0),
+      samp0 AS (
+        SELECT kn_score, doc_id FROM scored
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        LIMIT $KnCutSampleCap),
+      sn AS (SELECT COUNT(*) AS n FROM samp0),
       samp AS (
         SELECT kn_score,
           row_number() OVER (ORDER BY kn_score ASC, doc_id ASC) AS rn
-        FROM scored WHERE doc_id % 7 = 0),
+        FROM samp0),
       cuts AS (SELECT
         (SELECT kn_score FROM samp, sn WHERE rn = (n + 2) // 3) AS lo,
         (SELECT kn_score FROM samp, sn WHERE rn = (2 * n + 2) // 3) AS hi)
@@ -5286,7 +5320,7 @@ object TextQueries {
           WHEN kn_score > lo THEN 'middle' ELSE 'tail' END AS bucket,
         CAST(CASE WHEN kn_score > lo THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM scored CROSS JOIN cuts"""),
-      notes = "CCNet gate in its production shape: head/middle/tail cut VALUES trained as order statistics of a deterministic 1/7 sample (no corpus-wide rank; the only window runs over the bounded training sample), corpus gated by a narrow broadcast compare; the oracle replays the cut training relationally (q42b discipline) — q242 remains the exact equal-depth anchor"),
+      notes = "CCNet gate in its production shape: head/middle/tail cut VALUES trained as order statistics of a FIXED-N deterministic draw (the cap smallest docs by (md5(doc_id), doc_id) — a TakeOrderedAndProject top-N, no corpus-wide rank or sort; the only window runs over the ≤cap-row sample), corpus gated by a narrow broadcast compare; the oracle replays the cut training relationally (q42b discipline) — q242 remains the exact equal-depth anchor"),
 
     // ── Image-text pair curation (CLIP-style multimodal manifest) ──────
     // The multimodal JOIN every contrastive vision-language pipeline
