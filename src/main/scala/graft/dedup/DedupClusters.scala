@@ -31,30 +31,43 @@ object DedupClusters {
     * Hitting the bound FAILS LOUDLY (require) rather than silently emitting
     * half-merged clusters — wrong dedup output deletes the wrong documents. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // ONE scan of the (possibly expensive) pair pipeline: explode each
+    // pair into both directions instead of a union of two projections —
+    // the union form computed the whole upstream (e.g. q38's all-pairs
+    // verify) twice, once per branch.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true) // reused every iteration — cut it loose once
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Iteration 1 folded into the seed: with identity labels the min
+    // neighbor label of `node` is simply min(src) over its in-edges, so
+    // the first join of the generic loop is a no-op — seed labels with
+    // least(node, min neighbor) directly (edges are symmetric, so every
+    // node appears as dst).
+    var labels = edges.groupBy(col("dst").as("node"))
+      .agg(min(col("src")).as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("label"))
       .localCheckpoint(true)
-    var iter = 0
+    var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("nbr_label"))
+      // The changed flag rides the label update, so convergence is read
+      // from the PINNED result (a local scan) instead of re-joining next
+      // against labels — one shuffle join per iteration instead of two.
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("label"),
+          (col("nbr_label") < col("label")).as("__changed"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), "node")
-        .filter(col("n.label") < col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")

@@ -306,12 +306,16 @@ object DedupQueries {
     // distinct counts make `n_inter <= n_shared + min(capped)` a
     // theorem, since n_inter is a distinct-set intersection).
     val g = hashedGramsOf(docs.select("doc_id", "text"))
-      .localCheckpoint(true)
+      .persist()
     val ex = g.select(col("doc_id"), explode(col("grams_h")).as("gh"))
-    val keep = ex.groupBy("gh")
-      .agg(count(lit(1)).as("df")) // one row per (doc, gram): count = df
-      .filter(col("df") <= MaxGramDf).select("gh")
-    val kept = ex.join(keep, "gh")
+    // DF cap via ONE window over gh instead of groupBy + join-back: the
+    // count per gh over the (doc, gram) stream IS the df (grams are
+    // per-doc distinct), one exchange instead of two plus a join. PINNED:
+    // three consumers below (both shared-join sides + keptCounts).
+    val kept = ex.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+      .filter(col("df") <= MaxGramDf).drop("df")
+      .persist()
     // shared-gram COUNTS per candidate pair (q64's agg shape — one
     // gram-keyed shuffle of longs; the count is free relative to the
     // distinct the naive form pays anyway)
@@ -926,7 +930,9 @@ object DedupQueries {
       // primitive longs (graft_intersect_card) instead of string-set hashing.
       // Jaccard value is identical to the string-set form modulo xxhash64
       // collisions (~2^-64 — far below the oracle's 1e-6 rounding).
-      val docs = hashedGrams(s, d)
+      // PINNED: both sides of the self-join consume it — unpinned, the
+      // shingle hashing ran twice (and q57/q155 inherit the saving).
+      val docs = hashedGrams(s, d).persist()
       val a = docs.as("a"); val b = docs.as("b")
       a.join(b, col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -1015,8 +1021,11 @@ object DedupQueries {
     // additionally CATCHES cross-source near-dups q57's source blocking
     // skips. Parity is pinned by DedupClustersLshSpec.
     QueryDef("q62_dup_clusters_lsh", (s, d) => {
+      // Pins: band self-join reads signatures twice, verify reads the
+      // gram sets twice (the q36b/q141 staging discipline).
       val edges = verifyJaccard(
-        lshCandidatePairs(signatures(s, d)), hashedGrams(s, d), 0.6)
+        lshCandidatePairs(signatures(s, d).persist()),
+        hashedGrams(s, d).persist(), 0.6)
       DedupClusters.connectedComponents(edges)
     }, None,
       notes = "scale-path near-dup clusters: LSH candidates -> exact verify (candidates only) -> CC; rows-only (band hashes engine-specific)"),
@@ -1328,8 +1337,11 @@ object DedupQueries {
     // full equality with q81 whenever LSH recall hits 1.0 on the corpus.
     // Rows-only for the q62 reason: band hashes are engine-specific.
     QueryDef("q107_lsh_canonical", (s, d) => {
+      // Pins: band self-join reads signatures twice, verify reads the
+      // gram sets twice (the q36b/q141 staging discipline).
       val edges = verifyJaccard(
-        lshCandidatePairs(signatures(s, d)), hashedGrams(s, d), 0.6)
+        lshCandidatePairs(signatures(s, d).persist()),
+        hashedGrams(s, d).persist(), 0.6)
       canonicalElection(DedupClusters.connectedComponents(edges),
         t(s, d, "documents"))
     }, None,
@@ -1515,18 +1527,27 @@ object DedupQueries {
     QueryDef("q141_setsim_join", (s, d) => {
       ensureGuardListener(s)
       val tau = 0.5
+      // PIN the hashed gram sets: consumed by the explode AND both verify
+      // sides — unpinned, the shingle hashing ran 3x (r14 plan audit: 12
+      // parquet scans / 18 exchanges, no reuse across the self-join).
       val docs = hashedGrams(s, d).select("doc_id", "grams_h", "n_grams")
+        .persist()
       val ex = docs.select(col("doc_id"), explode(col("grams_h")).as("g"))
-      val gdf = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      val ranked = ex.join(gdf, "g")
+      // gram df via ONE window over g instead of groupBy + join-back:
+      // same value (count of occurrences per gram), one exchange instead
+      // of two plus a join (guide §2.4).
+      val wG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val ranked = ex.withColumn("df", count(lit(1)).over(wG))
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
       // posexplode keeps each prefix gram's 0-based position for the
-      // PPJoin positional filter below
+      // PPJoin positional filter below. PINNED: the candidate self-join
+      // consumes pre twice, replaying the collect_list ranking otherwise.
       val pre = ranked.select(col("doc_id"), size(col("ord")).as("n"),
           posexplode(expr("transform(slice(ord, 1, greatest(" +
             s"cast(size(ord) - ceil($tau * size(ord)) + 1 as int), 0)), " +
             "x -> x.g)")).as(Seq("pos", "pg")))
+        .persist()
       // Two SOUND candidate prunes on top of the prefix match (neither can
       // drop a true pair, both proven in the PPJoin literature):
       //  - length filter: J >= tau forces tau*max(sa,sb) <= min(sa,sb);
@@ -1601,15 +1622,20 @@ object DedupQueries {
     QueryDef("q149_setsim_incremental", (s, d) => {
       ensureGuardListener(s)
       val tau = 0.5
+      // Same staging as q141: pin the gram sets (3 consumers) and the
+      // prefix frame (2 consumers), base-df via one window over g.
       val docs = hashedGrams(s, d).select("doc_id", "grams_h", "n_grams")
         .withColumn("is_delta",
           substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
+        .persist()
       val ex = docs.select(col("doc_id"), col("is_delta"),
         explode(col("grams_h")).as("g"))
-      val gdf = ex.filter(!col("is_delta"))
-        .groupBy("g").agg(count(lit(1)).as("df"))
-      val ranked = ex.join(gdf, Seq("g"), "left")
-        .withColumn("df", coalesce(col("df"), lit(0L)))
+      // BASE document frequency as a windowed conditional sum: identical
+      // to the old base-only groupBy + left join + coalesce(df, 0) —
+      // delta-only grams sum to 0 — with one exchange instead of two.
+      val wG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val ranked = ex.withColumn("df",
+          sum(when(!col("is_delta"), 1L).otherwise(0L)).over(wG))
         .groupBy("doc_id", "is_delta")
         .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
       val pre = ranked.select(col("doc_id"), col("is_delta"),
@@ -1617,6 +1643,7 @@ object DedupQueries {
           posexplode(expr("transform(slice(ord, 1, greatest(" +
             s"cast(size(ord) - ceil($tau * size(ord)) + 1 as int), 0)), " +
             "x -> x.g)")).as(Seq("pos", "pg")))
+        .persist()
       val minOv = lit(tau / (1 + tau)) *
         (col("a.n") + col("b.n")).cast("double")
       val cand = pre.filter(!col("is_delta")).as("a")
@@ -2321,7 +2348,15 @@ object DedupQueries {
     // K-min agg, (band, key, doc) triples through the shuffle, per-doc
     // candidate counts. q36 stays as the xxhash64 production form.
     QueryDef("q36b_minhash_lsh_md5", (s, d) => {
-      val sig = md5Signatures(s, d)
+      // PIN the signature bank: consumed by both sides of the band
+      // self-join AND the final left-outer sig-head join — unpinned, the
+      // 16-min-md5 aggregation (the dominant stage) ran 3-4x (r14 plan
+      // audit: 12 parquet scans, no exchange reuse). LAZY persist, not an
+      // eager checkpoint: the consumers already run concurrently inside
+      // one job, so a blocking materialization job would serialize the
+      // DAG (measured slower); the cache block lock makes whichever
+      // stage arrives first compute each partition once.
+      val sig = md5Signatures(s, d).persist()
       val bands = md5Bands(sig)
       val pairs = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -2520,14 +2555,17 @@ object DedupQueries {
     // declared price of oracle portability (the production path keeps
     // xxhash64; LshCanonicalSpec pins this twin's parity with it).
     QueryDef("q107b_lsh_canonical_md5", (s, d) => {
-      val bands = md5Bands(md5Signatures(s, d))
+      // PIN the signature bank (both sides of the band self-join replay
+      // the 16-min-md5 aggregation otherwise) and the hashed gram sets
+      // (both verify sides scan them) — the q36b discipline.
+      val bands = md5Bands(md5Signatures(s, d).persist())
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
             col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val edges = verifyJaccard(cand, hashedGrams(s, d), 0.6)
+      val edges = verifyJaccard(cand, hashedGrams(s, d).persist(), 0.6)
       canonicalElection(DedupClusters.connectedComponents(edges),
         t(s, d, "documents"))
     }, Some {

@@ -34,10 +34,14 @@ import graft.text.TextSignals
   *
   * Scale posture: every stage is a catalog-audited shape (narrow gate,
   * one fp-keyed window, LSH band shuffles + candidate-only verify, one
-  * source-keyed window); the driver actions are the five manifest COUNTS
-  * — no row ever reaches the driver. At 100 TB insert a
-  * `localCheckpoint`/zone write between 3 and 4 to cut the replayed
-  * lineage, exactly as Runner stages through zones. */
+  * source-keyed window); the driver actions are the manifest COUNTS — no
+  * row ever reaches the driver. The exact- and near-dup survivor frames
+  * are PINNED (lazy `persist` — the first count materializes the cache,
+  * every later stage reads it) because each has several consumers
+  * (counts, the next stage's multiple scans, the stats aggregate) —
+  * unpinned, the heavy LSH+verify stage replayed once per downstream
+  * action. At 100 TB swap the pins for zone writes, exactly as Runner
+  * stages through zones. */
 object CorpusCurate {
 
   final case class Manifest(
@@ -68,32 +72,52 @@ object CorpusCurate {
       containmentTau: Option[Double] = None,
       semantic: Option[(DataFrame, Double)] = None): (DataFrame, Manifest) = {
     require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
-    val n0 = docs.count()
+    // n0 and n1 from ONE pass: counting all rows and quality-passing rows
+    // in a single aggregate halves the pre-gate scans (the quality score
+    // is evaluated once per row either way).
+    val head = docs.agg(count(lit(1)).as("n0"),
+      count(when(TextSignals.qualityScore(col("text")) >= minQuality, 1))
+        .as("n1")).collect()(0)
+    val n0 = head.getLong(0)
+    val n1 = head.getLong(1)
 
     val gated = docs
       .withColumn("quality_score", TextSignals.qualityScore(col("text")))
       .filter(col("quality_score") >= minQuality)
-    val n1 = gated.count()
 
+    // PIN the exact-dedup survivors: consumed by the n2 count, by THREE
+    // scans inside nearDupBatchTwin (signatures, hashed grams, anti-join
+    // left side) and transitively by every later stage — unpinned, each
+    // of those replayed quality gate + fp window from the source. Text
+    // at this point is curated-scale (html already dropped upstream).
     val exact = gated
       .withColumn("fp", TextSignals.normalizedFingerprint(col("text")))
       .withColumn("__rn",
         row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
       .filter(col("__rn") === 1).drop("__rn")
+      .persist()
     val n2 = exact.count()
 
+    // PIN the near-dup survivors: consumed by the n3 count, the optional
+    // stages, the shard window AND the stats aggregate — unpinned, the
+    // full LSH-candidates + exact-verify pipeline re-ran once per
+    // downstream action (the r14 bench measured 3-4 replays per call).
     val near = StreamingDocIngest.nearDupBatchTwin(exact, minJ)
+      .persist()
     val n3 = near.count()
 
-    val contained = containmentTau match {
+    // When an optional stage is OFF its frame IS the previous one —
+    // recounting an identical frame buys nothing, so the count is reused.
+    val (contained, n4) = containmentTau match {
       case Some(tau) =>
-        near.join(graft.dedup.DedupQueries.containmentDrops(
+        val c = near.join(graft.dedup.DedupQueries.containmentDrops(
           near.select("doc_id", "text"), tau), Seq("doc_id"), "left_anti")
-      case None => near
+          .persist()
+        (c, c.count())
+      case None => (near, n3)
     }
-    val n4 = contained.count()
 
-    val semantically = semantic match {
+    val (semantically, n5) = semantic match {
       case Some((emb, tau)) =>
         import graft.similarity.SimilarityQueries
         // Train + assign over the FULL caller-provided embeddings frame,
@@ -108,10 +132,11 @@ object CorpusCurate {
           contained.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         val drops = SimilarityQueries.dominatedIn(alive, tau)
           .select(col("vec_id").as("doc_id"))
-        contained.join(drops, Seq("doc_id"), "left_anti")
-      case None => contained
+        val sdf = contained.join(drops, Seq("doc_id"), "left_anti")
+          .persist()
+        (sdf, sdf.count())
+      case None => (contained, n4)
     }
-    val n5 = semantically.count()
 
     val wSrc = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -224,9 +224,15 @@ object StreamingDocIngest {
   def nearDupBatchTwin(docs: DataFrame, minJ: Double = 0.6): DataFrame = {
     import graft.dedup.DedupQueries
     val d = docs.select("doc_id", "text")
+    // PIN the signature and gram frames (batch-only API — callers are
+    // CorpusCurate and specs): the band self-join inside
+    // lshCandidatePairs consumes the signatures twice and verifyJaccard
+    // consumes the gram sets twice; unpinned, each side replayed the
+    // full shingle pass over `docs`' lineage.
     val dropped = DedupQueries.verifyJaccard(
-      DedupQueries.lshCandidatePairs(DedupQueries.signaturesOf(d)),
-      DedupQueries.hashedGramsOf(d), minJ)
+      DedupQueries.lshCandidatePairs(
+        DedupQueries.signaturesOf(d).persist()),
+      DedupQueries.hashedGramsOf(d).persist(), minJ)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(dropped, Seq("doc_id"), "left_anti")
   }
