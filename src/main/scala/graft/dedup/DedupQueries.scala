@@ -3019,6 +3019,27 @@ object DedupQueries {
   /** (doc_id, chunk_idx, chunk_len, chunk_md5) — the q220 operator,
     * shared with CdcChunksSpec. `docs` must expose (doc_id, text).
     *
+    * r14: the chunk pass now runs as ONE compiled expression
+    * ([[graft.functions.CdcChunks]], `graft_cdc_chunks`) with an O(n)
+    * incremental rolling hash — the previous higher-order-function chain
+    * (kept below as [[legacyCdcChunksExpr]], still the CdcChunksSpec
+    * parity reference) evaluated its lambdas INTERPRETED, O(8n) boxed
+    * integer ops per document (guide §4). Values are bit-identical —
+    * the spec pins new == legacy on ASCII and multi-byte fixtures. */
+  private[graft] def cdcChunkTable(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(expr("graft_cdc_chunks(text)")).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx").as("chunk_idx"),
+        col("ch.chunk_len").as("chunk_len"),
+        col("ch.chunk_md5").as("chunk_md5"))
+  }
+
+  /** The pre-r14 HOF-chain form of the q220 chunk expression — retained
+    * as the independent parity reference for [[graft.functions.CdcChunks]]
+    * (CdcChunksSpec evaluates both and asserts equality, including on
+    * multi-byte/astral-plane inputs).
+    *
     * SHAPE NOTE (measured, not theoretical): the whole per-doc pipeline
     * (codes → breakpoints → cuts → chunk structs) lives inside ONE
     * expression where each stage binds ONCE as a lambda variable — the
@@ -3030,11 +3051,10 @@ object DedupQueries {
     * `split(text,'')` for EVERY position — O(n²) per doc, jstack-caught
     * at 100× the runtime (the q197 composed-tree lesson, HOF edition).
     * With the let-bindings the pipeline is linear even interpreted. */
-  private[graft] def cdcChunkTable(docs: DataFrame): DataFrame = {
+  private[graft] def legacyCdcChunksExpr: String = {
     val pows = "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, " +
       "887503681L, 27512614111L)"
-    val chunksExpr =
-      s"""element_at(transform(
+    s"""element_at(transform(
          |  array(transform(split(text, ''), ch -> ascii(ch))), codes ->
          |  element_at(transform(
          |    array(filter(
@@ -3065,10 +3085,5 @@ object DedupQueries {
          |           - (CASE WHEN k = 0 THEN 0
          |                   ELSE element_at(cuts, k) END)))
          |          AS chunk_md5))), 1)), 1)""".stripMargin
-    docs
-      .select(col("doc_id"), explode(expr(chunksExpr)).as("ch"))
-      .select(col("doc_id"), col("ch.chunk_idx").as("chunk_idx"),
-        col("ch.chunk_len").as("chunk_len"),
-        col("ch.chunk_md5").as("chunk_md5"))
   }
 }

@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedLongIntersectCard(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_cdc_chunks(text) takes one STRING")
+        CdcChunks(exprs(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_det_ln_long"),
       new ExpressionInfo(classOf[DetLnLong].getName, "graft_det_ln_long"),
       (exprs: Seq[Expression]) => {

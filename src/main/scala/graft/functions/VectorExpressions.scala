@@ -150,6 +150,10 @@ object GraftFunctions {
       require(exprs.length == 2, "graft_intersect_card(a, b) takes two arrays")
       SortedLongIntersectCard(exprs(0), exprs(1))
     },
+    "graft_cdc_chunks" -> { exprs =>
+      require(exprs.length == 1, "graft_cdc_chunks(text) takes one STRING")
+      CdcChunks(exprs(0))
+    },
     "graft_zorder" -> { exprs =>
       require(exprs.length == 2, "graft_zorder(a, b) takes two BIGINT keys")
       ZOrder2(exprs(0), exprs(1))

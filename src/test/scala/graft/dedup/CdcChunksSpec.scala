@@ -65,4 +65,31 @@ class CdcChunksSpec extends SparkSpec {
     val rows = Seq((7L, "the quick brown fox jumps over the lazy dog " * 8))
     assert(chunks(rows) == chunks(rows))
   }
+
+  test("graft_cdc_chunks == legacy HOF expression (r14 parity, incl. unicode)") {
+    // The compiled expression must be BIT-IDENTICAL to the pre-r14
+    // higher-order-function chain it replaced — on the fixture corpus
+    // AND on multi-byte / astral-plane / short / empty edge inputs,
+    // where codepoint-vs-byte confusion would diverge first.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val fixture = graft.analytics.Ops
+      .t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(60)
+    val edge = Seq(
+      (9001L, ""), (9002L, "short"), (9003L, "exactly8"),
+      (9004L, "café naïve résumé über alles, ein Straßenfest mit Musik"),
+      (9005L, "世界你好 " * 12),
+      (9006L, "mixed ascii éèê and 😀 astral 😁 plane chars repeated " * 4),
+      (9007L, "a" * 100))
+      .toDF("doc_id", "text")
+    val docs = fixture.unionByName(edge)
+    val newForm = docs.select(col("doc_id"),
+      expr("graft_cdc_chunks(text)").as("cs"))
+    val oldForm = docs.select(col("doc_id"),
+      expr(DedupQueries.legacyCdcChunksExpr).as("cs"))
+    val diff = newForm.exceptAll(oldForm).count() +
+      oldForm.exceptAll(newForm).count()
+    assert(diff == 0, s"compiled vs legacy chunk expression diverged ($diff rows)")
+  }
 }
