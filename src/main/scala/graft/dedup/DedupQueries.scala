@@ -1042,18 +1042,25 @@ object DedupQueries {
     // the same argument as q38.
     QueryDef("q64_contamination", (s, d) => {
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 2) <= "0a"
+      // PINNED (r14): one explode+hash pass serves the eval and train
+      // splits (it ran 3x unpinned — ev, tr's cap agg, tr's join side).
       val grams = tokenized(t(s, d, "documents"))
         .select(col("doc_id"), isEval.as("is_eval"),
           explode(expr(shinglesOfToks)).as("gram"))
         .select(col("doc_id"), col("is_eval"), xxhash64(col("gram")).as("g"))
+        .persist()
       val ev = grams.filter(col("is_eval")).select(col("doc_id").as("eval_doc"), col("g"))
-      val tr = grams.filter(!col("is_eval")).select(col("doc_id").as("train_doc"), col("g"))
       // DF cap: grams present in > MaxGramDf training docs are both noise
       // (stopword-ish shingles) and unbounded join fan-out — drop them.
-      val keep = tr.groupBy("g")
-        .agg(countDistinct(col("train_doc")).as("df"))
-        .filter(col("df") <= MaxGramDf).select("g")
-      val shared = tr.join(keep, "g").join(ev, "g")
+      // (train_doc, g) rows are per-doc DISTINCT, so the per-g row count
+      // IS countDistinct(train_doc) — one window over g instead of a
+      // groupBy + join-back (the q141 rewrite).
+      val tr = grams.filter(!col("is_eval"))
+        .select(col("doc_id").as("train_doc"), col("g"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
+        .filter(col("df") <= MaxGramDf).drop("df")
+      val shared = tr.join(ev, "g")
         .groupBy("eval_doc", "train_doc")
         .agg(count(lit(1)).as("n_shared"))
       val top = shared.withColumn("rn",
@@ -1061,9 +1068,12 @@ object DedupQueries {
             .partitionBy("eval_doc")
             .orderBy(col("n_shared").desc, col("train_doc").asc)))
         .filter(col("rn") === 1).drop("rn")
-      val evalSizes = tokenized(t(s, d, "documents").filter(isEval))
-        .select(col("doc_id").as("eval_doc"),
-          expr(s"size($shinglesOfToks)").cast("long").as("n_eval_grams"))
+      // per-eval-doc distinct-gram counts from the pinned gram rows (the
+      // rows ARE the distinct grams) instead of re-tokenizing documents;
+      // zero-gram docs are absent from both sides of the inner join either
+      // way.
+      val evalSizes = ev.groupBy("eval_doc")
+        .agg(count(lit(1)).as("n_eval_grams"))
       top.join(evalSizes, Seq("eval_doc"))
         .select(col("eval_doc"), col("train_doc"), col("n_shared"),
           // eval docs with zero grams never emit gram rows, so n_eval_grams
@@ -1923,20 +1933,29 @@ object DedupQueries {
       val tk = t(s, d, "documents").select(col("doc_id"),
         filter(split(col("text"), " "),
           (x: org.apache.spark.sql.Column) => length(x) > lit(0)).as("t"))
+        .persist() // two consumers: the window explode and the token explode
       // sliding 8-token windows, 1-based start positions (q151's
-      // filter-sequence guard handles docs shorter than the window)
+      // filter-sequence guard handles docs shorter than the window).
+      // r14: the window string is HASHED to a long AT THE EXPLODE (the
+      // form this scaladoc always declared as the scale shape, and the
+      // q38/q64 Spark-hashes-vs-oracle-strings precedent — identical
+      // results modulo 2^-64 collisions): dup detection and mark-back
+      // now shuffle 8-byte longs, not 8-token strings. PINNED: dup agg
+      // + cov join both consume it.
       val wins = tk.select(col("doc_id"),
           posexplode(expr(
             "transform(filter(sequence(1, greatest(size(t) - 7, 1)), " +
               "i -> i <= size(t) - 7), " +
-              "i -> array_join(slice(t, i, 8), ' '))")).as(Seq("i0", "win")))
+              "i -> xxhash64(array_join(slice(t, i, 8), ' ')))"))
+            .as(Seq("i0", "wh")))
         .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"),
-          col("win"))
-      val dup = wins.groupBy("win")
+          col("wh"))
+        .persist()
+      val dup = wins.groupBy("wh")
         .agg(count_distinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
-        .select("win")
-      val cov = wins.join(dup, Seq("win"))
+        .select("wh")
+      val cov = wins.join(dup, Seq("wh"))
         .select(col("doc_id"),
           explode(expr("sequence(pos, pos + 7)")).as("pos"))
         .distinct()
@@ -1993,24 +2012,30 @@ object DedupQueries {
     // index stand-in), delta the q161 shapes over ~10% of the corpus;
     // mark-back joins are window-keyed equi joins throughout.
     QueryDef("q166_substr_incremental", (s, d) => {
+      // Same r14 staging as q161: pinned token arrays, window hashed to a
+      // long at the explode (q38/q64 precedent), pinned window frame
+      // (THREE consumers: baseWins, deltaDup, cov).
       val tk = t(s, d, "documents").select(col("doc_id"),
         filter(split(col("text"), " "),
           (x: org.apache.spark.sql.Column) => length(x) > lit(0)).as("t"))
         .withColumn("is_delta",
           substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
+        .persist()
       val wins = tk.select(col("doc_id"), col("is_delta"),
           posexplode(expr(
             "transform(filter(sequence(1, greatest(size(t) - 7, 1)), " +
               "i -> i <= size(t) - 7), " +
-              "i -> array_join(slice(t, i, 8), ' '))")).as(Seq("i0", "win")))
+              "i -> xxhash64(array_join(slice(t, i, 8), ' ')))"))
+            .as(Seq("i0", "wh")))
         .select(col("doc_id"), col("is_delta"),
-          (col("i0") + 1).cast("long").as("pos"), col("win"))
-      val baseWins = wins.filter(!col("is_delta")).select("win").distinct()
-      val deltaDup = wins.filter(col("is_delta")).groupBy("win")
+          (col("i0") + 1).cast("long").as("pos"), col("wh"))
+        .persist()
+      val baseWins = wins.filter(!col("is_delta")).select("wh").distinct()
+      val deltaDup = wins.filter(col("is_delta")).groupBy("wh")
         .agg(count_distinct(col("doc_id")).as("df"))
-        .filter(col("df") >= 2).select("win")
+        .filter(col("df") >= 2).select("wh")
       val dup = baseWins.union(deltaDup).distinct()
-      val cov = wins.filter(col("is_delta")).join(dup, Seq("win"))
+      val cov = wins.filter(col("is_delta")).join(dup, Seq("wh"))
         .select(col("doc_id"),
           explode(expr("sequence(pos, pos + 7)")).as("pos"))
         .distinct()

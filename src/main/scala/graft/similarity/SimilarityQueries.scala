@@ -590,15 +590,19 @@ ${probeCandSql("pc", "cand")}
       // intrinsically weak (p=0.61 vs chance 0.5 at cos 0.35); for
       // high-threshold near-dup mining (cos ≥ 0.7, p=0.75) the same k
       // buys far more precision per bit.
+      // PINNED (r14): both sides of the bucket self-join consume ids and
+      // both verify sides consume v — unpinned, the plane projections and
+      // the vector scan each ran twice (the q36b staging discipline).
       val ids = lshTableBuckets(vecs(s, d), nTables = 12, bits = 3)
         .select(col("vec_id"), col("table_id"), col("bucket"))
+        .persist()
       val cand = ids.as("a").join(ids.as("b"),
           col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
         .distinct() // a pair colliding in several tables verifies ONCE
-      val v = vecs(s, d)
+      val v = vecs(s, d).persist()
       cand
         .join(v.toDF("id_a", "va", "na"), Seq("id_a"))
         .join(v.toDF("id_b", "vb", "nb"), Seq("id_b"))
@@ -626,7 +630,7 @@ ${probeCandSql("pc", "cand")}
       val Dim = 64 // the fixture's embedding width; the md5 bank below is
       // deterministic in (t, b, i) so any width works — the require makes
       // a fixture change loud instead of silently mis-hashing
-      val v = vecs(s, d)
+      val v = vecs(s, d).persist()
       // one-row probe (empty corpus → empty result, nothing to guard); a
       // bare head() would throw NoSuchElementException before the message
       v.select(size(col("v")).as("d")).take(1).foreach { r =>
@@ -646,11 +650,14 @@ ${probeCandSql("pc", "cand")}
           (0 until Dim).map(i => (h(s"$tb:$b:$i") % 2001 - 1000).toDouble))
       import s.implicits._
       val planesDf = planes.toDF("table_id", "bit", "weight", "harr")
+      // PINNED (r14): the q68 staging discipline — bucket bits feed both
+      // self-join sides, v feeds both verify sides.
       val bits = v.join(broadcast(planesDf))
         .withColumn("d", expr("graft_dot(v, harr)"))
         .groupBy(col("vec_id"), col("table_id"))
         .agg(sum(when(col("d") >= 0, col("weight")).otherwise(0L))
           .as("bucket"))
+        .persist()
       val cand = bits.as("a").join(bits.as("b"),
           col("a.table_id") === col("b.table_id") &&
             col("a.bucket") === col("b.bucket") &&
