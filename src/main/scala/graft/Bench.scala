@@ -94,7 +94,20 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // MANDATORY cache isolation between timed queries (r14): several
+    // queries now `persist()` their internal multi-consumer frames, and
+    // Spark's CacheManager matches CANONICALIZED PLANS — without an
+    // explicit clear, a later query re-deriving the same subframe (e.g.
+    // q36b after q107b's md5 signature bank) would silently serve from
+    // the earlier query's cache instead of computing from the parquet
+    // inputs. Every timed query must start cache-cold; this is the
+    // measurement contract, not a tuning knob (unlike the r11 SWEEP
+    // experiment, which concerned localCheckpoint pins that the
+    // ContextCleaner already reclaimed — CacheManager entries are held
+    // STRONGLY and never self-expire).
+    def clearQueryCaches(): Unit = spark.catalog.clearCache()
     sweepPins() // the warm-up + prebuild loops leave pins of their own
+    clearQueryCaches()
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val starts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -156,6 +169,7 @@ object Bench {
           f"memMB=${info.map(_.memSize).sum / 1e6}%.1f")
       }
       sweepPins()
+      clearQueryCaches()
     }
     timeCtrl() // close the ambient series at end-of-run
     // Re-time pass: compare vs the committed reference (same SF only —
@@ -169,8 +183,11 @@ object Bench {
     } catch { case _: Throwable => (Map.empty[String, Double], None) }
     val refUsable = refMap.nonEmpty && refSf.contains(sfShortNow)
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    if (refUsable)
-      BenchAdj.flagged(timings.toSeq, refMap).foreach { name =>
+    // Ratio flags need a same-SF reference; the top-10-slowest rule
+    // (VERDICT r13 #7) applies regardless, so even ref-less runs
+    // self-adjudicate their heaviest rows.
+    val retimeRef = if (refUsable) refMap else Map.empty[String, Double]
+    BenchAdj.retimeSet(timings.toSeq, retimeRef).foreach { name =>
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir)
@@ -178,6 +195,7 @@ object Bench {
           retimed(name) = (timings(name), (System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => () }
         sweepPins()
+        clearQueryCaches()
       }
     // TWO-ARTIFACT CONTRACT (see README). The driver keeps only the LAST
     // ~2000 chars of stdout; at 208 queries the full per-query map grew to

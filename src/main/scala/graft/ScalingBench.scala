@@ -41,10 +41,15 @@ object ScalingBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String, sf: String): Unit =
+    def run(name: String, sf: String): Unit = {
+      // cache-cold per invocation (the r14 Bench contract): queries that
+      // persist() internal frames must never serve a later run from the
+      // CacheManager's canonicalized-plan match
+      spark.catalog.clearCache()
       SparkEntry.queries(name)(spark,
         if (sf.startsWith("/")) sf else s"/root/testdata/$sf")
         .write.mode("overwrite").format("noop").save()
+    }
     // codegen + JIT warm-up: every (query, sf) shape once
     for (n <- names; sf <- Sfs) run(n, sf)
     val out = names.map { n =>

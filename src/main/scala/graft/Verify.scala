@@ -26,9 +26,14 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     def selected(name: String) = only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // cache-cold per query (the r14 Bench contract): internal
+        // persist() frames must not leak across queries via the
+        // CacheManager's canonicalized-plan match
+        spark.catalog.clearCache()
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

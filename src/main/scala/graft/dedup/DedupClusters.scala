@@ -40,7 +40,7 @@ object DedupClusters {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint(true) // reused every iteration — cut it loose once
+      .persist() // reused every iteration; freed after convergence
     // Iteration 1 folded into the seed: with identity labels the min
     // neighbor label of `node` is simply min(src) over its in-edges, so
     // the first join of the generic loop is a no-op — seed labels with
@@ -49,7 +49,7 @@ object DedupClusters {
     var labels = edges.groupBy(col("dst").as("node"))
       .agg(min(col("src")).as("nbr"))
       .select(col("node"), least(col("node"), col("nbr")).as("label"))
-      .localCheckpoint(true)
+      .persist()
     var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
@@ -57,20 +57,29 @@ object DedupClusters {
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      // The changed flag rides the label update, so convergence is read
-      // from the PINNED result (a local scan) instead of re-joining next
-      // against labels — one shuffle join per iteration instead of two.
+      // ONE job per iteration: the changed flag rides the label update,
+      // and counting the changed rows both MATERIALIZES the persisted
+      // next-labels cache and answers convergence — the previous form
+      // paid a checkpoint job plus a separate convergence join per
+      // iteration (3 shuffles/2 jobs; now 1/1).
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"),
           (col("nbr_label") < col("label")).as("__changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("__changed")).isEmpty
+        .persist()
+      converged = next.filter(col("__changed")).count() == 0L
+      labels.unpersist(false) // superseded generation; next is materialized
       labels = next.drop("__changed")
       iter += 1
+      // Adversarial high-diameter graphs: cut the join lineage every 8
+      // generations so plan growth stays bounded (each cut is one extra
+      // job, amortized over 8 iterations; diameter-1-3 dedup graphs never
+      // reach it).
+      if (iter % 8 == 0) labels = labels.localCheckpoint(true)
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    edges.unpersist(false)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 }

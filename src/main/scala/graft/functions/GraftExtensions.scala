@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedLongIntersectCard(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_md5_sig16"),
+      new ExpressionInfo(classOf[Md5Sig16].getName, "graft_md5_sig16"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_md5_sig16(gram) takes one STRING")
+        Md5Sig16(exprs(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
       (exprs: Seq[Expression]) => {

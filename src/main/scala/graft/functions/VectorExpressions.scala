@@ -150,6 +150,10 @@ object GraftFunctions {
       require(exprs.length == 2, "graft_intersect_card(a, b) takes two arrays")
       SortedLongIntersectCard(exprs(0), exprs(1))
     },
+    "graft_md5_sig16" -> { exprs =>
+      require(exprs.length == 1, "graft_md5_sig16(gram) takes one STRING")
+      Md5Sig16(exprs(0))
+    },
     "graft_cdc_chunks" -> { exprs =>
       require(exprs.length == 1, "graft_cdc_chunks(text) takes one STRING")
       CdcChunks(exprs(0))

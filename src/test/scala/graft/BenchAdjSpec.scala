@@ -76,4 +76,25 @@ class BenchAdjSpec extends AnyFunSuite {
     assert(BenchAdj.shortId("q107b_lsh_canonical_md5") === "q107b")
     assert(BenchAdj.shortId("q01") === "q01")
   }
+
+  test("retimeSet: ratio flags UNION top-10 slowest above the abs floor (r13 #7)") {
+    // The r13 judge rerun's q149 sat at 2.78x its ref — under the 3x
+    // trigger — yet was the run's 2nd-slowest row; the top-10 rule must
+    // catch exactly that shape, ref or no ref.
+    val ref = Map("q01" -> 1.4, "q149" -> 7.2)
+    val timings = (1 to 15).map(i => (f"q9$i%02d_tail" -> (0.6 + i * 0.1))) ++
+      Seq("q149_setsim" -> 20.0,  // 2.78x ref: NOT ratio-flagged, but slowest
+        "q01_pricing" -> 9.6,     // 6.9x ref: ratio-flagged
+        "q02_tiny" -> 0.4)        // under AbsFloor: never re-timed
+    val set = BenchAdj.retimeSet(timings, ref)
+    assert(set.contains("q149_setsim"), "top-10 rule must catch the 2.78x heavyweight")
+    assert(set.contains("q01_pricing"))
+    assert(!set.contains("q02_tiny"))
+    // flags + top-10, de-duplicated: q01/q149 are both in the top 10, so
+    // the set is exactly the 10 slowest here
+    assert(set.size === 10, s"expected 10 distinct rows, got ${set.size}: $set")
+    // and with NO reference the heaviest rows are still re-timed
+    val noRef = BenchAdj.retimeSet(timings, Map.empty)
+    assert(noRef.contains("q149_setsim") && noRef.size === 10)
+  }
 }
