@@ -80,7 +80,14 @@ object SkewOps {
       floor(rand(SaltSeed) * numSalts).cast("long"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(numSalts - 1L))))
-    salted.join(replicated,
+    // SHUFFLE_HASH on the replicated side (guide §3.1): the salted join
+    // still shuffles both sides by (key, salt) — the operator's whole
+    // point — but each reducer builds a hash table over its (smaller)
+    // replicated-side partition instead of sorting BOTH sides; the salt
+    // guarantees build-side partitions stay bounded (that is what the
+    // salt is FOR), which is precisely when shuffled-hash beats
+    // sort-merge.
+    salted.join(replicated.hint("shuffle_hash"),
         salted("__salt") === replicated("__salt") &&
           salted(leftKey) === replicated(rightKey))
       .drop("__salt")

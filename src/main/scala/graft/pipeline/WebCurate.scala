@@ -80,16 +80,19 @@ object WebCurate {
       .filter(col("__rn") <= maxPerDomain).drop("__rn")
 
     // unfiltered extract output pinned ONCE: n2 (pre-filter) and n3
-    // (post-filter) both read the pin; at 100 TB swap the
+    // (post-filter) both come from ONE aggregate over the pin (r14 —
+    // previously two count() passes); at 100 TB swap the
     // localCheckpoint for a zone write (the Runner staging posture)
     val texts0 = capped
       .withColumn("text",
         TextClean.clean(HtmlExtract.extract(col("html")).getField("text")))
       .drop("html") // bytes stop here
       .localCheckpoint(true)
-    val n2 = texts0.count()
+    val counts = texts0.agg(count(lit(1)).as("n2"),
+      count(when(length(col("text")) > 0, 1)).as("n3")).collect()(0)
+    val n2 = counts.getLong(0)
+    val n3 = counts.getLong(1)
     val texts = texts0.filter(length(col("text")) > 0)
-    val n3 = texts.count()
 
     val (curated, inner) = CorpusCurate.run(
       texts.withColumnRenamed("page_id", "doc_id"),
