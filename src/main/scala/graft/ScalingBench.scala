@@ -33,13 +33,20 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Dev-only (same contract as Bench): SPARK_GRAFT_CONF injects "k=v;k=v"
+    // session confs — A/B adjudication of conf-keyed paths (e.g.
+    // graft.cc.localEdgeLimit=0 re-measures the distributed CC loop).
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).filter(_.nonEmpty)
+      .map(_.split("=", 2)).collect { case Array(k, v) => (k.trim, v.trim) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String, sf: String): Unit = {
       // cache-cold per invocation (the r14 Bench contract): queries that
@@ -52,6 +59,23 @@ object ScalingBench {
     }
     // codegen + JIT warm-up: every (query, sf) shape once
     for (n <- names; sf <- Sfs) run(n, sf)
+    // Untimed warm-read of every measured corpus (r15, VERDICT r14 #8 —
+    // the Bench.scala warm-read ported here): the sandbox drops the page
+    // cache mid-session, so without this the first timed run of a query
+    // absorbs a cold parquet read and subset medians carry a 2-5 s box
+    // spread (the r14 q62/q107 adjudication noise). Same dev knob as
+    // Bench: SPARK_GRAFT_WARMREAD=0 reproduces the cold-read behaviour.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMREAD", "1") != "0")
+      Sfs.map(sf => if (sf.startsWith("/")) sf else s"/root/testdata/$sf")
+        .foreach { dir =>
+          Option(new java.io.File(dir).listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach { f =>
+              try spark.read.parquet(f.getPath)
+                .write.mode("overwrite").format("noop").save()
+              catch { case _: Throwable => () }
+            }
+        }
     val out = names.map { n =>
       val per = Sfs.map(sf => s""""$sf":${f"${median3(run(n, sf))}%.3f"}""")
       s""""$n":{${per.mkString(",")}}"""
