@@ -48,6 +48,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CdcChunks(exprs(0))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_apply"),
+      new ExpressionInfo(classOf[BpeApplyMerges].getName, "graft_bpe_apply"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_bpe_apply(tk, merges) takes a symbol array and a literal merge array")
+        BpeApplyMerges(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_byte_bpe_encode"),
+      new ExpressionInfo(classOf[ByteBpeEncode].getName, "graft_byte_bpe_encode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_byte_bpe_encode(word, merges) takes a word and a literal merge array")
+        ByteBpeEncode(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_det_ln_long"),
       new ExpressionInfo(classOf[DetLnLong].getName, "graft_det_ln_long"),
       (exprs: Seq[Expression]) => {

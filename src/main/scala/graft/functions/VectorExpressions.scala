@@ -158,6 +158,16 @@ object GraftFunctions {
       require(exprs.length == 1, "graft_cdc_chunks(text) takes one STRING")
       CdcChunks(exprs(0))
     },
+    "graft_bpe_apply" -> { exprs =>
+      require(exprs.length == 2,
+        "graft_bpe_apply(tk, merges) takes a symbol array and a literal merge array")
+      BpeApplyMerges(exprs(0), exprs(1))
+    },
+    "graft_byte_bpe_encode" -> { exprs =>
+      require(exprs.length == 2,
+        "graft_byte_bpe_encode(word, merges) takes a word and a literal merge array")
+      ByteBpeEncode(exprs(0), exprs(1))
+    },
     "graft_zorder" -> { exprs =>
       require(exprs.length == 2, "graft_zorder(a, b) takes two BIGINT keys")
       ZOrder2(exprs(0), exprs(1))

@@ -137,6 +137,25 @@ object TextQueries {
     * filter+transform; the a == b (or empty-b) case falls back to the
     * sequential `aggregate` fold. See q75's scaladoc for the proof and
     * the materialize-per-round CSE rationale. */
+  /** The COMPILED merge application (r15, guide §4): one
+    * `graft_bpe_apply` expression applying the whole frozen merge list in
+    * order — replaces a per-merge chain of interpreted [[bpeMergeExpr]]
+    * HOFs (~80 plan nodes and one boxed-lambda pass per merge per word).
+    * BpeApplySpec pins slot-for-slot parity with the chained legacy form;
+    * callers must have run `GraftFunctions.register`. Symbols never
+    * contain spaces (split-on-' ' tokens / hex codes and their
+    * concatenations), so 'a b' with first-space split is lossless. */
+  private[graft] def bpeApplyExpr(tkCol: String, pairs: Seq[String]): String =
+    if (pairs.isEmpty) tkCol
+    else s"graft_bpe_apply($tkCol, ${pairs.map(sqlStrLit).mkString("array(", ", ", ")")})"
+
+  /** [[bpeApplyExpr]] fused with the byte-symbol expansion: hex byte
+    * symbols of `word` ([[byteSymsExpr]] semantics) + the frozen merge
+    * list, one compiled expression. */
+  private[graft] def byteBpeEncodeExpr(pairs: Seq[String]): String =
+    if (pairs.isEmpty) byteSymsExpr
+    else s"graft_byte_bpe_encode(word, ${pairs.map(sqlStrLit).mkString("array(", ", ", ")")})"
+
   private[graft] def bpeMergeExpr(a: String, b: String): String =
     if (a != b && b.nonEmpty)
       s"""transform(
@@ -371,6 +390,7 @@ object TextQueries {
       d: String, rounds: Int,
       wordsIn: Option[org.apache.spark.sql.DataFrame] = None)
       : Seq[(Long, String, Long)] = {
+    graft.functions.GraftFunctions.register(s)
     val words = wordsIn.getOrElse(byteBpeWords(s, d))
     var cur = words.select(col("cnt"), expr(byteSymsExpr).as("tk"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
@@ -385,9 +405,7 @@ object TextQueries {
       else {
         val pair = top(0).getString(0)
         merges += ((step.toLong, pair, top(0).getLong(1)))
-        val i = pair.indexOf(' ')
-        cur = cur.withColumn("tk",
-          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+        cur = cur.withColumn("tk", expr(bpeApplyExpr("tk", Seq(pair))))
       }
     }
     merges.toSeq
@@ -404,16 +422,12 @@ object TextQueries {
     * back to the doc stream by word. Docs with no words yield no row. */
   private[graft] def byteBpeDocTokens(docs: org.apache.spark.sql.DataFrame,
       merges: Seq[(Long, String, Long)]): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val dw = docs.select(col("doc_id"),
       explode(filter(split(TextClean.nfc(col("text")), " "),
         (w: org.apache.spark.sql.Column) => length(w) > lit(0))).as("word"))
-    var enc = dw.select("word").distinct()
-      .select(col("word"), expr(byteSymsExpr).as("tk"))
-    merges.foreach { case (_, pair, _) =>
-      val i = pair.indexOf(' ')
-      enc = enc.withColumn("tk",
-        expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
-    }
+    val enc = dw.select("word").distinct()
+      .select(col("word"), expr(byteBpeEncodeExpr(merges.map(_._2))).as("tk"))
     dw.join(enc.select(col("word"), size(col("tk")).cast("long").as("n_syms")),
         Seq("word"))
       .groupBy("doc_id").agg(sum("n_syms").as("n_tokens"))
@@ -463,18 +477,15 @@ object TextQueries {
     // session-cached artifact; the q253 oracle replays training anyway,
     // so the cache cannot mask a training defect)
     val merges = graft.IndexCache.ensureByteBpeMerges(s, d)
+    graft.functions.GraftFunctions.register(s)
     val dw = curated.select(col("doc_id"),
       explode(filter(split(col("text"), " "),
         (w: org.apache.spark.sql.Column) => length(w) > lit(0))).as("word"))
     // apply-only encode: the trained merges against the CURATED vocab
-    // (vocab-sized work; byte fallback means no OOV by construction)
-    var enc = dw.select("word").distinct()
-      .select(col("word"), expr(byteSymsExpr).as("tk"))
-    merges.foreach { case (_, pair, _) =>
-      val i = pair.indexOf(' ')
-      enc = enc.withColumn("tk",
-        expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
-    }
+    // (vocab-sized work; byte fallback means no OOV by construction),
+    // ONE compiled expression (r15 — was a per-merge interpreted chain)
+    val enc = dw.select("word").distinct()
+      .select(col("word"), expr(byteBpeEncodeExpr(merges.map(_._2))).as("tk"))
     val wenc = enc.select(col("word"),
       expr("octet_length(word)").cast("long").as("n_b"),
       size(col("tk")).cast("long").as("n_syms"))
@@ -804,6 +815,7 @@ object TextQueries {
     * in merge order — driver-held bounded state (one row per round). */
   private def trainBpeMerges(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int): Seq[(Long, String, Long)] = {
+    graft.functions.GraftFunctions.register(s)
     // NFKC first (the SentencePiece convention; TextClean.nfkc scaladoc):
     // identity on the pure-ASCII fixture corpus (UnicodeNormSpec pins the
     // premise), so the relational training-replay oracle stays exact.
@@ -822,10 +834,8 @@ object TextQueries {
         val pair = top(0).getString(0)
         merges += ((step.toLong, pair, top(0).getLong(1)))
         // symbols never contain spaces (split on ' ', merges concatenate),
-        // so the first space is the pair separator
-        val i = pair.indexOf(' ')
-        cur = cur.withColumn("tk",
-          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+        // so the first space is the pair separator (bpeApplyExpr splits it)
+        cur = cur.withColumn("tk", expr(bpeApplyExpr("tk", Seq(pair))))
       }
     }
     merges.toSeq
@@ -846,6 +856,7 @@ object TextQueries {
   private def trainWordPieceMerges(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int,
       minCount: Long): Seq[(Long, String, Long, Long, Long)] = {
+    graft.functions.GraftFunctions.register(s)
     // NFKC first (see trainBpeMerges) — identity on the ASCII fixture
     var cur = t(s, d, "documents")
       .select(split(TextClean.nfkc(col("text")), " ").as("tk"))
@@ -882,9 +893,7 @@ object TextQueries {
         val pair = r.getAs[String]("pair")
         merges += ((step.toLong, pair, r.getAs[Long]("n"),
           r.getAs[Long]("ca"), r.getAs[Long]("cb")))
-        val i = pair.indexOf(' ')
-        cur = cur.withColumn("tk",
-          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
+        cur = cur.withColumn("tk", expr(bpeApplyExpr("tk", Seq(pair))))
       }
     }
     merges.toSeq
@@ -2258,12 +2267,9 @@ object TextQueries {
       // live training, and this oracle replays it, so the cache cannot
       // mask a defect)
       val merges = graft.IndexCache.ensureByteBpeMerges(s, d)
-      var enc = words.select(col("word"), expr(byteSymsExpr).as("tk"))
-      merges.foreach { case (_, pair, _) =>
-        val i = pair.indexOf(' ')
-        enc = enc.withColumn("tk",
-          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
-      }
+      graft.functions.GraftFunctions.register(s)
+      val enc = words.select(col("word"),
+        expr(byteBpeEncodeExpr(merges.map(_._2))).as("tk"))
       val wenc = enc.select(col("word"),
         expr("octet_length(word)").cast("long").as("n_b"),
         size(col("tk")).cast("long").as("n_syms"))
@@ -2294,12 +2300,9 @@ object TextQueries {
     QueryDef("q256_byte_bpe_ids", (s, d) => {
       val words = byteBpeWords(s, d)
       val merges = graft.IndexCache.ensureByteBpeMerges(s, d) // frozen serve
-      var enc = words.select(col("word"), expr(byteSymsExpr).as("tk"))
-      merges.foreach { case (_, pair, _) =>
-        val i = pair.indexOf(' ')
-        enc = enc.withColumn("tk",
-          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
-      }
+      graft.functions.GraftFunctions.register(s)
+      val enc = words.select(col("word"),
+        expr(byteBpeEncodeExpr(merges.map(_._2))).as("tk"))
       val mergedSyms = merges.map { case (step, pair, _) =>
         (pair.replace(" ", ""), 255L + step) }
       require(mergedSyms.map(_._1).distinct.size == mergedSyms.size,
@@ -4324,11 +4327,10 @@ object TextQueries {
       val base = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .withColumn("n_tokens_raw", size(col("tk")).cast("long"))
-      val encoded = merges.foldLeft(base) { case (df, (_, pair, _)) =>
-        val i = pair.indexOf(' ')
-        df.withColumn("tk",
-          expr(bpeMergeExpr(pair.substring(0, i), pair.substring(i + 1))))
-      }
+      // the whole frozen merge list in ONE compiled expression (r15 —
+      // was a per-merge interpreted chain)
+      val encoded = base.withColumn("tk",
+        expr(bpeApplyExpr("tk", merges.map(_._2))))
       encoded.select(col("doc_id"), col("n_tokens_raw"),
         size(col("tk")).cast("long").as("n_tokens_bpe"),
         (col("n_tokens_raw") - size(col("tk"))).as("n_merges_applied"))
