@@ -109,6 +109,45 @@ object DedupQueries {
       .withColumn("n_grams", size(col("grams_h")))
   }
 
+  /** q38's exact all-pairs Jaccard body, factored (r15) so eager
+    * consumers can release the shared pin: returns (pair frame, pinned
+    * hashed-gram handle). Shingles hashed to sorted long arrays ONCE per
+    * doc ([[hashedGrams]]); the O(pairs) inner loop is a codegen'd
+    * two-pointer merge on primitive longs (graft_intersect_card) instead
+    * of string-set hashing — values identical to the string-set form
+    * modulo xxhash64 collisions (~2^-64, far below the oracle's 1e-6
+    * rounding). The gram frame is PINNED: both self-join sides consume
+    * it (unpinned, the shingle hashing ran twice). q38 keeps the pin for
+    * its lazy result (the Bench clearCache contract reclaims it);
+    * q57/q155's CC consumes the pairs eagerly and unpersists the handle
+    * before returning. */
+  private def ngramJaccardWithPin(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    guardBruteForce(s, d, "q38_ngram_jaccard")
+    val docs = hashedGrams(s, d).persist()
+    val a = docs.as("a"); val b = docs.as("b")
+    val pairs = a.join(b, col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        // drop degenerate pairs where BOTH gram sets are empty (<=2-token
+        // docs): jaccard would be 0/0 (ANSI divide-by-zero)
+        col("a.n_grams") + col("b.n_grams") > 0)
+      // intersection computed ONCE per pair; |A∪B| = |A|+|B|-|A∩B| with
+      // per-doc sizes precomputed before the join
+      .withColumn("n_inter", expr("graft_intersect_card(a.grams_h, b.grams_h)"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        // the division must be TOTAL even though the join guard excludes
+        // both-empty pairs: a downstream filter on jaccard (q57) gets
+        // pushed into the join condition, where conjunct evaluation order
+        // is undefined and ANSI 0/0 aborts the job before the guard runs
+        when(col("a.n_grams") + col("b.n_grams") - col("n_inter") > 0,
+          col("n_inter").cast("double") /
+            (col("a.n_grams") + col("b.n_grams") - col("n_inter")))
+          .otherwise(lit(0.0))
+          .as("jaccard"))
+    (pairs, docs)
+  }
+
   /** MinHash signatures via explode → codegen'd hash-agg of K seeded
     * min-hashes: each shingle is hashed K times in one pass (no interpreted
     * higher-order lambdas, no expression re-evaluation), one shuffle keyed
@@ -929,37 +968,8 @@ object DedupQueries {
       notes = "64-bit SimHash from token-hash bit votes; rows-only (xxhash64 engine-specific)"),
 
     // ── n-gram Jaccard within source groups (exact, set-based) ─────────
-    QueryDef("q38_ngram_jaccard", (s, d) => {
-      guardBruteForce(s, d, "q38_ngram_jaccard")
-      // Shingles hashed to sorted long arrays ONCE per doc ([[hashedGrams]]);
-      // the O(pairs) inner loop is then a codegen'd two-pointer merge on
-      // primitive longs (graft_intersect_card) instead of string-set hashing.
-      // Jaccard value is identical to the string-set form modulo xxhash64
-      // collisions (~2^-64 — far below the oracle's 1e-6 rounding).
-      // PINNED: both sides of the self-join consume it — unpinned, the
-      // shingle hashing ran twice (and q57/q155 inherit the saving).
-      val docs = hashedGrams(s, d).persist()
-      val a = docs.as("a"); val b = docs.as("b")
-      a.join(b, col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          // drop degenerate pairs where BOTH gram sets are empty (<=2-token
-          // docs): jaccard would be 0/0 (ANSI divide-by-zero)
-          col("a.n_grams") + col("b.n_grams") > 0)
-        // intersection computed ONCE per pair; |A∪B| = |A|+|B|-|A∩B| with
-        // per-doc sizes precomputed before the join
-        .withColumn("n_inter", expr("graft_intersect_card(a.grams_h, b.grams_h)"))
-        .select(
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          // the division must be TOTAL even though the join guard excludes
-          // both-empty pairs: a downstream filter on jaccard (q57) gets
-          // pushed into the join condition, where conjunct evaluation order
-          // is undefined and ANSI 0/0 aborts the job before the guard runs
-          when(col("a.n_grams") + col("b.n_grams") - col("n_inter") > 0,
-            col("n_inter").cast("double") /
-              (col("a.n_grams") + col("b.n_grams") - col("n_inter")))
-            .otherwise(lit(0.0))
-            .as("jaccard"))
-    }, Some("""
+    QueryDef("q38_ngram_jaccard", (s, d) => ngramJaccardWithPin(s, d)._1,
+      Some("""
       WITH g AS (
         SELECT doc_id, source,
           list_distinct(list_transform(
@@ -984,10 +994,14 @@ object DedupQueries {
     // the same graph with a recursive CTE — tractable at oracle scale,
     // while the Spark loop is the 100 TB form.
     QueryDef("q57_dup_clusters", (s, d) => {
-      val pairs = defs.find(_.name == "q38_ngram_jaccard").get.fn(s, d)
-        .filter(col("jaccard") >= 0.6)
-        .select("doc_a", "doc_b")
-      DedupClusters.connectedComponents(pairs)
+      // CC consumes the q38 pair pipeline EAGERLY (bounded take or
+      // iterative loop), so the shared hashed-gram pin releases before
+      // return (r15 hygiene).
+      val (jac, pin) = ngramJaccardWithPin(s, d)
+      val pairs = jac.filter(col("jaccard") >= 0.6).select("doc_a", "doc_b")
+      val cc = DedupClusters.connectedComponents(pairs)
+      pin.unpersist(false)
+      cc
     }, Some("""
       WITH RECURSIVE g AS (
         SELECT doc_id, source,
@@ -1028,11 +1042,16 @@ object DedupQueries {
     // skips. Parity is pinned by DedupClustersLshSpec.
     QueryDef("q62_dup_clusters_lsh", (s, d) => {
       // Pins: band self-join reads signatures twice, verify reads the
-      // gram sets twice (the q36b/q141 staging discipline).
-      val edges = verifyJaccard(
-        lshCandidatePairs(signatures(s, d).persist()),
-        hashedGrams(s, d).persist(), 0.6)
-      DedupClusters.connectedComponents(edges)
+      // gram sets twice (the q36b/q141 staging discipline). CC consumes
+      // the edges EAGERLY (bounded take or iterative loop), so the pins
+      // release before return (r15 hygiene).
+      val sigs = signatures(s, d).persist()
+      val grams = hashedGrams(s, d).persist()
+      val edges = verifyJaccard(lshCandidatePairs(sigs), grams, 0.6)
+      val cc = DedupClusters.connectedComponents(edges)
+      sigs.unpersist(false)
+      grams.unpersist(false)
+      cc
     }, None,
       notes = "scale-path near-dup clusters: LSH candidates -> exact verify (candidates only) -> CC; rows-only (band hashes engine-specific)"),
 
@@ -1354,12 +1373,15 @@ object DedupQueries {
     // Rows-only for the q62 reason: band hashes are engine-specific.
     QueryDef("q107_lsh_canonical", (s, d) => {
       // Pins: band self-join reads signatures twice, verify reads the
-      // gram sets twice (the q36b/q141 staging discipline).
-      val edges = verifyJaccard(
-        lshCandidatePairs(signatures(s, d).persist()),
-        hashedGrams(s, d).persist(), 0.6)
-      canonicalElection(DedupClusters.connectedComponents(edges),
-        t(s, d, "documents"))
+      // gram sets twice (the q36b/q141 staging discipline). CC consumes
+      // the edges EAGERLY, so the pins release before return (r15).
+      val sigs = signatures(s, d).persist()
+      val grams = hashedGrams(s, d).persist()
+      val edges = verifyJaccard(lshCandidatePairs(sigs), grams, 0.6)
+      val cc = DedupClusters.connectedComponents(edges)
+      sigs.unpersist(false)
+      grams.unpersist(false)
+      canonicalElection(cc, t(s, d, "documents"))
     }, None,
       notes = "LSH candidates -> exact verify -> CC -> canonical election: the q62+q81 composition as one query (rows-only; parity spec vs q81 modulo LSH recall)"),
 
@@ -2588,17 +2610,22 @@ object DedupQueries {
     QueryDef("q107b_lsh_canonical_md5", (s, d) => {
       // PIN the signature bank (both sides of the band self-join replay
       // the 16-min-md5 aggregation otherwise) and the hashed gram sets
-      // (both verify sides scan them) — the q36b discipline.
-      val bands = md5Bands(md5Signatures(s, d).persist())
+      // (both verify sides scan them) — the q36b discipline. CC consumes
+      // the edges EAGERLY, so the pins release before return (r15).
+      val sigs = md5Signatures(s, d).persist()
+      val grams = hashedGrams(s, d).persist()
+      val bands = md5Bands(sigs)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
             col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val edges = verifyJaccard(cand, hashedGrams(s, d).persist(), 0.6)
-      canonicalElection(DedupClusters.connectedComponents(edges),
-        t(s, d, "documents"))
+      val edges = verifyJaccard(cand, grams, 0.6)
+      val cc = DedupClusters.connectedComponents(edges)
+      sigs.unpersist(false)
+      grams.unpersist(false)
+      canonicalElection(cc, t(s, d, "documents"))
     }, Some {
       val sigSql = md5SigSql
       val bandSql = md5BandSql

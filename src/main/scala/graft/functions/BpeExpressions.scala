@@ -37,8 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeMerge {
 
-  /** Greedy left-to-right single-pass application of one merge. Returns
-    * the input array unchanged (same instance) when nothing matched. */
+  /** Greedy left-to-right single-pass application of one merge — the
+    * compiled twin of bpeMergeExpr's positional filter+transform branch
+    * (a ≠ b, b non-empty). Returns the input array unchanged (same
+    * instance) when nothing matched. */
   def applyOne(in: Array[UTF8String], a: UTF8String, b: UTF8String,
       ab: UTF8String): Array[UTF8String] = {
     val n = in.length
@@ -55,31 +57,55 @@ object BpeMerge {
     if (m == n) in else java.util.Arrays.copyOf(out, m)
   }
 
-  /** (a, b, ab) triples from a foldable ARRAY<STRING> of "a b" pairs —
-    * first space separates (symbols never contain spaces: they are
-    * split-on-' ' tokens / hex byte codes and their concatenations). */
-  def compilePairs(e: Expression): Array[(UTF8String, UTF8String, UTF8String)] = {
+  /** Output-directed fold — the compiled twin of bpeMergeExpr's
+    * `aggregate` branch (a = b, or EMPTY b): the freshly merged symbol
+    * stays eligible as the next match's `a`, which for an empty b
+    * absorbs RUNS of empties exactly as the legacy fold does (the
+    * adversarial doubled-space corpus trains such pairs — r15). */
+  def applyFold(in: Array[UTF8String], a: UTF8String, b: UTF8String,
+      ab: UTF8String): Array[UTF8String] = {
+    val n = in.length
+    val out = new Array[UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (m > 0 && out(m - 1).equals(a) && in(i).equals(b)) out(m - 1) = ab
+      else { out(m) = in(i); m += 1 }
+      i += 1
+    }
+    if (m == n) in else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** (a, b, ab, positional?) from a foldable ARRAY<STRING> of "a b"
+    * pairs — FIRST space separates, exactly the `pair.indexOf(' ')`
+    * split every legacy caller used (symbols never contain spaces:
+    * split-on-' ' tokens / hex codes and their concatenations; empty
+    * symbols occur on adversarial doubled-space corpora and take the
+    * fold branch, matching bpeMergeExpr's branch rule verbatim). */
+  def compilePairs(e: Expression)
+      : Array[(UTF8String, UTF8String, UTF8String, Boolean)] = {
     require(e.foldable, "the merge list must be a literal array of 'a b' pairs")
     val arr = e.eval().asInstanceOf[ArrayData]
     (0 until arr.numElements()).map { i =>
       val pair = arr.getUTF8String(i).toString
       val sp = pair.indexOf(' ')
-      require(sp > 0 && sp < pair.length - 1,
-        s"merge pair must be 'a b' with non-empty halves, got '$pair'")
+      require(sp >= 0, s"merge pair must be 'a b' (space-separated), got '$pair'")
       val a = pair.substring(0, sp)
       val b = pair.substring(sp + 1)
       (UTF8String.fromString(a), UTF8String.fromString(b),
-        UTF8String.fromString(a + b))
+        UTF8String.fromString(a + b), a != b && b.nonEmpty)
     }.toArray
   }
 
   def applyAll(syms: Array[UTF8String],
-      merges: Array[(UTF8String, UTF8String, UTF8String)]): GenericArrayData = {
+      merges: Array[(UTF8String, UTF8String, UTF8String, Boolean)])
+      : GenericArrayData = {
     var cur = syms
     var k = 0
     while (k < merges.length) {
-      val (a, b, ab) = merges(k)
-      cur = applyOne(cur, a, b, ab)
+      val (a, b, ab, positional) = merges(k)
+      cur = if (positional) applyOne(cur, a, b, ab)
+            else applyFold(cur, a, b, ab)
       k += 1
     }
     new GenericArrayData(cur.asInstanceOf[Array[Any]])

@@ -67,22 +67,32 @@ object CorpusCurate {
     * stage, where `embeddings` is a (vec_id, embedding) frame whose ids
     * align with doc_ids (docs without an embedding pass through — the
     * stage can only judge what the encoder embedded). */
+  /** `retainPin = true` (default) leaves the final survivor frame cached
+    * — callers that keep consuming the returned frame (the CLIs, q253's
+    * composition) read it for free, and release via
+    * `spark.catalog.clearCache()` or session end. `retainPin = false`
+    * unpersists EVERY internal pin before returning (r15 hygiene, ADVICE
+    * r14): correct for manifest-only callers (the counts have already
+    * materialized every stage), at the cost of a full recompute should
+    * the returned frame be re-consumed later. */
   def run(docs: DataFrame, minQuality: Double = 1.0, minJ: Double = 0.6,
       shardTokens: Long = 2048L,
       containmentTau: Option[Double] = None,
-      semantic: Option[(DataFrame, Double)] = None): (DataFrame, Manifest) = {
+      semantic: Option[(DataFrame, Double)] = None,
+      retainPin: Boolean = true): (DataFrame, Manifest) = {
     require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
-    // n0 and n1 from ONE pass: counting all rows and quality-passing rows
-    // in a single aggregate halves the pre-gate scans (the quality score
-    // is evaluated once per row either way).
-    val head = docs.agg(count(lit(1)).as("n0"),
-      count(when(TextSignals.qualityScore(col("text")) >= minQuality, 1))
-        .as("n1")).collect()(0)
-    val n0 = head.getLong(0)
-    val n1 = head.getLong(1)
-
+    // n0/n1 RIDE the exact-dedup pass via observe() (r15, guide §2.4):
+    // the head aggregate previously scanned `docs` (and evaluated the
+    // quality score) once more before the pinned pass — CollectMetrics
+    // sits below the fp window, so every pre-gate row is counted by the
+    // same job that materializes the pin. The metrics latch on the first
+    // completed execution (exact.count), so later cache-miss recomputes
+    // cannot double-count.
+    val headObs = new org.apache.spark.sql.Observation()
     val gated = docs
       .withColumn("quality_score", TextSignals.qualityScore(col("text")))
+      .observe(headObs, count(lit(1)).as("n0"),
+        count(when(col("quality_score") >= minQuality, 1)).as("n1"))
       .filter(col("quality_score") >= minQuality)
 
     // PIN the exact-dedup survivors: consumed by the n2 count, by THREE
@@ -97,14 +107,27 @@ object CorpusCurate {
       .filter(col("__rn") === 1).drop("__rn")
       .persist()
     val n2 = exact.count()
+    val headRow = headObs.get // latched by the count above
+    val n0 = headRow("n0").asInstanceOf[Long]
+    val n1 = headRow("n1").asInstanceOf[Long]
 
     // PIN the near-dup survivors: consumed by the n3 count, the optional
     // stages, the shard window AND the stats aggregate — unpinned, the
     // full LSH-candidates + exact-verify pipeline re-ran once per
     // downstream action (the r14 bench measured 3-4 replays per call).
-    val near = StreamingDocIngest.nearDupBatchTwin(exact, minJ)
-      .persist()
+    val (nearDf, releaseTwinPins) =
+      StreamingDocIngest.nearDupBatchTwinWithRelease(exact, minJ)
+    val near = nearDf.persist()
     val n3 = near.count()
+    // `near` is materialized: the twin's internal signature/gram pins and
+    // the superseded exact pin release here (every later stage reads the
+    // cached `near` rows; a recompute-on-eviction walks lineage, exactly
+    // the pre-pin posture).
+    releaseTwinPins()
+    exact.unpersist(false)
+    // the currently-pinned survivor generation (superseded pins release
+    // as soon as their successor materializes)
+    var live: DataFrame = near
 
     // When an optional stage is OFF its frame IS the previous one —
     // recounting an identical frame buys nothing, so the count is reused.
@@ -113,7 +136,10 @@ object CorpusCurate {
         val c = near.join(graft.dedup.DedupQueries.containmentDrops(
           near.select("doc_id", "text"), tau), Seq("doc_id"), "left_anti")
           .persist()
-        (c, c.count())
+        val n = c.count()
+        live.unpersist(false)
+        live = c
+        (c, n)
       case None => (near, n3)
     }
 
@@ -134,7 +160,10 @@ object CorpusCurate {
           .select(col("vec_id").as("doc_id"))
         val sdf = contained.join(drops, Seq("doc_id"), "left_anti")
           .persist()
-        (sdf, sdf.count())
+        val n = sdf.count()
+        live.unpersist(false)
+        live = sdf
+        (sdf, n)
       case None => (contained, n4)
     }
 
@@ -150,6 +179,7 @@ object CorpusCurate {
     val stats = curated.agg(
       coalesce(sum(col("n_tokens")), lit(0L)).as("toks"),
       countDistinct(col("source"), col("shard_id")).as("shards")).collect()(0)
+    if (!retainPin) live.unpersist(false)
 
     val manifest = Manifest(
       inputDocs = n0,

@@ -48,30 +48,39 @@ object WebCurate {
   /** `pages` must expose (page_id, url, html, source). Returns the
     * curated frame (CorpusCurate columns + url_canon/domain) and the
     * two-level manifest. */
+  /** `retainPin` forwards to [[CorpusCurate.run]] (r15 hygiene): `false`
+    * releases every internal cache pin before returning — correct for
+    * manifest-only callers. */
   def run(pages: DataFrame, maxPerDomain: Long = 3L,
       minQuality: Double = 1.0, minJ: Double = 0.6,
-      shardTokens: Long = 2048L): (DataFrame, WebManifest) = {
+      shardTokens: Long = 2048L,
+      retainPin: Boolean = true): (DataFrame, WebManifest) = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive: $maxPerDomain")
-    // The crawl is scanned exactly TWICE, however many manifest counts
-    // are taken (the q182/q210 single-pass discipline applied to the
-    // pipeline object itself — the r10 bench caught the per-count
-    // lineage re-runs): pass 1 is one aggregate giving n0 AND n1 (URL
-    // keepers = one per distinct canonical, so n1 is a countDistinct,
-    // no window needed); pass 2 materializes the pinned POST-EXTRACT
-    // text-only frame (html dropped before the pin, so the pin holds
-    // curated-scale text, never crawl-scale markup) from which n2/n3
-    // and every CorpusCurate stage re-derive for free.
+    // The crawl is scanned exactly ONCE, however many manifest counts are
+    // taken (r15, VERDICT r14 #7 — was twice since r14, per-count lineage
+    // re-runs before that): all four stage counts RIDE the one
+    // materializing pass as observe() metrics. n0 counts below the URL
+    // window (CollectMetrics sits under the WindowGroupLimit pushdown, so
+    // every crawl row passes it before map-side top-1 dropping), n1
+    // counts the URL keepers (= distinct canonicals, no countDistinct
+    // needed), n2/n3 count the extract output around its empty filter.
+    // The pinned POST-EXTRACT frame is text-only (html dropped before the
+    // pin, so the pin holds curated-scale text, never crawl-scale
+    // markup); at 100 TB swap the localCheckpoint for a zone write (the
+    // Runner staging posture). The eager localCheckpoint is the action
+    // that latches all three observations.
+    val headObs = new org.apache.spark.sql.Observation()
+    val urlObs = new org.apache.spark.sql.Observation()
+    val extractObs = new org.apache.spark.sql.Observation()
     val canon = pages.withColumn("url_canon",
       UrlOps.canonicalize(col("url")))
-    val head = canon.agg(count(lit(1)).as("n0"),
-      countDistinct(col("url_canon")).as("n1")).collect()(0)
-    val n0 = head.getLong(0)
-    val n1 = head.getLong(1)
+      .observe(headObs, count(lit(1)).as("n0"))
 
     val wUrl = Window.partitionBy("url_canon").orderBy("page_id")
     val urlKept = canon
       .withColumn("__rn", row_number().over(wUrl))
       .filter(col("__rn") === 1).drop("__rn")
+      .observe(urlObs, count(lit(1)).as("n1"))
 
     val wDom = Window.partitionBy("domain").orderBy("page_id")
     val capped = urlKept
@@ -79,24 +88,24 @@ object WebCurate {
       .withColumn("__rn", row_number().over(wDom))
       .filter(col("__rn") <= maxPerDomain).drop("__rn")
 
-    // unfiltered extract output pinned ONCE: n2 (pre-filter) and n3
-    // (post-filter) both come from ONE aggregate over the pin (r14 —
-    // previously two count() passes); at 100 TB swap the
-    // localCheckpoint for a zone write (the Runner staging posture)
     val texts0 = capped
       .withColumn("text",
         TextClean.clean(HtmlExtract.extract(col("html")).getField("text")))
       .drop("html") // bytes stop here
+      .observe(extractObs, count(lit(1)).as("n2"),
+        count(when(length(col("text")) > 0, 1)).as("n3"))
       .localCheckpoint(true)
-    val counts = texts0.agg(count(lit(1)).as("n2"),
-      count(when(length(col("text")) > 0, 1)).as("n3")).collect()(0)
-    val n2 = counts.getLong(0)
-    val n3 = counts.getLong(1)
+    val n0 = headObs.get("n0").asInstanceOf[Long]
+    val n1 = urlObs.get("n1").asInstanceOf[Long]
+    val extractRow = extractObs.get
+    val n2 = extractRow("n2").asInstanceOf[Long]
+    val n3 = extractRow("n3").asInstanceOf[Long]
     val texts = texts0.filter(length(col("text")) > 0)
 
     val (curated, inner) = CorpusCurate.run(
       texts.withColumnRenamed("page_id", "doc_id"),
-      minQuality = minQuality, minJ = minJ, shardTokens = shardTokens)
+      minQuality = minQuality, minJ = minJ, shardTokens = shardTokens,
+      retainPin = retainPin)
     (curated, WebManifest(
       pages = n0,
       urlDupDropped = n0 - n1,

@@ -220,8 +220,19 @@ object StreamingDocIngest {
   /** One-shot batch computation with the identical survivor rule — drop
     * every doc with a lower-id LSH-verified >= minJ witness, kept or not —
     * for the batch⇄stream parity spec. (q62 continues past this point to
-    * connected components; the ingest stage only needs the drop set.) */
-  def nearDupBatchTwin(docs: DataFrame, minJ: Double = 0.6): DataFrame = {
+    * connected components; the ingest stage only needs the drop set.)
+    * The internal signature/gram pins stay cached for the frame's
+    * lifetime (the CacheManager holds them strongly); callers that
+    * materialize the result and want the blocks back should use
+    * [[nearDupBatchTwinWithRelease]] (r15 hygiene — ADVICE r14). */
+  def nearDupBatchTwin(docs: DataFrame, minJ: Double = 0.6): DataFrame =
+    nearDupBatchTwinWithRelease(docs, minJ)._1
+
+  /** [[nearDupBatchTwin]] plus a release handle: invoke it AFTER the
+    * returned frame has fully materialized (e.g. a count on a persisted
+    * copy) to unpersist the internal signature/gram pins. */
+  private[graft] def nearDupBatchTwinWithRelease(docs: DataFrame,
+      minJ: Double): (DataFrame, () => Unit) = {
     import graft.dedup.DedupQueries
     val d = docs.select("doc_id", "text")
     // PIN the signature and gram frames (batch-only API — callers are
@@ -229,11 +240,12 @@ object StreamingDocIngest {
     // lshCandidatePairs consumes the signatures twice and verifyJaccard
     // consumes the gram sets twice; unpinned, each side replayed the
     // full shingle pass over `docs`' lineage.
+    val sigs = DedupQueries.signaturesOf(d).persist()
+    val grams = DedupQueries.hashedGramsOf(d).persist()
     val dropped = DedupQueries.verifyJaccard(
-      DedupQueries.lshCandidatePairs(
-        DedupQueries.signaturesOf(d).persist()),
-      DedupQueries.hashedGramsOf(d).persist(), minJ)
+      DedupQueries.lshCandidatePairs(sigs), grams, minJ)
       .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(dropped, Seq("doc_id"), "left_anti")
+    (docs.join(dropped, Seq("doc_id"), "left_anti"),
+      () => { sigs.unpersist(false); grams.unpersist(false); () })
   }
 }

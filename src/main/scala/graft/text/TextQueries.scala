@@ -2118,7 +2118,8 @@ object TextQueries {
         UrlOps.syntheticUrl(col("doc_id")).as("url"),
         HtmlExtract.syntheticHtml(col("doc_id"), col("text")).as("html"),
         col("source"))
-      val (_, m) = graft.pipeline.WebCurate.run(pages)
+      // manifest-only consumer: release every internal pin on return
+      val (_, m) = graft.pipeline.WebCurate.run(pages, retainPin = false)
       val c = m.curated
       import s.implicits._
       Seq((m.pages, m.urlDupDropped, m.domainCapDropped,
@@ -2150,7 +2151,9 @@ object TextQueries {
     // sharding contract); bytes never shuffle.
     QueryDef("q235_warc_front_door", (s, d) => {
       val dir = graft.IndexCache.ensureWarcFixture(s, d)
-      val (_, m) = graft.pipeline.WebCurate.run(graft.io.WarcIO.readPages(s, dir))
+      // manifest-only consumer: release every internal pin on return
+      val (_, m) = graft.pipeline.WebCurate.run(graft.io.WarcIO.readPages(s, dir),
+        retainPin = false)
       val c = m.curated
       import s.implicits._
       Seq((m.pages, m.urlDupDropped, m.domainCapDropped,
@@ -2182,7 +2185,9 @@ object TextQueries {
     // the transport), and neither form ever shuffles.
     QueryDef("q245_warc_gz_front_door", (s, d) => {
       val dir = graft.IndexCache.ensureWarcGzFixture(s, d)
-      val (_, m) = graft.pipeline.WebCurate.run(graft.io.WarcIO.readPagesGz(s, dir))
+      // manifest-only consumer: release every internal pin on return
+      val (_, m) = graft.pipeline.WebCurate.run(graft.io.WarcIO.readPagesGz(s, dir),
+        retainPin = false)
       val c = m.curated
       import s.implicits._
       Seq((m.pages, m.urlDupDropped, m.domainCapDropped,

@@ -69,6 +69,26 @@ class BpeApplySpec extends SparkSpec {
     }
   }
 
+  test("empty symbols take the legacy fold branch (adversarial doubled spaces)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // split on ' ' of doubled/tripled-space text yields EMPTY tokens; the
+    // adversarial corpus trains pairs like ('','') and ('a','') whose
+    // legacy aggregate-fold ABSORBS RUNS (ab == a re-matches)
+    val docs = Seq(
+      "a||b", "a|||b", "||||", "a|", "|a", "x||||y", "a|a||a"
+    ).toDF("raw").select(split(col("raw"), "\\|").as("tk"))
+    for (pairs <- Seq(Seq(" "), Seq("a "), Seq(" a"), Seq(" ", "a "))) {
+      val both = docs.select(
+        expr(TextQueries.bpeApplyExpr("tk", pairs)).as("compiled"),
+        expr(legacyChain("tk", pairs)).as("legacy"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"pairs=$pairs compiled=${r.getSeq[String](0)} legacy=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("empty merge lists degrade to identity / plain byte symbols") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
