@@ -1741,22 +1741,21 @@ object DedupQueries {
     // fingerprint count >= 2 filters singleton coincidences. Portable
     // md5 hashing keeps the whole thing oracle-gated.
     QueryDef("q151_winnowing", (s, d) => {
-      val tk = t(s, d, "documents").select(col("doc_id"),
-        split(col("text"), " ").as("t"))
-      val g = tk.select(col("doc_id"),
-          posexplode(expr(
-            "transform(filter(sequence(0, greatest(size(t) - 4, 0)), " +
-              "i -> i <= size(t) - 4), " +
-              "i -> conv(substring(md5(concat_ws(' ', slice(t, i + 1, 4))), " +
-              "1, 15), 16, 10))")).as(Seq("pos", "hs")))
-        .select(col("doc_id"), col("pos"), col("hs").cast("long").as("h"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-      val fp = g
-        .withColumn("wmin", min(col("h")).over(win))
-        .withColumn("wn", count(lit(1)).over(win))
-        .filter(col("wn") === 4)
-        .select(col("doc_id"), col("wmin").as("fp")).distinct()
+      graft.functions.GraftFunctions.register(s)
+      // COMPILED fingerprint derivation (r15, guide §4): graft_winnow_fps
+      // fuses the per-position interpreted md5-HOF (one gram string + one
+      // hex string + one base-16 parse per position), the doc-keyed
+      // window-min (a WindowExec exchange+sort), and the per-doc DISTINCT
+      // (a corpus-wide exchange) into one per-row loop — the (doc, fp)
+      // rows explode directly. PINNED: the DF-cap aggregate and both
+      // pair-join sides consume the fp rows (via `kept`). The cap keeps
+      // the groupBy+join-back form rather than a window: map-side partial
+      // aggregation shrinks boilerplate-hot fingerprints BEFORE the
+      // exchange, where a count-over-window would buffer every occurrence
+      // of a hot fp in one partition group first (ADVICE r14).
+      val fp = t(s, d, "documents").select(col("doc_id"),
+          explode(expr("graft_winnow_fps(split(text, ' '))")).as("fp"))
+        .persist()
       val kept = fp.join(
         fp.groupBy("fp").agg(count(lit(1)).as("c")).filter(col("c") <= 64)
           .select("fp"),

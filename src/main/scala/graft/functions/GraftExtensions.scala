@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CdcChunks(exprs(0))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow_fps"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_winnow_fps(tokens) takes one ARRAY<STRING>")
+        WinnowFps(exprs(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_bpe_apply"),
       new ExpressionInfo(classOf[BpeApplyMerges].getName, "graft_bpe_apply"),
       (exprs: Seq[Expression]) => {

@@ -158,6 +158,10 @@ object GraftFunctions {
       require(exprs.length == 1, "graft_cdc_chunks(text) takes one STRING")
       CdcChunks(exprs(0))
     },
+    "graft_winnow_fps" -> { exprs =>
+      require(exprs.length == 1, "graft_winnow_fps(tokens) takes one ARRAY<STRING>")
+      WinnowFps(exprs(0))
+    },
     "graft_bpe_apply" -> { exprs =>
       require(exprs.length == 2,
         "graft_bpe_apply(tk, merges) takes a symbol array and a literal merge array")

@@ -45,20 +45,29 @@ object TextQueries {
     * shared with the hybrid-fusion q88 so both rank the SAME exact
     * integer scores. Every double sub-expression is mirrored term-for-
     * term in the q86/q88 oracles (explicit DOUBLE casts, integer-
-    * preserving idf form); see q86's scaladoc for the rationale. */
+    * preserving idf form); see q86's scaladoc for the rationale.
+    * r15: doc lengths and the static-term tf rows come from ONE fused
+    * tokenize pass ([[bm25DocLengthsAndTf]]) — the scorer previously
+    * paid two. */
   private[graft] def bm25MicroScores(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    bm25MicroScoresWhere(s, d,
-      _.filter(col("tok").isin("query", "dup", "scan")))
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (dl, tf) = bm25DocLengthsAndTf(s, d, Bm25Terms)
+    bm25MicroScoresWhere(s, d, identity, Some(dl), Some(tf))
+  }
 
-  /** The corpus token stream (doc_id, tok) — NOT pinned: every consumer
-    * must aggregate it down before reuse (see [[bm25DocLengths]] /
-    * [[bm25MicroScoresWhere]]). */
+  private[graft] val Bm25Terms = Seq("query", "dup", "scan")
+
+  /** The token stream (doc_id, tok) of any (doc_id, text, ...) frame —
+    * NOT pinned: every consumer must aggregate it down before reuse. */
+  private[graft] def bm25TokenStreamOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(filter(split(col("text"), " "),
+      (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
+
+  /** The corpus token stream (doc_id, tok) — see [[bm25TokenStreamOf]]. */
   private[graft] def bm25TokenStream(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"), explode(filter(split(col("text"), " "),
-        (x: org.apache.spark.sql.Column) => length(x) > lit(0))).as("tok"))
+    bm25TokenStreamOf(t(s, d, "documents"))
 
   /** ONE corpus tokenize pass into the pinned DOC-SIZED length frame;
     * t_toks derives from it by a 1-row sum, so the corpus-length
@@ -67,13 +76,37 @@ object TextQueries {
     * q182/q210 defect class. A full (doc, tok, n) materialization was
     * tried and is SLOWER than streaming for fixed small term sets: it
     * trades narrow filtered passes for a corpus-wide shuffle. Doc-sized
-    * partials + a tiny pinned query-term frame keep both properties:
-    * two tokenize passes total, zero corpus-scale shuffles.) */
+    * partials + a tiny pinned query-term frame keep both properties;
+    * for STATIC term sets [[bm25DocLengthsAndTf]] fuses even those two
+    * passes into one.) */
   private[graft] def bm25DocLengths(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     bm25TokenStream(s, d)
       .groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .localCheckpoint(true)
+
+  /** Doc lengths AND per-(doc, term) tf rows for a STATIC term list from
+    * ONE fused tokenize pass (r15, guide §2.4): per doc, one map-side-
+    * combined aggregate computes dl plus a conditional count per term;
+    * the tf rows unpivot (stack) from the pinned doc-sized result with
+    * tf = 0 rows dropped — row-for-row the frame the old filtered
+    * second pass produced. Cuts q86/q88/q184 from two tokenize passes
+    * to one and q150 from four to three. */
+  private def bm25DocLengthsAndTf(s: org.apache.spark.sql.SparkSession,
+      d: String, terms: Seq[String])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      count(when(col("tok") === tm, 1)).as(s"__tf$i") }
+    val agg = bm25TokenStream(s, d).groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint(true)
+    val stackArgs = terms.zipWithIndex.map { case (tm, i) =>
+      s"'${tm}', __tf$i" }.mkString(", ") // fixed alphanumeric demo terms
+    val tf = agg.selectExpr("doc_id",
+        s"stack(${terms.size}, $stackArgs) AS (tok, tf)")
+      .filter(col("tf") > 0)
+    (agg.select("doc_id", "dl"), tf)
+  }
 
   /** [[bm25MicroScores]] with the query-term selection parameterized:
     * q86/q88 keep the literal isin filter (plan unchanged), q150 passes a
@@ -81,11 +114,14 @@ object TextQueries {
     * set. Same scoring expression either way — the q86 oracle mirror
     * holds for any selector that only restricts the token stream.
     * `dlIn` lets multi-round callers (q150) share one pinned
-    * document-length frame across rounds. */
+    * document-length frame across rounds; `tfIn` (r15) supplies the
+    * pre-aggregated (doc_id, tok, tf) rows from the fused static pass
+    * (the selector is then unused). */
   private[graft] def bm25MicroScoresWhere(s: org.apache.spark.sql.SparkSession,
       d: String,
       selectTerms: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      dlIn: Option[org.apache.spark.sql.DataFrame] = None)
+      dlIn: Option[org.apache.spark.sql.DataFrame] = None,
+      tfIn: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val dl = dlIn.getOrElse(bm25DocLengths(s, d))
     // n_docs stays a direct count over documents: a zero-token doc is a
@@ -94,10 +130,11 @@ object TextQueries {
     val tot = dl.agg(sum(col("dl")).as("t_toks"))
     // pinned: the query-term frame feeds df AND the scoring join — it is
     // terms x docs-sized (tiny), and the pin caps the whole scorer at
-    // ONE filtered tokenize pass
-    val tf = selectTerms(bm25TokenStream(s, d))
+    // ONE filtered tokenize pass (zero extra passes when tfIn rides the
+    // fused static aggregate)
+    val tf = tfIn.getOrElse(selectTerms(bm25TokenStream(s, d))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(dl, "doc_id")
       .crossJoin(broadcast(stats)).crossJoin(broadcast(tot))
@@ -4581,22 +4618,28 @@ object TextQueries {
     // round trip, exactly the production PRF cost model.
     QueryDef("q150_prf_bm25", (s, d) => {
       import s.implicits._
-      // the doc-length pin is shared by BOTH scoring rounds (dlIn), so
-      // the three stages cost four streaming tokenize passes total with
-      // zero corpus-scale shuffles — r9 paid nine passes (17 documents
-      // scans, ExplainAudit-counted)
-      val dlShared = bm25DocLengths(s, d)
-      val fb = bm25MicroScoresWhere(s, d,
-          _.filter(col("tok").isin("query", "dup", "scan")), Some(dlShared))
+      // r15 shapes: (1) pass 1's doc lengths AND query-term tfs come from
+      // ONE fused tokenize pass (bm25DocLengthsAndTf — was two); the dl
+      // half is shared with scoring round 2 (dlIn). (2) the expansion
+      // pass joins the 10-row broadcast feedback set to `documents`
+      // BEFORE the explode (guide §3.3: join on the un-exploded key,
+      // explode after), so only 10 docs tokenize — it previously
+      // tokenized the corpus and then dropped all but 10 docs' tokens.
+      // Three tokenize passes total (one per sequential stage — pass 2
+      // cannot fuse with pass 1 across the feedback round trip); r9 paid
+      // nine (17 documents scans, ExplainAudit-counted), r14 four.
+      val (dlShared, tf1) = bm25DocLengthsAndTf(s, d, Bm25Terms)
+      val fb = bm25MicroScoresWhere(s, d, identity, Some(dlShared), Some(tf1))
         .orderBy(col("s").desc, col("doc_id").asc).limit(10)
         .select("doc_id")
-      val expansion = bm25TokenStream(s, d).join(broadcast(fb), "doc_id")
-        .filter(!col("tok").isin("query", "dup", "scan"))
+      val expansion = bm25TokenStreamOf(
+          t(s, d, "documents").join(broadcast(fb), "doc_id"))
+        .filter(!col("tok").isin(Bm25Terms: _*))
         .groupBy("tok").agg(count(lit(1)).as("fb_tf"))
         .orderBy(col("fb_tf").desc, col("tok").asc).limit(3)
         .select("tok")
       val allTerms = expansion
-        .union(Seq("query", "dup", "scan").toDF("tok")).distinct()
+        .union(Bm25Terms.toDF("tok")).distinct()
       bm25MicroScoresWhere(s, d, tk => tk.join(broadcast(allTerms), "tok"),
           Some(dlShared))
         .orderBy(col("s").desc, col("doc_id").asc).limit(15)
@@ -5828,21 +5871,32 @@ object TextQueries {
     // standard eval row at k = 10. NDCG discounts are micro-unit
     // rounded BIGINT terms (g · ln2/ln(rank+1), the q77 LN residual
     // class); MRR/precision/recall divide small exact integers. Both
-    // rankings come from GlobalOrder.withRowNumbers (the q147 shape) —
-    // no WindowExec, no single-partition sort, scale-safe however many
+    // rankings are TakeOrderedAndProject top-10s + a row_number over the
+    // bounded 10-row result (r15; the q242b pattern) — no corpus-wide
+    // rank window, no single-partition sort, scale-safe however many
     // docs match (the q88-lesson guard: corpus-wide rank windows stay
-    // banned).
+    // banned; a top-k is the one global order a 100 TB plan may take).
     QueryDef("q184_retrieval_eval", (s, d) => {
-      // ONE pinned frame, BOTH rankings via withRowNumbersMulti: the
-      // BM25 stack executes once (unpinned, the top/ideal/relTotal
-      // branches re-ran it per consumer), and the chained-rank misuse
-      // shape is unexpressible through the API
-      val ranked = graft.operators.GlobalOrder.withRowNumbersMulti(
-        bm25MicroScores(s, d), Seq("doc_id"), Seq(
-          (Seq(col("s").desc, col("doc_id").asc), "rank"),
-          (Seq(col("n_terms").desc, col("doc_id").asc), "irank")))
-      val top = ranked.filter(col("rank") <= 10)
-      val relTotal = ranked.agg(
+      // ONE pinned frame (the BM25 stack executes once; unpinned, the
+      // top/ideal/relTotal branches re-ran it per consumer). r15: the two
+      // rankings only ever feed `rank <= 10` / `irank <= 10`, so each is
+      // a TakeOrderedAndProject top-10 + a row_number over the BOUNDED
+      // 10-row result (the q242b declared pattern) instead of a full
+      // GlobalOrder rank pass per order (range exchange + offsets +
+      // join, ×2) — identical ranks on the same (unique-keyed) total
+      // order. relTotal reads the pin directly: it never needed ranks,
+      // but the rank-joined frame made it pay both passes anyway.
+      val scored = bm25MicroScores(s, d).localCheckpoint(true)
+      val wTop = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s").desc, col("doc_id").asc) // <= 10 rows: bounded
+      val top = scored.orderBy(col("s").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(wTop))
+      val wIdeal = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_terms").desc, col("doc_id").asc) // <= 10 rows
+      val itop = scored.orderBy(col("n_terms").desc, col("doc_id").asc)
+        .limit(10)
+        .withColumn("irank", row_number().over(wIdeal))
+      val relTotal = scored.agg(
         sum(when(col("n_terms") >= 2, 1L).otherwise(0L)).as("n_rel_total"))
       val dcgRow = top
         .withColumn("rel", when(col("n_terms") >= 2, 1L).otherwise(0L))
@@ -5851,7 +5905,7 @@ object TextQueries {
           sum(round(col("n_terms").cast("double") * lit(DetMath.LN2) /
             DetMath.detLnLong(col("rank") + 1) * 1e6).cast("long"))
             .as("dcg_u"))
-      val ideal = ranked.filter(col("irank") <= 10)
+      val ideal = itop
         .agg(sum(round(col("n_terms").cast("double") * lit(DetMath.LN2) /
           DetMath.detLnLong(col("irank") + 1) * 1e6).cast("long"))
           .as("idcg_u"))
