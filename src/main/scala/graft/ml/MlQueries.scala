@@ -342,10 +342,16 @@ object MlQueries {
     // integer aggregate; the two divisions happen in DOUBLE at the end.
     QueryDef("q147_model_eval", (s, d) => {
       val docs = t(s, d, "documents")
+      // PINNED (r15): GlobalOrder's base and offsets branches prune the
+      // range exchange's input differently, which defeats exchange reuse
+      // and re-ran the whole feature projection per branch (documents x3
+      // in the before-plan); the checkpoint holds one narrow doc-sized
+      // row (doc_id, sm, pred_en, is_en) per doc.
       val scored = scoreWith(docs, trainOn(docs))
         .select(col("doc_id"),
           round(col("p_en") * 1e6).cast("long").as("sm"),
           col("pred_en"), col("is_en"))
+        .localCheckpoint(true)
       val ranked = graft.operators.GlobalOrder.withRowNumbers(
         scored, Seq(col("sm").asc, col("doc_id").asc), out = "r")
       ranked.agg(
@@ -411,9 +417,11 @@ object MlQueries {
     // are floating point.
     QueryDef("q148_calibration", (s, d) => {
       val docs = t(s, d, "documents")
+      // PINNED (r15) — the q147 rationale (documents x4 before)
       val scored = scoreWith(docs, trainOn(docs))
         .select(col("doc_id"),
           round(col("p_en") * 1e6).cast("long").as("sm"), col("is_en"))
+        .localCheckpoint(true)
       val ranked = graft.operators.GlobalOrder.withRowNumbers(
         scored, Seq(col("sm").asc, col("doc_id").asc), out = "r")
       ranked.crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
