@@ -351,6 +351,12 @@ object DedupQueries {
     // count per gh over the (doc, gram) stream IS the df (grams are
     // per-doc distinct), one exchange instead of two plus a join. PINNED:
     // three consumers below (both shared-join sides + keptCounts).
+    // TRADEOFF (ADVICE r14, applies to every window-form cap in this
+    // file): WindowExec buffers every occurrence of a hot gram in ONE
+    // partition group before the cap filter drops it, where the old
+    // groupBy shrank hot keys with map-side partial aggregation — on a
+    // corpus with stopword-shingle skew far beyond the bench SFs, swap
+    // back to the groupBy form (values identical either way).
     val kept = ex.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("gh")))
       .filter(col("df") <= MaxGramDf).drop("df")
@@ -1079,7 +1085,8 @@ object DedupQueries {
       // (stopword-ish shingles) and unbounded join fan-out — drop them.
       // (train_doc, g) rows are per-doc DISTINCT, so the per-g row count
       // IS countDistinct(train_doc) — one window over g instead of a
-      // groupBy + join-back (the q141 rewrite).
+      // groupBy + join-back (the q141 rewrite; skew tradeoff noted at
+      // the q95 cap site).
       val tr = grams.filter(!col("is_eval"))
         .select(col("doc_id").as("train_doc"), col("g"))
         .withColumn("df", count(lit(1)).over(
@@ -1573,7 +1580,8 @@ object DedupQueries {
       val ex = docs.select(col("doc_id"), explode(col("grams_h")).as("g"))
       // gram df via ONE window over g instead of groupBy + join-back:
       // same value (count of occurrences per gram), one exchange instead
-      // of two plus a join (guide §2.4).
+      // of two plus a join (guide §2.4; skew tradeoff noted at the q95
+      // cap site).
       val wG = org.apache.spark.sql.expressions.Window.partitionBy("g")
       val ranked = ex.withColumn("df", count(lit(1)).over(wG))
         .groupBy("doc_id")

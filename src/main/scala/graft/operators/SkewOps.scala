@@ -82,11 +82,21 @@ object SkewOps {
       explode(sequence(lit(0L), lit(numSalts - 1L))))
     // SHUFFLE_HASH on the replicated side (guide §3.1): the salted join
     // still shuffles both sides by (key, salt) — the operator's whole
-    // point — but each reducer builds a hash table over its (smaller)
-    // replicated-side partition instead of sorting BOTH sides; the salt
-    // guarantees build-side partitions stay bounded (that is what the
-    // salt is FOR), which is precisely when shuffled-hash beats
-    // sort-merge.
+    // point — but each reducer builds a hash table over its
+    // replicated-side partition instead of sorting BOTH sides.
+    // PRECONDITION (ADVICE r14): the salt only spreads the skewed LEFT
+    // side; every salt's partition still holds ALL right rows of a hot
+    // key, and ShuffledHashJoin build sides do not spill — so the
+    // "small-ish right" contract above really means per-key right
+    // cardinality stays bounded (dimension-like). A right side with its
+    // own hot keys should keep sort-merge (drop the hint), which spills.
+    // The hint also overrides broadcast when the planner would pick it
+    // (at bench SFs the replicated side can sit under the threshold):
+    // deliberate — broadcasting a ×numSalts-replicated frame pays the
+    // replication numSalts× per executor, and at the operator's target
+    // scale the replicated side exceeds broadcast anyway. SkewOpsSpec
+    // pins the plan in the no-broadcast regime: hinted ⇒ ShuffledHashJoin
+    // where the unhinted identical join plans SortMergeJoin.
     salted.join(replicated.hint("shuffle_hash"),
         salted("__salt") === replicated("__salt") &&
           salted(leftKey) === replicated(rightKey))

