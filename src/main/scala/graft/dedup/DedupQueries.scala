@@ -1413,9 +1413,13 @@ object DedupQueries {
     // total division.
     QueryDef("q110_interdup_coverage", (s, d) => {
       val docs = t(s, d, "documents")
+      // PINNED (r15): the hashed gram stream feeds the DF aggregate AND
+      // the join-back side — unpinned, the tokenize+shingle pass ran
+      // twice (documents ×3 in the before-plan; the q64 staging pattern)
       val grams = tokenized(docs)
         .select(col("doc_id"), explode(expr(shinglesOfToks)).as("gram"))
         .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+        .persist()
       val gramDf = grams.groupBy("g")
         .agg(countDistinct(col("doc_id")).as("df"))
       val perdoc = grams.join(gramDf, "g")

@@ -748,10 +748,15 @@ object MlQueries {
       val u = conv(substring(md5(concat_ws(":",
         col("doc_id").cast("string"), lit("conf"))), 1, 15), 16, 10)
         .cast("double") / lit(1152921504606846976L) // 2^60
+      // PINNED (r15, the q147 rationale): calibration ranks, the n_cal
+      // count, and the test stage all read this narrow doc-sized frame —
+      // unpinned, GlobalOrder's pruning-split branches re-ran the feature
+      // projection per consumer (documents ×5 in the before-plan)
       val scored = f.select(col("doc_id"),
         round(p * lit(1e6)).cast("long").as("p_u"),
         col("y").cast("long").as("is_en"),
         (u < 0.5).as("is_cal"))
+        .localCheckpoint(true)
       val cal = scored.filter(col("is_cal"))
         .withColumn("s_u", when(col("is_en") === 1,
           lit(1000000L) - col("p_u")).otherwise(col("p_u")))
@@ -1121,8 +1126,21 @@ object MlQueries {
       val lr = scoreWith(docs, trainOn(docs))
         .select(col("doc_id"), col("pred_en").as("pred_lr"))
       val toks = nbTokens(docs.select(col("doc_id"), col("lang"), col("text")))
-      val model0 = nbCounts(toks).localCheckpoint(true)
-      val tot = model0.agg(sum("c_en").as("n_en"), sum("c_ot").as("n_ot"))
+      // ONE token pass (r15, the q182 pre-agg lesson): the corpus-sized
+      // token frame previously fed the model build AND the per-doc
+      // scoring join — two full tokenize scans. The pinned
+      // (doc, lang, bucket) pre-agg (≤ docs×256 rows) serves the 256-row
+      // model, the totals, and the per-doc fold: sm = Σ tokens wb
+      // = Σ buckets c·wb, exact BIGINTs either way.
+      val pre = toks.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val model0 = bucketSpine(pre.groupBy("b").agg(
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("c_en"),
+        sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("c_ot")))
+      val tot = pre.agg(
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("n_en"),
+        sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("n_ot"))
       val model = model0.crossJoin(broadcast(tot))
         .withColumn("wb", round(DetMath.detLnRatio(
           (col("c_en") + lit(1L)) * (col("n_ot") + lit(256L)),
@@ -1135,8 +1153,8 @@ object MlQueries {
         .select(when(col("d_en") > 0 && col("d_ot") > 0,
           round(DetMath.detLnRatio(col("d_en"), col("d_ot"))
             * 1e6).cast("long")).otherwise(lit(0L)).as("pm"))
-      val perdoc = toks.join(broadcast(model), "b")
-        .groupBy("doc_id").agg(sum("wb").as("sm"))
+      val perdoc = pre.join(broadcast(model), "b")
+        .groupBy("doc_id").agg(sum(col("c") * col("wb")).as("sm"))
       val nb = docs.select("doc_id").join(perdoc, Seq("doc_id"), "left_outer")
         .crossJoin(broadcast(pri))
         .select(col("doc_id"),
