@@ -4031,13 +4031,25 @@ object TextQueries {
             |  i -> struct(element_at(tk, i) AS w1,
             |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val pairCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      val ctxCnt = bi.groupBy("w1").agg(count(lit(1)).as("cw"))
-      val perdoc = bi.join(pairCnt, Seq("w1", "w2")).join(ctxCnt, Seq("w1"))
+      // ONE corpus bigram pass (r15 — q237's r12 lesson applied here: the
+      // raw bigram stream previously fed pair counts, context counts AND
+      // the scoring join = three explodes, documents ×4). The per-doc
+      // TYPE-count pin serves all three: model counts re-aggregate it,
+      // and the per-doc fold weights each type by its occurrence count k
+      // (Σ_occurrences lp = Σ_types k·lp — lp is per-type, micro-rounded
+      // once, exactly the old per-occurrence sum).
+      val docPairs = bi.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint(true)
+      val pairCnt = docPairs.groupBy("w1", "w2").agg(sum("k").as("cb"))
+      val ctxCnt = docPairs.groupBy("w1").agg(sum("k").as("cw"))
+      val perdoc = docPairs
+        .join(pairCnt, Seq("w1", "w2")).join(ctxCnt, Seq("w1"))
         .withColumn("lp",
           round(DetMath.detLnRatio(col("cb"), col("cw")) * 1e6).cast("long"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(col("k") * col("lp")).as("s"))
       docs.select(col("doc_id"))
         .join(perdoc, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
